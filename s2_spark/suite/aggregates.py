@@ -1,0 +1,197 @@
+"""Aggregations (SURVEY.md §2.B Q-AG*), including the metrics-API family
+(A26, ``api/src/v1/metrics.rs`` — declared but NotImplemented in the
+reference; implemented for real here as window aggregations).
+
+Scale notes: all groupBys get automatic partial (map-side) aggregation
+from Catalyst; grouping keys are low-cardinality so the final shuffle
+is tiny. ROLLUP/CUBE expand grouping sets before the shuffle — still a
+single pass over the fact table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from s2_spark.registry import query
+from s2_spark.suite._util import epoch_ms, r4
+from s2_spark.tables import load_views, t
+
+
+@query(
+    "ag1_hash_agg_multi",
+    oracle=(
+        "SELECT l_returnflag, l_linestatus, round(sum(l_quantity),4) AS sum_qty, "
+        "round(avg(l_extendedprice),4) AS avg_price, count(*) AS n "
+        "FROM lineitem GROUP BY 1,2 ORDER BY 1,2"
+    ),
+    doc="TPC-H Q1 core: hash agg, multiple functions",
+)
+def ag1(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            r4(F.sum("l_quantity")).alias("sum_qty"),
+            r4(F.avg("l_extendedprice")).alias("avg_price"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "ag2_distinct_agg",
+    oracle=(
+        "SELECT event_type, count(DISTINCT user_id) AS u FROM events "
+        "GROUP BY 1 ORDER BY 1"
+    ),
+    doc="count distinct per group (expand + two-phase agg)",
+)
+def ag2(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("u"))
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "ag3_approx_distinct",
+    oracle="SELECT count(DISTINCT user_id) AS exact_u FROM events",
+    doc=(
+        "exact distinct for the oracle; the engine-side approx variant "
+        "(approx_count_distinct, rel-err < 5%) is asserted in tests"
+    ),
+)
+def ag3(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    return e.agg(F.countDistinct("user_id").alias("exact_u"))
+
+
+@query(
+    "ag5_rollup",
+    oracle=(
+        "SELECT coalesce(r_name,'ALL') AS region, coalesce(n_name,'ALL') AS nation, "
+        "count(*) AS c FROM nation n JOIN region r ON n.n_regionkey=r.r_regionkey "
+        "GROUP BY ROLLUP (r_name, n_name) ORDER BY 1,2"
+    ),
+    doc="ROLLUP grouping sets",
+)
+def ag5(spark, sf_dir):
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(F.count("*").alias("c"))
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            "c",
+        )
+        .orderBy("region", "nation")
+    )
+
+
+@query(
+    "ag6_cube",
+    oracle=(
+        "SELECT coalesce(l_returnflag,'ALL') AS rf, coalesce(l_linestatus,'ALL') AS ls, "
+        "count(*) AS c FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus) "
+        "ORDER BY 1,2"
+    ),
+    doc="CUBE grouping sets",
+)
+def ag6(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("c"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
+            "c",
+        )
+        .orderBy("rf", "ls")
+    )
+
+
+@query(
+    "ag7_grouping_sets",
+    oracle=(
+        "SELECT coalesce(event_type,'ALL') AS et, "
+        "coalesce(CAST(user_id AS VARCHAR),'ALL') AS uid, count(*) AS c "
+        "FROM events GROUP BY GROUPING SETS ((event_type),(user_id)) ORDER BY 1,2"
+    ),
+    doc="GROUPING SETS via SQL",
+)
+def ag7(spark, sf_dir):
+    load_views(spark, sf_dir)
+    return spark.sql(
+        "SELECT coalesce(event_type,'ALL') AS et, "
+        "coalesce(CAST(user_id AS STRING),'ALL') AS uid, count(*) AS c "
+        "FROM events GROUP BY GROUPING SETS ((event_type),(user_id)) ORDER BY 1,2"
+    )
+
+
+@query(
+    "ag8_having",
+    oracle=(
+        "SELECT user_id, count(*) AS n FROM events GROUP BY 1 "
+        "HAVING count(*) > 20 ORDER BY 1"
+    ),
+    doc="HAVING → post-agg filter",
+)
+def ag8(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 20)
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "ag9_metrics_rollup",
+    oracle=(
+        "SELECT epoch_ms(date_trunc('hour', ts)) AS h, event_type, "
+        "count(*) AS ops, round(sum(value),4) AS vol "
+        "FROM events GROUP BY 1,2 ORDER BY 1,2"
+    ),
+    doc=(
+        "metrics-API ops-per-interval (A26: api/src/v1/metrics.rs:38-130; "
+        "lite stubs it NotImplemented — implemented for real here)"
+    ),
+)
+def ag9(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            epoch_ms(F.date_trunc("hour", F.col("ts").cast("timestamp"))).alias("h"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("ops"), r4(F.sum("value")).alias("vol"))
+        .orderBy("h", "event_type")
+    )
+
+
+@query(
+    "ag10_metrics_gauge",
+    oracle=(
+        "SELECT event_id, round(sum(value) OVER "
+        "(ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),4) AS level "
+        "FROM events WHERE user_id = 1 ORDER BY event_id"
+    ),
+    doc="metrics gauge: running level (A26 storage metric shape)",
+)
+def ag10(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    e = t(spark, sf_dir, "events").filter(F.col("user_id") == 1)
+    w = W.orderBy("event_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        e.select("event_id", r4(F.sum("value").over(w)).alias("level"))
+        .orderBy("event_id")
+    )

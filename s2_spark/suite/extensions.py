@@ -1,0 +1,231 @@
+"""North-star extension operators (SURVEY.md §2.B Q-X*) — the
+LLM-training-data-pipeline surface over ``documents`` / ``embeddings``:
+exact dedup, near-dup candidates, text analysis (tokens, top terms,
+language-ID, quality score, fingerprint), and cosine similarity top-k.
+
+Everything here is built-in-function Spark (JVM-side, codegen). The
+heavier variants (MinHash LSH banding, SimHash, IVF ANN, multimodal
+binary columns) live in ``s2_spark.functions.*`` with engine-side tests
+and rows-only driver checks.
+
+Scale notes: exact dedup groups on a hash of the text, not the text
+itself — at 100 TB the shuffle moves 16-byte digests, not documents.
+Near-dup candidate generation is token-bucket join (the LSH band-join
+shape), never an O(n²) cross join. The cosine top-k broadcast-joins a
+1-row query vector and TakeOrdered's the result.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from s2_spark.registry import query
+from s2_spark.suite._util import r4
+from s2_spark.tables import t
+
+_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
+
+
+def _tokens(col):
+    return F.split(F.lower(col), " ")
+
+
+@query(
+    "x1_exact_dup_groups",
+    oracle=(
+        "SELECT count(*) AS dups FROM "
+        "(SELECT md5(text) AS h, count(*) c FROM documents GROUP BY 1 HAVING count(*) > 1)"
+    ),
+    doc="exact dedup: duplicate-group count via hash-groupBy (digests shuffle, not documents)",
+)
+def x1(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5(F.col("text").cast("binary")).alias("h"))
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(F.count("*").alias("dups"))
+    )
+
+
+@query(
+    "x1b_distinct_docs",
+    oracle="SELECT count(DISTINCT md5(text)) AS n FROM documents",
+    doc="exact dedup: surviving-document count",
+)
+def x1b(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return d.agg(
+        F.countDistinct(F.md5(F.col("text").cast("binary"))).alias("n")
+    )
+
+
+@query(
+    "x2_token_counts",
+    oracle=(
+        "SELECT doc_id, CAST(length(string_split(lower(text), ' ')) AS BIGINT) AS ntok "
+        "FROM documents ORDER BY doc_id"
+    ),
+    doc="text analysis: whitespace token counting",
+)
+def x2(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.size(_tokens(F.col("text"))).cast("long").alias("ntok"))
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "x3_top_terms",
+    oracle=(
+        "SELECT tok, count(*) AS c FROM "
+        "(SELECT unnest(string_split(lower(text),' ')) AS tok FROM documents) "
+        "WHERE length(tok) >= 4 GROUP BY 1 ORDER BY c DESC, tok LIMIT 20"
+    ),
+    doc="text analysis: corpus top terms (explode + agg + top-k)",
+)
+def x3(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(_tokens(F.col("text"))).alias("tok"))
+        .filter(F.length("tok") >= 4)
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), "tok")
+        .limit(20)
+    )
+
+
+@query(
+    "x4_cosine_topk",
+    oracle=(
+        "SELECT vec_id, round(list_cosine_similarity("
+        "CAST(embedding AS DOUBLE[]), "
+        "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id=0)),4) AS sim "
+        "FROM embeddings WHERE vec_id <> 0 ORDER BY sim DESC, vec_id LIMIT 10"
+    ),
+    doc=(
+        "similarity search: brute-force cosine top-k vs query vector (vec_id=0). "
+        "Query vector is a broadcast 1-row join; top-k = TakeOrderedAndProject. "
+        "Scale path: IVF/LSH bucketing in s2_spark.functions.similarity."
+    ),
+)
+def x4(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    dbl = lambda c: F.transform(c, lambda x: x.cast("double"))  # noqa: E731
+    dot = F.aggregate(
+        F.zip_with(dbl(F.col("embedding")), dbl(F.col("qe")), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(dbl(c), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            r4(dot / (norm(F.col("embedding")) * norm(F.col("qe")))).alias("sim"),
+        )
+        .orderBy(F.desc("sim"), "vec_id")
+        .limit(10)
+    )
+
+
+@query(
+    "x5_neardup_candidates",
+    oracle=(
+        "SELECT count(*) AS pairs FROM (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2 "
+        "FROM (SELECT doc_id, unnest(list_sort(list_distinct(string_split(lower(text),' ')))[1:3]) AS tok FROM documents) a "
+        "JOIN (SELECT doc_id, unnest(list_sort(list_distinct(string_split(lower(text),' ')))[1:3]) AS tok FROM documents) b "
+        "ON a.tok = b.tok AND a.doc_id < b.doc_id)"
+    ),
+    doc=(
+        "near-dup candidate pairs via smallest-token buckets — the LSH band-join "
+        "shape (bucket-join, no cross join); full MinHashLSH in functions.dedup"
+    ),
+)
+def x5(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.slice(F.array_sort(F.array_distinct(_tokens(F.col("text")))), 1, 3)
+        ).alias("tok"),
+    )
+    a = toks.alias("a")
+    b = toks.alias("b")
+    return (
+        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+        .agg(F.count("*").alias("pairs"))
+    )
+
+
+@query(
+    "x6_lang_id",
+    oracle=(
+        "SELECT doc_id, CASE WHEN stop_ratio >= 0.1 THEN 'en' ELSE 'unk' END AS pred_lang, "
+        "round(stop_ratio, 4) AS stop_ratio FROM ("
+        "SELECT doc_id, CAST(length(list_filter(string_split(lower(text),' '), "
+        "x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE) "
+        "/ length(string_split(lower(text),' ')) AS stop_ratio FROM documents) "
+        "ORDER BY doc_id"
+    ),
+    doc="text analysis: stopword-ratio language-ID heuristic (n-gram heuristic family)",
+)
+def x6(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    stop = F.size(F.filter(toks, lambda x: x.isin(*_STOPWORDS)))
+    ratio = stop.cast("double") / F.size(toks)
+    return (
+        d.select(
+            "doc_id",
+            F.when(ratio >= 0.1, "en").otherwise("unk").alias("pred_lang"),
+            r4(ratio).alias("stop_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "x7_quality_score",
+    oracle=(
+        "SELECT doc_id, round("
+        "least(1.0, length(string_split(lower(text),' ')) / 100.0) * 0.5 + "
+        "(CAST(length(list_filter(string_split(lower(text),' '), "
+        "x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE) "
+        "/ length(string_split(lower(text),' '))) * 0.5, 4) AS quality "
+        "FROM documents ORDER BY doc_id"
+    ),
+    doc="text analysis: quality score = 0.5·min(1, ntok/100) + 0.5·stopword-ratio",
+)
+def x7(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    ntok = F.size(toks).cast("double")
+    stop = F.size(F.filter(toks, lambda x: x.isin(*_STOPWORDS))).cast("double")
+    score = F.least(F.lit(1.0), ntok / 100.0) * 0.5 + (stop / ntok) * 0.5
+    return d.select("doc_id", r4(score).alias("quality")).orderBy("doc_id")
+
+
+@query(
+    "x8_fingerprint",
+    oracle=(
+        "SELECT doc_id, md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp "
+        "FROM documents ORDER BY doc_id"
+    ),
+    doc="document fingerprint: whitespace-normalized content hash",
+)
+def x8(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
+    return (
+        d.select("doc_id", F.md5(norm.cast("binary")).alias("fp"))
+        .orderBy("doc_id")
+    )
