@@ -245,6 +245,10 @@ class StreamStore:
         join with current tails; timestamps get the running-max monotone
         adjustment in the same window. One shuffle on (basin, stream).
         """
+        # register every touched stream (auto-create semantics, A23) —
+        # the distinct key set is small (it is the shuffle key space)
+        for b, s in df.select("basin", "stream").distinct().collect():
+            self.catalog.ensure_stream_for(b, s, "append")
         tails = self.spark.createDataFrame(
             [(b, s, st.tail_seq, st.last_ts) for (b, s), st in self._state.items()]
             or [("", "", 0, 0)],

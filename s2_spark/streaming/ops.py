@@ -1,0 +1,70 @@
+"""Streaming operator builders (Q-STR1-7) — each takes a streaming (or
+batch) DataFrame of events/records and declares the windowed plan; the
+same builder runs in both modes, which is how the batch-equivalence
+contract is asserted (SURVEY.md §2.B streaming family).
+
+These implement the metrics-API rollups (A26) for real: ops/throughput
+per minute/hour/day are tumbling-window counts/sums over the record
+stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def tumbling_counts(df: DataFrame, ts_col: str = "ts", width: str = "1 hour") -> DataFrame:
+    """Q-STR1 / metrics 'ops per interval' (A26)."""
+    return (
+        df.groupBy(F.window(ts_col, width).alias("win"))
+        .agg(F.count("*").alias("n"))
+        .select(F.unix_millis("win.start").alias("w"), "n")
+    )
+
+
+def sliding_counts(
+    df: DataFrame, ts_col: str = "ts", width: str = "60 minutes", slide: str = "30 minutes"
+) -> DataFrame:
+    """Q-STR2."""
+    return (
+        df.groupBy(F.window(ts_col, width, slide).alias("win"))
+        .agg(F.count("*").alias("n"))
+        .select(F.unix_millis("win.start").alias("w_start_ms"), "n")
+    )
+
+
+def session_counts(
+    df: DataFrame, key: str = "user_id", ts_col: str = "ts", gap: str = "30 minutes"
+) -> DataFrame:
+    """Q-STR3 — per-key session windows."""
+    return (
+        df.groupBy(key, F.session_window(ts_col, gap).alias("win"))
+        .agg(F.count("*").alias("n"), F.max(ts_col).alias("mx"), F.min(ts_col).alias("mn"))
+        .select(
+            key,
+            F.unix_millis("mn").alias("s_ms"),
+            F.unix_millis("mx").alias("e_ms"),
+            "n",
+        )
+    )
+
+
+def with_watermark(df: DataFrame, ts_col: str = "ts", delay: str = "10 minutes") -> DataFrame:
+    """Q-STR4 — late-data bound; rows later than the watermark are
+    dropped from stateful aggregations."""
+    return df.withWatermark(ts_col, delay)
+
+
+def dedup(df: DataFrame, keys: list[str], within_watermark: bool = False) -> DataFrame:
+    """Q-STR5 — stateful dedup; the watermarked variant bounds state
+    (the 100 TB path — unbounded dedup state is a leak)."""
+    if within_watermark:
+        return df.dropDuplicatesWithinWatermark(keys)
+    return df.dropDuplicates(keys)
+
+
+def enrich(stream_df: DataFrame, dim_df: DataFrame, on, how: str = "inner") -> DataFrame:
+    """Q-STR7 — stream-static join; the static dim is broadcast so each
+    micro-batch joins without a shuffle."""
+    return stream_df.join(F.broadcast(dim_df), on, how)

@@ -1,0 +1,131 @@
+"""Stateful in-band command application (Q-STR6).
+
+The reference applies fence/trim commands at their exact log position
+inside the per-stream actor (``lite/src/backend/streamer.rs:368-390``).
+The streaming analogue is an ordered stateful fold per stream:
+``applyInPandasWithState`` keyed by (basin, stream), carrying
+(fencing_token, trim_point) across micro-batches.
+
+Semantics folded per record, in seq order:
+- ``fence`` command → token := body (UTF-8, ≤36 bytes)
+- ``trim`` command  → trim_point := max(trim_point, min(payload, own seq))
+- every record is annotated with the state *after* it applies, and
+  ``visible`` = seq_num >= current trim_point.
+
+Batch-mode equivalence: :func:`apply_commands_batch` computes the same
+fold with window functions (running max over command columns) so the
+streaming and batch paths can be asserted equal — the contract test.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql import Window as W
+
+OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("basin", T.StringType()),
+        T.StructField("stream", T.StringType()),
+        T.StructField("seq_num", T.LongType()),
+        T.StructField("timestamp", T.LongType()),
+        T.StructField("fencing_token", T.StringType()),
+        T.StructField("trim_point", T.LongType()),
+        T.StructField("visible", T.BooleanType()),
+    ]
+)
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("fencing_token", T.StringType()),
+        T.StructField("trim_point", T.LongType()),
+    ]
+)
+
+
+def _fold(key, pdf_iter, state):
+    """Per-stream ordered fold (the actor's command application)."""
+    token, trim = ("", 0)
+    if state.exists:
+        token, trim = state.get
+    for pdf in pdf_iter:
+        pdf = pdf.sort_values("seq_num")
+        out = {
+            "basin": [],
+            "stream": [],
+            "seq_num": [],
+            "timestamp": [],
+            "fencing_token": [],
+            "trim_point": [],
+            "visible": [],
+        }
+        for row in pdf.itertuples(index=False):
+            cmd, payload = row.cmd, row.payload
+            if cmd == "fence":
+                token = payload.decode("utf-8") if payload is not None else ""
+            elif cmd == "trim":
+                req = int.from_bytes(payload, "big") if payload else 0
+                trim = max(trim, min(req, int(row.seq_num)))
+            out["basin"].append(row.basin)
+            out["stream"].append(row.stream)
+            out["seq_num"].append(int(row.seq_num))
+            out["timestamp"].append(int(row.timestamp))
+            out["fencing_token"].append(token)
+            out["trim_point"].append(trim)
+            out["visible"].append(int(row.seq_num) >= trim)
+        yield pd.DataFrame(out)
+    state.update((token, trim))
+
+
+def _with_cmd_cols(records: DataFrame) -> DataFrame:
+    is_cmd = (F.size("headers") == 1) & (F.length(F.col("headers")[0]["name"]) == 0)
+    return records.select(
+        "basin",
+        "stream",
+        "seq_num",
+        "timestamp",
+        F.when(is_cmd, F.col("headers")[0]["value"].cast("string")).alias("cmd"),
+        F.col("body").alias("payload"),
+    )
+
+
+def apply_commands_stream(records: DataFrame) -> DataFrame:
+    """Streaming stateful fold keyed by (basin, stream)."""
+    return (
+        _with_cmd_cols(records)
+        .groupBy("basin", "stream")
+        .applyInPandasWithState(
+            _fold, OUT_SCHEMA, STATE_SCHEMA, "append", "NoTimeout"
+        )
+    )
+
+
+def apply_commands_batch(records: DataFrame) -> DataFrame:
+    """Batch-equivalent fold via running-max windows (Q-W4 structure) —
+    fully distributed: partitions by stream, no Python in the loop."""
+    df = _with_cmd_cols(records)
+    w = (
+        W.partitionBy("basin", "stream")
+        .orderBy("seq_num")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    trim_req = F.when(
+        F.col("cmd") == "trim",
+        F.least(F.conv(F.hex("payload"), 16, 10).cast("long"), F.col("seq_num")),
+    )
+    token_at = F.when(F.col("cmd") == "fence", F.col("payload").cast("string"))
+    return df.select(
+        "basin",
+        "stream",
+        "seq_num",
+        "timestamp",
+        # latest fence at-or-before this row (max_by over running frame)
+        F.coalesce(
+            F.max_by(token_at, F.when(token_at.isNotNull(), F.col("seq_num"))).over(w),
+            F.lit(""),
+        ).alias("fencing_token"),
+        F.coalesce(F.max(trim_req).over(w), F.lit(0)).alias("trim_point"),
+    ).withColumn("visible", F.col("seq_num") >= F.col("trim_point"))

@@ -134,6 +134,62 @@ def str5(spark, sf_dir):
 
 
 @query(
+    "str6_command_fold",
+    oracle=(
+        "SELECT seq_num, fencing_token, trim_point, seq_num >= trim_point AS visible "
+        "FROM (SELECT event_id AS seq_num, "
+        "coalesce('tok-' || CAST(max(CASE WHEN event_id % 100 = 0 THEN event_id END) "
+        "OVER w AS VARCHAR), '') AS fencing_token, "
+        "coalesce(max(CASE WHEN event_id % 100 = 50 "
+        "THEN least(greatest(event_id - 30, 0), event_id) END) OVER w, 0) AS trim_point "
+        "FROM events WINDOW w AS (ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING "
+        "AND CURRENT ROW)) ORDER BY seq_num"
+    ),
+    doc=(
+        "stateful fence/trim fold (A5/A6, streamer.rs:368-390): commands "
+        "synthesized from events (fence at event_id%100==0 with token "
+        "'tok-<id>', trim at %100==50 to id-30); Spark side runs the real "
+        "apply_commands_batch operator over a records-shaped frame; the "
+        "streaming applyInPandasWithState fold is asserted equal in tests"
+    ),
+)
+def str6(spark, sf_dir):
+    from s2_spark.streaming.state import apply_commands_batch
+
+    e = t(spark, sf_dir, "events")
+    is_fence = F.col("event_id") % 100 == 0
+    is_trim = F.col("event_id") % 100 == 50
+    trim_payload = F.greatest(F.col("event_id") - 30, F.lit(0))
+    # u64 BE payload for trim, UTF-8 token for fence — the real wire shapes
+    records = e.select(
+        F.lit("b").alias("basin"),
+        F.lit("s").alias("stream"),
+        F.col("event_id").alias("seq_num"),
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("timestamp"),
+        F.when(
+            is_fence | is_trim,
+            F.array(
+                F.struct(
+                    F.lit(b"").alias("name"),
+                    F.when(is_fence, F.lit(b"fence")).otherwise(F.lit(b"trim")).alias("value"),
+                )
+            ),
+        )
+        .otherwise(F.array().cast("array<struct<name binary, value binary>>"))
+        .alias("headers"),
+        F.when(is_fence, F.concat(F.lit("tok-"), F.col("event_id").cast("string")).cast("binary"))
+        .when(is_trim, F.unhex(F.lpad(F.hex(trim_payload), 16, "0")))
+        .otherwise(F.lit(None).cast("binary"))
+        .alias("body"),
+    )
+    return (
+        apply_commands_batch(records)
+        .select("seq_num", "fencing_token", "trim_point", "visible")
+        .orderBy("seq_num")
+    )
+
+
+@query(
     "str7_stream_static_join",
     oracle=(
         "SELECT e.event_id, c.c_mktsegment FROM events e "

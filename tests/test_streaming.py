@@ -1,0 +1,284 @@
+"""Structured Streaming layer tests: S2 source (live tail, checkpoint
+resume), foreachBatch sink, stateful fence/trim, and streaming-vs-batch
+equivalence of the windowed operators."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from s2_spark.catalog import Catalog
+from s2_spark.model import Record, fence_record, trim_record
+from s2_spark.store import StreamStore
+from s2_spark.streaming import register
+from s2_spark.streaming import ops as sops
+from s2_spark.streaming.sink import append_sink
+from s2_spark.streaming.state import apply_commands_batch, apply_commands_stream
+from s2_spark.tables import t
+
+BASIN = "test-basin"
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    cat = Catalog(spark)
+    cat.create_basin(BASIN)
+    cat.create_stream(BASIN, "s1")
+    return StreamStore(spark, str(tmp_path / "records"), catalog=cat)
+
+
+def _recs(n, start=0):
+    return [Record(body=f"rec-{start+i}".encode()) for i in range(n)]
+
+
+def _start_tail_query(spark, store, name):
+    register(spark)
+    sdf = (
+        spark.readStream.format("s2")
+        .option("path", store.base_dir)
+        .option("basin", BASIN)
+        .load()
+    )
+    return (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+
+
+def test_source_catchup_and_live_tail(spark, store):
+    store.append(BASIN, "s1", _recs(10))
+    q = _start_tail_query(spark, store, "tail1")
+    try:
+        q.processAllAvailable()
+        got = spark.sql("SELECT seq_num FROM tail1 ORDER BY seq_num").collect()
+        assert [r.seq_num for r in got] == list(range(10))
+        # live tail: appends after the query started are delivered
+        store.append(BASIN, "s1", _recs(5, start=10))
+        q.processAllAvailable()
+        got = spark.sql("SELECT seq_num FROM tail1 ORDER BY seq_num").collect()
+        assert [r.seq_num for r in got] == list(range(15))
+    finally:
+        q.stop()
+
+
+def test_source_checkpoint_resume(spark, store, tmp_path):
+    """A14/A28: restart resumes from checkpointed per-stream offsets —
+    no duplicates, no loss (the Last-Event-Id contract)."""
+    register(spark)
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+
+    def run_once():
+        sdf = (
+            spark.readStream.format("s2")
+            .option("path", store.base_dir)
+            .option("basin", BASIN)
+            .load()
+        )
+        q = (
+            sdf.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    store.append(BASIN, "s1", _recs(8))
+    run_once()
+    store.append(BASIN, "s1", _recs(7, start=8))
+    run_once()
+    got = spark.read.parquet(out_dir).select("seq_num").collect()
+    seqs = sorted(r.seq_num for r in got)
+    assert seqs == list(range(15))  # each record exactly once
+
+
+def test_sink_sequences_per_stream(spark, store, tmp_path):
+    """foreachBatch sink: arbitrary input batches get dense per-stream
+    seq_nums through the single shuffle on the stream key."""
+    rows = [
+        (BASIN, "s1" if i % 2 == 0 else "s2", None, [], f"b-{i}".encode(), i)
+        for i in range(16)
+    ]
+    store.catalog.create_stream(BASIN, "s2")
+    df = spark.createDataFrame(
+        rows,
+        "basin string, stream string, timestamp long, "
+        "headers array<struct<name binary, value binary>>, body binary, "
+        "ingest_order long",
+    )
+    append_sink(store)(df, epoch_id=0)
+    assert [r.seq_num for r in store.read(BASIN, "s1").collect()] == list(range(8))
+    assert [r.seq_num for r in store.read(BASIN, "s2").collect()] == list(range(8))
+    # second epoch continues from the tails
+    append_sink(store)(df, epoch_id=1)
+    assert store.check_tail(BASIN, "s1")[0] == 16
+
+
+def _command_fixture(store):
+    store.append(BASIN, "s1", _recs(5))  # 0-4
+    store.fence(BASIN, "s1", "tok-A")  # 5
+    store.append(BASIN, "s1", _recs(3, start=5))  # 6-8
+    store.trim(BASIN, "s1", 7)  # 9 → trim_point 7
+    store.append(BASIN, "s1", _recs(2, start=8))  # 10-11
+    store.fence(BASIN, "s1", "tok-B")  # 12
+
+
+def test_stateful_commands_stream_equals_batch(spark, store, tmp_path):
+    """Q-STR6: the applyInPandasWithState fold over the record stream
+    must equal the window-function batch fold."""
+    _command_fixture(store)
+    batch = apply_commands_batch(store.records_df()).orderBy("seq_num")
+    want = [(r.seq_num, r.fencing_token, r.trim_point, r.visible) for r in batch.collect()]
+
+    register(spark)
+    sdf = (
+        spark.readStream.format("s2")
+        .option("path", store.base_dir)
+        .option("basin", BASIN)
+        .load()
+    )
+    q = (
+        apply_commands_stream(sdf)
+        .writeStream.format("memory")
+        .queryName("cmds")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = [
+            (r.seq_num, r.fencing_token, r.trim_point, r.visible)
+            for r in spark.sql("SELECT * FROM cmds ORDER BY seq_num").collect()
+        ]
+    finally:
+        q.stop()
+    assert got == want
+    # spot-check the fold itself
+    by_seq = dict((s, (tok, tr, vis)) for s, tok, tr, vis in got)
+    assert by_seq[4] == ("", 0, True)
+    assert by_seq[5] == ("tok-A", 0, True)
+    assert by_seq[9][1] == 7 and by_seq[9][2]  # trim applies at its seq
+    # state is as-of each record: seq 6 predates the trim → visible there
+    assert by_seq[6] == ("tok-A", 0, True)
+    assert by_seq[12] == ("tok-B", 7, True)
+
+
+def test_stateful_commands_state_carries_across_batches(spark, store):
+    """fence state must persist between micro-batches (two appends → at
+    least two offsets → the second batch sees the first's token)."""
+    register(spark)
+    store.fence(BASIN, "s1", "tok-X")
+    q = (
+        apply_commands_stream(
+            spark.readStream.format("s2").option("path", store.base_dir).load()
+        )
+        .writeStream.format("memory")
+        .queryName("cmds2")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        store.append(BASIN, "s1", _recs(2))  # second micro-batch, no command
+        q.processAllAvailable()
+        rows = spark.sql("SELECT seq_num, fencing_token FROM cmds2 ORDER BY seq_num").collect()
+    finally:
+        q.stop()
+    assert [(r.seq_num, r.fencing_token) for r in rows] == [
+        (0, "tok-X"),
+        (1, "tok-X"),
+        (2, "tok-X"),
+    ]
+
+
+# --- streaming-vs-batch equivalence of windowed ops (Q-STR1/2/3/5/7) -----
+
+
+def _events_stream(spark, sf_dir):
+    batch = t(spark, sf_dir, "events")
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .parquet(sf_dir)
+        .where(F.col("event_id").isNotNull())
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    return batch, stream
+
+
+@pytest.mark.parametrize(
+    "build",
+    [
+        lambda df: sops.tumbling_counts(df),
+        lambda df: sops.sliding_counts(df),
+        lambda df: sops.session_counts(df),
+    ],
+    ids=["tumbling", "sliding", "session"],
+)
+def test_windowed_agg_stream_equals_batch(spark, sf_dir, tmp_path, build, request):
+    import shutil, os
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    shutil.copy(f"{sf_dir}/events.parquet", src)
+    batch, stream = _events_stream(spark, src)
+    want = sorted(map(tuple, build(batch).collect()))
+    name = f"win_{request.node.callspec.id}"
+    q = (
+        build(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = sorted(map(tuple, spark.sql(f"SELECT * FROM {name}").collect()))
+    finally:
+        q.stop()
+    assert got == want
+
+
+def test_streaming_dedup_and_enrich(spark, sf_dir, tmp_path):
+    import shutil, os
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    shutil.copy(f"{sf_dir}/events.parquet", src)
+    batch, stream = _events_stream(spark, src)
+    want_dedup = batch.select("user_id", "event_type").distinct().count()
+    cust = t(spark, sf_dir, "customer")
+    want_enrich = batch.join(cust, batch.user_id == cust.c_custkey).count()
+
+    out = sops.enrich(
+        sops.dedup(stream.select("user_id", "event_type", "ts"), ["user_id", "event_type"]),
+        cust,
+        F.col("user_id") == F.col("c_custkey"),
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("de")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql("SELECT count(*) AS n FROM de").collect()[0].n
+    finally:
+        q.stop()
+    # enrich-after-dedup count: distinct pairs whose user has a customer row
+    want = (
+        batch.select("user_id", "event_type")
+        .distinct()
+        .join(cust, F.col("user_id") == F.col("c_custkey"))
+        .count()
+    )
+    assert got == want
+    assert want_dedup >= got and want_enrich >= got
