@@ -1,0 +1,237 @@
+"""Deduplication operators — exact and near-dup at 100 TB shape.
+
+Scale design notes:
+- **exact**: groupBy on a 128-bit digest of the normalized text — the
+  shuffle carries 16-byte keys, never documents.
+- **MinHash**: tokens explode once; k signature components are k
+  ``min(xxhash64(token, seed_i))`` aggregates over that single explode
+  — one shuffle on doc_id, map-side partial min. LSH banding then
+  buckets signature slices so candidate generation is an equi-join on
+  (band_idx, band_hash): only same-bucket docs ever meet (no O(n²)).
+- **SimHash**: same single explode; 64 signed bit-sums per doc, then
+  bucket by hamming-band for candidates.
+- **verification**: exact Jaccard on token sets, computed only for the
+  candidate pairs (array_intersect/array_union on the already-small
+  candidate join).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def normalize_text(col: Column) -> Column:
+    """Trim + whitespace-collapse + lowercase — the canonical form
+    hashed by exact dedup and fingerprints."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Keep one row per distinct normalized text. Which row survives a
+    group is arbitrary (dropDuplicates); use min_by over the digest if a
+    deterministic survivor is required."""
+    return (
+        df.withColumn("_h", F.md5(normalize_text(F.col(text_col)).cast("binary")))
+        .dropDuplicates(["_h"])
+        .drop("_h")
+    )
+
+
+def duplicate_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """All exact-duplicate groups: (hash, ids, count) with count > 1."""
+    return (
+        df.groupBy(F.md5(normalize_text(F.col(text_col)).cast("binary")).alias("h"))
+        .agg(F.collect_list(id_col).alias("ids"), F.count("*").alias("c"))
+        .filter(F.col("c") > 1)
+    )
+
+
+def tokens_col(text_col: str = "text") -> Column:
+    return F.array_distinct(F.split(F.lower(F.col(text_col)), r"\s+"))
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 32
+) -> DataFrame:
+    """(id, sig: array<long>[k]) — k independent min-hashes, one explode,
+    one partial-aggregated shuffle."""
+    toks = df.select(id_col, F.explode(tokens_col(text_col)).alias("tok"))
+    aggs = [
+        F.min(F.xxhash64("tok", F.lit(i))).alias(f"h{i}") for i in range(k)
+    ]
+    sig = toks.groupBy(id_col).agg(*aggs)
+    return sig.select(id_col, F.array(*[f"h{i}" for i in range(k)]).alias("sig"))
+
+
+def lsh_candidate_pairs(
+    sig_df: DataFrame, id_col: str = "doc_id", bands: int = 8
+) -> DataFrame:
+    """Band the signature and bucket-join: docs sharing any band hash
+    become a candidate pair. Returns distinct (d1, d2), d1 < d2."""
+    k = bands  # rows per band derived from sig length at runtime
+    banded = sig_df.select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.slice(
+                        F.col("sig"),
+                        b * (F.size("sig") / bands).cast("int") + 1,
+                        (F.size("sig") / bands).cast("int"),
+                    ).cast("string"),
+                    b,
+                ),
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("d1"), F.col(f"b.{id_col}").alias("d2"))
+        .distinct()
+    )
+
+
+def exact_jaccard(
+    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Verify candidates with exact token-set Jaccard — joins the (small)
+    candidate set back to the corpus twice; documents only move for
+    candidates."""
+    toks = df.select(F.col(id_col).alias("_id"), tokens_col(text_col).alias("_toks"))
+    j = (
+        pairs.join(toks.withColumnRenamed("_id", "d1").withColumnRenamed("_toks", "t1"), "d1")
+        .join(toks.withColumnRenamed("_id", "d2").withColumnRenamed("_toks", "t2"), "d2")
+    )
+    inter = F.size(F.array_intersect("t1", "t2")).cast("double")
+    union = F.size(F.array_union("t1", "t2")).cast("double")
+    return j.select("d1", "d2", (inter / union).alias("jaccard"))
+
+
+def minhash_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 32,
+    bands: int = 8,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Full near-dup pipeline: minhash → LSH candidates → exact-Jaccard
+    verify → pairs with jaccard >= threshold."""
+    sig = minhash_signatures(df, id_col, text_col, k)
+    cands = lsh_candidate_pairs(sig, id_col, bands)
+    return exact_jaccard(df, cands, id_col, text_col).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per document: per-token 64-bit hash, signed
+    bit-majority per position. One explode + 64 conditional sums, all
+    JVM-side."""
+    toks = df.select(id_col, F.explode(tokens_col(text_col)).alias("tok")).withColumn(
+        "h", F.xxhash64("tok")
+    )
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(64)
+    ]
+    agg = toks.groupBy(id_col).agg(*bit_sums)
+    fp = reduce(
+        lambda acc, b: acc
+        + F.when(
+            F.col(f"b{b}") > 0,
+            F.lit(1 << b if b < 63 else -(1 << 63)).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+        range(64),
+        F.lit(0).cast("long"),
+    )
+    return agg.select(id_col, fp.alias("simhash"))
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dups by SimHash: band the 64-bit fingerprint into 16-bit
+    chunks (pigeonhole: any pair within hamming ≤ bands-1 shares an
+    exact chunk; wider radii need multi-band OR, provided here), then
+    verify with full hamming distance."""
+    fps = simhash(df, id_col, text_col)
+    chunk = lambda b: F.shiftright("simhash", b * 16).bitwiseAND(F.lit(0xFFFF))  # noqa: E731
+    banded = fps.select(
+        id_col,
+        "simhash",
+        F.posexplode(F.array(*[chunk(b) for b in range(bands)])).alias("band", "key"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("d1"),
+            F.col(f"b.{id_col}").alias("d2"),
+            hamming64(F.col("a.simhash"), F.col("b.simhash")).alias("hamming"),
+        )
+        .distinct()
+    )
+    return cands.filter(F.col("hamming") <= max_hamming)
+
+
+def ngram_shingles(text_col: str, n: int = 5) -> Column:
+    """Character n-gram shingle set (for Jaccard on short/noisy text)."""
+    s = normalize_text(F.col(text_col))
+    idx = F.sequence(F.lit(1), F.greatest(F.length(s) - n + 1, F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: s.substr(i, F.lit(n))))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    k: int = 32,
+    bands: int = 8,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Near-dup on character n-grams: same minhash/LSH machinery with
+    shingles instead of word tokens."""
+    sh = df.select(id_col, F.explode(ngram_shingles(text_col, n)).alias("tok"))
+    aggs = [F.min(F.xxhash64("tok", F.lit(i))).alias(f"h{i}") for i in range(k)]
+    sig = sh.groupBy(id_col).agg(*aggs).select(
+        id_col, F.array(*[f"h{i}" for i in range(k)]).alias("sig")
+    )
+    cands = lsh_candidate_pairs(sig, id_col, bands)
+    toks = df.select(F.col(id_col).alias("_id"), ngram_shingles(text_col, n).alias("_toks"))
+    j = (
+        cands.join(toks.withColumnRenamed("_id", "d1").withColumnRenamed("_toks", "t1"), "d1")
+        .join(toks.withColumnRenamed("_id", "d2").withColumnRenamed("_toks", "t2"), "d2")
+    )
+    inter = F.size(F.array_intersect("t1", "t2")).cast("double")
+    union = F.size(F.array_union("t1", "t2")).cast("double")
+    return j.select("d1", "d2", (inter / union).alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
+    )

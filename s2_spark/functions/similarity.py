@@ -1,0 +1,218 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Three tiers, all DataFrame-native:
+- :func:`cosine_topk` — exact brute force; one broadcast of the query
+  vector, one TakeOrdered. The correctness baseline.
+- :func:`lsh_topk` — random-hyperplane LSH: m sign bits → bucket key;
+  candidates = same-bucket (plus optional multiprobe flips), verified
+  with exact cosine. At 100 TB the bucket join touches ~n/2^m of the
+  corpus per probe instead of all of it.
+- :func:`ivf_topk` — inverted-file ANN: KMeans centroids (trained once,
+  tiny model), probe the nprobe nearest cells; the scan is a partition-
+  pruned equi-join on cell id.
+
+Deterministic hyperplanes/centroid seeds so results are reproducible.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dbl(c) -> Column:
+    c = F.col(c) if isinstance(c, str) else c
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a, b) -> Column:
+    return F.aggregate(
+        F.zip_with(_dbl(a), _dbl(b), lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
+    )
+
+
+def norm(a) -> Column:
+    return F.sqrt(F.aggregate(_dbl(a), F.lit(0.0), lambda s, x: s + x * x))
+
+
+def cosine(a, b) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def _query_df(df: DataFrame, vec_col: str, query: list[float] | None, query_id=None,
+              id_col: str = "vec_id") -> DataFrame:
+    if query is not None:
+        return df.sparkSession.createDataFrame(
+            [(query,)], f"qe array<float>"
+        )
+    return df.filter(F.col(id_col) == query_id).select(F.col(vec_col).alias("qe"))
+
+
+def cosine_topk(
+    df: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query: list[float] | None = None,
+    query_id=None,
+) -> DataFrame:
+    """Exact top-k by cosine — broadcast 1-row query, TakeOrdered k."""
+    q = _query_df(df, vec_col, query, query_id, id_col)
+    base = df if query is not None else df.filter(F.col(id_col) != query_id)
+    return (
+        base.crossJoin(F.broadcast(q))
+        .select(id_col, cosine(vec_col, "qe").alias("sim"))
+        .orderBy(F.desc("sim"), id_col)
+        .limit(k)
+    )
+
+
+def _hyperplanes(dim: int, m: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes (LCG — no numpy
+    dependency in the plan; tiny driver-side constant)."""
+    state = seed
+    planes = []
+    for _ in range(m):
+        v = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            v.append(((state >> 11) / float(1 << 53)) * 2.0 - 1.0)
+        n = math.sqrt(sum(x * x for x in v)) or 1.0
+        planes.append([x / n for x in v])
+    return planes
+
+
+def lsh_bucket(vec_col, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket key: bit i = 1 if dot(v, plane_i) >= 0."""
+    key = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        d = dot(vec_col, F.array(*[F.lit(float(x)) for x in p]))
+        key = key + F.when(d >= 0, F.lit(1 << i).cast("long")).otherwise(0)
+    return key
+
+
+def lsh_topk(
+    df: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query: list[float] | None = None,
+    query_id=None,
+    m: int = 8,
+    multiprobe: int = 1,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """ANN top-k: probe the query's bucket (and hamming-`multiprobe`
+    neighbors), exact cosine within. Recall/efficiency dial = (m,
+    multiprobe)."""
+    planes = _hyperplanes(dim, m, seed)
+    bucketed = df.withColumn("_bkt", lsh_bucket(vec_col, planes))
+    q = _query_df(df, vec_col, query, query_id, id_col).withColumn(
+        "_qbkt", lsh_bucket("qe", planes)
+    )
+    # probe set: query bucket + single-bit flips up to `multiprobe` bits
+    probe_cols = [F.col("_qbkt")]
+    if multiprobe >= 1:
+        probe_cols += [
+            F.col("_qbkt").bitwiseXOR(F.lit(1 << i).cast("long")) for i in range(m)
+        ]
+    probes = F.array(*probe_cols)
+    qx = q.select("qe", F.explode(probes).alias("_bkt"))
+    base = bucketed if query is not None else bucketed.filter(F.col(id_col) != query_id)
+    return (
+        base.join(F.broadcast(qx), "_bkt")
+        .select(id_col, cosine(vec_col, "qe").alias("sim"))
+        .orderBy(F.desc("sim"), id_col)
+        .limit(k)
+    )
+
+
+def ivf_train_assign(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    seed: int = 42,
+) -> tuple[DataFrame, "object"]:
+    """Train IVF centroids (MLlib KMeans — distributed Lloyd) and assign
+    every vector to its cell. Returns (assigned_df, model)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    with_vec = df.withColumn("_features", array_to_vector(_dbl(vec_col)))
+    km = KMeans(k=n_cells, seed=seed, featuresCol="_features", predictionCol="_cell")
+    model = km.fit(with_vec)
+    return model.transform(with_vec).drop("_features"), model
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    model,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query: list[float] | None = None,
+    query_id=None,
+    nprobe: int = 3,
+) -> DataFrame:
+    """Probe the nprobe nearest cells only — the scan becomes an
+    IN-filter on the cell id (partition-prunable when the table is
+    written partitioned by cell)."""
+    if query is None:
+        query = [
+            float(x)
+            for x in assigned.filter(F.col(id_col) == query_id).select(vec_col).first()[0]
+        ]
+    centers = [(i, list(map(float, c))) for i, c in enumerate(model.clusterCenters())]
+
+    def _cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a)) or 1.0
+        nb = math.sqrt(sum(x * x for x in b)) or 1.0
+        return d / (na * nb)
+
+    probe_cells = [i for i, _ in sorted(centers, key=lambda ic: -_cos(ic[1], query))[:nprobe]]
+    qdf = assigned.sparkSession.createDataFrame([(query,)], "qe array<float>")
+    base = assigned.filter(F.col("_cell").isin(probe_cells))
+    if query_id is not None:
+        base = base.filter(F.col(id_col) != query_id)
+    return (
+        base.crossJoin(F.broadcast(qdf))
+        .select(id_col, cosine(vec_col, "qe").alias("sim"))
+        .orderBy(F.desc("sim"), id_col)
+        .limit(k)
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 6,
+    dim: int = 64,
+    seed: int = 42,
+    exact: bool = False,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs. ``exact=True`` does the full
+    pairwise join (baseline / oracle); default buckets by hyperplane
+    signs first so only same-bucket pairs get the exact cosine —
+    high-cosine pairs land in the same bucket with prob (1 - θ/π)^m."""
+    a, b = df.alias("a"), df.alias("b")
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    if not exact:
+        planes = _hyperplanes(dim, m, seed)
+        df2 = df.withColumn("_bkt", lsh_bucket(vec_col, planes))
+        a, b = df2.alias("a"), df2.alias("b")
+        cond = cond & (F.col("a._bkt") == F.col("b._bkt"))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col(f"a.{id_col}").alias("d1"),
+            F.col(f"b.{id_col}").alias("d2"),
+            cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )

@@ -215,6 +215,119 @@ def x7(spark, sf_dir):
 
 
 @query(
+    "x9_minhash_neardup",
+    oracle=None,  # xxhash64-based signatures have no DuckDB equivalent
+    doc=(
+        "MinHash(32) → LSH(8 bands) candidates → exact-Jaccard verify ≥ 0.5; "
+        "rows-only driver check, engine-side tests assert candidate superset "
+        "vs brute force on planted near-duplicates"
+    ),
+)
+def x9(spark, sf_dir):
+    from s2_spark.functions.dedup import minhash_neardup_pairs
+
+    d = t(spark, sf_dir, "documents")
+    return minhash_neardup_pairs(d, threshold=0.5).orderBy("d1", "d2")
+
+
+@query(
+    "x10_simhash_neardup",
+    oracle=None,
+    doc="SimHash64 fingerprints, 16-bit band buckets, hamming ≤ 8 verify",
+)
+def x10(spark, sf_dir):
+    from s2_spark.functions.dedup import simhash_neardup_pairs
+
+    d = t(spark, sf_dir, "documents")
+    return simhash_neardup_pairs(d, max_hamming=8).orderBy("d1", "d2")
+
+
+@query(
+    "x11_embedding_neardup",
+    oracle=(
+        "SELECT a.vec_id AS d1, b.vec_id AS d2, "
+        "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+        "CAST(b.embedding AS DOUBLE[])), 4) AS sim "
+        "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+        "AND a.vec_id < 500 AND b.vec_id < 500 "
+        "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+        "CAST(b.embedding AS DOUBLE[])) >= 0.45 ORDER BY d1, d2"
+    ),
+    doc=(
+        "embedding-cosine near-dup pairs (exact mode for the oracle; the "
+        "hyperplane-bucketed scale path is tested engine-side)"
+    ),
+)
+def x11(spark, sf_dir):
+    from s2_spark.functions.similarity import embedding_neardup_pairs
+    from s2_spark.suite._util import r4
+
+    emb = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    pairs = embedding_neardup_pairs(emb, threshold=0.45, exact=True)
+    return pairs.select("d1", "d2", r4(F.col("sim")).alias("sim")).orderBy("d1", "d2")
+
+
+@query(
+    "x12_bpe_token_count",
+    oracle=(
+        "SELECT doc_id, CAST(length(regexp_extract_all(lower(text), "
+        "'[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS ntok "
+        "FROM documents ORDER BY doc_id"
+    ),
+    doc="BPE-ish regex pre-tokenization count (word pieces / numbers / punct)",
+)
+def x12(spark, sf_dir):
+    from s2_spark.functions.text import token_count
+
+    d = t(spark, sf_dir, "documents")
+    return d.select("doc_id", token_count("text", "bpe").alias("ntok")).orderBy("doc_id")
+
+
+@query(
+    "x13_lsh_ann_topk",
+    oracle=None,
+    doc=(
+        "ANN top-10 via random-hyperplane LSH (m=8, multiprobe 1) for query "
+        "vec_id=0; recall vs brute force asserted engine-side with planted dups"
+    ),
+)
+def x13(spark, sf_dir):
+    from s2_spark.functions.similarity import lsh_topk
+    from s2_spark.suite._util import r4
+
+    emb = t(spark, sf_dir, "embeddings")
+    out = lsh_topk(emb, k=10, query_id=0, m=8, multiprobe=1)
+    return out.select("vec_id", r4(F.col("sim")).alias("sim"))
+
+
+@query(
+    "x14_ivf_ann_topk",
+    oracle=None,
+    doc="ANN top-10 via IVF (KMeans-16 cells, nprobe 3) for query vec_id=0",
+)
+def x14(spark, sf_dir):
+    from s2_spark.functions.similarity import ivf_topk, ivf_train_assign
+    from s2_spark.suite._util import r4
+
+    emb = t(spark, sf_dir, "embeddings")
+    assigned, model = ivf_train_assign(emb, n_cells=16)
+    out = ivf_topk(assigned, model, k=10, query_id=0, nprobe=3)
+    return out.select("vec_id", r4(F.col("sim")).alias("sim"))
+
+
+@query(
+    "x15_doc_rolling_fingerprint",
+    oracle=None,
+    doc="order-sensitive 64-bit rolling-hash fingerprint per document",
+)
+def x15(spark, sf_dir):
+    from s2_spark.functions.text import fingerprint
+
+    d = t(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint("text").alias("fp")).orderBy("doc_id")
+
+
+@query(
     "x8_fingerprint",
     oracle=(
         "SELECT doc_id, md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp "
