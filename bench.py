@@ -1,0 +1,159 @@
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS], plus an `s2 bench`-equivalent
+append→catchup-read workload with xxh-chain verification
+(cli/src/bench.rs:389-394: write chain == read chain, counts equal).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+from s2_spark.registry import all_queries
+from s2_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# Headline set: one per operator family — scan, TPC-H Q1 agg, multiway
+# join, window seq-assignment, tumbling metrics window, exact dedup,
+# cosine top-k, top-k per group, command fold, BPE tokens.
+HEADLINE = [
+    ("q_scan_ts", "sc4_range_scan_ts"),
+    ("q_tpch1", "ag1_hash_agg_multi"),
+    ("q_join_multi", "j2_multiway_join"),
+    ("q_window_seq", "w1_row_number"),
+    ("q_metrics_hour", "ag9_metrics_rollup"),
+    ("q_dedup_exact", "x1b_distinct_docs"),
+    ("q_cosine_topk", "x4_cosine_topk"),
+    ("q_topk_group", "sl2_topk_per_group"),
+    ("q_cmd_fold", "str6_command_fold"),
+    ("q_bpe_tokens", "x12_bpe_token_count"),
+]
+
+
+def _materialize(df) -> int:
+    """Run the full plan without driver transfer (noop sink)."""
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def run_queries(spark) -> dict[str, float]:
+    qs = all_queries()
+    out = {}
+    for label, name in HEADLINE:
+        fn = qs[name].spark
+        t0 = time.perf_counter()
+        _materialize(fn(spark, SF_DIR))
+        out[label] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def s2_bench_equivalent(spark, n_records: int = 8000, record_bytes: int = 8192) -> dict:
+    """The reference bench workload (cli/src/cli.rs:702-736 defaults:
+    8 KiB records, ~60 MiB): bulk-append through the store's distributed
+    sequencing, then catch-up read; verify count + order-sensitive
+    chain hash on both sides."""
+    from s2_spark.catalog import Catalog
+    from s2_spark.store import StreamStore
+
+    base = tempfile.mkdtemp(prefix="s2bench_")
+    try:
+        cat = Catalog(spark)
+        cat.create_basin("bench-basin")
+        cat.create_stream("bench-basin", "bench")
+        store = StreamStore(spark, os.path.join(base, "records"), catalog=cat)
+
+        payload = F.encode(
+            F.concat(F.lit("r"), F.col("id").cast("string"), F.lit("x" * record_bytes)),
+            "utf-8",
+        )
+        src = (
+            spark.range(n_records)
+            .select(
+                F.lit("bench-basin").alias("basin"),
+                F.lit("bench").alias("stream"),
+                F.lit(None).cast("long").alias("timestamp"),
+                F.array().cast("array<struct<name binary, value binary>>").alias("headers"),
+                payload.alias("body"),
+                F.col("id").alias("ingest_order"),
+            )
+        )
+        def chain_over(df, order_col):
+            # collect (order, hash) pairs, sort in-array (struct sort is
+            # by first field), fold the chain — order-guaranteed
+            hashes = F.array_sort(
+                F.collect_list(F.struct(F.col(order_col).alias("o"), F.xxhash64("body").alias("h")))
+            )
+            return F.aggregate(
+                F.transform(hashes, lambda x: x["h"]),
+                F.lit(0).cast("long"),
+                lambda acc, h: F.xxhash64(acc, h),
+            )
+
+        write_chain = src.agg(chain_over(src, "ingest_order").alias("chain")).first()["chain"]
+        t0 = time.perf_counter()
+        store.bulk_append(src)
+        append_s = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        read = store.read("bench-basin", "bench")
+        read_chain_row = read.agg(
+            F.count("*").alias("n"), chain_over(read, "seq_num").alias("chain")
+        ).first()
+        read_s = time.perf_counter() - t0
+        mib = n_records * record_bytes / (1024 * 1024)
+        ok = read_chain_row["n"] == n_records and read_chain_row["chain"] == write_chain
+        return {
+            "append_sec": round(append_s, 3),
+            "read_sec": round(read_s, 3),
+            "mib": round(mib, 1),
+            "append_mib_s": round(mib / append_s, 1),
+            "read_mib_s": round(mib / read_s, 1),
+            "verified": bool(ok),
+        }
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def main() -> None:
+    spark = get_spark("s2_spark_bench", cpus=CPUS, shuffle_partitions=CPUS)
+    # warm the JVM + file listing so query times measure execution
+    spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).count()
+
+    queries = run_queries(spark)
+    bench = s2_bench_equivalent(spark)
+    queries["q_s2bench_append"] = bench["append_sec"]
+    queries["q_s2bench_read"] = bench["read_sec"]
+    total = round(sum(queries.values()), 3)
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline suite + s2-bench-equivalent (chain-verified)",
+                "value": total,
+                "unit": "sec",
+                "queries": queries,
+                "sf": float(sf),
+                "s2bench": bench,
+            }
+        )
+    )
+    if not bench["verified"]:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()

@@ -271,7 +271,31 @@ class StreamStore:
             .select("basin", "stream", "seq_num", "timestamp", "headers", "body")
         )
         out.write.mode("append").parquet(self.base_dir)
-        self.recover_state()
+        # advance hot state from the batch's own stats — one narrow
+        # aggregation, no storage re-scan (final last_ts per stream is
+        # max(old_last_ts, max(capped ts)) since the running-max adjust
+        # never exceeds that bound)
+        ts0 = F.least(F.coalesce("timestamp", F.lit(arrival)), F.lit(arrival))
+        from s2_spark.model import is_command_col
+
+        stats = (
+            df.groupBy("basin", "stream")
+            .agg(
+                F.count("*").alias("n"),
+                F.max(ts0).alias("mx"),
+                F.sum(is_command_col().cast("int")).alias("n_cmd"),
+            )
+            .collect()
+        )
+        if any(r["n_cmd"] for r in stats):
+            # in-band fence/trim in a bulk batch: rare — take the full
+            # recovery scan to fold them at their assigned positions
+            self.recover_state()
+        else:
+            for r in stats:
+                st = self._st(r["basin"], r["stream"])
+                st.tail_seq += r["n"]
+                st.last_ts = max(st.last_ts, r["mx"] or 0)
 
     # --- command shortcuts (A5/A6) ----------------------------------------
 
