@@ -1,0 +1,117 @@
+"""Timeseries metrics API (A26) — ``api/src/v1/metrics.rs:38-296``
+declares account/basin/stream metric sets at minute/hour/day intervals;
+``lite`` returns NotImplemented for all of them
+(``lite/src/handlers/v1/metrics.rs:39,68,97``). This module implements
+the declared surface for real over the records table.
+
+Metric set shapes (api/src/v1/metrics.rs):
+- **Scalar**    — one value per interval bucket (ops counts)
+- **Accumulation** — cumulative running total (gauge-from-deltas)
+- **Gauge**     — level at each bucket (storage bytes)
+- **Label**     — per-label breakdown (ops by operation type)
+
+Everything is ``groupBy(window(...))`` + window functions — one scan,
+partial aggregation map-side, bucket count bounded by the time range.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from s2_spark.model import metered_size_col
+
+INTERVALS = {"minute": "1 minute", "hour": "1 hour", "day": "1 day"}
+
+
+def _bucketed(records: DataFrame, interval: str) -> DataFrame:
+    width = INTERVALS[interval]
+    ts = F.timestamp_millis(F.col("timestamp"))
+    return records.withColumn(
+        "bucket", F.unix_millis(F.window(ts, width)["start"])
+    )
+
+
+def _scoped(records: DataFrame, basin: str | None, stream: str | None) -> DataFrame:
+    if basin is not None:
+        records = records.filter(F.col("basin") == basin)
+    if stream is not None:
+        records = records.filter(F.col("stream") == stream)
+    return records
+
+
+def append_ops(
+    records: DataFrame,
+    interval: str = "hour",
+    basin: str | None = None,
+    stream: str | None = None,
+) -> DataFrame:
+    """Scalar set: appended-record counts per bucket."""
+    return (
+        _bucketed(_scoped(records, basin, stream), interval)
+        .groupBy("bucket")
+        .agg(F.count("*").alias("ops"))
+        .orderBy("bucket")
+    )
+
+
+def append_throughput(
+    records: DataFrame,
+    interval: str = "hour",
+    basin: str | None = None,
+    stream: str | None = None,
+) -> DataFrame:
+    """Scalar set: metered bytes appended per bucket."""
+    return (
+        _bucketed(_scoped(records, basin, stream), interval)
+        .groupBy("bucket")
+        .agg(F.sum(metered_size_col()).alias("bytes"))
+        .orderBy("bucket")
+    )
+
+
+def storage_gauge(
+    records: DataFrame,
+    interval: str = "hour",
+    basin: str | None = None,
+    stream: str | None = None,
+) -> DataFrame:
+    """Gauge set: cumulative stored bytes level at each bucket
+    (accumulation of per-bucket deltas)."""
+    per_bucket = (
+        _bucketed(_scoped(records, basin, stream), interval)
+        .groupBy("bucket")
+        .agg(F.sum(metered_size_col()).alias("delta"))
+    )
+    w = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return per_bucket.select(
+        "bucket", F.sum("delta").over(w).alias("level")
+    ).orderBy("bucket")
+
+
+def ops_by_label(
+    records: DataFrame,
+    interval: str = "hour",
+    basin: str | None = None,
+) -> DataFrame:
+    """Label set: per-stream ops breakdown per bucket (the 'by
+    operation/stream' labeled timeseries)."""
+    return (
+        _bucketed(_scoped(records, basin, None), interval)
+        .groupBy("bucket", "stream")
+        .agg(F.count("*").alias("ops"))
+        .orderBy("bucket", "stream")
+    )
+
+
+def active_streams(
+    records: DataFrame, interval: str = "day", basin: str | None = None
+) -> DataFrame:
+    """Account/basin-level scalar: distinct active streams per bucket."""
+    return (
+        _bucketed(_scoped(records, basin, None), interval)
+        .groupBy("bucket")
+        .agg(F.countDistinct("basin", "stream").alias("active"))
+        .orderBy("bucket")
+    )

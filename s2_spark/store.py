@@ -389,6 +389,24 @@ class StreamStore:
             df = df.limit(limit.count)
         return df
 
+    def read_unary(
+        self,
+        basin: str,
+        stream: str,
+        start: ReadStart | None = None,
+        limit: ReadLimit | None = None,
+    ) -> DataFrame:
+        """Unary read with the API-layer caps imposed: ≤1000 records and
+        ≤1 MiB metered per response (lite/src/handlers/v1/records.rs:
+        72-84) — whatever the caller asked for is clamped down."""
+        limit = limit or ReadLimit()
+        capped = ReadLimit(
+            count=min(limit.count or MAX_BATCH_RECORDS, MAX_BATCH_RECORDS),
+            bytes=min(limit.bytes or MAX_BATCH_METERED_BYTES, MAX_BATCH_METERED_BYTES),
+            until=limit.until,
+        )
+        return self.read(basin, stream, start, capped)
+
     # --- maintenance (bgtasks analogues) -----------------------------------
 
     def apply_trim_and_retention(self) -> None:

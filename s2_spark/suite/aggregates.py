@@ -178,6 +178,80 @@ def ag9(spark, sf_dir):
 
 
 @query(
+    "ag11_metrics_minute_ops",
+    oracle=(
+        "SELECT epoch_ms(date_trunc('minute', ts)) AS bucket, count(*) AS ops "
+        "FROM events WHERE ts < TIMESTAMP '2024-01-02' GROUP BY 1 ORDER BY 1"
+    ),
+    doc="metrics API (A26) minute-interval scalar set via operators.metrics.append_ops",
+)
+def ag11(spark, sf_dir):
+    from s2_spark.operators.metrics import append_ops
+
+    e = t(spark, sf_dir, "events")
+    records = e.filter(
+        F.col("ts").cast("timestamp") < F.lit("2024-01-02").cast("timestamp")
+    ).select(
+        F.lit("b").alias("basin"),
+        F.lit("s").alias("stream"),
+        F.col("event_id").alias("seq_num"),
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("timestamp"),
+        F.array().cast("array<struct<name binary, value binary>>").alias("headers"),
+        F.col("props").cast("binary").alias("body"),
+    )
+    return append_ops(records, "minute").select("bucket", "ops")
+
+
+@query(
+    "ag12_metrics_day_throughput",
+    oracle=(
+        "SELECT epoch_ms(date_trunc('day', ts)) AS bucket, "
+        "CAST(sum(8 + length(props)) AS BIGINT) AS bytes "
+        "FROM events GROUP BY 1 ORDER BY 1"
+    ),
+    doc="metrics API (A26) day-interval throughput (metered bytes) via append_throughput",
+)
+def ag12(spark, sf_dir):
+    from s2_spark.operators.metrics import append_throughput
+
+    e = t(spark, sf_dir, "events")
+    records = e.select(
+        F.lit("b").alias("basin"),
+        F.lit("s").alias("stream"),
+        F.col("event_id").alias("seq_num"),
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("timestamp"),
+        F.array().cast("array<struct<name binary, value binary>>").alias("headers"),
+        F.col("props").cast("binary").alias("body"),
+    )
+    return append_throughput(records, "day").select("bucket", "bytes")
+
+
+@query(
+    "ag13_metrics_storage_gauge",
+    oracle=(
+        "SELECT bucket, CAST(sum(delta) OVER (ORDER BY bucket ROWS BETWEEN "
+        "UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS level FROM ("
+        "SELECT epoch_ms(date_trunc('day', ts)) AS bucket, "
+        "sum(8 + length(props)) AS delta FROM events GROUP BY 1) ORDER BY bucket"
+    ),
+    doc="metrics API (A26) gauge set: cumulative storage level per day bucket",
+)
+def ag13(spark, sf_dir):
+    from s2_spark.operators.metrics import storage_gauge
+
+    e = t(spark, sf_dir, "events")
+    records = e.select(
+        F.lit("b").alias("basin"),
+        F.lit("s").alias("stream"),
+        F.col("event_id").alias("seq_num"),
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("timestamp"),
+        F.array().cast("array<struct<name binary, value binary>>").alias("headers"),
+        F.col("props").cast("binary").alias("body"),
+    )
+    return storage_gauge(records, "day").select("bucket", "level")
+
+
+@query(
     "ag10_metrics_gauge",
     oracle=(
         "SELECT event_id, round(sum(value) OVER "

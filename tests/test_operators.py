@@ -1,0 +1,188 @@
+"""Tests for metrics (A26), reconcile (A30), crypto (A19), maintenance
+jobs (A17/A18/A20), and unary read caps."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from s2_spark.catalog import BasinConfig, Catalog, StreamConfig
+from s2_spark.model import Record
+from s2_spark.operators import crypto, maintenance, metrics, reconcile
+from s2_spark.store import ReadLimit, StreamStore
+
+BASIN = "test-basin"
+
+
+class FakeClock:
+    def __init__(self, ms=1_000_000_000):
+        self.ms = ms
+
+    def __call__(self):
+        return self.ms
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    clock = FakeClock()
+    cat = Catalog(spark, clock=clock)
+    cat.create_basin(BASIN)
+    cat.create_stream(BASIN, "s1")
+    s = StreamStore(spark, str(tmp_path / "records"), catalog=cat, clock=clock)
+    s.clock = clock
+    return s
+
+
+# --- metrics (A26) ---------------------------------------------------------
+
+
+def _hour_ms(h):
+    return h * 3600 * 1000
+
+
+def _fill(store, n=30):
+    for i in range(n):
+        store.append(
+            BASIN, "s1", [Record(body=b"x" * 100, timestamp=_hour_ms(i // 10))]
+        )
+
+
+def test_metrics_append_ops_buckets(store):
+    _fill(store)
+    rows = metrics.append_ops(store.records_df(), "hour").collect()
+    assert [(r.bucket, r.ops) for r in rows] == [
+        (_hour_ms(0), 10),
+        (_hour_ms(1), 10),
+        (_hour_ms(2), 10),
+    ]
+
+
+def test_metrics_throughput_and_gauge(store):
+    _fill(store)
+    thr = metrics.append_throughput(store.records_df(), "hour").collect()
+    per_rec = 8 + 100
+    assert all(r.bytes == 10 * per_rec for r in thr)
+    gauge = metrics.storage_gauge(store.records_df(), "hour").collect()
+    assert [r.level for r in gauge] == [
+        10 * per_rec,
+        20 * per_rec,
+        30 * per_rec,
+    ]
+
+
+def test_metrics_label_and_active(store):
+    store.catalog.create_stream(BASIN, "s2")
+    _fill(store, 10)
+    store.append(BASIN, "s2", [Record(body=b"y", timestamp=0)])
+    lbl = metrics.ops_by_label(store.records_df(), "hour").collect()
+    assert {(r.stream, r.ops) for r in lbl} == {("s1", 10), ("s2", 1)}
+    act = metrics.active_streams(store.records_df(), "day").collect()
+    assert act[0].active == 2
+
+
+# --- reconcile (A30) ----------------------------------------------------------
+
+
+def test_diff_plan_actions(spark, store):
+    store.catalog.create_stream(BASIN, "keep-me")
+    store.catalog.create_stream(BASIN, "extra")
+    plan = {
+        r.stream: r.action
+        for r in reconcile.plan_df(
+            spark, store.catalog, BASIN, ["keep-me", "new-one"]
+        ).collect()
+    }
+    assert plan == {"keep-me": "=", "new-one": "+", "extra": "-", "s1": "-"}
+
+
+def test_apply_creates_and_prunes(spark, store):
+    store.catalog.create_stream(BASIN, "extra")
+    res = reconcile.apply_plan(
+        spark, store.catalog, BASIN, ["s1", "new-a", "new-b"], prune=True
+    )
+    assert res.created == ["new-a", "new-b"]
+    assert res.unchanged == ["s1"]
+    assert res.pruned == ["extra"]
+    names, _ = store.catalog.list_streams(BASIN)
+    assert names == ["new-a", "new-b", "s1"]
+    # idempotent second apply: everything unchanged
+    res2 = reconcile.apply_plan(spark, store.catalog, BASIN, ["s1", "new-a", "new-b"])
+    assert res2.created == [] and len(res2.unchanged) == 3
+
+
+# --- crypto (A19) ----------------------------------------------------------------
+
+
+def test_encrypt_roundtrip_and_aad_binding(spark, store):
+    store.append(BASIN, "s1", [Record(body=b"secret-payload")])
+    key = b"0" * 32
+    enc = crypto.encrypt_bodies(store.records_df(), key)
+    enc_body = bytes(enc.first()["body"])
+    assert enc_body != b"secret-payload"
+    dec = crypto.decrypt_bodies(enc, key)
+    assert bytes(dec.first()["body"]) == b"secret-payload"
+    # AAD binds to the stream: moving ciphertext to another stream fails
+    moved = enc.withColumn("stream", F.lit("other-stream"))
+    with pytest.raises(Exception):
+        crypto.decrypt_bodies(moved, key).collect()
+
+
+def test_metering_unchanged_by_encryption(spark, store):
+    from s2_spark.model import metered_size_col
+
+    store.append(BASIN, "s1", [Record(body=b"12345678")])
+    plain = store.records_df().select(metered_size_col().alias("m")).first()["m"]
+    assert plain == 8 + 8  # metering is over plaintext, pre-encryption
+
+
+# --- maintenance (A17/A18/A20) ------------------------------------------------------
+
+
+def test_retention_sweep_advances_trim(store):
+    store.catalog.reconfigure_stream(BASIN, "s1", StreamConfig(retention_age_secs=3600))
+    store.clock.ms = _hour_ms(10)
+    store.append(BASIN, "s1", [Record(body=b"old", timestamp=_hour_ms(1))])
+    store.append(BASIN, "s1", [Record(body=b"new", timestamp=_hour_ms(10))])
+    n = maintenance.retention_sweep(store)
+    assert n == 1
+    rows = store.read(BASIN, "s1").collect()
+    assert [bytes(r.body) for r in rows] == [b"new"]
+
+
+def test_delete_on_empty_sweep(store):
+    store.catalog.reconfigure_stream(
+        BASIN, "s1", StreamConfig(delete_on_empty_min_age_secs=60)
+    )
+    store.append(BASIN, "s1", [Record(body=b"a"), Record(body=b"b")])
+    store.trim(BASIN, "s1", 1 << 62)  # trim everything (clamped to own seq)
+    # too young: not deleted
+    assert maintenance.delete_on_empty_sweep(store) == []
+    store.clock.ms += 61_000
+    deleted = maintenance.delete_on_empty_sweep(store)
+    assert deleted == [f"{BASIN}/s1"]
+    with pytest.raises(Exception):
+        store.catalog.get_stream(BASIN, "s1")
+
+
+def test_basin_deletion_sweep(store):
+    store.append(BASIN, "s1", [Record(body=b"a")])
+    store.catalog.delete_basin(BASIN)
+    finished = maintenance.basin_deletion_sweep(store)
+    assert finished == [f"{BASIN}/s1"]
+    assert store._st(BASIN, "s1").trim_point == store._st(BASIN, "s1").tail_seq
+
+
+# --- unary read caps -------------------------------------------------------------------
+
+
+def test_read_unary_caps(store):
+    for i in range(0, 1200, 100):
+        store.append(BASIN, "s1", [Record(body=b"z") for _ in range(100)])
+    out = store.read_unary(BASIN, "s1", limit=ReadLimit(count=5000))
+    assert out.count() == 1000  # capped at 1000 records
+    big = StreamStore  # noqa: F841
+    # bytes cap: records of ~9 metered bytes → 1 MiB cap not binding here,
+    # but an explicit larger request is clamped to the cap
+    out2 = store.read_unary(BASIN, "s1", limit=ReadLimit(bytes=100 * 1024 * 1024))
+    assert out2.count() == 1000
