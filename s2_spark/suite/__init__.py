@@ -10,10 +10,12 @@ from s2_spark.suite import (  # noqa: F401
     extensions,
     functions,
     joins,
+    scalar_extra,
     scans,
     setops,
     sorts,
     stream_semantics,
     streaming_batch,
+    tpch,
     windows,
 )

@@ -1,0 +1,365 @@
+"""Extended scalar-function and windowing coverage (suite part 2):
+string edit/pad/search, regexp, date arithmetic, null handling,
+percentiles, pivot/unpivot, correlated subqueries, bitwise ops,
+value-window frames, full/right outer joins, multiset set-ops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from s2_spark.registry import query
+from s2_spark.suite._util import epoch_ms, r4
+from s2_spark.tables import load_views, t
+
+
+@query(
+    "f9_string_extra",
+    oracle=(
+        "SELECT c_custkey, lpad(c_mktsegment, 12, '.') AS lp, rpad(c_mktsegment, 12, '.') AS rp, "
+        "reverse(c_mktsegment) AS rev, CAST(strpos(c_name, '1') AS BIGINT) AS pos1, "
+        "contains(c_name, '00') AS has00, repeat(substr(c_mktsegment,1,2), 2) AS rep "
+        "FROM customer ORDER BY c_custkey LIMIT 200"
+    ),
+    doc="lpad/rpad/reverse/position/contains/repeat",
+)
+def f9(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    return (
+        c.orderBy("c_custkey")
+        .select(
+            "c_custkey",
+            F.lpad("c_mktsegment", 12, ".").alias("lp"),
+            F.rpad("c_mktsegment", 12, ".").alias("rp"),
+            F.reverse(F.col("c_mktsegment")).alias("rev"),
+            F.instr("c_name", "1").cast("long").alias("pos1"),
+            F.col("c_name").contains("00").alias("has00"),
+            F.repeat(F.substring("c_mktsegment", 1, 2), 2).alias("rep"),
+        )
+        .limit(200)
+    )
+
+
+@query(
+    "f10_regexp",
+    oracle=(
+        "SELECT event_id, regexp_matches(event_type, '^[a-z]+$') AS is_word, "
+        "regexp_replace(props, '[aeiou]', '_', 'g') AS devowel, "
+        "regexp_extract(event_type, '([a-z]+)', 1) AS first_word "
+        "FROM events ORDER BY event_id LIMIT 300"
+    ),
+    doc="rlike / regexp_replace / regexp_extract",
+)
+def f10(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    return (
+        e.orderBy("event_id")
+        .select(
+            "event_id",
+            F.col("event_type").rlike("^[a-z]+$").alias("is_word"),
+            F.regexp_replace("props", "[aeiou]", "_").alias("devowel"),
+            F.regexp_extract("event_type", "([a-z]+)", 1).alias("first_word"),
+        )
+        .limit(300)
+    )
+
+
+@query(
+    "f11_date_arith",
+    oracle=(
+        "SELECT o_orderkey, epoch_ms(o_orderdate + INTERVAL 30 DAY) AS plus30_ms, "
+        "CAST(datediff('day', o_orderdate, TIMESTAMP '1997-01-01') AS BIGINT) AS days_to_97, "
+        "CAST(isodow(o_orderdate) AS BIGINT) AS iso_dow, "
+        "CAST(extract(year FROM o_orderdate) AS BIGINT) AS yr, "
+        "CAST(extract(quarter FROM o_orderdate) AS BIGINT) AS qtr "
+        "FROM orders ORDER BY o_orderkey LIMIT 300"
+    ),
+    doc="interval add / datediff / iso weekday / year / quarter",
+)
+def f11(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return (
+        o.orderBy("o_orderkey")
+        .select(
+            "o_orderkey",
+            epoch_ms(d + F.expr("INTERVAL 30 DAY")).alias("plus30_ms"),
+            F.datediff(F.lit("1997-01-01").cast("date"), d.cast("date"))
+            .cast("long")
+            .alias("days_to_97"),
+            (F.weekday(d) + 1).cast("long").alias("iso_dow"),
+            F.year(d).cast("long").alias("yr"),
+            F.quarter(d).cast("long").alias("qtr"),
+        )
+        .limit(300)
+    )
+
+
+@query(
+    "f12_null_handling",
+    oracle=(
+        "SELECT o_orderkey, nullif(o_orderstatus, 'O') AS st_or_null, "
+        "coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS st_filled, "
+        "(nullif(o_orderstatus,'O') IS NULL) AS was_open "
+        "FROM orders ORDER BY o_orderkey LIMIT 300"
+    ),
+    doc="nullif / coalesce / IS NULL",
+)
+def f12(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    st_or_null = F.nullif(F.col("o_orderstatus"), F.lit("O"))
+    return (
+        o.orderBy("o_orderkey")
+        .select(
+            "o_orderkey",
+            st_or_null.alias("st_or_null"),
+            F.coalesce(st_or_null, F.lit("OPEN")).alias("st_filled"),
+            st_or_null.isNull().alias("was_open"),
+        )
+        .limit(300)
+    )
+
+
+@query(
+    "f13_percentiles",
+    oracle=(
+        "SELECT l_returnflag, round(quantile_cont(l_extendedprice, 0.5),4) AS p50, "
+        "round(quantile_cont(l_extendedprice, 0.9),4) AS p90, "
+        "round(min(l_extendedprice),4) AS mn, round(max(l_extendedprice),4) AS mx "
+        "FROM lineitem GROUP BY 1 ORDER BY 1"
+    ),
+    doc="exact interpolated percentiles (Spark percentile ≡ DuckDB quantile_cont)",
+)
+def f13(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            r4(F.percentile("l_extendedprice", F.lit(0.5))).alias("p50"),
+            r4(F.percentile("l_extendedprice", F.lit(0.9))).alias("p90"),
+            r4(F.min("l_extendedprice")).alias("mn"),
+            r4(F.max("l_extendedprice")).alias("mx"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "f14_pivot",
+    oracle=(
+        "SELECT l_returnflag, "
+        "round(coalesce(sum(l_quantity) FILTER (l_linestatus = 'O'), 0),4) AS qty_o, "
+        "round(coalesce(sum(l_quantity) FILTER (l_linestatus = 'F'), 0),4) AS qty_f "
+        "FROM lineitem GROUP BY 1 ORDER BY 1"
+    ),
+    doc="pivot (Spark .pivot ≡ filtered aggregates)",
+)
+def f14(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    pv = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .sum("l_quantity")
+    )
+    return pv.select(
+        "l_returnflag",
+        r4(F.coalesce(F.col("O"), F.lit(0.0))).alias("qty_o"),
+        r4(F.coalesce(F.col("F"), F.lit(0.0))).alias("qty_f"),
+    ).orderBy("l_returnflag")
+
+
+@query(
+    "f15_unpivot",
+    oracle=(
+        "SELECT c_custkey, metric, round(val,4) AS val FROM ("
+        "SELECT c_custkey, 'acctbal' AS metric, c_acctbal AS val FROM customer "
+        "UNION ALL SELECT c_custkey, 'namelen', CAST(length(c_name) AS DOUBLE) FROM customer"
+        ") ORDER BY c_custkey, metric"
+    ),
+    doc="unpivot/stack to long form",
+)
+def f15(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    long_df = c.select(
+        "c_custkey",
+        F.expr(
+            "stack(2, 'acctbal', c_acctbal, 'namelen', CAST(length(c_name) AS DOUBLE)) "
+            "AS (metric, val)"
+        ),
+    )
+    return long_df.select("c_custkey", "metric", r4(F.col("val")).alias("val")).orderBy(
+        "c_custkey", "metric"
+    )
+
+
+@query(
+    "f16_correlated_subquery",
+    oracle=(
+        "SELECT o_orderkey FROM orders o WHERE o_totalprice > "
+        "(SELECT 1.5 * avg(o2.o_totalprice) FROM orders o2 WHERE o2.o_custkey = o.o_custkey) "
+        "ORDER BY o_orderkey"
+    ),
+    doc="correlated scalar subquery (decorrelated by Catalyst into an agg+join)",
+)
+def f16(spark, sf_dir):
+    load_views(spark, sf_dir)
+    return spark.sql(
+        "SELECT o_orderkey FROM orders o WHERE o_totalprice > "
+        "(SELECT 1.5 * avg(o2.o_totalprice) FROM orders o2 WHERE o2.o_custkey = o.o_custkey) "
+        "ORDER BY o_orderkey"
+    )
+
+
+@query(
+    "f17_bitwise",
+    oracle=(
+        "SELECT event_id, event_id & 255 AS lo, event_id | 4096 AS hi, "
+        "xor(event_id, 1365) AS x, event_id << 2 AS shl, event_id >> 3 AS shr, "
+        "CAST(bit_count(event_id) AS BIGINT) AS pc "
+        "FROM events ORDER BY event_id LIMIT 300"
+    ),
+    doc="bitwise and/or/xor/shifts/popcount",
+)
+def f17(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    return (
+        e.orderBy("event_id")
+        .select(
+            "event_id",
+            eid.bitwiseAND(F.lit(255)).alias("lo"),
+            eid.bitwiseOR(F.lit(4096)).alias("hi"),
+            eid.bitwiseXOR(F.lit(1365)).alias("x"),
+            F.shiftleft(eid, 2).alias("shl"),
+            F.shiftright(eid, 3).alias("shr"),
+            F.bit_count(eid).cast("long").alias("pc"),
+        )
+        .limit(300)
+    )
+
+
+@query(
+    "w8_first_last_nth",
+    oracle=(
+        "SELECT o_orderkey, first_value(o_orderkey) OVER w AS first_ok, "
+        "last_value(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_ok, "
+        "nth_value(o_orderkey, 2) OVER w AS second_ok "
+        "FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) "
+        "ORDER BY o_orderkey"
+    ),
+    doc="first/last/nth value with explicit frames",
+)
+def w8(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    wfull = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return (
+        o.select(
+            "o_orderkey",
+            F.first("o_orderkey").over(w).alias("first_ok"),
+            F.last("o_orderkey").over(wfull).alias("last_ok"),
+            F.nth_value("o_orderkey", 2).over(w).alias("second_ok"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "w9_range_frame",
+    oracle=(
+        "SELECT event_id, CAST(count(*) OVER (ORDER BY event_id "
+        "RANGE BETWEEN 10 PRECEDING AND 10 FOLLOWING) AS BIGINT) AS in_range "
+        "FROM events WHERE user_id = 5 ORDER BY event_id"
+    ),
+    doc="value-RANGE window frame (±10 on the ordering key)",
+)
+def w9(spark, sf_dir):
+    e = t(spark, sf_dir, "events").filter(F.col("user_id") == 5)
+    w = W.orderBy("event_id").rangeBetween(-10, 10)
+    return (
+        e.select("event_id", F.count("*").over(w).cast("long").alias("in_range"))
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "w10_percent_rank",
+    oracle=(
+        "SELECT c_custkey, round(percent_rank() OVER (ORDER BY c_acctbal, c_custkey),4) AS pr, "
+        "round(cume_dist() OVER (ORDER BY c_acctbal, c_custkey),4) AS cd "
+        "FROM customer ORDER BY c_custkey"
+    ),
+    doc="percent_rank / cume_dist",
+)
+def w10(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    w = W.orderBy("c_acctbal", "c_custkey")
+    return (
+        c.select(
+            "c_custkey",
+            r4(F.percent_rank().over(w)).alias("pr"),
+            r4(F.cume_dist().over(w)).alias("cd"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "j9_full_outer",
+    oracle=(
+        "SELECT coalesce(a.k, b.k) AS k, a.n AS n_cust, b.n AS n_supp FROM "
+        "(SELECT c_nationkey AS k, count(*) AS n FROM customer GROUP BY 1) a "
+        "FULL OUTER JOIN (SELECT s_nationkey AS k, count(*) AS n FROM supplier GROUP BY 1) b "
+        "ON a.k = b.k ORDER BY k"
+    ),
+    doc="full outer join of per-nation counts",
+)
+def j9(spark, sf_dir):
+    c = (
+        t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("k"))
+        .agg(F.count("*").alias("n_cust"))
+    )
+    s = (
+        t(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("k"))
+        .agg(F.count("*").alias("n_supp"))
+    )
+    return (
+        c.join(s, "k", "full_outer")
+        .select("k", "n_cust", "n_supp")
+        .orderBy("k")
+    )
+
+
+@query(
+    "set4_intersect_all",
+    oracle=(
+        "SELECT x FROM (SELECT c_nationkey AS x FROM customer) "
+        "INTERSECT ALL SELECT s_nationkey FROM supplier ORDER BY x"
+    ),
+    doc="INTERSECT ALL (multiset semantics)",
+)
+def set4(spark, sf_dir):
+    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("x"))
+    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("x"))
+    return c.intersectAll(s).orderBy("x")
+
+
+@query(
+    "set5_except_all",
+    oracle=(
+        "SELECT x FROM (SELECT o_orderstatus AS x FROM orders LIMIT 0) "
+        "UNION ALL "
+        "SELECT x FROM (SELECT o_orderstatus AS x FROM orders ORDER BY o_orderkey LIMIT 100) "
+        "EXCEPT ALL SELECT o_orderstatus FROM orders WHERE o_orderkey <= 30 ORDER BY x"
+    ),
+    doc="EXCEPT ALL multiset difference on status codes",
+)
+def set5(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    first100 = o.orderBy("o_orderkey").limit(100).select(F.col("o_orderstatus").alias("x"))
+    sub = o.filter(F.col("o_orderkey") <= 30).select(F.col("o_orderstatus").alias("x"))
+    return first100.exceptAll(sub).orderBy("x")
