@@ -1,0 +1,109 @@
+"""Batching producer (A27) — the SDK-side linger/batch machinery
+(``sdk/src/batching.rs:21-36``, ``sdk/src/producer.rs:63-80``):
+records submitted individually are coalesced into batches bounded by
+linger time, record count (≤1000), and metered bytes (≤1 MiB); every
+submit returns a future that resolves to the record's assigned
+position once its batch's append acks.
+"""
+
+from __future__ import annotations
+
+import threading
+from concurrent.futures import Future
+
+from s2_spark.model import (
+    MAX_BATCH_METERED_BYTES,
+    MAX_BATCH_RECORDS,
+    Record,
+)
+from s2_spark.store import StreamStore
+
+
+class Producer:
+    def __init__(
+        self,
+        store: StreamStore,
+        basin: str,
+        stream: str,
+        linger_ms: float = 5.0,
+        max_batch_records: int = MAX_BATCH_RECORDS,
+        max_batch_bytes: int = MAX_BATCH_METERED_BYTES,
+    ):
+        self.store = store
+        self.basin = basin
+        self.stream = stream
+        self.linger_s = linger_ms / 1000.0
+        self.max_records = max_batch_records
+        self.max_bytes = max_batch_bytes
+        self._pending: list[tuple[Record, Future]] = []
+        self._pending_bytes = 0
+        self._lock = threading.Lock()
+        self._timer: threading.Timer | None = None
+        self._closed = False
+
+    def submit(self, record: Record) -> Future:
+        """Queue one record; returns a Future resolving to its assigned
+        seq_num. Flushes when the batch fills (count/bytes) or after the
+        linger window."""
+        record.validate()
+        fut: Future = Future()
+        flush_now = False
+        with self._lock:
+            if self._closed:
+                raise RuntimeError("producer closed")
+            size = record.metered_size()
+            if (
+                len(self._pending) + 1 > self.max_records
+                or self._pending_bytes + size > self.max_bytes
+            ):
+                flush_now = True  # current batch is full: flush, then queue
+            if flush_now:
+                batch = self._take_locked()
+            self._pending.append((record, fut))
+            self._pending_bytes += size
+            if self._timer is None:
+                self._timer = threading.Timer(self.linger_s, self.flush)
+                self._timer.daemon = True
+                self._timer.start()
+        if flush_now and batch:
+            self._commit(batch)
+        return fut
+
+    def _take_locked(self):
+        batch = self._pending
+        self._pending = []
+        self._pending_bytes = 0
+        if self._timer is not None:
+            self._timer.cancel()
+            self._timer = None
+        return batch
+
+    def _commit(self, batch) -> None:
+        records = [r for r, _ in batch]
+        try:
+            ack = self.store.append(self.basin, self.stream, records)
+        except Exception as e:  # fail every future in the batch
+            for _, fut in batch:
+                if not fut.done():
+                    fut.set_exception(e)
+            return
+        for i, (_, fut) in enumerate(batch):
+            if not fut.done():
+                fut.set_result(ack.start_seq + i)
+
+    def flush(self) -> None:
+        with self._lock:
+            batch = self._take_locked()
+        if batch:
+            self._commit(batch)
+
+    def close(self) -> None:
+        self.flush()
+        with self._lock:
+            self._closed = True
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

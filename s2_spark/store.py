@@ -25,7 +25,9 @@ Architecture (vs the reference):
 from __future__ import annotations
 
 import os
+import threading
 import time
+from collections import defaultdict
 from dataclasses import dataclass
 from typing import Optional
 
@@ -100,6 +102,11 @@ class StreamStore:
         self.catalog = catalog or Catalog(spark)
         self._clock = clock or (lambda: int(time.time() * 1000))
         self._state: dict[tuple[str, str], _StreamState] = {}
+        # per-stream writer lock — the actor's serialization discipline
+        # (lite/src/backend/core.rs:214-298): concurrent appends to one
+        # stream commit one at a time; different streams proceed in
+        # parallel
+        self._locks: dict[tuple[str, str], threading.Lock] = defaultdict(threading.Lock)
         os.makedirs(base_dir, exist_ok=True)
 
     # --- state ----------------------------------------------------------
@@ -182,6 +189,14 @@ class StreamStore:
         if metered > MAX_BATCH_METERED_BYTES:
             raise BatchTooLarge(f"{metered} metered bytes")
 
+        with self._locks[(basin, stream)]:
+            return self._append_locked(
+                basin, stream, records, match_seq_num, fencing_token, cfg, st, metered
+            )
+
+    def _append_locked(
+        self, basin, stream, records, match_seq_num, fencing_token, cfg, st, metered
+    ) -> AppendAck:
         # preconditions against current state (streamer.rs:341-359)
         if fencing_token is not None and fencing_token != st.fencing_token:
             raise FencingTokenMismatch(st.fencing_token)
@@ -408,6 +423,26 @@ class StreamStore:
         return self.read(basin, stream, start, capped)
 
     # --- maintenance (bgtasks analogues) -----------------------------------
+
+    def compact(self, files_per_partition_hint: int | None = None) -> None:
+        """Rewrite storage clustered by (basin, stream, seq_num) — the
+        OPTIMIZE/compaction analogue of SlateDB's background compaction.
+        Appends produce one small file per batch; compaction folds them
+        into few files whose row-group (min, max) on the key columns are
+        disjoint, so range reads prune precisely."""
+        df = self.records_df()
+        n = files_per_partition_hint or max(
+            1, self.spark.sparkContext.defaultParallelism // 4
+        )
+        clustered = df.repartitionByRange(n, "basin", "stream", "seq_num").sortWithinPartitions(
+            "basin", "stream", "seq_num"
+        )
+        tmp = self.base_dir.rstrip("/") + ".compact"
+        clustered.write.mode("overwrite").parquet(tmp)
+        import shutil
+
+        shutil.rmtree(self.base_dir)
+        os.rename(tmp, self.base_dir)
 
     def apply_trim_and_retention(self) -> None:
         """Physically delete trimmed/expired records — the background

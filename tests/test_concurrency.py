@@ -1,0 +1,171 @@
+"""Concurrency-mix scenarios ported from the reference's
+``lite/tests/backend/data_plane/mixed.rs`` (concurrent appends are
+contiguous and totally ordered) and the sim/ linearizability clients
+(plain, match_seq_num, fencing), plus producer (A27) batching."""
+
+from __future__ import annotations
+
+import time
+from concurrent.futures import ThreadPoolExecutor, wait
+
+import pytest
+
+from s2_spark.catalog import Catalog
+from s2_spark.model import Record, SeqNumMismatch, FencingTokenMismatch
+from s2_spark.producer import Producer
+from s2_spark.store import StreamStore
+
+BASIN = "test-basin"
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    cat = Catalog(spark)
+    cat.create_basin(BASIN)
+    cat.create_stream(BASIN, "s1")
+    return StreamStore(spark, str(tmp_path / "records"), catalog=cat)
+
+
+def test_concurrent_appends_contiguous_total_order(store):
+    """mixed.rs: N writers × M batches concurrently → seq space is
+    exactly [0, N·M·B) with no gaps, overlaps, or intra-batch
+    reordering."""
+    N_WRITERS, N_BATCHES, B = 8, 5, 4
+    acks = []
+
+    def writer(w):
+        out = []
+        for b in range(N_BATCHES):
+            ack = store.append(
+                BASIN, "s1", [Record(body=f"w{w}b{b}r{i}".encode()) for i in range(B)]
+            )
+            out.append(ack)
+        return out
+
+    with ThreadPoolExecutor(N_WRITERS) as ex:
+        for f in [ex.submit(writer, w) for w in range(N_WRITERS)]:
+            acks.extend(f.result())
+
+    total = N_WRITERS * N_BATCHES * B
+    # acks partition the seq space
+    ranges = sorted((a.start_seq, a.end_seq) for a in acks)
+    assert ranges[0][0] == 0 and ranges[-1][1] == total
+    for (s1, e1), (s2, e2) in zip(ranges, ranges[1:]):
+        assert e1 == s2, "gap or overlap between acked batches"
+    # storage agrees: dense seqs, batch bodies contiguous in-order
+    rows = store.read(BASIN, "s1").collect()
+    assert [r.seq_num for r in rows] == list(range(total))
+    by_seq = {r.seq_num: bytes(r.body) for r in rows}
+    for a in acks:
+        bodies = [by_seq[s] for s in range(a.start_seq, a.end_seq)]
+        prefix = bodies[0][:4]
+        assert all(b.startswith(prefix[:2]) for b in bodies)
+        assert [b.split(b"r")[-1] for b in bodies] == [
+            str(i).encode() for i in range(B)
+        ]
+
+
+def test_concurrent_match_seq_num_exactly_one_winner(store):
+    """CAS clients: many writers race the same expected tail; exactly
+    one append per round succeeds (the linearizability property the
+    reference checks with Porcupine)."""
+    ROUNDS, WRITERS = 5, 6
+    for rnd in range(ROUNDS):
+        tail, _ = store.check_tail(BASIN, "s1")
+        results = []
+
+        def cas_writer(i):
+            try:
+                store.append(
+                    BASIN, "s1", [Record(body=f"r{rnd}-{i}".encode())], match_seq_num=tail
+                )
+                return "win"
+            except SeqNumMismatch:
+                return "lose"
+
+        with ThreadPoolExecutor(WRITERS) as ex:
+            results = list(ex.map(cas_writer, range(WRITERS)))
+        assert results.count("win") == 1, f"round {rnd}: {results}"
+    assert store.check_tail(BASIN, "s1")[0] == ROUNDS
+
+
+def test_concurrent_fencing_excludes_zombies(store):
+    """fencing clients: after a fence, only the token holder appends."""
+    store.fence(BASIN, "s1", "owner")
+
+    def zombie(_):
+        try:
+            store.append(BASIN, "s1", [Record(body=b"z")], fencing_token="stale")
+            return "accepted"
+        except FencingTokenMismatch:
+            return "fenced"
+
+    with ThreadPoolExecutor(4) as ex:
+        assert set(ex.map(zombie, range(8))) == {"fenced"}
+    ack = store.append(BASIN, "s1", [Record(body=b"ok")], fencing_token="owner")
+    assert ack.start_seq == 1
+
+
+# --- producer (A27) -----------------------------------------------------------
+
+
+def test_producer_linger_batching(store):
+    with Producer(store, BASIN, "s1", linger_ms=150) as p:
+        futs = [p.submit(Record(body=f"m{i}".encode())) for i in range(10)]
+        # nothing committed before linger fires
+        assert not any(f.done() for f in futs)
+        wait(futs, timeout=5)
+    assert [f.result() for f in futs] == list(range(10))
+    tail, _ = store.check_tail(BASIN, "s1")
+    assert tail == 10
+    # all 10 landed in ONE batch append → one parquet part file
+    rows = store.read(BASIN, "s1").collect()
+    assert [bytes(r.body) for r in rows] == [f"m{i}".encode() for i in range(10)]
+
+
+def test_producer_count_cap_splits_batches(store):
+    with Producer(store, BASIN, "s1", linger_ms=60_000, max_batch_records=4) as p:
+        futs = [p.submit(Record(body=f"m{i}".encode())) for i in range(10)]
+        p.flush()
+    assert [f.result(timeout=5) for f in futs] == list(range(10))
+
+
+def test_producer_failure_propagates_to_futures(store):
+    p = Producer(store, BASIN, "s1", linger_ms=60_000)
+    fut = p.submit(Record(body=b"x"))
+    orig_append = store.append
+
+    def failing_append(*a, **k):
+        raise FencingTokenMismatch("owner")
+
+    store.append = failing_append
+    try:
+        p.flush()
+        with pytest.raises(FencingTokenMismatch):
+            fut.result(timeout=5)
+    finally:
+        store.append = orig_append
+
+
+# --- compaction -----------------------------------------------------------------
+
+
+def test_compact_preserves_data_and_reduces_files(store, tmp_path):
+    import os
+
+    for i in range(12):
+        store.append(BASIN, "s1", [Record(body=f"b{i}".encode())])
+    n_files_before = sum(
+        1 for _, _, fs in os.walk(store.base_dir) for f in fs if f.endswith(".parquet")
+    )
+    before = [(r.seq_num, bytes(r.body)) for r in store.read(BASIN, "s1").collect()]
+    store.compact(files_per_partition_hint=1)
+    n_files_after = sum(
+        1 for _, _, fs in os.walk(store.base_dir) for f in fs if f.endswith(".parquet")
+    )
+    after = [(r.seq_num, bytes(r.body)) for r in store.read(BASIN, "s1").collect()]
+    assert after == before
+    assert n_files_after < n_files_before
+    # tail survives a state rebuild from compacted storage
+    store.recover_state()
+    assert store.check_tail(BASIN, "s1")[0] == 12
