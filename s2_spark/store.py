@@ -96,11 +96,22 @@ class StreamStore:
         base_dir: str,
         catalog: Catalog | None = None,
         clock=None,
+        bucket_count: int = 0,
     ):
+        """``bucket_count > 0`` enables the partitioned physical layout:
+        records land under ``bucket=crc32(basin\\0stream) % N`` directory
+        partitions (the Spark analogue of the reference's 32-byte
+        StreamId key prefix, lite/src/stream_id.rs:21-34). Single-stream
+        reads then touch exactly one partition directory — partition
+        pruning does what the LSM key-range seek does. CRC32 is used
+        because Python (zlib.crc32) and Spark (F.crc32) agree on it, so
+        both the driver-side and distributed paths compute the same
+        bucket."""
         self.spark = spark
         self.base_dir = base_dir
         self.catalog = catalog or Catalog(spark)
         self._clock = clock or (lambda: int(time.time() * 1000))
+        self.bucket_count = bucket_count
         self._state: dict[tuple[str, str], _StreamState] = {}
         # per-stream writer lock — the actor's serialization discipline
         # (lite/src/backend/core.rs:214-298): concurrent appends to one
@@ -117,10 +128,24 @@ class StreamStore:
     def _has_data(self) -> bool:
         return any(f.endswith(".parquet") for _, _, fs in os.walk(self.base_dir) for f in fs)
 
+    def _bucket_of(self, basin: str, stream: str) -> int:
+        import zlib
+
+        return zlib.crc32(f"{basin}\x00{stream}".encode()) % self.bucket_count
+
     def records_df(self) -> DataFrame:
-        """The raw records table (commands included, trim not applied)."""
+        """The raw records table (commands included, trim not applied).
+        In bucketed layout the partition column rides along so stream
+        filters prune directories."""
         if not self._has_data():
             return self.spark.createDataFrame([], RECORD_SCHEMA)
+        if self.bucket_count:
+            from pyspark.sql import types as T
+
+            schema = T.StructType(
+                RECORD_SCHEMA.fields + [T.StructField("bucket", T.IntegerType(), True)]
+            )
+            return self.spark.read.schema(schema).parquet(self.base_dir)
         return self.spark.read.schema(RECORD_SCHEMA).parquet(self.base_dir)
 
     def recover_state(self) -> None:
@@ -237,7 +262,13 @@ class StreamStore:
 
         # durable commit — one parquet write per append batch
         df = self.spark.createDataFrame(rows, RECORD_SCHEMA)
-        df.coalesce(1).write.mode("append").parquet(self.base_dir)
+        writer = df.coalesce(1).write.mode("append")
+        if self.bucket_count:
+            df = df.withColumn(
+                "bucket", F.lit(self._bucket_of(basin, stream)).cast("int")
+            )
+            writer = df.coalesce(1).write.mode("append").partitionBy("bucket")
+        writer.parquet(self.base_dir)
 
         ack = AppendAck(
             start_seq=st.tail_seq,
@@ -285,7 +316,17 @@ class StreamStore:
             )
             .select("basin", "stream", "seq_num", "timestamp", "headers", "body")
         )
-        out.write.mode("append").parquet(self.base_dir)
+        if self.bucket_count:
+            out = out.withColumn(
+                "bucket",
+                (
+                    F.crc32(F.concat_ws("\x00", "basin", "stream"))
+                    % self.bucket_count
+                ).cast("int"),
+            )
+            out.write.mode("append").partitionBy("bucket").parquet(self.base_dir)
+        else:
+            out.write.mode("append").parquet(self.base_dir)
         # advance hot state from the batch's own stats — one narrow
         # aggregation, no storage re-scan (final last_ts per stream is
         # max(old_last_ts, max(capped ts)) since the running-max adjust
@@ -366,9 +407,11 @@ class StreamStore:
         cfg = self.catalog.resolve_config(basin, stream)
         st = self._st(basin, stream)
 
-        df = self.records_df().filter(
-            (F.col("basin") == basin) & (F.col("stream") == stream)
-        )
+        df = self.records_df()
+        if self.bucket_count:
+            # partition-directory pruning: one bucket dir per stream key
+            df = df.filter(F.col("bucket") == self._bucket_of(basin, stream))
+        df = df.filter((F.col("basin") == basin) & (F.col("stream") == stream))
         # trim visibility (A6): records below the trim point are hidden
         if st.trim_point > 0:
             df = df.filter(F.col("seq_num") >= st.trim_point)
@@ -437,8 +480,14 @@ class StreamStore:
         clustered = df.repartitionByRange(n, "basin", "stream", "seq_num").sortWithinPartitions(
             "basin", "stream", "seq_num"
         )
+        self._rewrite(clustered)
+
+    def _rewrite(self, df: DataFrame) -> None:
         tmp = self.base_dir.rstrip("/") + ".compact"
-        clustered.write.mode("overwrite").parquet(tmp)
+        writer = df.write.mode("overwrite")
+        if self.bucket_count:
+            writer = writer.partitionBy("bucket")
+        writer.parquet(tmp)
         import shutil
 
         shutil.rmtree(self.base_dir)
@@ -459,9 +508,4 @@ class StreamStore:
             .filter(F.col("seq_num") >= F.coalesce("trim_point", F.lit(0)))
             .drop("trim_point")
         )
-        tmp = self.base_dir.rstrip("/") + ".compact"
-        keep.write.mode("overwrite").parquet(tmp)
-        import shutil
-
-        shutil.rmtree(self.base_dir)
-        os.rename(tmp, self.base_dir)
+        self._rewrite(keep)

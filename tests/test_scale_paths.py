@@ -1,0 +1,143 @@
+"""Scale-path mechanics: bucketed store layout (partition pruning),
+skew salting, and the engine-side assertions promised by suite docs
+(approx distinct error bound, base64 roundtrip, hash families)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from s2_spark.catalog import Catalog
+from s2_spark.model import Record
+from s2_spark.operators.skew import salted_agg, salted_join
+from s2_spark.store import StreamStore
+from s2_spark.tables import t
+
+BASIN = "test-basin"
+
+
+@pytest.fixture()
+def bstore(spark, tmp_path):
+    cat = Catalog(spark)
+    cat.create_basin(BASIN)
+    for i in range(6):
+        cat.create_stream(BASIN, f"s{i}")
+    return StreamStore(spark, str(tmp_path / "records"), catalog=cat, bucket_count=8)
+
+
+def test_bucketed_layout_roundtrip_and_pruning(bstore):
+    import os
+
+    for i in range(6):
+        bstore.append(BASIN, f"s{i}", [Record(body=f"b{i}-{j}".encode()) for j in range(5)])
+    # bucket directories exist
+    subdirs = [d for d in os.listdir(bstore.base_dir) if d.startswith("bucket=")]
+    assert subdirs, "no partition directories written"
+    # reads return exactly the right stream
+    rows = bstore.read(BASIN, "s3").collect()
+    assert [bytes(r.body) for r in rows] == [f"b3-{j}".encode() for j in range(5)]
+    # the physical plan prunes partitions: only 1 bucket in PartitionFilters
+    plan = bstore.read(BASIN, "s3")._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan
+
+
+def test_bucketed_recovery_and_compaction(bstore):
+    for i in range(3):
+        bstore.append(BASIN, f"s{i}", [Record(body=b"x")])
+    bstore.fence(BASIN, "s0", "tok")
+    bstore.compact(1)
+    bstore.recover_state()
+    assert bstore.check_tail(BASIN, "s0")[0] == 2
+    assert bstore._st(BASIN, "s0").fencing_token == "tok"
+    # bucketed dirs preserved by compaction
+    import os
+
+    assert any(d.startswith("bucket=") for d in os.listdir(bstore.base_dir))
+
+
+def test_bulk_append_into_buckets(bstore, spark):
+    rows = [(BASIN, f"s{i % 3}", None, [], b"z", i) for i in range(30)]
+    df = spark.createDataFrame(
+        rows,
+        "basin string, stream string, timestamp long, "
+        "headers array<struct<name binary, value binary>>, body binary, ingest_order long",
+    )
+    bstore.bulk_append(df)
+    for i in range(3):
+        assert bstore.check_tail(BASIN, f"s{i}")[0] == 10
+        assert [r.seq_num for r in bstore.read(BASIN, f"s{i}").collect()] == list(range(10))
+
+
+# --- skew salting ------------------------------------------------------------
+
+
+def test_salted_agg_matches_plain(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    plain = {
+        (r.user_id): (r.n, r.v)
+        for r in e.groupBy("user_id")
+        .agg(F.count("value").alias("n"), F.sum("value").alias("v"))
+        .collect()
+    }
+    salted = {
+        (r.user_id): (r.value_count, r.value_sum)
+        for r in salted_agg(e, ["user_id"], {"value": "count"}, salt_n=8)
+        .join(
+            salted_agg(e, ["user_id"], {"value": "sum"}, salt_n=8), "user_id"
+        )
+        .collect()
+    }
+    assert set(plain) == set(salted)
+    for k in plain:
+        assert plain[k][0] == salted[k][0]
+        assert abs(plain[k][1] - salted[k][1]) < 1e-6
+
+
+def test_salted_join_matches_plain(spark, sf_dir):
+    e = t(spark, sf_dir, "events").withColumnRenamed("user_id", "k")
+    c = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"), "c_mktsegment"
+    )
+    plain = e.join(c, "k").count()
+    salted = salted_join(e, c, "k", salt_n=4).count()
+    assert plain == salted
+
+
+# --- engine-side extras promised by suite docs ------------------------------------
+
+
+def test_approx_count_distinct_error_bound(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    row = e.agg(
+        F.countDistinct("user_id").alias("exact"),
+        F.approx_count_distinct("user_id", 0.05).alias("approx"),
+    ).first()
+    assert abs(row.approx - row.exact) / row.exact < 0.05
+
+
+def test_base64_roundtrip(spark, sf_dir):
+    e = t(spark, sf_dir, "events").limit(50)
+    bad = e.select(
+        (
+            F.unbase64(F.base64(F.col("event_type").cast("binary"))).cast("string")
+            != F.col("event_type")
+        ).alias("mismatch")
+    ).filter("mismatch").count()
+    assert bad == 0
+
+
+def test_hash_families(spark, sf_dir):
+    e = t(spark, sf_dir, "events").limit(10)
+    rows = e.select(
+        F.sha2(F.col("event_type").cast("binary"), 256).alias("sha"),
+        F.xxhash64("event_type").alias("xx"),
+        F.crc32(F.col("event_type").cast("binary")).alias("crc"),
+    ).collect()
+    import hashlib
+    import zlib
+
+    src = [r.event_type for r in e.select("event_type").collect()]
+    for r, s in zip(rows, src):
+        assert r.sha == hashlib.sha256(s.encode()).hexdigest()
+        assert r.crc == zlib.crc32(s.encode())

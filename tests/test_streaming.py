@@ -246,6 +246,74 @@ def test_windowed_agg_stream_equals_batch(spark, sf_dir, tmp_path, build, reques
     assert got == want
 
 
+def test_watermark_drops_late_rows_across_batches(spark, tmp_path):
+    """Q-STR4 in actual streaming mode: a second micro-batch carrying
+    rows older than (max event time − delay) is dropped from the
+    windowed aggregate."""
+    import os
+
+    from pyspark.sql import types as T
+
+    src = str(tmp_path / "wm_src")
+    os.makedirs(src)
+    schema = T.StructType(
+        [T.StructField("ts", T.TimestampType()), T.StructField("v", T.LongType())]
+    )
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+
+    from datetime import datetime, timezone
+
+    t0 = datetime(2024, 1, 1, 12, 0, tzinfo=timezone.utc)
+
+    def at(minutes):
+        return datetime(2024, 1, 1, 12, 0, tzinfo=timezone.utc).replace(
+            minute=0
+        ) + __import__("datetime").timedelta(minutes=minutes)
+
+    # watermark after batch 1 = 75min − 10min = 65min, PAST the end of
+    # the hour-0 window — Spark drops a late row only when its window
+    # end falls below the watermark, not merely when ts < watermark
+    write_batch("b1", [(at(0), 1), (at(75), 1)])
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("win"))
+        .agg(F.count("*").alias("n"))
+        .select(F.unix_millis("win.start").alias("w"), "n")
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("wm")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: one row 2 minutes into hour 0 — older than the
+        # watermark (55 min) → silently dropped; one fresh row at 130min
+        write_batch("b2", [(at(2), 1), (at(130), 1)])  # at(2): window end 60 < wm 65 → dropped
+        q.processAllAvailable()
+        # batch 3: advance watermark far enough to close every window
+        write_batch("b3", [(at(400), 1)])
+        q.processAllAvailable()
+        got = {
+            r.w: r.n
+            for r in spark.sql("SELECT * FROM wm").collect()
+        }
+    finally:
+        q.stop()
+    h0 = int(at(0).timestamp() * 1000)
+    h1 = int(at(60).timestamp() * 1000)
+    h2 = int(at(120).timestamp() * 1000)
+    # hour-0 window closed with ONLY the on-time row (late row dropped)
+    assert got[h0] == 1
+    assert got[h1] == 1 and got[h2] == 1
+
+
 def test_streaming_dedup_and_enrich(spark, sf_dir, tmp_path):
     import shutil, os
 
