@@ -467,6 +467,38 @@ class StreamStore:
 
     # --- maintenance (bgtasks analogues) -----------------------------------
 
+    def read_wait(
+        self,
+        basin: str,
+        stream: str,
+        start: ReadStart | None = None,
+        limit: ReadLimit | None = None,
+        wait_s: float = 60.0,
+        poll_s: float = 0.05,
+    ) -> DataFrame:
+        """Long-poll read (A7 ``wait``: lite/src/handlers/v1/mod.rs:14,
+        read.rs:319-361): if the requested start is at/past the tail,
+        block up to ``wait_s`` (capped at the API's 60 s) for new
+        records before returning the (possibly empty) read. Sustained
+        tailing belongs to the streaming source; this is the unary
+        long-poll."""
+        start = start or ReadStart(seq_num=0)
+        wait_s = min(wait_s, 60.0)
+        deadline = time.monotonic() + wait_s
+        want_seq = start.seq_num if start.seq_num is not None else None
+        while time.monotonic() < deadline:
+            tail, _ = self.check_tail(basin, stream)
+            if want_seq is None or tail > want_seq:
+                break
+            time.sleep(poll_s)
+        clamped = ReadStart(
+            seq_num=start.seq_num,
+            timestamp=start.timestamp,
+            tail_offset=start.tail_offset,
+            clamp=True,  # post-wait the position may still be unwritten
+        )
+        return self.read(basin, stream, clamped, limit)
+
     def compact(self, files_per_partition_hint: int | None = None) -> None:
         """Rewrite storage clustered by (basin, stream, seq_num) — the
         OPTIMIZE/compaction analogue of SlateDB's background compaction.

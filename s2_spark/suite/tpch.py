@@ -134,6 +134,76 @@ def q10(spark, sf_dir):
 
 
 @query(
+    "tpch4_order_priority",
+    oracle=(
+        "SELECT o_orderpriority, count(*) AS n FROM orders o WHERE EXISTS ("
+        "SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey "
+        "AND l.l_shipdate > o.o_orderdate) GROUP BY 1 ORDER BY 1"
+    ),
+    doc="TPC-H Q4 shape: EXISTS-correlated priority counts (semi join)",
+)
+def q4(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    late = li.join(o, li.l_orderkey == o.o_orderkey).filter(
+        F.col("l_shipdate") > F.col("o_orderdate")
+    ).select(F.col("l_orderkey").alias("ok")).distinct()
+    return (
+        o.join(late, o.o_orderkey == late.ok, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "tpch12_shipmode_classes",
+    oracle=(
+        "SELECT l_returnflag, "
+        "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_n, "
+        "CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_n "
+        "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+        "GROUP BY 1 ORDER BY 1"
+    ),
+    doc="TPC-H Q12 shape: conditional-sum priority classes per flag",
+)
+def q12(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_n"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("low_n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "tpch14_promo_ratio",
+    oracle=(
+        "SELECT round(100.0 * sum(CASE WHEN p_type LIKE 'PROMO%' "
+        "THEN l_extendedprice*(1-l_discount) ELSE 0 END) / "
+        "sum(l_extendedprice*(1-l_discount)), 4) AS promo_pct "
+        "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey"
+    ),
+    doc="TPC-H Q14 shape: conditional-revenue ratio (promo share)",
+)
+def q14(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(0.0)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(r4(F.lit(100.0) * F.sum(promo) / F.sum(rev)).alias("promo_pct"))
+    )
+
+
+@query(
     "tpch18_large_orders",
     oracle=(
         "SELECT o.o_orderkey, round(sum(l.l_quantity),4) AS qty FROM orders o "
