@@ -1,0 +1,219 @@
+"""Deterministic simulation / differential model-checking — the
+pytest rendering of the reference's ``sim/`` layer (seeded RNG, shadow
+model, history checking; ``sim/src/scenarios/linearizable.rs``).
+
+A seeded random workload (appends with client timestamps, fence/trim
+commands, conditional appends, reads with every start/limit shape) runs
+against BOTH the Spark-backed StreamStore and a pure-Python shadow
+model implementing the documented semantics. Every read result, ack,
+precondition failure, and final recovered state must agree. Reruns with
+the same seed are byte-identical (the reference's determinism meta-test).
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from s2_spark.catalog import Catalog
+from s2_spark.model import (
+    FencingTokenMismatch,
+    Record,
+    SeqNumMismatch,
+    fence_record,
+    trim_record,
+)
+from s2_spark.store import ReadLimit, ReadStart, StreamStore
+
+BASIN = "test-basin"
+STREAMS = ["sim-a", "sim-b"]
+
+
+class ShadowModel:
+    """Pure-Python semantics of one stream (client-prefer, capped)."""
+
+    def __init__(self):
+        self.rows = []  # (seq, ts, body)
+        self.tail = 0
+        self.last_ts = 0
+        self.token = ""
+        self.trim_point = 0
+
+    def append(self, records, arrival, match_seq_num=None, fencing_token=None):
+        if fencing_token is not None and fencing_token != self.token:
+            raise FencingTokenMismatch(self.token)
+        if match_seq_num is not None and match_seq_num != self.tail:
+            raise SeqNumMismatch(self.tail)
+        start = self.tail
+        for rec in records:
+            ts = arrival if rec.timestamp is None else min(rec.timestamp, arrival)
+            ts = max(ts, self.last_ts)
+            self.last_ts = ts
+            cmd = rec.command()
+            if cmd == "fence":
+                self.token = rec.body.decode()
+            elif cmd == "trim":
+                self.trim_point = max(
+                    self.trim_point, min(int.from_bytes(rec.body, "big"), self.tail)
+                )
+            self.rows.append((self.tail, ts, rec.body))
+            self.tail += 1
+        return start, self.tail
+
+    def visible(self):
+        return [r for r in self.rows if r[0] >= self.trim_point]
+
+    def read(self, start_seq=None, tail_offset=None, count=None, clamp=False):
+        rows = self.visible()
+        if tail_offset is not None:
+            start_seq = max(0, self.tail - tail_offset)
+        if start_seq is None:
+            start_seq = 0
+        if start_seq > self.tail and not clamp:
+            raise ValueError("range")
+        rows = [r for r in rows if r[0] >= start_seq]
+        if count is not None:
+            rows = rows[:count]
+        return rows
+
+
+@pytest.fixture()
+def sim(spark, tmp_path):
+    clockbox = {"ms": 1_000_000}
+    cat = Catalog(spark, clock=lambda: clockbox["ms"])
+    cat.create_basin(BASIN)
+    for s in STREAMS:
+        cat.create_stream(BASIN, s)
+    store = StreamStore(
+        spark, str(tmp_path / "records"), catalog=cat, clock=lambda: clockbox["ms"]
+    )
+    return store, clockbox
+
+
+def _random_record(rng, arrival):
+    ts = None
+    if rng.random() < 0.5:
+        # client timestamps around arrival: sometimes past, sometimes future
+        ts = arrival + rng.randint(-5000, 5000)
+    return Record(body=rng.randbytes(rng.randint(0, 12)), timestamp=ts)
+
+
+def _run_workload(store, clockbox, seed, n_ops=40):
+    """Returns the op/result trace for determinism comparison."""
+    rng = random.Random(seed)
+    models = {s: ShadowModel() for s in STREAMS}
+    trace = []
+    for op_i in range(n_ops):
+        clockbox["ms"] += rng.randint(1, 10_000)
+        stream = rng.choice(STREAMS)
+        m = models[stream]
+        roll = rng.random()
+        arrival = clockbox["ms"]
+        if roll < 0.45:  # plain append
+            recs = [_random_record(rng, arrival) for _ in range(rng.randint(1, 4))]
+            ack = store.append(BASIN, stream, recs)
+            ms, me = m.append(recs, arrival)
+            assert (ack.start_seq, ack.end_seq) == (ms, me)
+            trace.append(("append", stream, ack.start_seq, ack.end_seq, ack.start_ts))
+        elif roll < 0.55:  # conditional append (sometimes stale)
+            expected = m.tail if rng.random() < 0.6 else max(0, m.tail - 1 - rng.randint(0, 3))
+            recs = [_random_record(rng, arrival)]
+            outcomes = []
+            for target in ("spark", "model"):
+                try:
+                    if target == "spark":
+                        store.append(BASIN, stream, recs, match_seq_num=expected)
+                    else:
+                        m.append(recs, arrival, match_seq_num=expected)
+                    outcomes.append("ok")
+                except SeqNumMismatch as e:
+                    outcomes.append(("mismatch", e.expected))
+            assert outcomes[0] == outcomes[1]
+            trace.append(("cas", stream, expected, outcomes[0]))
+        elif roll < 0.65:  # fence (new token or same), then a fenced append probe
+            tok = f"t{rng.randint(0, 3)}"
+            store.append(BASIN, stream, [fence_record(tok)])
+            m.append([fence_record(tok)], arrival)
+            probe_tok = f"t{rng.randint(0, 3)}"
+            outcomes = []
+            for target in ("spark", "model"):
+                try:
+                    if target == "spark":
+                        store.append(
+                            BASIN, stream, [Record(body=b"p")], fencing_token=probe_tok
+                        )
+                    else:
+                        m.append([Record(body=b"p")], arrival, fencing_token=probe_tok)
+                    outcomes.append("ok")
+                except FencingTokenMismatch:
+                    outcomes.append("fenced")
+            assert outcomes[0] == outcomes[1]
+            trace.append(("fence", stream, tok, probe_tok, outcomes[0]))
+        elif roll < 0.75:  # trim to a random point (past, present, or beyond)
+            point = rng.randint(0, m.tail + 5)
+            store.append(BASIN, stream, [trim_record(point)])
+            m.append([trim_record(point)], arrival)
+            trace.append(("trim", stream, point, m.trim_point))
+        else:  # read, random shape
+            shape = rng.choice(["full", "from_seq", "tail_offset", "count"])
+            kw_store, kw_model = {}, {}
+            if shape == "from_seq":
+                s0 = rng.randint(0, m.tail + 2)
+                kw_store = dict(start=ReadStart(seq_num=s0, clamp=True))
+                kw_model = dict(start_seq=s0, clamp=True)
+            elif shape == "tail_offset":
+                off = rng.randint(0, 10)
+                kw_store = dict(start=ReadStart(tail_offset=off))
+                kw_model = dict(tail_offset=off)
+            elif shape == "count":
+                c = rng.randint(1, 6)
+                kw_store = dict(limit=ReadLimit(count=c))
+                kw_model = dict(count=c)
+            got = [
+                (r.seq_num, r.timestamp, bytes(r.body))
+                for r in store.read(BASIN, stream, **kw_store).collect()
+            ]
+            want = m.read(**kw_model)
+            assert got == want, f"read divergence op {op_i} {shape}: {got} vs {want}"
+            trace.append(("read", stream, shape, len(got)))
+        # invariant probes every op
+        tail, last_ts = store.check_tail(BASIN, stream)
+        assert (tail, last_ts) == (m.tail, m.last_ts)
+    # end-state: recovery from storage reproduces the model
+    store.recover_state()
+    for s, m in models.items():
+        st = store._st(BASIN, s)
+        assert (st.tail_seq, st.last_ts, st.fencing_token, st.trim_point) == (
+            m.tail,
+            m.last_ts,
+            m.token,
+            m.trim_point,
+        )
+    return trace
+
+
+@pytest.mark.parametrize("seed", [7, 1234])
+def test_sim_differential(sim, seed):
+    store, clockbox = sim
+    _run_workload(store, clockbox, seed)
+
+
+def test_sim_deterministic_rerun(spark, tmp_path):
+    """Same seed → identical trace (the reference's byte-identical
+    rerun meta-test, sim/src/main.rs:42-53)."""
+    traces = []
+    for run in range(2):
+        clockbox = {"ms": 1_000_000}
+        cat = Catalog(spark, clock=lambda: clockbox["ms"])
+        cat.create_basin(BASIN)
+        for s in STREAMS:
+            cat.create_stream(BASIN, s)
+        store = StreamStore(
+            spark,
+            str(tmp_path / f"records{run}"),
+            catalog=cat,
+            clock=lambda: clockbox["ms"],
+        )
+        traces.append(_run_workload(store, clockbox, seed=99, n_ops=25))
+    assert traces[0] == traces[1]
