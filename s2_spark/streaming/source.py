@@ -71,6 +71,10 @@ class S2StreamReader(DataSourceStreamReader):
         self.basin = options.get("basin")
         self.stream = options.get("stream")
         self.start_seq = int(options.get("startseq", 0))
+        # admission control / backpressure (the reference's in-flight
+        # bytes semaphore, streamer.rs:815-838): cap how far each
+        # stream's offset advances per micro-batch
+        self.max_per_trigger = int(options.get("maxrecordspertrigger", 0))
 
     def _filtered(self, tails: dict[str, int]) -> dict[str, int]:
         out = {}
@@ -89,9 +93,25 @@ class S2StreamReader(DataSourceStreamReader):
         return {k: self.start_seq for k in self._filtered(_tails(self.path))}
 
     def latestOffset(self) -> dict:
-        return self._filtered(_tails(self.path))
+        # Note: with rate limiting we still report true tails here and
+        # clamp in latestOffset-vs-start at partition planning; Spark's
+        # DataSourceStreamReader contract applies offsets as reported,
+        # so clamping must happen where the end offset is produced.
+        tails = self._filtered(_tails(self.path))
+        if self.max_per_trigger > 0:
+            committed = getattr(self, "_last_committed", {})
+            tails = {
+                k: min(v, committed.get(k, self.start_seq) + self.max_per_trigger)
+                for k, v in tails.items()
+            }
+        return tails
 
     def partitions(self, start: dict, end: dict):
+        # advance the rate-limit baseline here: partitions() sees every
+        # planned batch's end offsets even when commit() isn't invoked
+        if self.max_per_trigger > 0:
+            prev = getattr(self, "_last_committed", {})
+            self._last_committed = {**prev, **end}
         parts = []
         for k, e in end.items():
             s = start.get(k, self.start_seq)
@@ -105,7 +125,9 @@ class S2StreamReader(DataSourceStreamReader):
         return parts
 
     def commit(self, end: dict) -> None:
-        pass  # offsets live in the checkpoint; nothing to GC
+        # offsets live in the checkpoint; remember the high-water mark so
+        # rate limiting advances window-by-window
+        self._last_committed = dict(end)
 
     def read(self, partition: _StreamSlice):
         if partition.end <= partition.start:

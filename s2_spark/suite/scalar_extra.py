@@ -307,6 +307,136 @@ def w10(spark, sf_dir):
 
 
 @query(
+    "f18_array_advanced",
+    oracle=(
+        "SELECT event_id, array_to_string(list_sort(list_distinct(string_split(props,' '))), '-') AS joined, "
+        "CAST(length(list_distinct(string_split(props,' '))) AS BIGINT) AS ndistinct, "
+        "list_sort(string_split(props,' '))[1] AS smallest "
+        "FROM events ORDER BY event_id LIMIT 200"
+    ),
+    doc="array sort/distinct/join/index",
+)
+def f18(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    toks = F.split("props", " ")
+    return (
+        e.orderBy("event_id")
+        .select(
+            "event_id",
+            F.array_join(F.array_sort(F.array_distinct(toks)), "-").alias("joined"),
+            F.size(F.array_distinct(toks)).cast("long").alias("ndistinct"),
+            F.array_sort(toks)[0].alias("smallest"),
+        )
+        .limit(200)
+    )
+
+
+@query(
+    "f19_math_extra",
+    oracle=(
+        "SELECT l_orderkey, l_linenumber, "
+        "round(ln(l_extendedprice),4) AS lnp, round(exp(l_discount),4) AS expd, "
+        "round(power(l_quantity, 2),4) AS q2, round(sqrt(l_quantity),4) AS sq, "
+        "CAST(l_orderkey % 7 AS BIGINT) AS m7, "
+        "round(greatest(l_discount, l_tax),4) AS gmax, round(least(l_discount, l_tax),4) AS gmin "
+        "FROM lineitem ORDER BY 1,2 LIMIT 400"
+    ),
+    doc="ln/exp/pow/sqrt/mod/greatest/least",
+)
+def f19(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.orderBy("l_orderkey", "l_linenumber")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            r4(F.log(F.col("l_extendedprice"))).alias("lnp"),
+            r4(F.exp("l_discount")).alias("expd"),
+            r4(F.pow("l_quantity", F.lit(2))).alias("q2"),
+            r4(F.sqrt("l_quantity")).alias("sq"),
+            (F.col("l_orderkey") % 7).cast("long").alias("m7"),
+            r4(F.greatest("l_discount", "l_tax")).alias("gmax"),
+            r4(F.least("l_discount", "l_tax")).alias("gmin"),
+        )
+        .limit(400)
+    )
+
+
+@query(
+    "ag14_min_by_array_agg",
+    oracle=(
+        "SELECT user_id, (list(event_id ORDER BY value, event_id))[1] AS cheapest_ev, "
+        "list_sort(list(event_type ORDER BY event_id))[1] AS first_et_sorted, "
+        "CAST(length(list(DISTINCT event_type)) AS BIGINT) AS n_types "
+        "FROM events GROUP BY 1 ORDER BY 1"
+    ),
+    doc="min_by (struct key: deterministic under value ties) + ordered/distinct array aggregation",
+)
+def ag14(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.min_by("event_id", F.struct("value", "event_id")).alias("cheapest_ev"),
+            F.array_sort(F.collect_list("event_type"))[0].alias("first_et_sorted"),
+            F.size(F.collect_set("event_type")).cast("long").alias("n_types"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "st8_combined_read_limits",
+    oracle=(
+        "SELECT event_id FROM ("
+        "SELECT event_id, sum(8 + length(props)) OVER "
+        "(ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum "
+        "FROM events WHERE event_id >= 500 AND ts < TIMESTAMP '2024-01-25'"
+        ") WHERE cum <= 5000 ORDER BY event_id LIMIT 30"
+    ),
+    doc=(
+        "A7 with every bound at once: seq start + until-timestamp + "
+        "metered-bytes window + count — the full EvaluatedReadLimit shape"
+    ),
+)
+def st8(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    w = W.orderBy("event_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    metered = F.lit(8) + F.length("props")
+    return (
+        e.filter(
+            (F.col("event_id") >= 500)
+            & (F.col("ts").cast("timestamp") < F.lit("2024-01-25").cast("timestamp"))
+        )
+        .withColumn("cum", F.sum(metered).over(w))
+        .filter(F.col("cum") <= 5000)
+        .select("event_id")
+        .orderBy("event_id")
+        .limit(30)
+    )
+
+
+@query(
+    "j10_right_outer",
+    oracle=(
+        "SELECT n.n_name, count(s.s_suppkey) AS n_supp FROM supplier s "
+        "RIGHT JOIN nation n ON s.s_nationkey = n.n_nationkey "
+        "GROUP BY 1 ORDER BY 1"
+    ),
+    doc="right outer join (nations without suppliers keep count 0)",
+)
+def j10(spark, sf_dir):
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    return (
+        s.join(n, s.s_nationkey == n.n_nationkey, "right")
+        .groupBy("n_name")
+        .agg(F.count("s_suppkey").alias("n_supp"))
+        .orderBy("n_name")
+    )
+
+
+@query(
     "j9_full_outer",
     oracle=(
         "SELECT coalesce(a.k, b.k) AS k, a.n AS n_cust, b.n AS n_supp FROM "
