@@ -1,0 +1,75 @@
+"""Generalized as-of join — the resolve-position-at-timestamp operation
+(A8, ``lite/src/backend/read.rs:287-317``) lifted to a full relational
+operator Spark lacks natively.
+
+For every left row, attach the most recent right row with
+``right.ts <= left.ts`` (direction="backward"; "forward" gives the
+earliest ``right.ts >= left.ts``), optionally within per-key groups.
+
+Implementation is a union + running-window fold, NOT a range theta
+join: tag both sides, sort by (key, ts, side), carry the latest right
+payload forward with ``last(..., ignorenulls)``. Cost is one shuffle on
+(key) + a per-key sort — O(n log n), partitioned by the by-key, no
+quadratic blowup. This is the standard distributed merge_asof shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: list[str] | None = None,
+    direction: str = "backward",
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """Left as-of join: every left row + the nearest right row at or
+    before (backward) / at or after (forward) its ``on`` value.
+    ``on`` must be mutually comparable across both frames; ``by`` keys
+    must exist on both sides. Right columns come back prefixed."""
+    by = by or []
+    rcols = [c for c in right.columns if c != on and c not in by]
+    payload = F.struct(*[F.col(c).alias(c) for c in rcols])
+
+    lhs = left.withColumn("_side", F.lit(1)).withColumn(
+        "_payload", F.lit(None).cast(right.select(payload).schema[0].dataType)
+    )
+    rhs = right.select(
+        *by, F.col(on), F.lit(0).alias("_side"), payload.alias("_payload")
+    )
+    # align columns for the union: left keeps its own columns, right
+    # contributes only (by, on, side, payload)
+    for c in left.columns:
+        if c not in rhs.columns:
+            rhs = rhs.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
+    rhs = rhs.select(*lhs.columns)
+
+    merged = lhs.unionByName(rhs)
+    if direction == "backward":
+        # right rows sort before left at equal ts → ties count as match
+        w = (
+            W.partitionBy(*by)
+            .orderBy(F.col(on).asc(), F.col("_side").asc())
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+    elif direction == "forward":
+        w = (
+            W.partitionBy(*by)
+            .orderBy(F.col(on).desc(), F.col("_side").asc())
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+    else:
+        raise ValueError(direction)
+    out = (
+        merged.withColumn("_match", F.last("_payload", ignorenulls=True).over(w))
+        .filter(F.col("_side") == 1)
+        .drop("_side", "_payload")
+    )
+    for c in rcols:
+        out = out.withColumn(f"{right_prefix}{c}", F.col("_match")[c])
+    return out.drop("_match")

@@ -465,6 +465,40 @@ def j9(spark, sf_dir):
 
 
 @query(
+    "j11_asof_generalized",
+    oracle=(
+        "SELECT e.event_id, epoch_ms(o.o_orderdate) AS asof_odate_ms "
+        "FROM events e ASOF LEFT JOIN orders o "
+        "ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate "
+        "ORDER BY e.event_id"
+    ),
+    doc=(
+        "generalized per-key as-of join (operators/asof.py) vs DuckDB's "
+        "native ASOF JOIN: every event gets the most recent order "
+        "at-or-before its time for its user; union + running-window "
+        "fold, no theta join"
+    ),
+)
+def j11(spark, sf_dir):
+    from s2_spark.operators.asof import asof_join
+
+    e = t(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("user_id").alias("k"),
+        F.col("ts").cast("timestamp").alias("evt_ts"),
+    )
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").cast("timestamp").alias("evt_ts"),
+        F.col("o_orderdate").cast("timestamp").alias("odate"),
+    )
+    joined = asof_join(e, o, on="evt_ts", by=["k"], direction="backward")
+    return joined.select(
+        "event_id", epoch_ms(F.col("r_odate")).alias("asof_odate_ms")
+    ).orderBy("event_id")
+
+
+@query(
     "set4_intersect_all",
     oracle=(
         "SELECT x FROM (SELECT c_nationkey AS x FROM customer) "

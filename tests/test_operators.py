@@ -173,6 +173,34 @@ def test_basin_deletion_sweep(store):
     assert store._st(BASIN, "s1").trim_point == store._st(BASIN, "s1").tail_seq
 
 
+# --- generalized as-of join (operators/asof.py) -----------------------------------
+
+
+def test_asof_backward_and_forward(spark):
+    from s2_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("a", 10, 1), ("a", 20, 2), ("a", 5, 3), ("b", 10, 4)],
+        "k string, t long, lid int",
+    )
+    right = spark.createDataFrame(
+        [("a", 8, "r1"), ("a", 15, "r2"), ("a", 20, "r3"), ("b", 99, "r4")],
+        "k string, t long, tag string",
+    )
+    back = {
+        r.lid: r.r_tag
+        for r in asof_join(left, right, on="t", by=["k"], direction="backward").collect()
+    }
+    # lid1 t=10 → r1(8); lid2 t=20 → r3(ties match); lid3 t=5 → None; lid4 b@10 → None
+    assert back == {1: "r1", 2: "r3", 3: None, 4: None}
+    fwd = {
+        r.lid: r.r_tag
+        for r in asof_join(left, right, on="t", by=["k"], direction="forward").collect()
+    }
+    # forward: lid1 t=10 → r2(15); lid2 t=20 → r3(20, tie); lid3 t=5 → r1(8); lid4 → r4(99)
+    assert fwd == {1: "r2", 2: "r3", 3: "r1", 4: "r4"}
+
+
 # --- unary read caps -------------------------------------------------------------------
 
 
