@@ -447,6 +447,45 @@ class StreamStore:
             df = df.limit(limit.count)
         return df
 
+    def attach_views(self, prefix: str = "s2_") -> None:
+        """Register the engine's tables as temp views so the whole store
+        is queryable through plain ``spark.sql``:
+
+        - ``{prefix}records`` — the raw records table
+        - ``{prefix}visible`` — trim- and command-aware user view
+        - ``{prefix}streams`` / ``{prefix}basins`` — catalog metadata
+        - ``{prefix}tails``   — materialized check_tail per stream
+        """
+        from s2_spark.model import is_command_col
+
+        records = self.records_df()
+        records.createOrReplaceTempView(f"{prefix}records")
+        trims = self.spark.createDataFrame(
+            [(b, s, st.trim_point) for (b, s), st in self._state.items()]
+            or [("", "", 0)],
+            "basin string, stream string, trim_point long",
+        )
+        visible = (
+            records.join(F.broadcast(trims), ["basin", "stream"], "left")
+            .filter(
+                (F.col("seq_num") >= F.coalesce("trim_point", F.lit(0)))
+                & ~is_command_col()
+            )
+            .drop("trim_point")
+        )
+        visible.createOrReplaceTempView(f"{prefix}visible")
+        self.catalog.streams_df().createOrReplaceTempView(f"{prefix}streams")
+        self.catalog.basins_df().createOrReplaceTempView(f"{prefix}basins")
+        tails = self.spark.createDataFrame(
+            [
+                (b, s, st.tail_seq, st.last_ts)
+                for (b, s), st in self._state.items()
+            ]
+            or [("", "", 0, 0)],
+            "basin string, stream string, next_seq_num long, last_timestamp long",
+        ).filter("basin <> ''")
+        tails.createOrReplaceTempView(f"{prefix}tails")
+
     def read_unary(
         self,
         basin: str,

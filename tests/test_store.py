@@ -371,6 +371,25 @@ def test_list_streams_pagination(store):
     assert names2[0] > names[-1] and len(names2) == 15 and not has_more2
 
 
+def test_attach_views_sql_surface(store, spark):
+    store.append(BASIN, STREAM, recs(5))
+    store.trim(BASIN, STREAM, 2)
+    store.attach_views()
+    # visible view hides trimmed rows AND command records
+    rows = spark.sql(
+        "SELECT seq_num FROM s2_visible WHERE stream = 's1' ORDER BY seq_num"
+    ).collect()
+    assert [r.seq_num for r in rows] == [2, 3, 4]
+    tail = spark.sql(
+        "SELECT next_seq_num FROM s2_tails WHERE stream = 's1'"
+    ).first()
+    assert tail.next_seq_num == 6  # 5 records + trim command
+    assert spark.sql("SELECT count(*) AS n FROM s2_records").first().n == 6
+    assert spark.sql(
+        "SELECT count(*) AS n FROM s2_streams WHERE basin = 'test-basin'"
+    ).first().n >= 1
+
+
 def test_config_three_layer_resolution(store):
     cfg = store.catalog.resolve_config(BASIN, STREAM)
     assert cfg.timestamping_mode == "client-prefer"  # system default
