@@ -34,7 +34,7 @@ def w1(spark, sf_dir):
     e = t(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     return (
-        e.select("event_id", F.row_number().over(w).alias("rn"))
+        e.select("event_id", F.row_number().over(w).cast("long").alias("rn"))
         .orderBy("event_id")
     )
 
@@ -52,7 +52,7 @@ def w2(spark, sf_dir):
     o = t(spark, sf_dir, "orders")
     w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
     return (
-        o.select("o_custkey", "o_orderkey", F.rank().over(w).alias("rk"))
+        o.select("o_custkey", "o_orderkey", F.rank().over(w).cast("long").alias("rk"))
         .orderBy("o_custkey", "o_orderkey")
     )
 
@@ -130,7 +130,7 @@ def w6(spark, sf_dir):
     c = t(spark, sf_dir, "customer")
     w = W.orderBy("c_acctbal", "c_custkey")
     return (
-        c.select(F.ntile(4).over(w).alias("q"), "c_custkey")
+        c.select(F.ntile(4).over(w).cast("long").alias("q"), "c_custkey")
         .orderBy("c_custkey")
     )
 
