@@ -8,6 +8,9 @@ operator, with the DuckDB oracle SQL the driver co-executes.
 
 from __future__ import annotations
 
+import glob
+import json
+import re
 import sys
 from collections.abc import Callable
 from pathlib import Path
@@ -20,6 +23,63 @@ from s2_spark.registry import all_queries  # noqa: E402
 
 SF_SMOKE = "/root/testdata/sf0.001"
 
+_REPO = Path(__file__).resolve().parent
+
+
+def _latest_driver_status() -> dict[str, int]:
+    """Latest per-query driver outcome from CORRECTNESS_r*.json files.
+
+    0 = never scored, 1 = scored but not proven (crash, mismatch, or
+    rows-only ``no_oracle``), 2 = proven (hash_match true).
+    """
+    status: dict[str, int] = {}
+    for path in sorted(glob.glob(str(_REPO / "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            status[name] = 2 if row.get("hash_match") is True else 1
+    return status
+
+
+def _family(name: str) -> str:
+    m = re.match(r"^([a-z]+)", name)
+    return m.group(1) if m else name
+
+
+def _prioritized(names: list[str]) -> list[str]:
+    """Order queries so the driver's per-round scoring budget lands on
+    the entries that need evidence.
+
+    The driver scores a fixed prefix of ``queries()`` each round (~50
+    entries in round 1). Put queries whose latest result was a failure
+    or rows-only check first, then never-scored queries round-robined
+    across operator families (so every family earns at least one scored
+    row per round), then already-proven queries last — their proofs are
+    in prior CORRECTNESS_r*.json files.
+    """
+    status = _latest_driver_status()
+    failed = [n for n in names if status.get(n, 0) == 1]
+    fresh = [n for n in names if status.get(n, 0) == 0]
+    proven = [n for n in names if status.get(n, 0) == 2]
+
+    # Round-robin the never-scored entries across families.
+    by_family: dict[str, list[str]] = {}
+    for n in fresh:
+        by_family.setdefault(_family(n), []).append(n)
+    rr: list[str] = []
+    buckets = list(by_family.values())
+    while buckets:
+        buckets = [b for b in buckets if b]
+        for b in buckets:
+            if b:
+                rr.append(b.pop(0))
+    return failed + rr + proven
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: multi-way join revenue rollup (Q-J2 shape) at sf0.001."""
@@ -27,10 +87,20 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return {name: q.spark for name, q in all_queries().items()}
+    """One entry per implemented operator from SURVEY.md §2.
+
+    Ordered so the driver's per-round scoring budget reaches queries
+    that still need driver evidence (see :func:`_prioritized`).
+    """
+    reg = all_queries()
+    return {name: reg[name].spark for name in _prioritized(list(reg))}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per query (omitted → rows-only check)."""
-    return {name: q.oracle for name, q in all_queries().items() if q.oracle is not None}
+    reg = all_queries()
+    return {
+        name: reg[name].oracle
+        for name in _prioritized(list(reg))
+        if reg[name].oracle is not None
+    }

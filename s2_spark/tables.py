@@ -38,6 +38,27 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # this also guards against accidentally mixing scale factors).
 _registered: dict[int, str] = {}
 
+# Sessions already switched to nanos-as-long parquet reads (keyed by
+# id(spark) to avoid one py4j round-trip per table load).
+_nanos_ready: set[int] = set()
+
+
+def ensure_nanos_conf(spark: SparkSession) -> None:
+    """Make ``spark`` able to read TIMESTAMP(NANOS) parquet.
+
+    ``events.parquet`` stores its ``ts`` column as INT64
+    TIMESTAMP(NANOS), which Spark rejects at read time unless
+    ``spark.sql.legacy.parquet.nanosAsLong`` is set. The suite must run
+    on *any* session — in particular the driver's, which does not come
+    from :func:`s2_spark.session.get_spark` — so set the conf here; it
+    is a runtime-settable SQL conf.
+    """
+    key = id(spark)
+    if key in _nanos_ready:
+        return
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    _nanos_ready.add(key)
+
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table as a DataFrame.
@@ -47,6 +68,7 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     TimestampType column (microsecond floor, matching DuckDB's own
     ns→ms flooring in ``epoch_ms``).
     """
+    ensure_nanos_conf(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         from pyspark.sql import functions as F
@@ -60,6 +82,7 @@ def t_raw(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     that range-filter on time and want the predicate pushed down to the
     parquet scan (a filter on the raw i64 ns column prunes row groups;
     one on ``timestamp_micros(...)`` cannot)."""
+    ensure_nanos_conf(spark)
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
@@ -68,6 +91,7 @@ def load_views(spark: SparkSession, sf_dir: str) -> None:
     key = id(spark)
     if _registered.get(key) == sf_dir:
         return
+    ensure_nanos_conf(spark)
     for name in TABLE_NAMES:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
