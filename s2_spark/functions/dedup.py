@@ -135,6 +135,20 @@ def minhash_neardup_pairs(
     )
 
 
+def _pack_bits64(col_prefix: str) -> Column:
+    """Pack 64 signed bit-sum columns (``{prefix}0``..``{prefix}63``)
+    into one BIGINT fingerprint: bit b set iff the sum is positive."""
+    return reduce(
+        lambda acc, b: acc
+        + F.when(
+            F.col(f"{col_prefix}{b}") > 0,
+            F.lit(1 << b if b < 63 else -(1 << 63)).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+        range(64),
+        F.lit(0).cast("long"),
+    )
+
+
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """64-bit SimHash per document: per-token 64-bit hash, signed
     bit-majority per position. One explode + 64 conditional sums, all
@@ -149,16 +163,37 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
         for b in range(64)
     ]
     agg = toks.groupBy(id_col).agg(*bit_sums)
-    fp = reduce(
-        lambda acc, b: acc
-        + F.when(
-            F.col(f"b{b}") > 0,
-            F.lit(1 << b if b < 63 else -(1 << 63)).cast("long"),
-        ).otherwise(F.lit(0).cast("long")),
-        range(64),
-        F.lit(0).cast("long"),
+    return agg.select(id_col, _pack_bits64("b").alias("simhash"))
+
+
+def md5_bit(mh: Column, j: int) -> Column:
+    """Bit ``j`` (0..63, MSB-first) of the 64-bit value spelled by the
+    first 16 hex chars of an md5 digest string. Pure hex-digit
+    arithmetic, so any ANSI engine reproduces it — the portable
+    token-hash used when results must be verifiable outside Spark."""
+    v = F.conv(F.substring(mh, 1 + j // 4, 1), 16, 10).cast("int")
+    return F.shiftright(v, 3 - (j % 4)).bitwiseAND(F.lit(1))
+
+
+def simhash_md5(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """SimHash with an md5-derived token hash instead of xxhash64.
+
+    Same algorithm and plan shape as :func:`simhash` (one explode, 64
+    conditional sums, JVM-side), but the per-token 64-bit hash comes
+    from the md5 hex digest so an independent SQL engine can compute
+    the identical fingerprint for verification. ~4 extra substring ops
+    per (token, bit); use :func:`simhash` when cross-engine parity
+    isn't needed."""
+    toks = (
+        df.select(id_col, F.explode(tokens_col(text_col)).alias("tok"))
+        .withColumn("mh", F.md5(F.col("tok").cast("binary")))
     )
-    return agg.select(id_col, fp.alias("simhash"))
+    bit_sums = [
+        F.sum(F.when(md5_bit(F.col("mh"), j) == 1, 1).otherwise(-1)).alias(f"b{j}")
+        for j in range(64)
+    ]
+    agg = toks.groupBy(id_col).agg(*bit_sums)
+    return agg.select(id_col, _pack_bits64("b").alias("simhash"))
 
 
 def hamming64(a: Column, b: Column) -> Column:
@@ -171,13 +206,18 @@ def simhash_neardup_pairs(
     text_col: str = "text",
     max_hamming: int = 8,
     bands: int = 4,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """Near-dups by SimHash: band the 64-bit fingerprint into 16-bit
-    chunks (pigeonhole: any pair within hamming ≤ bands-1 shares an
-    exact chunk; wider radii need multi-band OR, provided here), then
-    verify with full hamming distance."""
-    fps = simhash(df, id_col, text_col)
-    chunk = lambda b: F.shiftright("simhash", b * 16).bitwiseAND(F.lit(0xFFFF))  # noqa: E731
+    """Near-dups by SimHash: band the 64-bit fingerprint into
+    ``64/bands``-bit chunks (pigeonhole: any pair within hamming ≤
+    bands-1 shares an exact chunk — pick ``bands > max_hamming`` for
+    guaranteed recall), then verify with full hamming distance.
+    ``hash_fn='md5'`` selects the portable token hash
+    (:func:`simhash_md5`) so results are replayable by any SQL engine."""
+    width = 64 // bands
+    mask = (1 << width) - 1
+    fps = (simhash_md5 if hash_fn == "md5" else simhash)(df, id_col, text_col)
+    chunk = lambda b: F.shiftright("simhash", b * width).bitwiseAND(F.lit(mask))  # noqa: E731
     banded = fps.select(
         id_col,
         "simhash",

@@ -130,6 +130,36 @@ def lsh_topk(
     )
 
 
+def ivf_fixed_centroids(n_cells: int = 16, dim: int = 64, seed: int = 7) -> list[list[float]]:
+    """Deterministic unit-vector centroids (same LCG as the LSH
+    hyperplanes). A fixed coarse quantizer: worse cell balance than
+    KMeans (:func:`ivf_train_assign`) but fully replayable — an
+    independent SQL engine can recompute every assignment and probe,
+    which makes the whole IVF pipeline verifiable end-to-end."""
+    return _hyperplanes(dim, n_cells, seed)
+
+
+def ivf_assign_fixed(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its nearest centroid (squared euclidean,
+    first-min tie-break) — one fold per centroid (zip_with + aggregate,
+    element-order summation so an external engine reproduces the exact
+    IEEE doubles), no shuffle, no UDF. Adds ``_cell``."""
+    v = _dbl(vec_col)
+
+    def sqdist(c: list[float]) -> Column:
+        lit = F.array(*[F.lit(float(x)) for x in c])
+        diffs = F.zip_with(v, lit, lambda x, y: (x - y) * (x - y))
+        return F.aggregate(diffs, F.lit(0.0), lambda s, x: s + x)
+
+    dists = F.array(*[sqdist(c) for c in centroids])
+    cell = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+    return df.withColumn("_cell", cell)
+
+
 def ivf_train_assign(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -159,13 +189,15 @@ def ivf_topk(
 ) -> DataFrame:
     """Probe the nprobe nearest cells only — the scan becomes an
     IN-filter on the cell id (partition-prunable when the table is
-    written partitioned by cell)."""
+    written partitioned by cell). ``model`` is either a fitted MLlib
+    KMeans model or a plain centroid list (:func:`ivf_fixed_centroids`)."""
     if query is None:
         query = [
             float(x)
             for x in assigned.filter(F.col(id_col) == query_id).select(vec_col).first()[0]
         ]
-    centers = [(i, list(map(float, c))) for i, c in enumerate(model.clusterCenters())]
+    raw_centers = model if isinstance(model, list) else model.clusterCenters()
+    centers = [(i, list(map(float, c))) for i, c in enumerate(raw_centers)]
 
     def _cos(a, b):
         d = sum(x * y for x, y in zip(a, b))

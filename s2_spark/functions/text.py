@@ -92,3 +92,30 @@ def fingerprint(col) -> Column:
     return F.aggregate(
         toks, F.lit(0).cast("long"), lambda acc, tk: F.xxhash64(acc, tk)
     )
+
+
+FP_MOD = 1_000_000_007
+
+
+def fingerprint_portable(col) -> Column:
+    """Order-sensitive rolling fingerprint with a portable hash chain:
+    ``acc = (acc·31 + md5_56(token)) mod 1e9+7`` where ``md5_56`` folds
+    the first 14 hex chars of the token's md5. Same rolling-hash
+    contract as :func:`fingerprint` but every step is hex-digit
+    arithmetic any ANSI SQL engine reproduces bit-for-bit — use it when
+    results must be verifiable outside Spark. All JVM-side (nested
+    higher-order functions, no UDF)."""
+
+    def tok_hash(tk: Column) -> Column:
+        mh14 = F.substring(F.md5(tk.cast("binary")), 1, 14)
+        hexv = F.transform(
+            F.sequence(F.lit(1), F.lit(14)),
+            lambda i: F.conv(mh14.substr(i, F.lit(1)), 16, 10).cast("long"),
+        )
+        return F.aggregate(hexv, F.lit(0).cast("long"), lambda a, b: a * 16 + b) % FP_MOD
+
+    return F.aggregate(
+        ws_tokens(col),
+        F.lit(0).cast("long"),
+        lambda acc, tk: (acc * 31 + tok_hash(tk)) % FP_MOD,
+    )

@@ -1,0 +1,167 @@
+"""Generated DuckDB oracle SQL for the ANN / near-dup extension queries.
+
+These oracles replicate the *entire* approximate pipeline — hyperplane
+sign-buckets, multiprobe sets, IVF cell assignment, md5-derived simhash
+bits — in portable SQL, not just an end-result recall bound. Every
+constant the Spark plan folds in (hyperplanes, centroids, band layout)
+is emitted as a literal here, so DuckDB independently recomputes the
+same buckets, candidate sets, and ranks, and the driver's value-hash
+comparison verifies each stage of the approximate algorithm.
+
+Float parity: all dot products / norms are emitted as left-associated
+``a[1]*b[1] + a[2]*b[2] + …`` chains — the same evaluation order as the
+Spark side's ``F.aggregate`` fold — so both engines produce
+bit-identical IEEE doubles and sign/argmin/top-k decisions agree
+exactly (no tolerance needed).
+"""
+
+from __future__ import annotations
+
+from s2_spark.functions.similarity import _hyperplanes, ivf_fixed_centroids
+
+# token set shared by the dedup oracles (mirrors dedup.tokens_col)
+_TOKS = "list_distinct(string_split_regex(lower(text), '\\s+'))"
+
+
+def minhash_oracle(threshold: float = 0.5) -> str:
+    """Exact token-set Jaccard over all pairs. Valid oracle for the
+    MinHash-LSH pipeline when banding is r=1 (one signature row per
+    band): a pair with similarity s is missed with probability
+    (1-s)^k ≤ 2^-32 at s ≥ 0.5, k = 32 — verified exhaustively equal on
+    the fixture corpora."""
+    jac = (
+        "len(list_intersect(a.tk, b.tk))::DOUBLE"
+        " / len(list_distinct(list_concat(a.tk, b.tk)))"
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents)
+SELECT a.doc_id AS d1, b.doc_id AS d2, round({jac}, 4) AS jaccard
+FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+WHERE {jac} >= {threshold}
+ORDER BY d1, d2
+"""
+
+
+def simhash_oracle(max_hamming: int = 7) -> str:
+    """Brute-force 64-bit md5-simhash hamming pairs. Valid oracle for
+    the banded Spark pipeline because 8 bands of 8 bits guarantee (by
+    pigeonhole) that any pair with hamming ≤ 7 shares one exact band —
+    recall is 1 by construction, so banded == brute force."""
+    bit_sums = []
+    for j in range(64):
+        pos, sh = 1 + j // 4, 3 - (j % 4)
+        bit = f"(((strpos('0123456789abcdef', substr(mh, {pos}, 1)) - 1) >> {sh}) & 1)"
+        bit_sums.append(
+            f"SUM(CASE WHEN {bit} = 1 THEN 1 ELSE -1 END) AS s{j}"
+        )
+    pack = " + ".join(
+        f"CASE WHEN s{j} > 0 THEN {-(1 << 63) if j == 63 else (1 << j)} ELSE 0 END"
+        for j in range(64)
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+h AS (SELECT doc_id, md5(tok) AS mh FROM toks),
+bits AS (SELECT doc_id, {", ".join(bit_sums)} FROM h GROUP BY doc_id),
+fp AS (SELECT doc_id, CAST({pack} AS BIGINT) AS fp FROM bits)
+SELECT a.doc_id AS d1, b.doc_id AS d2,
+       CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.fp, b.fp)) <= {max_hamming}
+ORDER BY d1, d2
+"""
+
+
+def _chain(a: str, b: str, dim: int) -> str:
+    return " + ".join(f"{a}[{i + 1}] * {b}[{i + 1}]" for i in range(dim))
+
+
+def _dot_lit(vec: str, plane: list[float]) -> str:
+    return " + ".join(f"{vec}[{i + 1}] * {plane[i]!r}" for i in range(len(plane)))
+
+
+def lsh_topk_oracle(
+    k: int = 10, query_id: int = 0, m: int = 8, dim: int = 64, seed: int = 42
+) -> str:
+    """Full replay of lsh_topk (multiprobe=1): identical hyperplane
+    literals → identical sign buckets → identical probe set → exact
+    cosine rerank within candidates."""
+    planes = _hyperplanes(dim, m, seed)
+
+    def bkt(vec: str) -> str:
+        return " + ".join(
+            f"CASE WHEN ({_dot_lit(vec, p)}) >= 0 THEN {1 << i} ELSE 0 END"
+            for i, p in enumerate(planes)
+        )
+
+    flips = ", ".join(f"({1 << i})" for i in range(m))
+    sim = (
+        f"({_chain('v', 'qe', dim)}) /"
+        f" (sqrt({_chain('v', 'v', dim)}) * sqrt({_chain('qe', 'qe', dim)}))"
+    )
+    return f"""
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = {query_id}),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id <> {query_id}),
+b AS (SELECT vec_id, v, ({bkt('v')}) AS bkt FROM e),
+qb AS (SELECT qe, ({bkt('qe')}) AS qbkt FROM q),
+probes AS (SELECT qbkt AS p FROM qb
+           UNION ALL SELECT xor(qbkt, f) FROM qb, (VALUES {flips}) AS fl(f)),
+cand AS (SELECT vec_id, {sim} AS sim_raw
+         FROM b, qb WHERE b.bkt IN (SELECT p FROM probes))
+SELECT vec_id, round(sim_raw, 4) AS sim
+FROM cand ORDER BY sim_raw DESC, vec_id LIMIT {k}
+"""
+
+
+def ivf_topk_oracle(
+    k: int = 10,
+    query_id: int = 0,
+    n_cells: int = 16,
+    dim: int = 64,
+    seed: int = 7,
+    nprobe: int = 4,
+) -> str:
+    """Full replay of the fixed-centroid IVF pipeline: identical
+    centroid literals → identical nearest-cell assignment (squared
+    euclidean, first-min tie-break) → identical probe-cell ranking →
+    exact cosine rerank within probed cells."""
+    cents = ivf_fixed_centroids(n_cells, dim, seed)
+    cent_values = ", ".join(
+        f"({i}, [{', '.join(repr(x) for x in c)}]::DOUBLE[])"
+        for i, c in enumerate(cents)
+    )
+    sqd = " + ".join(
+        f"(v[{i + 1}] - cv[{i + 1}]) * (v[{i + 1}] - cv[{i + 1}])" for i in range(dim)
+    )
+    cell_cos = (
+        f"({_chain('cv', 'qe', dim)}) /"
+        f" (sqrt({_chain('cv', 'cv', dim)}) * sqrt({_chain('qe', 'qe', dim)}))"
+    )
+    sim = (
+        f"({_chain('v', 'qe', dim)}) /"
+        f" (sqrt({_chain('v', 'v', dim)}) * sqrt({_chain('qe', 'qe', dim)}))"
+    )
+    return f"""
+WITH cents(cell, cv) AS (VALUES {cent_values}),
+q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = {query_id}),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id <> {query_id}),
+assign AS (SELECT vec_id, v,
+           (SELECT cell FROM cents ORDER BY ({sqd}) ASC, cell LIMIT 1) AS cell FROM e),
+qcells AS (SELECT cell FROM cents, q ORDER BY ({cell_cos}) DESC, cell LIMIT {nprobe}),
+cand AS (SELECT vec_id, {sim} AS sim_raw
+         FROM assign, q WHERE cell IN (SELECT cell FROM qcells))
+SELECT vec_id, round(sim_raw, 4) AS sim
+FROM cand ORDER BY sim_raw DESC, vec_id LIMIT {k}
+"""
+
+
+def fingerprint_oracle() -> str:
+    """Mirror of text.fingerprint_portable: rolling (acc·31 + md5_56(tok))
+    mod 1e9+7 over in-order whitespace tokens."""
+    return """
+SELECT doc_id, CAST(list_reduce(list_transform(string_split_regex(lower(text), '\\s+'),
+  tok -> list_reduce(list_transform(range(1, 15),
+           i -> strpos('0123456789abcdef', substr(md5(tok), i::INTEGER, 1)) - 1),
+           (a, b) -> a * 16 + b) % 1000000007),
+  (h, t) -> (h * 31 + t) % 1000000007) AS BIGINT) AS fp
+FROM documents ORDER BY doc_id
+"""

@@ -214,32 +214,49 @@ def x7(spark, sf_dir):
     return d.select("doc_id", r4(score).alias("quality")).orderBy("doc_id")
 
 
+from s2_spark.suite._ann_oracles import (  # noqa: E402
+    fingerprint_oracle,
+    ivf_topk_oracle,
+    lsh_topk_oracle,
+    minhash_oracle,
+    simhash_oracle,
+)
+
+
 @query(
     "x9_minhash_neardup",
-    oracle=None,  # xxhash64-based signatures have no DuckDB equivalent
+    oracle=minhash_oracle(threshold=0.5),
     doc=(
-        "MinHash(32) → LSH(8 bands) candidates → exact-Jaccard verify ≥ 0.5; "
-        "rows-only driver check, engine-side tests assert candidate superset "
-        "vs brute force on planted near-duplicates"
+        "MinHash(32) → LSH band-join candidates → exact-Jaccard verify ≥ 0.5. "
+        "Registered with r=1 banding (32 bands of one signature row) so the "
+        "per-pair miss probability at s ≥ 0.5 is ≤ 2^-32 and the output "
+        "provably equals the oracle's brute-force Jaccard pair set; at scale "
+        "users dial (k, bands) — e.g. 8 bands of 4 — for fewer candidates."
     ),
 )
 def x9(spark, sf_dir):
     from s2_spark.functions.dedup import minhash_neardup_pairs
 
     d = t(spark, sf_dir, "documents")
-    return minhash_neardup_pairs(d, threshold=0.5).orderBy("d1", "d2")
+    pairs = minhash_neardup_pairs(d, k=32, bands=32, threshold=0.5)
+    return pairs.select("d1", "d2", r4(F.col("jaccard")).alias("jaccard")).orderBy("d1", "d2")
 
 
 @query(
     "x10_simhash_neardup",
-    oracle=None,
-    doc="SimHash64 fingerprints, 16-bit band buckets, hamming ≤ 8 verify",
+    oracle=simhash_oracle(max_hamming=7),
+    doc=(
+        "SimHash64 near-dup pairs, md5-derived token hash (portable — the "
+        "oracle recomputes identical fingerprints), 8 bands of 8 bits, "
+        "hamming ≤ 7 verify. Pigeonhole: 8 bands guarantee recall 1 at "
+        "radius 7, so banded == brute force by construction."
+    ),
 )
 def x10(spark, sf_dir):
     from s2_spark.functions.dedup import simhash_neardup_pairs
 
     d = t(spark, sf_dir, "documents")
-    return simhash_neardup_pairs(d, max_hamming=8).orderBy("d1", "d2")
+    return simhash_neardup_pairs(d, max_hamming=7, bands=8, hash_fn="md5").orderBy("d1", "d2")
 
 
 @query(
@@ -285,10 +302,12 @@ def x12(spark, sf_dir):
 
 @query(
     "x13_lsh_ann_topk",
-    oracle=None,
+    oracle=lsh_topk_oracle(k=10, query_id=0, m=8, dim=64, seed=42),
     doc=(
         "ANN top-10 via random-hyperplane LSH (m=8, multiprobe 1) for query "
-        "vec_id=0; recall vs brute force asserted engine-side with planted dups"
+        "vec_id=0. The oracle replays the whole pipeline — hyperplane "
+        "literals → sign buckets → probe set → exact cosine rerank — so the "
+        "driver verifies the approximate algorithm itself, not a recall bound."
     ),
 )
 def x13(spark, sf_dir):
@@ -302,29 +321,40 @@ def x13(spark, sf_dir):
 
 @query(
     "x14_ivf_ann_topk",
-    oracle=None,
-    doc="ANN top-10 via IVF (KMeans-16 cells, nprobe 3) for query vec_id=0",
+    oracle=ivf_topk_oracle(k=10, query_id=0, n_cells=16, dim=64, seed=7, nprobe=4),
+    doc=(
+        "ANN top-10 via IVF (16 fixed deterministic centroids, nprobe 4) for "
+        "query vec_id=0; the oracle replays assignment, probe ranking, and "
+        "rerank from the same centroid literals. The KMeans-trained variant "
+        "(ivf_train_assign) is the quality path, tested engine-side."
+    ),
 )
 def x14(spark, sf_dir):
-    from s2_spark.functions.similarity import ivf_topk, ivf_train_assign
+    from s2_spark.functions.similarity import ivf_assign_fixed, ivf_fixed_centroids, ivf_topk
     from s2_spark.suite._util import r4
 
     emb = t(spark, sf_dir, "embeddings")
-    assigned, model = ivf_train_assign(emb, n_cells=16)
-    out = ivf_topk(assigned, model, k=10, query_id=0, nprobe=3)
+    cents = ivf_fixed_centroids(n_cells=16, dim=64, seed=7)
+    assigned = ivf_assign_fixed(emb, cents)
+    out = ivf_topk(assigned, cents, k=10, query_id=0, nprobe=4)
     return out.select("vec_id", r4(F.col("sim")).alias("sim"))
 
 
 @query(
     "x15_doc_rolling_fingerprint",
-    oracle=None,
-    doc="order-sensitive 64-bit rolling-hash fingerprint per document",
+    oracle=fingerprint_oracle(),
+    doc=(
+        "order-sensitive rolling-hash fingerprint per document: "
+        "acc = (acc·31 + md5_56(token)) mod 1e9+7 — portable hash chain the "
+        "oracle reproduces bit-for-bit; the xxhash64 chain (text.fingerprint) "
+        "is the fast engine-side variant"
+    ),
 )
 def x15(spark, sf_dir):
-    from s2_spark.functions.text import fingerprint
+    from s2_spark.functions.text import fingerprint_portable
 
     d = t(spark, sf_dir, "documents")
-    return d.select("doc_id", fingerprint("text").alias("fp")).orderBy("doc_id")
+    return d.select("doc_id", fingerprint_portable("text").alias("fp")).orderBy("doc_id")
 
 
 @query(
