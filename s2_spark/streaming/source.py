@@ -39,29 +39,92 @@ class _StreamSlice(InputPartition):
         self.end = end
 
 
-def _tails(path: str) -> dict[str, int]:
-    """Per-stream next_seq from storage — driver-side tails scan using
-    parquet column statistics where possible (only the seq-key columns
-    are ever materialized)."""
-    import pyarrow.dataset as ds
+def _parquet_files(path: str) -> list[str]:
+    return sorted(
+        os.path.join(d, f)
+        for d, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    )
 
+
+def _file_tails(file_path: str, stats: dict | None = None) -> dict[str, int]:
+    """Per-stream next_seq for one parquet file, from footer metadata.
+
+    Row groups whose (basin, stream) min==max statistics show a single
+    stream contribute their seq_num max without touching data pages —
+    the Spark analogue of the reference's tail rows in the KV store
+    (lite/src/backend/kv/mod.rs:55-95). Only mixed row groups fall back
+    to a 3-column vectorized read of just those groups."""
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(file_path)
+    idx = {name: i for i, name in enumerate(pf.schema_arrow.names)}
+    tails: dict[str, int] = {}
+    mixed: list[int] = []
+    for g in range(pf.metadata.num_row_groups):
+        rg = pf.metadata.row_group(g)
+        if rg.num_rows == 0:
+            continue
+        sb = rg.column(idx["basin"]).statistics
+        ss = rg.column(idx["stream"]).statistics
+        sq = rg.column(idx["seq_num"]).statistics
+        if (
+            sb is not None and ss is not None and sq is not None
+            and sb.has_min_max and ss.has_min_max and sq.has_min_max
+            and sb.min == sb.max and ss.min == ss.max
+        ):
+            k = f"{sb.min}{SEP}{ss.min}"
+            tails[k] = max(tails.get(k, 0), sq.max + 1)
+        else:
+            mixed.append(g)
+    if mixed:
+        tbl = pf.read_row_groups(mixed, columns=["basin", "stream", "seq_num"])
+        agg = tbl.group_by(["basin", "stream"]).aggregate([("seq_num", "max")])
+        for b, s, q in zip(
+            agg.column("basin").to_pylist(),
+            agg.column("stream").to_pylist(),
+            agg.column("seq_num_max").to_pylist(),
+        ):
+            k = f"{b}{SEP}{s}"
+            tails[k] = max(tails.get(k, 0), q + 1)
+    if stats is not None:
+        stats["files"] = stats.get("files", 0) + 1
+        stats["mixed_row_groups"] = stats.get("mixed_row_groups", 0) + len(mixed)
+    return tails
+
+
+def _tails(
+    path: str,
+    cache: dict[str, tuple[tuple, dict[str, int]]] | None = None,
+    stats: dict | None = None,
+) -> dict[str, int]:
+    """Per-stream next_seq for the whole store — footer statistics only
+    (no data pages for single-stream row groups), incremental via
+    ``cache``: parquet files are immutable once written, so each trigger
+    pays only for files that appeared since the last one. Per-trigger
+    cost is O(new files), independent of total store size."""
     if not os.path.isdir(path):
         return {}
-    try:
-        dataset = ds.dataset(path, format="parquet")
-    except (FileNotFoundError, OSError):
-        return {}
     tails: dict[str, int] = {}
-    for batch in dataset.to_batches(columns=["basin", "stream", "seq_num"]):
-        if batch.num_rows == 0:
+    for fp in _parquet_files(path):
+        try:
+            st = os.stat(fp)
+        except OSError:
             continue
-        basins = batch.column(0).to_pylist()
-        streams = batch.column(1).to_pylist()
-        seqs = batch.column(2).to_pylist()
-        for b, s, q in zip(basins, streams, seqs):
-            k = f"{b}{SEP}{s}"
-            if q + 1 > tails.get(k, 0):
-                tails[k] = q + 1
+        key = (st.st_mtime_ns, st.st_size)
+        if cache is not None and fp in cache and cache[fp][0] == key:
+            file_tails = cache[fp][1]
+        else:
+            try:
+                file_tails = _file_tails(fp, stats)
+            except (OSError, ValueError):
+                continue
+            if cache is not None:
+                cache[fp] = (key, file_tails)
+        for k, v in file_tails.items():
+            if v > tails.get(k, 0):
+                tails[k] = v
     return tails
 
 
@@ -75,6 +138,10 @@ class S2StreamReader(DataSourceStreamReader):
         # bytes semaphore, streamer.rs:815-838): cap how far each
         # stream's offset advances per micro-batch
         self.max_per_trigger = int(options.get("maxrecordspertrigger", 0))
+        # driver-side per-file tails cache: each trigger's latestOffset
+        # only inspects files that appeared since the previous trigger
+        self._tails_cache: dict[str, tuple[tuple, dict[str, int]]] = {}
+        self.tails_stats: dict = {}
 
     def _filtered(self, tails: dict[str, int]) -> dict[str, int]:
         out = {}
@@ -90,14 +157,15 @@ class S2StreamReader(DataSourceStreamReader):
     def initialOffset(self) -> dict:
         # start of the log (or a requested seq) for every known stream;
         # streams discovered later start at 0 via partitions()
-        return {k: self.start_seq for k in self._filtered(_tails(self.path))}
+        tails = _tails(self.path, self._tails_cache, self.tails_stats)
+        return {k: self.start_seq for k in self._filtered(tails)}
 
     def latestOffset(self) -> dict:
         # Note: with rate limiting we still report true tails here and
         # clamp in latestOffset-vs-start at partition planning; Spark's
         # DataSourceStreamReader contract applies offsets as reported,
         # so clamping must happen where the end offset is produced.
-        tails = self._filtered(_tails(self.path))
+        tails = self._filtered(_tails(self.path, self._tails_cache, self.tails_stats))
         if self.max_per_trigger > 0:
             committed = getattr(self, "_last_committed", {})
             tails = {
@@ -141,19 +209,12 @@ class S2StreamReader(DataSourceStreamReader):
             & (ds.field("seq_num") >= partition.start)
             & (ds.field("seq_num") < partition.end)
         )
-        table = dataset.to_table(filter=flt)
-        # deliver in seq order (total order per stream)
-        table = table.sort_by("seq_num")
-        for row in table.to_pylist():
-            headers = [(h["name"], h["value"]) for h in (row["headers"] or [])]
-            yield (
-                row["basin"],
-                row["stream"],
-                row["seq_num"],
-                row["timestamp"],
-                headers,
-                row["body"],
-            )
+        cols = [f.name for f in RECORD_SCHEMA.fields]
+        table = dataset.to_table(filter=flt, columns=cols)
+        # deliver in seq order (total order per stream); yield Arrow
+        # batches so the hot path stays vectorized end-to-end — record
+        # bodies never pass through Python objects
+        yield from table.sort_by("seq_num").to_batches()
 
 
 class S2StreamDataSource(DataSource):
