@@ -38,6 +38,8 @@ from s2_spark.catalog import Catalog
 from s2_spark.model import (
     MAX_BATCH_METERED_BYTES,
     MAX_BATCH_RECORDS,
+    MAX_FENCING_TOKEN_BYTES,
+    MAX_RECORD_METERED_BYTES,
     BatchTooLarge,
     ClientTimestampRequired,
     FencingTokenMismatch,
@@ -167,12 +169,14 @@ class StreamStore:
                     F.when(F.col("cmd") == "fence", F.col("body").cast("string")),
                     F.when(F.col("cmd") == "fence", F.col("seq_num")),
                 ).alias("fence_token"),
-                # trim payload clamped to its own position, monotone max
+                # trim payload clamped to seq+1 (may trim its own
+                # record, streamer.rs:369-389), monotone max
                 F.max(
                     F.when(
                         F.col("cmd") == "trim",
                         F.least(
-                            F.conv(F.hex("body"), 16, 10).cast("long"), F.col("seq_num")
+                            F.conv(F.hex("body"), 16, 10).cast("long"),
+                            F.col("seq_num") + 1,
                         ),
                     )
                 ).alias("trim_point"),
@@ -255,8 +259,9 @@ class StreamStore:
                 new_token = rec.body.decode("utf-8")
             elif cmd == "trim":
                 requested = int.from_bytes(rec.body, "big")
-                # clamp to own position; regressions ignored (streamer.rs:377-389)
-                new_trim = max(new_trim, min(requested, seq))
+                # clamp to seq+1 — a trim may trim its own record;
+                # regressions ignored (streamer.rs:369-389)
+                new_trim = max(new_trim, min(requested, seq + 1))
             rows.append((basin, stream, seq, ts, rec.headers, rec.body))
             seq += 1
 
@@ -283,34 +288,100 @@ class StreamStore:
         st.trim_point = new_trim
         return ack
 
-    def bulk_append(self, df: DataFrame, order_col: str = "ingest_order") -> None:
+    def bulk_append(
+        self, df: DataFrame, order_col: str = "ingest_order", validate: bool = True
+    ) -> None:
         """Distributed sequencing for arbitrary-size ingest — the 100 TB
         path. Input columns: basin, stream, timestamp (nullable ms),
         headers, body, plus ``order_col`` defining per-stream input
         order. Sequencing = per-stream window row_number + a broadcast
         join with current tails; timestamps get the running-max monotone
         adjustment in the same window. One shuffle on (basin, stream).
+
+        Each stream's resolved timestamping config rides the same
+        broadcast join (streamer.rs:1121-1149 matrix): ``arrival``
+        overrides client timestamps, ``client-require`` fails the job on
+        a missing timestamp, ``timestamping_uncapped`` skips the
+        min(client, arrival) cap. With ``validate`` (default), record
+        constraints are enforced as codegen'd expressions in the same
+        pass — metered size cap, envelope header names non-empty, fence
+        token ≤ 36 bytes, trim payload exactly u64 BE (record/mod.rs:
+        90-103, 204-212; fence-token UTF-8 validity is only checked on
+        the unary path). The unary per-call batch caps (1000 records /
+        1 MiB) intentionally don't apply: they are per-HTTP-append
+        limits, not ingest limits.
         """
+        from s2_spark.model import is_command_col, metered_size_col
+
         # register every touched stream (auto-create semantics, A23) —
         # the distinct key set is small (it is the shuffle key space)
-        for b, s in df.select("basin", "stream").distinct().collect():
+        # — and resolve each one's effective config for the join below
+        keys = [
+            (r["basin"], r["stream"])
+            for r in df.select("basin", "stream").distinct().collect()
+        ]
+        cfg_rows = []
+        for b, s in keys:
             self.catalog.ensure_stream_for(b, s, "append")
+            cfg = self.catalog.resolve_config(b, s)
+            cfg_rows.append(
+                (b, s, cfg.timestamping_mode, bool(cfg.timestamping_uncapped))
+            )
         tails = self.spark.createDataFrame(
             [(b, s, st.tail_seq, st.last_ts) for (b, s), st in self._state.items()]
             or [("", "", 0, 0)],
             "basin string, stream string, tail_seq long, last_ts long",
         )
+        cfgs = self.spark.createDataFrame(
+            cfg_rows or [("", "", "client-prefer", False)],
+            "basin string, stream string, ts_mode string, ts_uncapped boolean",
+        )
         w = W.partitionBy("basin", "stream").orderBy(order_col)
         wmax = w.rowsBetween(W.unboundedPreceding, W.currentRow)
         arrival = self._clock()
+        client = F.coalesce("timestamp", F.lit(arrival))
+        ts0 = (
+            F.when(F.col("ts_mode") == "arrival", F.lit(arrival))
+            .when(
+                (F.col("ts_mode") == "client-require") & F.col("timestamp").isNull(),
+                F.assert_true(
+                    F.lit(False), F.lit("client timestamp required")
+                ).cast("long"),
+            )
+            .when(F.col("ts_uncapped"), client)
+            .otherwise(F.least(client, F.lit(arrival)))
+        )
+        if validate:
+            is_cmd = is_command_col()
+            cmd_val = F.col("headers")[0]["value"]
+            ok = (
+                (metered_size_col() <= MAX_RECORD_METERED_BYTES)
+                & (
+                    F.when(
+                        is_cmd,
+                        F.when(
+                            cmd_val == F.lit(b"fence"),
+                            F.length("body") <= MAX_FENCING_TOKEN_BYTES,
+                        )
+                        .when(cmd_val == F.lit(b"trim"), F.length("body") == 8)
+                        .otherwise(F.lit(False)),
+                    ).otherwise(
+                        ~F.exists("headers", lambda h: F.length(h["name"]) == 0)
+                    )
+                )
+            )
+            # assert_true yields NULL on pass — route ts0 through it so
+            # the check is evaluated per row and never pruned
+            ts0 = F.when(
+                F.assert_true(ok, F.lit("bulk_append: invalid record")).isNull(), ts0
+            )
         out = (
             df.join(F.broadcast(tails), ["basin", "stream"], "left")
+            .join(F.broadcast(cfgs), ["basin", "stream"], "left")
             .withColumn("tail_seq", F.coalesce("tail_seq", F.lit(0)))
             .withColumn("last_ts", F.coalesce("last_ts", F.lit(0)))
             .withColumn("seq_num", F.row_number().over(w) - 1 + F.col("tail_seq"))
-            .withColumn(
-                "ts0", F.least(F.coalesce("timestamp", F.lit(arrival)), F.lit(arrival))
-            )
+            .withColumn("ts0", ts0)
             .withColumn(
                 "timestamp", F.greatest(F.max("ts0").over(wmax), F.col("last_ts"))
             )
@@ -329,16 +400,19 @@ class StreamStore:
             out.write.mode("append").parquet(self.base_dir)
         # advance hot state from the batch's own stats — one narrow
         # aggregation, no storage re-scan (final last_ts per stream is
-        # max(old_last_ts, max(capped ts)) since the running-max adjust
-        # never exceeds that bound)
-        ts0 = F.least(F.coalesce("timestamp", F.lit(arrival)), F.lit(arrival))
-        from s2_spark.model import is_command_col
-
+        # max(old_last_ts, max(mode-adjusted ts)) since the running-max
+        # adjust never exceeds that bound)
+        ts_stat = (
+            F.when(F.col("ts_mode") == "arrival", F.lit(arrival))
+            .when(F.col("ts_uncapped"), client)
+            .otherwise(F.least(client, F.lit(arrival)))
+        )
         stats = (
-            df.groupBy("basin", "stream")
+            df.join(F.broadcast(cfgs), ["basin", "stream"], "left")
+            .groupBy("basin", "stream")
             .agg(
                 F.count("*").alias("n"),
-                F.max(ts0).alias("mx"),
+                F.max(ts_stat).alias("mx"),
                 F.sum(is_command_col().cast("int")).alias("n_cmd"),
             )
             .collect()

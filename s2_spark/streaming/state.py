@@ -68,7 +68,8 @@ def _fold(key, pdf_iter, state):
                 token = payload.decode("utf-8") if payload is not None else ""
             elif cmd == "trim":
                 req = int.from_bytes(payload, "big") if payload else 0
-                trim = max(trim, min(req, int(row.seq_num)))
+                # clamp to seq+1 (may trim its own record), streamer.rs:369-389
+                trim = max(trim, min(req, int(row.seq_num) + 1))
             out["basin"].append(row.basin)
             out["stream"].append(row.stream)
             out["seq_num"].append(int(row.seq_num))
@@ -114,7 +115,7 @@ def apply_commands_batch(records: DataFrame) -> DataFrame:
     )
     trim_req = F.when(
         F.col("cmd") == "trim",
-        F.least(F.conv(F.hex("payload"), 16, 10).cast("long"), F.col("seq_num")),
+        F.least(F.conv(F.hex("payload"), 16, 10).cast("long"), F.col("seq_num") + 1),
     )
     token_at = F.when(F.col("cmd") == "fence", F.col("payload").cast("string"))
     return df.select(

@@ -141,7 +141,7 @@ def str5(spark, sf_dir):
         "coalesce('tok-' || CAST(max(CASE WHEN event_id % 100 = 0 THEN event_id END) "
         "OVER w AS VARCHAR), '') AS fencing_token, "
         "coalesce(max(CASE WHEN event_id % 100 = 50 "
-        "THEN least(greatest(event_id - 30, 0), event_id) END) OVER w, 0) AS trim_point "
+        "THEN least(greatest(event_id - 30, 0), event_id + 1) END) OVER w, 0) AS trim_point "
         "FROM events WINDOW w AS (ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING "
         "AND CURRENT ROW)) ORDER BY seq_num"
     ),

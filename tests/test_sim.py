@@ -54,8 +54,10 @@ class ShadowModel:
             if cmd == "fence":
                 self.token = rec.body.decode()
             elif cmd == "trim":
+                # clamp to own seq + 1 (the command's seq is self.tail
+                # here, pre-increment) — streamer.rs:369-380
                 self.trim_point = max(
-                    self.trim_point, min(int.from_bytes(rec.body, "big"), self.tail)
+                    self.trim_point, min(int.from_bytes(rec.body, "big"), self.tail + 1)
                 )
             self.rows.append((self.tail, ts, rec.body))
             self.tail += 1

@@ -115,10 +115,13 @@ def test_trim_hides_records_and_is_monotone(store):
 
 def test_trim_clamped_to_own_position(store):
     store.append(BASIN, STREAM, recs(5))
-    store.trim(BASIN, STREAM, 1_000_000)  # command at seq 5 → clamp to 5
+    store.trim(BASIN, STREAM, 1_000_000)  # command at seq 5 → clamp to 6
     rows = store.read(BASIN, STREAM).collect()
-    # records 0-4 trimmed; the trim command itself (seq 5) survives
-    assert [r.seq_num for r in rows] == [5]
+    # clamp is seq+1 (streamer.rs:369-380): the trim may trim its own
+    # record, so nothing is visible
+    assert [r.seq_num for r in rows] == []
+    # but the log's tail still advanced past the command
+    assert store.check_tail(BASIN, STREAM)[0] == 6
 
 
 def test_physical_trim_compaction(store):
@@ -329,6 +332,60 @@ def test_bulk_append_dense_per_stream(store, spark):
     assert got1 == list(range(13))  # 3 + 10
     assert got2 == list(range(10))
     assert store.check_tail(BASIN, STREAM) == (13, store._st(BASIN, STREAM).last_ts)
+
+
+_BULK_SCHEMA = (
+    "basin string, stream string, timestamp long, "
+    "headers array<struct<name binary, value binary>>, body binary, "
+    "ingest_order long"
+)
+
+
+def test_bulk_append_honors_timestamping_config(store, spark):
+    """bulk_append applies the same per-stream timestamping matrix as
+    the unary path (streamer.rs:1121-1149): arrival override, uncapped
+    client-prefer, capped default."""
+    store.catalog.create_stream(
+        BASIN, "arr", StreamConfig(timestamping_mode="arrival")
+    )
+    store.catalog.create_stream(
+        BASIN, "unc", StreamConfig(timestamping_uncapped=True)
+    )
+    store.clock.ms = 5000
+    rows = [
+        (BASIN, "arr", 123, [], b"a", 0),
+        (BASIN, "unc", 999_999, [], b"b", 0),
+        (BASIN, STREAM, 999_999, [], b"c", 0),  # default client-prefer
+    ]
+    store.bulk_append(spark.createDataFrame(rows, _BULK_SCHEMA))
+    ts_of = lambda s: store.read(BASIN, s).collect()[0].timestamp  # noqa: E731
+    assert ts_of("arr") == 5000  # arrival overrides client ts
+    assert ts_of("unc") == 999_999  # uncapped keeps the future ts
+    assert ts_of(STREAM) == 5000  # capped at arrival
+    assert store._st(BASIN, "unc").last_ts == 999_999
+
+
+def test_bulk_append_client_require_rejects_missing_ts(store, spark):
+    store.catalog.create_stream(
+        BASIN, "req", StreamConfig(timestamping_mode="client-require")
+    )
+    rows = [(BASIN, "req", None, [], b"x", 0)]
+    with pytest.raises(Exception, match="client timestamp required"):
+        store.bulk_append(spark.createDataFrame(rows, _BULK_SCHEMA))
+
+
+def test_bulk_append_validates_records(store, spark):
+    # envelope record with an empty header name is invalid
+    # (record/mod.rs:90-103) — rejected in the distributed pass too
+    bad = [(BASIN, STREAM, None, [(b"", b"not-a-command")], b"x", 0)]
+    with pytest.raises(Exception, match="invalid record"):
+        store.bulk_append(spark.createDataFrame(bad, _BULK_SCHEMA))
+    # a fence with an oversized token is invalid
+    bad2 = [(BASIN, STREAM, None, [(b"", b"fence")], b"t" * 37, 0)]
+    with pytest.raises(Exception, match="invalid record"):
+        store.bulk_append(spark.createDataFrame(bad2, _BULK_SCHEMA))
+    # tail unchanged by the failed writes
+    assert store.check_tail(BASIN, STREAM)[0] == 0
 
 
 # --- retention (A17) -----------------------------------------------------------
