@@ -381,3 +381,59 @@ def test_streaming_dedup_and_enrich(spark, sf_dir, tmp_path):
     )
     assert got == want
     assert want_dedup >= got and want_enrich >= got
+
+
+def test_tails_footer_stats_no_data_pages(spark, store):
+    """latestOffset's tails scan must plan from parquet footers only:
+    single-stream row groups contribute via min/max statistics (zero
+    data pages), and the per-file cache makes repeat triggers O(new
+    files) — the A13 scale contract (read.rs:319-391 tail tracking)."""
+    from s2_spark.streaming.source import SEP, _parquet_files, _tails
+
+    store.catalog.create_stream(BASIN, "s2")
+    store.append(BASIN, "s1", _recs(10))
+    store.append(BASIN, "s2", _recs(3))
+    cache, stats = {}, {}
+    tails = _tails(store.base_dir, cache, stats)
+    assert tails[f"{BASIN}{SEP}s1"] == 10
+    assert tails[f"{BASIN}{SEP}s2"] == 3
+    assert stats["files"] > 0
+    assert stats["mixed_row_groups"] == 0  # no data pages were read
+    scanned_once = stats["files"]
+    # repeat trigger, no new files: served fully from the cache
+    assert _tails(store.base_dir, cache, stats) == tails
+    assert stats["files"] == scanned_once
+    # a new append re-scans only the files it created
+    n_before = len(_parquet_files(store.base_dir))
+    store.append(BASIN, "s1", _recs(2, start=10))
+    n_after = len(_parquet_files(store.base_dir))
+    tails2 = _tails(store.base_dir, cache, stats)
+    assert tails2[f"{BASIN}{SEP}s1"] == 12
+    assert stats["files"] - scanned_once == n_after - n_before
+    assert stats["mixed_row_groups"] == 0
+
+
+def test_tails_mixed_row_group_fallback(tmp_path):
+    """A row group holding several streams (written by an external
+    producer) falls back to a 3-column read of just that group."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from s2_spark.streaming.source import SEP, _tails
+
+    tbl = pa.table(
+        {
+            "basin": ["b", "b", "b", "b"],
+            "stream": ["s1", "s1", "s2", "s2"],
+            "seq_num": [0, 1, 0, 5],
+            "timestamp": [1, 2, 3, 4],
+            "body": [b"x", b"y", b"z", b"w"],
+        }
+    )
+    d = tmp_path / "mixed"
+    d.mkdir()
+    pq.write_table(tbl, d / "part-0.parquet")
+    stats: dict = {}
+    tails = _tails(str(d), None, stats)
+    assert tails == {f"b{SEP}s1": 2, f"b{SEP}s2": 6}
+    assert stats["mixed_row_groups"] == 1
