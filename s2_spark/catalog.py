@@ -62,13 +62,30 @@ SYSTEM_DEFAULT = StreamConfig(
 )
 
 
+SUPPORTED_CIPHERS = ("aes-256-gcm",)
+
+
 @dataclass(frozen=True)
 class BasinConfig:
-    """Basin config + stream defaults (common/src/config.rs:1-25)."""
+    """Basin config + stream defaults (common/src/config.rs:1-25).
+    ``stream_cipher`` selects the CSEK AEAD for new streams
+    (docs/adr/csek.md); only AES-256-GCM is supported — AEGIS-256 is a
+    documented deviation and is rejected loudly at config time."""
 
     default_stream_config: StreamConfig = StreamConfig()
     create_stream_on_append: bool = False
     create_stream_on_read: bool = False
+    stream_cipher: Optional[str] = None  # None | "aes-256-gcm"
+
+
+def validate_cipher(config: "BasinConfig") -> None:
+    c = config.stream_cipher
+    if c is not None and c.lower() not in SUPPORTED_CIPHERS:
+        raise S2Error(
+            f"cipher {c!r} is not supported: AEGIS-256 has no JVM-side "
+            "implementation (documented deviation, docs/adr/csek.md); "
+            "use 'aes-256-gcm'"
+        )
 
 
 @dataclass
@@ -77,6 +94,7 @@ class BasinMeta:
     config: BasinConfig
     created_at: int  # ms
     deleted_at: Optional[int] = None
+    idempotency_key: Optional[str] = None
 
 
 @dataclass
@@ -86,6 +104,17 @@ class StreamMeta:
     config: StreamConfig
     created_at: int
     deleted_at: Optional[int] = None
+    idempotency_key: Optional[str] = None
+
+
+def _creation_idempotency_key(request_token: str, config) -> str:
+    """Hash of (request token, requested config) — a retried create is a
+    no-op only when both match (lite/src/backend/streams.rs:399-407)."""
+    import hashlib
+
+    return hashlib.sha256(
+        f"{request_token}\x00{config!r}".encode()
+    ).hexdigest()
 
 
 def validate_basin_name(name: str) -> None:
@@ -99,22 +128,161 @@ def validate_stream_name(name: str) -> None:
 
 
 class Catalog:
-    def __init__(self, spark: SparkSession, clock=None):
+    def __init__(self, spark: SparkSession, clock=None, meta_dir: str | None = None):
+        """``meta_dir`` makes the catalog durable: every mutation writes
+        the full (tiny) metadata table to ``meta_dir/catalog.parquet``
+        atomically, and a new session pointed at the same dir loads it —
+        the Spark analogue of the reference's BasinMeta/StreamMeta
+        keyspaces (lite/src/backend/kv/mod.rs:55-95). Without it the
+        catalog is session-local (in-memory)."""
         import time
 
         self.spark = spark
         self._clock = clock or (lambda: int(time.time() * 1000))
         self.basins: dict[str, BasinMeta] = {}
         self.streams: dict[tuple[str, str], StreamMeta] = {}
+        self.meta_dir = meta_dir
+        if meta_dir:
+            self._load()
+
+    # --- durability -----------------------------------------------------
+
+    _CFG_FIELDS = (
+        "storage_class",
+        "retention_age_secs",
+        "timestamping_mode",
+        "timestamping_uncapped",
+        "delete_on_empty_min_age_secs",
+    )
+
+    def _path(self) -> str:
+        import os
+
+        return os.path.join(self.meta_dir, "catalog.parquet")
+
+    def _save(self) -> None:
+        """Persist all metadata in one atomic parquet write (driver-side
+        pyarrow — the control plane is tiny; no Spark job needed)."""
+        if not self.meta_dir:
+            return
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        rows = []
+        for m in self.basins.values():
+            c = m.config
+            d = c.default_stream_config
+            rows.append(
+                {
+                    "kind": "basin",
+                    "basin": m.name,
+                    "name": None,
+                    "created_at": m.created_at,
+                    "deleted_at": m.deleted_at,
+                    "idempotency_key": m.idempotency_key,
+                    "create_stream_on_append": c.create_stream_on_append,
+                    "create_stream_on_read": c.create_stream_on_read,
+                    "stream_cipher": c.stream_cipher,
+                    **{f: getattr(d, f) for f in self._CFG_FIELDS},
+                }
+            )
+        for m in self.streams.values():
+            rows.append(
+                {
+                    "kind": "stream",
+                    "basin": m.basin,
+                    "name": m.name,
+                    "created_at": m.created_at,
+                    "deleted_at": m.deleted_at,
+                    "idempotency_key": m.idempotency_key,
+                    "create_stream_on_append": None,
+                    "create_stream_on_read": None,
+                    "stream_cipher": None,
+                    **{f: getattr(m.config, f) for f in self._CFG_FIELDS},
+                }
+            )
+        schema = pa.schema(
+            [
+                ("kind", pa.string()),
+                ("basin", pa.string()),
+                ("name", pa.string()),
+                ("created_at", pa.int64()),
+                ("deleted_at", pa.int64()),
+                ("idempotency_key", pa.string()),
+                ("create_stream_on_append", pa.bool_()),
+                ("create_stream_on_read", pa.bool_()),
+                ("stream_cipher", pa.string()),
+                ("storage_class", pa.string()),
+                ("retention_age_secs", pa.int64()),
+                ("timestamping_mode", pa.string()),
+                ("timestamping_uncapped", pa.bool_()),
+                ("delete_on_empty_min_age_secs", pa.int64()),
+            ]
+        )
+        table = pa.Table.from_pylist(rows, schema=schema)
+        os.makedirs(self.meta_dir, exist_ok=True)
+        tmp = self._path() + ".tmp"
+        pq.write_table(table, tmp)
+        os.replace(tmp, self._path())
+
+    def _load(self) -> None:
+        import os
+
+        import pyarrow.parquet as pq
+
+        if not os.path.exists(self._path()):
+            return
+        for row in pq.read_table(self._path()).to_pylist():
+            cfg = StreamConfig(**{f: row[f] for f in self._CFG_FIELDS})
+            if row["kind"] == "basin":
+                self.basins[row["basin"]] = BasinMeta(
+                    name=row["basin"],
+                    config=BasinConfig(
+                        default_stream_config=cfg,
+                        create_stream_on_append=bool(row["create_stream_on_append"]),
+                        create_stream_on_read=bool(row["create_stream_on_read"]),
+                        stream_cipher=row.get("stream_cipher"),
+                    ),
+                    created_at=row["created_at"],
+                    deleted_at=row["deleted_at"],
+                    idempotency_key=row["idempotency_key"],
+                )
+            else:
+                self.streams[(row["basin"], row["name"])] = StreamMeta(
+                    basin=row["basin"],
+                    name=row["name"],
+                    config=cfg,
+                    created_at=row["created_at"],
+                    deleted_at=row["deleted_at"],
+                    idempotency_key=row["idempotency_key"],
+                )
 
     # --- basins (A20) --------------------------------------------------
 
-    def create_basin(self, name: str, config: BasinConfig | None = None) -> BasinMeta:
+    def create_basin(
+        self,
+        name: str,
+        config: BasinConfig | None = None,
+        request_token: str | None = None,
+    ) -> BasinMeta:
         validate_basin_name(name)
-        if name in self.basins and self.basins[name].deleted_at is None:
+        if config is not None:
+            validate_cipher(config)
+        key_hash = (
+            _creation_idempotency_key(request_token, config) if request_token else None
+        )
+        existing = self.basins.get(name)
+        if existing is not None and existing.deleted_at is None:
+            if key_hash is not None and existing.idempotency_key == key_hash:
+                return existing  # retried create: no-op
             raise AlreadyExists(name)
-        meta = BasinMeta(name, config or BasinConfig(), self._clock())
+        meta = BasinMeta(
+            name, config or BasinConfig(), self._clock(), idempotency_key=key_hash
+        )
         self.basins[name] = meta
+        self._save()
         return meta
 
     def get_basin(self, name: str) -> BasinMeta:
@@ -125,24 +293,44 @@ class Catalog:
 
     def delete_basin(self, name: str) -> None:
         self.get_basin(name).deleted_at = self._clock()
+        self._save()
 
     def reconfigure_basin(self, name: str, config: BasinConfig) -> BasinMeta:
+        validate_cipher(config)
         meta = self.get_basin(name)
         meta.config = config
+        self._save()
         return meta
 
     # --- streams (A22/A23) ----------------------------------------------
 
     def create_stream(
-        self, basin: str, name: str, config: StreamConfig | None = None
+        self,
+        basin: str,
+        name: str,
+        config: StreamConfig | None = None,
+        request_token: str | None = None,
     ) -> StreamMeta:
+        """Create-only provisioning. A retried create carrying the same
+        ``request_token`` AND the same requested config is a no-op
+        returning the live stream; any other create on a live stream
+        raises (lite/src/backend/streams.rs:115-175)."""
         validate_stream_name(name)
         self.get_basin(basin)
         key = (basin, name)
-        if key in self.streams and self.streams[key].deleted_at is None:
+        key_hash = (
+            _creation_idempotency_key(request_token, config) if request_token else None
+        )
+        existing = self.streams.get(key)
+        if existing is not None and existing.deleted_at is None:
+            if key_hash is not None and existing.idempotency_key == key_hash:
+                return existing  # retried create: no-op
             raise AlreadyExists(f"{basin}/{name}")
-        meta = StreamMeta(basin, name, config or StreamConfig(), self._clock())
+        meta = StreamMeta(
+            basin, name, config or StreamConfig(), self._clock(), idempotency_key=key_hash
+        )
         self.streams[key] = meta
+        self._save()
         return meta
 
     def get_stream(self, basin: str, name: str) -> StreamMeta:
@@ -153,10 +341,12 @@ class Catalog:
 
     def delete_stream(self, basin: str, name: str) -> None:
         self.get_stream(basin, name).deleted_at = self._clock()
+        self._save()
 
     def reconfigure_stream(self, basin: str, name: str, config: StreamConfig) -> StreamMeta:
         meta = self.get_stream(basin, name)
         meta.config = config
+        self._save()
         return meta
 
     def resolve_config(self, basin: str, name: str) -> StreamConfig:

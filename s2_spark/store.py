@@ -81,6 +81,39 @@ class ReadLimit:
     until: Optional[int] = None  # exclusive ts bound (ms)
 
 
+@dataclass(frozen=True)
+class LastEventId:
+    """SSE resume token: ``seq_num,count,bytes`` where count/bytes are
+    the cumulative records/metered-bytes already delivered for the
+    original request (api/src/v1/stream/sse.rs:10-73). Resuming starts
+    at seq_num+1 with the original limits decremented by count/bytes
+    (lite/src/handlers/v1/records.rs:49-65)."""
+
+    seq_num: int
+    count: int
+    bytes: int
+
+    def __str__(self) -> str:
+        return f"{self.seq_num},{self.count},{self.bytes}"
+
+    @classmethod
+    def parse(cls, s: str) -> "LastEventId":
+        seq, count, nbytes = s.split(",", 2)
+        return cls(int(seq), int(count), int(nbytes))
+
+
+@dataclass(frozen=True)
+class SessionEvent:
+    """One read-session output: a delivered batch, a heartbeat (ping
+    with the current tail), matching StoredReadSessionOutput
+    (lite/src/backend/read.rs:183-240)."""
+
+    kind: str  # "batch" | "heartbeat"
+    records: tuple = ()
+    tail: int = 0
+    last_event_id: Optional[LastEventId] = None  # batch events only
+
+
 @dataclass
 class _StreamState:
     """The streamer actor's hot state (streamer.rs:55, core.rs:101-161)."""
@@ -111,7 +144,13 @@ class StreamStore:
         bucket."""
         self.spark = spark
         self.base_dir = base_dir
-        self.catalog = catalog or Catalog(spark)
+        # default catalog persists its metadata under the store's own
+        # directory (underscore prefix → invisible to parquet listings),
+        # so basins/streams/configs survive a session restart alongside
+        # the record data (kv/mod.rs:55-95 BasinMeta/StreamMeta)
+        self.catalog = catalog or Catalog(
+            spark, meta_dir=os.path.join(base_dir, "_meta")
+        )
         self._clock = clock or (lambda: int(time.time() * 1000))
         self.bucket_count = bucket_count
         self._state: dict[tuple[str, str], _StreamState] = {}
@@ -128,7 +167,11 @@ class StreamStore:
         return self._state.setdefault((basin, stream), _StreamState())
 
     def _has_data(self) -> bool:
-        return any(f.endswith(".parquet") for _, _, fs in os.walk(self.base_dir) for f in fs)
+        for _, dirs, fs in os.walk(self.base_dir):
+            dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+            if any(f.endswith(".parquet") and not f.startswith(("_", ".")) for f in fs):
+                return True
+        return False
 
     def _bucket_of(self, basin: str, stream: str) -> int:
         import zlib
@@ -611,6 +654,120 @@ class StreamStore:
             clamp=True,  # post-wait the position may still be unwritten
         )
         return self.read(basin, stream, clamped, limit)
+
+    def read_session(
+        self,
+        basin: str,
+        stream: str,
+        start: ReadStart | None = None,
+        limit: ReadLimit | None = None,
+        wait_s: float | None = None,
+        heartbeat_s: float = 5.0,
+        poll_s: float = 0.02,
+        last_event_id: LastEventId | str | None = None,
+        batch_count: int = 1000,
+    ):
+        """SSE-style read session (read.rs:95-280, records.rs:213-260):
+        a generator of :class:`SessionEvent` — catch-up batches from
+        storage, then live follow with heartbeats.
+
+        Follow semantics mirror the reference's read_follow contract
+        (lite/tests/backend/data_plane/read_follow.rs):
+
+        - the absolute wait budget (``wait_s``) is armed when the
+          session first becomes caught-up, and **only a delivered batch
+          resets it** (read.rs:190-192) — heartbeats never extend it;
+        - a heartbeat is emitted on entering follow mode and every
+          ``heartbeat_s`` while waiting (read.rs:225-228);
+        - a follower can always fall back to catch-up from storage (the
+          broadcast-lag path, read.rs:219-223, FOLLOWER_MAX_LAG=25 in
+          lite/src/backend/mod.rs:27, is inherent here: every batch
+          reads storage, so a lagged session simply catches up);
+        - ``wait_s=None`` means no follow: the session ends at the tail.
+
+        Resume: each batch event carries a :class:`LastEventId`
+        (``seq_num,count,bytes`` — cumulative for the *original*
+        request). Passing it back with the original ``limit`` restarts
+        at seq_num+1 with count/bytes budgets decremented, so the
+        resumed session stops at the original combined limit
+        (records.rs:49-65). The driver-side session is the unary/SSE
+        surface; sustained distributed tailing is the streaming source.
+        """
+        limit = limit or ReadLimit()
+        if isinstance(last_event_id, str):
+            last_event_id = LastEventId.parse(last_event_id)
+        processed_count = last_event_id.count if last_event_id else 0
+        processed_bytes = last_event_id.bytes if last_event_id else 0
+        if last_event_id is not None:
+            start = ReadStart(seq_num=last_event_id.seq_num + 1, clamp=True)
+        start = start or ReadStart(seq_num=0)
+        start_seq = self._resolve_start(basin, stream, start)
+        if start_seq is None:  # timestamp start: resolve to a seq once
+            first = (
+                self.read(basin, stream, start, ReadLimit(count=1))
+                .select("seq_num")
+                .first()
+            )
+            start_seq = first["seq_num"] if first else self._st(basin, stream).tail_seq
+
+        def remaining(kind: str) -> Optional[int]:
+            total = getattr(limit, kind)
+            if total is None:
+                return None
+            done = processed_count if kind == "count" else processed_bytes
+            return max(total - done, 0)
+
+        def metered(row) -> int:
+            return (
+                8
+                + 2 * len(row.headers)
+                + sum(len(h["name"]) + len(h["value"]) for h in row.headers)
+                + len(row.body)
+            )
+
+        wait_deadline: float | None = None
+        next_heartbeat = 0.0
+        while True:
+            rem_count, rem_bytes = remaining("count"), remaining("bytes")
+            if rem_count == 0 or rem_bytes == 0:
+                return
+            tail, _ = self.check_tail(basin, stream)
+            if start_seq < tail:
+                batch_limit = ReadLimit(
+                    count=min(rem_count or batch_count, batch_count),
+                    bytes=rem_bytes,
+                    until=limit.until,
+                )
+                rows = self.read(
+                    basin,
+                    stream,
+                    ReadStart(seq_num=start_seq, clamp=True),
+                    batch_limit,
+                ).collect()
+                if not rows:
+                    # until/bytes bound cut everything that remains
+                    return
+                processed_count += len(rows)
+                processed_bytes += sum(metered(r) for r in rows)
+                start_seq = rows[-1]["seq_num"] + 1
+                token = LastEventId(rows[-1]["seq_num"], processed_count, processed_bytes)
+                yield SessionEvent("batch", tuple(rows), tail, token)
+                # only a delivered batch resets the absolute wait budget
+                wait_deadline = None
+            else:
+                if wait_s is None:
+                    return
+                now = time.monotonic()
+                if wait_deadline is None:
+                    wait_deadline = now + wait_s
+                    next_heartbeat = now + heartbeat_s
+                    yield SessionEvent("heartbeat", (), tail)
+                if now >= wait_deadline:
+                    return
+                if now >= next_heartbeat:
+                    next_heartbeat = now + heartbeat_s
+                    yield SessionEvent("heartbeat", (), tail)
+                time.sleep(min(poll_s, max(wait_deadline - now, 0)))
 
     def compact(self, files_per_partition_hint: int | None = None) -> None:
         """Rewrite storage clustered by (basin, stream, seq_num) — the

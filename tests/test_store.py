@@ -463,3 +463,58 @@ def test_config_three_layer_resolution(store):
         store.catalog.resolve_config(BASIN, STREAM).timestamping_mode
         == "client-require"
     )
+
+
+# --- durable catalog + idempotent provisioning -------------------------------
+
+
+def test_catalog_persists_across_sessions(spark, tmp_path):
+    """Default catalog writes BasinMeta/StreamMeta to <store>/_meta
+    (kv/mod.rs:55-95): a new session over the same directory sees the
+    same basins, streams, and configs, and the metadata file never
+    pollutes the data plane."""
+    base = str(tmp_path / "store")
+    s1 = StreamStore(spark, base)
+    s1.catalog.create_basin(BASIN)
+    s1.catalog.create_stream(
+        BASIN, STREAM, StreamConfig(timestamping_mode="arrival")
+    )
+    s1.append(BASIN, STREAM, recs(3))
+    s1.trim(BASIN, STREAM, 2)
+
+    s2 = StreamStore(spark, base)  # fresh instance, fresh catalog
+    s2.recover_state()
+    assert s2.catalog.resolve_config(BASIN, STREAM).timestamping_mode == "arrival"
+    assert s2._st(BASIN, STREAM).trim_point == 2
+    assert [r.seq_num for r in s2.read(BASIN, STREAM).collect()] == [2, 3]
+    assert {r.seq_num for r in s2.records_df().collect()} == {0, 1, 2, 3}
+    # deletions survive too
+    s2.catalog.delete_stream(BASIN, STREAM)
+    s3 = StreamStore(spark, base)
+    with pytest.raises(StreamNotFound):
+        s3.catalog.get_stream(BASIN, STREAM)
+
+
+def test_idempotent_create_via_request_token(spark):
+    """streams.rs:115-175: a retried create with the same request token
+    and config is a no-op; same token with different config, or no
+    token, raises AlreadyExists."""
+    from s2_spark.model import AlreadyExists
+
+    cat = Catalog(spark)
+    cat.create_basin(BASIN)
+    cfg = StreamConfig(timestamping_mode="arrival")
+    m1 = cat.create_stream(BASIN, STREAM, cfg, request_token="tok-1")
+    m2 = cat.create_stream(BASIN, STREAM, cfg, request_token="tok-1")
+    assert m2 is m1  # retry: no-op, same meta
+    with pytest.raises(AlreadyExists):
+        cat.create_stream(BASIN, STREAM, cfg, request_token="tok-2")
+    with pytest.raises(AlreadyExists):
+        cat.create_stream(BASIN, STREAM, StreamConfig(), request_token="tok-1")
+    with pytest.raises(AlreadyExists):
+        cat.create_stream(BASIN, STREAM, cfg)
+    # basins get the same treatment
+    b1 = cat.create_basin("other-basin", request_token="b-tok")
+    assert cat.create_basin("other-basin", request_token="b-tok") is b1
+    with pytest.raises(AlreadyExists):
+        cat.create_basin("other-basin", request_token="b-tok2")
