@@ -23,6 +23,11 @@ from pyspark.sql import Window as W
 from s2_spark.model import metered_size_col
 
 INTERVALS = {"minute": "1 minute", "hour": "1 hour", "day": "1 day"}
+INTERVAL_MS = {"minute": 60_000, "hour": 3_600_000, "day": 86_400_000}
+
+# buckets per prefix-sum chunk in storage_gauge's distributed
+# accumulation (phase 1 window size / phase 2 fan-in)
+_CHUNK_BUCKETS = 1024
 
 
 def _bucketed(records: DataFrame, interval: str) -> DataFrame:
@@ -78,16 +83,39 @@ def storage_gauge(
     stream: str | None = None,
 ) -> DataFrame:
     """Gauge set: cumulative stored bytes level at each bucket
-    (accumulation of per-bucket deltas)."""
+    (accumulation of per-bucket deltas).
+
+    The running total is a two-phase distributed prefix sum, never a
+    global unpartitioned window: phase 1 runs the prefix inside chunks
+    of 1024 consecutive buckets (window partitioned by chunk), phase 2
+    derives each chunk's starting offset from the chunk totals with a
+    broadcast inequality join. A years-long minute-granularity range
+    therefore spreads across tasks instead of serializing on one."""
     per_bucket = (
         _bucketed(_scoped(records, basin, stream), interval)
         .groupBy("bucket")
         .agg(F.sum(metered_size_col()).alias("delta"))
     )
-    w = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, W.currentRow)
-    return per_bucket.select(
-        "bucket", F.sum("delta").over(w).alias("level")
-    ).orderBy("bucket")
+    chunk_ms = INTERVAL_MS[interval] * _CHUNK_BUCKETS
+    pb = per_bucket.withColumn("chunk", (F.col("bucket") / chunk_ms).cast("long"))
+    win = (
+        W.partitionBy("chunk")
+        .orderBy("bucket")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    run = pb.withColumn("run", F.sum("delta").over(win))
+    tot = pb.groupBy("chunk").agg(F.sum("delta").alias("ct"))
+    offsets = (
+        tot.alias("a")
+        .join(F.broadcast(tot.alias("b")), F.col("b.chunk") < F.col("a.chunk"), "left")
+        .groupBy(F.col("a.chunk").alias("chunk"))
+        .agg(F.coalesce(F.sum("b.ct"), F.lit(0)).alias("offset"))
+    )
+    return (
+        run.join(F.broadcast(offsets), "chunk")
+        .select("bucket", (F.col("run") + F.col("offset")).alias("level"))
+        .orderBy("bucket")
+    )
 
 
 def ops_by_label(

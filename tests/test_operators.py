@@ -214,3 +214,62 @@ def test_read_unary_caps(store):
     # but an explicit larger request is clamped to the cap
     out2 = store.read_unary(BASIN, "s1", limit=ReadLimit(bytes=100 * 1024 * 1024))
     assert out2.count() == 1000
+
+
+def test_storage_gauge_is_partition_scoped(store):
+    """The gauge's running total must never plan a global unpartitioned
+    window (the 100 TB serialization hazard): in every
+    windowspecdefinition of the optimized plan, the first argument is a
+    partition expression, not an ordering (an unpartitioned spec starts
+    directly with 'col ASC/DESC ...')."""
+    _fill(store)
+    df = metrics.storage_gauge(store.records_df(), "hour")
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    specs = plan.split("windowspecdefinition(")[1:]
+    assert specs, "expected at least one window in the gauge plan"
+    for spec in specs:
+        first_arg = spec.split(",", 1)[0]
+        assert " ASC" not in first_arg and " DESC" not in first_arg, (
+            "unpartitioned window found:\n" + plan
+        )
+
+
+def test_storage_gauge_two_phase_matches_single_window(store):
+    """Two-phase prefix sum must equal the naive running total."""
+    _fill(store)
+    from pyspark.sql import Window as W
+
+    from s2_spark.model import metered_size_col
+
+    per_bucket = (
+        metrics._bucketed(store.records_df(), "minute")
+        .groupBy("bucket")
+        .agg(F.sum(metered_size_col()).alias("delta"))
+    )
+    w = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, W.currentRow)
+    naive = {
+        r["bucket"]: r["level"]
+        for r in per_bucket.select(
+            "bucket", F.sum("delta").over(w).alias("level")
+        ).collect()
+    }
+    got = {
+        r["bucket"]: r["level"]
+        for r in metrics.storage_gauge(store.records_df(), "minute").collect()
+    }
+    assert got == naive
+
+
+def test_aegis_cipher_rejected_loudly(spark):
+    """A19: AEGIS-256 is a documented deviation — configuring it must
+    fail with a clear error, never silently map to AES-GCM."""
+    from s2_spark.catalog import BasinConfig, Catalog
+    from s2_spark.model import S2Error
+
+    cat = Catalog(spark)
+    with pytest.raises(S2Error, match="aegis|AEGIS"):
+        cat.create_basin("cipher-basin", BasinConfig(stream_cipher="aegis-256"))
+    meta = cat.create_basin("cipher-basin", BasinConfig(stream_cipher="aes-256-gcm"))
+    assert meta.config.stream_cipher == "aes-256-gcm"
+    with pytest.raises(S2Error, match="aegis|AEGIS"):
+        cat.reconfigure_basin("cipher-basin", BasinConfig(stream_cipher="AEGIS-256"))
