@@ -40,12 +40,18 @@ class _StreamSlice(InputPartition):
 
 
 def _parquet_files(path: str) -> list[str]:
-    return sorted(
-        os.path.join(d, f)
-        for d, _, fs in os.walk(path)
-        for f in fs
-        if f.endswith(".parquet")
-    )
+    """Data files only — hidden/metadata entries (underscore or dot
+    prefixed, e.g. the store's ``_meta`` catalog) are skipped, matching
+    Spark's and pyarrow's hidden-path filters."""
+    out = []
+    for d, dirs, fs in os.walk(path):
+        dirs[:] = [x for x in dirs if not x.startswith(("_", "."))]
+        out.extend(
+            os.path.join(d, f)
+            for f in fs
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+    return sorted(out)
 
 
 def _file_tails(file_path: str, stats: dict | None = None) -> dict[str, int]:
@@ -138,6 +144,14 @@ class S2StreamReader(DataSourceStreamReader):
         # bytes semaphore, streamer.rs:815-838): cap how far each
         # stream's offset advances per micro-batch
         self.max_per_trigger = int(options.get("maxrecordspertrigger", 0))
+        # total per-stream records budget (SSE Last-Event-Id count
+        # decrement, records.rs:49-65): the cap start_seq+maxrecords is
+        # deterministic, so a checkpoint-restarted query still stops at
+        # the original combined limit — the remaining budget is exactly
+        # cap minus the checkpointed offset. (A bytes budget can't be
+        # planned from offsets alone; byte-budgeted SSE reads are the
+        # store.read_session surface.)
+        self.max_records = int(options.get("maxrecords", 0))
         # driver-side per-file tails cache: each trigger's latestOffset
         # only inspects files that appeared since the previous trigger
         self._tails_cache: dict[str, tuple[tuple, dict[str, int]]] = {}
@@ -166,6 +180,9 @@ class S2StreamReader(DataSourceStreamReader):
         # DataSourceStreamReader contract applies offsets as reported,
         # so clamping must happen where the end offset is produced.
         tails = self._filtered(_tails(self.path, self._tails_cache, self.tails_stats))
+        if self.max_records > 0:
+            cap = self.start_seq + self.max_records
+            tails = {k: min(v, cap) for k, v in tails.items()}
         if self.max_per_trigger > 0:
             committed = getattr(self, "_last_committed", {})
             tails = {

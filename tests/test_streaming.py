@@ -437,3 +437,127 @@ def test_tails_mixed_row_group_fallback(tmp_path):
     tails = _tails(str(d), None, stats)
     assert tails == {f"b{SEP}s1": 2, f"b{SEP}s2": 6}
     assert stats["mixed_row_groups"] == 1
+
+
+# --- read_follow scenarios (lite/tests/backend/data_plane/read_follow.rs) ----
+
+
+def test_read_session_catchup_and_resume_budget(spark, store):
+    """SSE resume: Last-Event-Id carries (seq, count, bytes); resuming
+    with the original limit stops at the original combined count."""
+    from s2_spark.store import LastEventId, ReadLimit
+
+    store.append(BASIN, "s1", _recs(10))
+    limit = ReadLimit(count=7)
+    events = list(store.read_session(BASIN, "s1", limit=limit, batch_count=4))
+    batches = [e for e in events if e.kind == "batch"]
+    got = [r["seq_num"] for b in batches for r in b.records]
+    assert got == list(range(7))  # stops at the count budget
+    # resume mid-budget from the token after the first batch (4 rows)
+    tok = batches[0].last_event_id
+    assert (tok.seq_num, tok.count) == (3, 4)
+    assert LastEventId.parse(str(tok)) == tok  # sse.rs wire format
+    resumed = list(store.read_session(BASIN, "s1", limit=limit, last_event_id=str(tok)))
+    got2 = [r["seq_num"] for e in resumed if e.kind == "batch" for r in e.records]
+    assert got2 == [4, 5, 6]  # only the remaining 3 of the original 7
+
+
+def test_read_session_bytes_budget_resumes(spark, store):
+    """Bytes budget decrements across a resume too (records.rs:49-65)."""
+    from s2_spark.store import ReadLimit
+
+    store.append(BASIN, "s1", _recs(10))  # each record meters 8+5=13
+    limit = ReadLimit(bytes=5 * 13)
+    events = list(store.read_session(BASIN, "s1", limit=limit, batch_count=2))
+    batches = [e for e in events if e.kind == "batch"]
+    assert sum(len(b.records) for b in batches) == 5
+    tok = batches[0].last_event_id
+    assert tok.bytes == 2 * 13
+    resumed = list(store.read_session(BASIN, "s1", limit=limit, last_event_id=tok))
+    got = [r["seq_num"] for e in resumed if e.kind == "batch" for r in e.records]
+    assert got == [2, 3, 4]  # 3 more records ≡ remaining 39 bytes
+
+
+def test_read_session_wait_budget_and_heartbeats(spark, store):
+    """Caught-up session with nothing arriving: heartbeat on entering
+    follow + periodic heartbeats, then the wait budget expires — no
+    batches, and heartbeats never extend the budget (read.rs:190-192)."""
+    import time as _t
+
+    store.append(BASIN, "s1", _recs(2))
+    t0 = _t.monotonic()
+    events = list(
+        store.read_session(
+            BASIN, "s1",
+            start=__import__("s2_spark.store", fromlist=["ReadStart"]).ReadStart(seq_num=2, clamp=True),
+            wait_s=0.4, heartbeat_s=0.1, poll_s=0.02,
+        )
+    )
+    elapsed = _t.monotonic() - t0
+    assert all(e.kind == "heartbeat" for e in events)
+    assert len(events) >= 3  # entry heartbeat + periodic ones
+    assert 0.3 <= elapsed < 5.0
+
+
+def test_read_session_delivery_resets_wait_budget(spark, store):
+    """Only a delivered batch re-arms the wait budget (read.rs:190-192):
+    the session ends ~wait_s after the LAST delivery, not the first."""
+    import threading
+    import time as _t
+
+    store.append(BASIN, "s1", _recs(1))
+
+    def late_append():
+        _t.sleep(1.0)
+        store.append(BASIN, "s1", _recs(1, start=1))
+
+    th = threading.Thread(target=late_append)
+    th.start()
+    stamps = []  # (kind, seqs, t)
+    t0 = _t.monotonic()
+    for e in store.read_session(
+        BASIN, "s1", wait_s=4.0, heartbeat_s=0.2, poll_s=0.02
+    ):
+        stamps.append((e.kind, [r["seq_num"] for r in e.records], _t.monotonic() - t0))
+    ended = _t.monotonic() - t0
+    th.join()
+    seqs = [s for kind, ss, _ in stamps if kind == "batch" for s in ss]
+    assert seqs == [0, 1]  # the late record was delivered in follow mode
+    last_batch_t = max(t for kind, _, t in stamps if kind == "batch")
+    # the wait budget restarted at the second delivery
+    assert ended - last_batch_t >= 3.5
+
+
+def test_source_maxrecords_budget_survives_restart(spark, store, tmp_path):
+    """A14: the source's total-records budget is derived from the
+    checkpointed offset, so a restarted query stops at the original
+    limit even though more data exists."""
+    ckpt = str(tmp_path / "ckpt-budget")
+    out_dir = str(tmp_path / "out-budget")
+    store.append(BASIN, "s1", _recs(5))
+    register(spark)
+
+    def run_once():
+        sdf = (
+            spark.readStream.format("s2")
+            .option("path", store.base_dir)
+            .option("basin", BASIN)
+            .option("maxrecords", 7)
+            .load()
+        )
+        q = (
+            sdf.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run_once()
+    assert spark.read.parquet(out_dir).count() == 5
+    store.append(BASIN, "s1", _recs(10, start=5))  # tail now 15 > budget
+    run_once()
+    got = sorted(r.seq_num for r in spark.read.parquet(out_dir).collect())
+    assert got == list(range(7))  # stopped at 7 total
