@@ -29,7 +29,8 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 # Headline set: one per operator family — scan, TPC-H Q1 agg, multiway
 # join, window seq-assignment, tumbling metrics window, exact dedup,
-# cosine top-k, top-k per group, command fold, BPE tokens.
+# cosine top-k, top-k per group, command fold, BPE tokens, set ops,
+# generalized as-of join.
 HEADLINE = [
     ("q_scan_ts", "sc4_range_scan_ts"),
     ("q_tpch1", "ag1_hash_agg_multi"),
@@ -41,6 +42,17 @@ HEADLINE = [
     ("q_topk_group", "sl2_topk_per_group"),
     ("q_cmd_fold", "str6_command_fold"),
     ("q_bpe_tokens", "x12_bpe_token_count"),
+    ("q_setops_intersect", "set2_intersect"),
+    ("q_asof_join", "j7_asof_join"),
+]
+
+# Heaviest scan/agg/join entries re-run on a synthesized 10x dataset so
+# round-over-round scaling trends are visible (no sf1 fixture exists;
+# the probe unions 10 key-shifted copies of the fact tables).
+SCALE_PROBE = [
+    ("q_scan_ts", "sc4_range_scan_ts"),
+    ("q_tpch1", "ag1_hash_agg_multi"),
+    ("q_join_multi", "j2_multiway_join"),
 ]
 
 
@@ -128,6 +140,66 @@ def s2_bench_equivalent(spark, n_records: int = 8000, record_bytes: int = 8192) 
         shutil.rmtree(base, ignore_errors=True)
 
 
+def _build_x10(spark, out_dir: str) -> None:
+    """Synthesize a ~10x scale directory: fact tables (lineitem, orders,
+    events) become unions of 10 key-shifted copies; dimension tables are
+    symlinked unchanged."""
+    shifts = {
+        "lineitem": ("l_orderkey", 10_000_000),
+        "orders": ("o_orderkey", 10_000_000),
+        "events": ("event_id", 100_000_000),
+    }
+    os.makedirs(out_dir, exist_ok=True)
+    for name in [
+        "region", "nation", "customer", "supplier", "part",
+        "documents", "embeddings",
+    ]:
+        src = os.path.join(SF_DIR, f"{name}.parquet")
+        if os.path.exists(src):
+            os.symlink(src, os.path.join(out_dir, f"{name}.parquet"))
+    for name, (key, stride) in shifts.items():
+        src = os.path.join(SF_DIR, f"{name}.parquet")
+        if not os.path.exists(src):
+            continue
+        base = spark.read.parquet(src)
+        copies = [
+            base.withColumn(key, F.col(key) + F.lit(i * stride)) for i in range(10)
+        ]
+        out = copies[0]
+        for c in copies[1:]:
+            out = out.unionByName(c)
+        out.write.mode("overwrite").parquet(os.path.join(out_dir, f"{name}.parquet"))
+
+
+def scale_probe(spark) -> dict:
+    """Heaviest scan/agg/join entries at ~10x the bench SF; reports
+    seconds and the x10/x1 runtime ratio (ideal: ~10 for scans, less
+    with pruning; superlinear growth flags a scale bottleneck)."""
+    qs = all_queries()
+    tmp = tempfile.mkdtemp(prefix="s2scale_")
+    try:
+        _build_x10(spark, tmp)
+        out = {}
+        for label, name in SCALE_PROBE:
+            fn = qs[name].spark
+            # warm x1 re-run so the ratio compares execution, not the
+            # first run's plan-compilation overhead
+            t0 = time.perf_counter()
+            _materialize(fn(spark, SF_DIR))
+            x1 = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            _materialize(fn(spark, tmp))
+            x10 = time.perf_counter() - t0
+            out[label] = {
+                "x1_warm_sec": round(x1, 3),
+                "x10_sec": round(x10, 3),
+                "ratio": round(x10 / x1, 2),
+            }
+        return out
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main() -> None:
     spark = get_spark("s2_spark_bench", cpus=CPUS, shuffle_partitions=CPUS)
     # warm the JVM + file listing so query times measure execution
@@ -138,6 +210,7 @@ def main() -> None:
     queries["q_s2bench_append"] = bench["append_sec"]
     queries["q_s2bench_read"] = bench["read_sec"]
     total = round(sum(queries.values()), 3)
+    probe = scale_probe(spark)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     print(
         json.dumps(
@@ -148,6 +221,9 @@ def main() -> None:
                 "queries": queries,
                 "sf": float(sf),
                 "s2bench": bench,
+                # x10 trend probe — excluded from `value` so headline
+                # totals stay comparable round-over-round
+                "scale_probe_x10": probe,
             }
         )
     )
