@@ -91,17 +91,10 @@ def frame_sample(
     fake: bool = False,
 ) -> DataFrame:
     """video rows → one row per sampled frame (media_id, frame_idx,
-    frame_ts_ms, frame binary). The frame grid comes from metadata
-    (duration_ms) — JVM-side sequence/explode — so only the per-frame
-    decode is Python."""
-    grid = df.filter(F.col("kind") == "video").select(
-        "media_id",
-        "payload",
-        F.explode(
-            F.sequence(F.lit(0), F.greatest((F.col("duration_ms") / every_ms).cast("long") - 1, F.lit(0)))
-        ).alias("frame_idx"),
-    ).withColumn("frame_ts_ms", F.col("frame_idx") * every_ms)
-
+    frame_ts_ms, frame binary). The frame grid (duration_ms / every_ms
+    frames, minimum 1) fans out *inside* the executor-side decode loop,
+    so each in-flight Arrow batch holds exactly one payload copy per
+    video — never one per sampled frame."""
     dec = decoder or (
         (lambda payload, idx: hashlib.sha256((payload or b"") + idx.to_bytes(4, "big")).digest())
         if fake
@@ -110,16 +103,32 @@ def frame_sample(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            ids: list = []
+            idxs: list = []
+            tss: list = []
+            frames: list = []
+            for mid, dur, p in zip(
+                pdf["media_id"], pdf["duration_ms"], pdf["payload"]
+            ):
+                n = max(int(dur or 0) // every_ms, 1)
+                for i in range(n):
+                    ids.append(mid)
+                    idxs.append(i)
+                    tss.append(i * every_ms)
+                    frames.append(dec(p, i))
             yield pd.DataFrame(
                 {
-                    "media_id": pdf["media_id"],
-                    "frame_idx": pdf["frame_idx"],
-                    "frame_ts_ms": pdf["frame_ts_ms"],
-                    "frame": [dec(p, int(i)) for p, i in zip(pdf["payload"], pdf["frame_idx"])],
+                    "media_id": ids,
+                    "frame_idx": idxs,
+                    "frame_ts_ms": tss,
+                    "frame": frames,
                 }
             )
 
-    return grid.mapInPandas(
+    vids = df.filter(F.col("kind") == "video").select(
+        "media_id", "duration_ms", "payload"
+    )
+    return vids.mapInPandas(
         run, "media_id long, frame_idx long, frame_ts_ms long, frame binary"
     )
 

@@ -571,37 +571,54 @@ class StreamStore:
         - ``{prefix}records`` — the raw records table
         - ``{prefix}visible`` — trim- and command-aware user view
         - ``{prefix}streams`` / ``{prefix}basins`` — catalog metadata
-        - ``{prefix}tails``   — materialized check_tail per stream
-        """
-        from s2_spark.model import is_command_col
+        - ``{prefix}tails``   — check_tail per stream
 
-        records = self.records_df()
-        records.createOrReplaceTempView(f"{prefix}records")
-        trims = self.spark.createDataFrame(
-            [(b, s, st.trim_point) for (b, s), st in self._state.items()]
-            or [("", "", 0)],
-            "basin string, stream string, trim_point long",
-        )
-        visible = (
-            records.join(F.broadcast(trims), ["basin", "stream"], "left")
-            .filter(
-                (F.col("seq_num") >= F.coalesce("trim_point", F.lit(0)))
-                & ~is_command_col()
+        Once the store holds data, the record-derived views are **live**
+        SQL definitions over the storage path: every query re-resolves
+        the file listing and re-derives trim points and tails, so
+        appends/trims/fences after ``attach_views()`` show up without
+        re-attaching. Attached while the store is still empty, they are
+        empty snapshots — call ``attach_views()`` again after the first
+        append. Catalog views are snapshots of driver metadata; with a
+        durable catalog they can be re-attached after config changes.
+        """
+        if not self._has_data():
+            empty = self.spark.createDataFrame([], RECORD_SCHEMA)
+            empty.createOrReplaceTempView(f"{prefix}records")
+            empty.createOrReplaceTempView(f"{prefix}visible")
+            self.spark.createDataFrame(
+                [], "basin string, stream string, next_seq_num long, last_timestamp long"
+            ).createOrReplaceTempView(f"{prefix}tails")
+        else:
+            p = self.base_dir
+            is_cmd = "(size(headers) = 1 AND length(headers[0].name) = 0)"
+            self.spark.sql(
+                f"CREATE OR REPLACE TEMP VIEW {prefix}records AS "
+                f"SELECT basin, stream, seq_num, timestamp, headers, body "
+                f"FROM parquet.`{p}`"
             )
-            .drop("trim_point")
-        )
-        visible.createOrReplaceTempView(f"{prefix}visible")
+            # final trim point per stream, re-derived per query: max over
+            # trim commands of min(payload, own seq+1) (streamer.rs:369-389)
+            self.spark.sql(
+                f"CREATE OR REPLACE TEMP VIEW {prefix}visible AS "
+                f"WITH trims AS ("
+                f"  SELECT basin, stream, "
+                f"         max(least(CAST(conv(hex(body), 16, 10) AS BIGINT), seq_num + 1)) AS tp "
+                f"  FROM {prefix}records "
+                f"  WHERE {is_cmd} AND CAST(headers[0].value AS STRING) = 'trim' "
+                f"  GROUP BY basin, stream) "
+                f"SELECT r.* FROM {prefix}records r LEFT JOIN trims t "
+                f"USING (basin, stream) "
+                f"WHERE r.seq_num >= coalesce(t.tp, 0) AND NOT {is_cmd}"
+            )
+            self.spark.sql(
+                f"CREATE OR REPLACE TEMP VIEW {prefix}tails AS "
+                f"SELECT basin, stream, max(seq_num) + 1 AS next_seq_num, "
+                f"       max(timestamp) AS last_timestamp "
+                f"FROM {prefix}records GROUP BY basin, stream"
+            )
         self.catalog.streams_df().createOrReplaceTempView(f"{prefix}streams")
         self.catalog.basins_df().createOrReplaceTempView(f"{prefix}basins")
-        tails = self.spark.createDataFrame(
-            [
-                (b, s, st.tail_seq, st.last_ts)
-                for (b, s), st in self._state.items()
-            ]
-            or [("", "", 0, 0)],
-            "basin string, stream string, next_seq_num long, last_timestamp long",
-        ).filter("basin <> ''")
-        tails.createOrReplaceTempView(f"{prefix}tails")
 
     def read_unary(
         self,

@@ -518,3 +518,20 @@ def test_idempotent_create_via_request_token(spark):
     assert cat.create_basin("other-basin", request_token="b-tok") is b1
     with pytest.raises(AlreadyExists):
         cat.create_basin("other-basin", request_token="b-tok2")
+
+
+def test_attach_views_are_live(store, spark):
+    """Views attached over a non-empty store re-resolve per query:
+    appends and trims AFTER attach_views() are visible without
+    re-attaching."""
+    store.append(BASIN, STREAM, recs(3))
+    store.attach_views()
+    assert spark.sql("SELECT count(*) n FROM s2_records").first().n == 3
+    store.append(BASIN, STREAM, recs(3, start=3))  # no re-attach
+    assert spark.sql("SELECT count(*) n FROM s2_records").first().n == 6
+    store.trim(BASIN, STREAM, 4)
+    rows = spark.sql(
+        "SELECT seq_num FROM s2_visible WHERE stream = 's1' ORDER BY seq_num"
+    ).collect()
+    assert [r.seq_num for r in rows] == [4, 5]
+    assert spark.sql("SELECT next_seq_num FROM s2_tails").first().next_seq_num == 7
