@@ -358,6 +358,126 @@ def x15(spark, sf_dir):
 
 
 @query(
+    "x16_ngram_jaccard_neardup",
+    oracle=(
+        "WITH sh AS (SELECT doc_id, list_distinct(list_transform("
+        "range(1, greatest(length(s)-4,1)+1), i -> substr(s, i::INTEGER, 5))) AS tk "
+        "FROM (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s "
+        "FROM documents WHERE doc_id < 200)) "
+        "SELECT a.doc_id AS d1, b.doc_id AS d2, "
+        "round(len(list_intersect(a.tk, b.tk))::DOUBLE / "
+        "len(list_distinct(list_concat(a.tk, b.tk))), 4) AS jaccard "
+        "FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
+        "WHERE len(list_intersect(a.tk, b.tk))::DOUBLE / "
+        "len(list_distinct(list_concat(a.tk, b.tk))) >= 0.4 ORDER BY d1, d2"
+    ),
+    doc=(
+        "near-dup on character 5-gram shingles: minhash(32) → r=1 LSH banding "
+        "(miss probability ≤ 0.6^32 at s ≥ 0.4) → exact shingle-Jaccard "
+        "verify; oracle is the brute-force shingle-Jaccard pair set"
+    ),
+)
+def x16(spark, sf_dir):
+    from s2_spark.functions.dedup import ngram_jaccard_pairs
+
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    pairs = ngram_jaccard_pairs(d, n=5, k=32, bands=32, threshold=0.4)
+    return pairs.select("d1", "d2", r4(F.col("jaccard")).alias("jaccard")).orderBy("d1", "d2")
+
+
+def _media_from_documents(spark, sf_dir):
+    """Deterministic media table derived from documents: payload =
+    utf-8 text bytes, kind by doc_id mod 3, duration from text length —
+    both engines can re-derive it, so the multimodal plumbing becomes
+    driver-checkable."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("kind"),
+        F.lit(None).cast("string").alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        ((F.length("text") % 5 + 1) * 1000).cast("long").alias("duration_ms"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+    )
+
+
+@query(
+    "x17_media_features",
+    oracle=(
+        "WITH h AS (SELECT doc_id AS media_id, sha256(text) AS hx FROM documents), "
+        "f AS (SELECT media_id, i, "
+        "CAST(((strpos('0123456789abcdef', substr(hx, (2*i+1)::INTEGER, 1)) - 1) * 16 + "
+        "strpos('0123456789abcdef', substr(hx, (2*i+2)::INTEGER, 1)) - 1) / 255.0 "
+        "AS REAL) AS v "  # float32 like Spark's array<float>, then widened
+        "FROM h, (SELECT unnest(range(8)) AS i)) "
+        "SELECT media_id, CAST(i AS INTEGER) AS dim, round(v::DOUBLE, 4) AS val "
+        "FROM f ORDER BY media_id, dim"
+    ),
+    doc=(
+        "multimodal feature extraction end-to-end: opaque binary payload → "
+        "mapInPandas (Arrow batches, executor-side decode) → array<float> "
+        "features, exploded for hashing. The decode is the documented "
+        "deterministic fake (sha256 bytes; codecs absent in-container) — "
+        "which makes the whole distributed pipeline independently "
+        "verifiable: the oracle recomputes identical features from hex"
+    ),
+)
+def x17(spark, sf_dir):
+    from s2_spark.functions.multimodal import extract_features
+
+    media = _media_from_documents(spark, sf_dir)
+    feats = extract_features(media, fake=True, dim=8)
+    return (
+        feats.select("media_id", F.posexplode("features").alias("dim", "v"))
+        .select("media_id", "dim", r4(F.col("v").cast("double")).alias("val"))
+        .orderBy("media_id", "dim")
+    )
+
+
+@query(
+    "x18_video_frame_sample",
+    oracle=(
+        "WITH v AS (SELECT doc_id AS media_id, text, "
+        "(length(text) % 5 + 1) * 1000 AS duration_ms "
+        "FROM documents WHERE doc_id % 3 = 2), "
+        "g AS (SELECT media_id, text, unnest(range(duration_ms // 1000)) AS frame_idx FROM v) "
+        "SELECT media_id, frame_idx, frame_idx * 1000 AS frame_ts_ms, "
+        "sha256(text || CAST(frame_idx AS VARCHAR)) AS frame_hex "
+        "FROM g ORDER BY media_id, frame_idx"
+    ),
+    doc=(
+        "video frame sampling plumbing: the frame grid fans out inside the "
+        "executor-side decode loop (one payload copy per video in flight, "
+        "never per frame); deterministic fake per-frame decode = "
+        "sha256(payload ‖ ascii(idx)), recomputed by the oracle"
+    ),
+)
+def x18(spark, sf_dir):
+    import hashlib
+
+    from s2_spark.functions.multimodal import frame_sample
+
+    media = _media_from_documents(spark, sf_dir)
+    dec = lambda payload, idx: hashlib.sha256(  # noqa: E731
+        bytes(payload or b"") + str(idx).encode()
+    ).hexdigest().encode()
+    frames = frame_sample(media, every_ms=1000, decoder=dec)
+    return (
+        frames.select(
+            "media_id",
+            "frame_idx",
+            "frame_ts_ms",
+            F.col("frame").cast("string").alias("frame_hex"),
+        )
+        .orderBy("media_id", "frame_idx")
+    )
+
+
+@query(
     "x8_fingerprint",
     oracle=(
         "SELECT doc_id, md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp "

@@ -224,3 +224,254 @@ def q18(spark, sf_dir):
         .orderBy(F.desc("qty"), "o_orderkey")
         .limit(50)
     )
+
+
+@query(
+    "tpch7_volume_shipping",
+    oracle=(
+        "SELECT supp_nation, cust_nation, CAST(l_year AS INTEGER) AS l_year, "
+        "round(sum(volume),4) AS revenue FROM ("
+        "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
+        "year(l.l_shipdate) AS l_year, l.l_extendedprice*(1-l.l_discount) AS volume "
+        "FROM supplier s JOIN lineitem l ON s.s_suppkey=l.l_suppkey "
+        "JOIN orders o ON o.o_orderkey=l.l_orderkey "
+        "JOIN customer c ON c.c_custkey=o.o_custkey "
+        "JOIN nation n1 ON s.s_nationkey=n1.n_nationkey "
+        "JOIN nation n2 ON c.c_nationkey=n2.n_nationkey "
+        "WHERE (n1.n_name='NATION_1' AND n2.n_name='NATION_2') "
+        "OR (n1.n_name='NATION_2' AND n2.n_name='NATION_1')) "
+        "GROUP BY 1,2,3 ORDER BY 1,2,3"
+    ),
+    doc="TPC-H Q7 shape: bidirectional two-nation trade volume by ship year",
+)
+def q7(spark, sf_dir):
+    s = t(spark, sf_dir, "supplier")
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n1 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2") | (
+        F.col("supp_nation") == "NATION_2"
+    ) & (F.col("cust_nation") == "NATION_1")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("n1_key"))
+        .join(F.broadcast(n2), c.c_nationkey == F.col("n2_key"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(r4(F.sum(REV())).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@query(
+    "tpch8_market_share",
+    oracle=(
+        "SELECT CAST(o_year AS INTEGER) AS o_year, "
+        "round(CAST(sum(CASE WHEN nation='NATION_3' THEN volume ELSE 0 END) "
+        "/ sum(volume) AS DOUBLE), 4) AS mkt_share FROM ("
+        "SELECT year(o.o_orderdate) AS o_year, "
+        "l.l_extendedprice*(1-l.l_discount) AS volume, n1.n_name AS nation "
+        "FROM part p JOIN lineitem l ON p.p_partkey=l.l_partkey "
+        "JOIN supplier s ON s.s_suppkey=l.l_suppkey "
+        "JOIN orders o ON o.o_orderkey=l.l_orderkey "
+        "JOIN customer c ON c.c_custkey=o.o_custkey "
+        "JOIN nation n1 ON s.s_nationkey=n1.n_nationkey "
+        "JOIN nation n2 ON c.c_nationkey=n2.n_nationkey "
+        "JOIN region r ON n2.n_regionkey=r.r_regionkey "
+        "WHERE r.r_name='ASIA' AND p.p_type='PROMO') "
+        "GROUP BY 1 ORDER BY 1"
+    ),
+    doc=(
+        "TPC-H Q8 shape: national market share within a region for a part "
+        "type, by order year (conditional-sum ratio)"
+    ),
+)
+def q8(spark, sf_dir):
+    p = t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n1 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("nation")
+    )
+    n2 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_regionkey").alias("n2_region")
+    )
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    vol = REV()
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("n1_key"))
+        .join(F.broadcast(n2), c.c_nationkey == F.col("n2_key"))
+        .join(F.broadcast(r), F.col("n2_region") == r.r_regionkey)
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            r4(
+                F.sum(F.when(F.col("nation") == "NATION_3", vol).otherwise(0.0))
+                / F.sum(vol)
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@query(
+    "tpch13_customer_distribution",
+    oracle=(
+        "SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM ("
+        "SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count "
+        "FROM customer c LEFT JOIN orders o ON c.c_custkey=o.o_custkey "
+        "GROUP BY 1) GROUP BY 1 ORDER BY custdist DESC, c_count DESC"
+    ),
+    doc="TPC-H Q13 shape: orders-per-customer histogram (left join double agg)",
+)
+def q13(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@query(
+    "tpch15_top_supplier",
+    oracle=(
+        "WITH revenue0 AS (SELECT l_suppkey AS supplier_no, "
+        "sum(l_extendedprice*(1-l_discount)) AS total_revenue FROM lineitem "
+        "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+        "AND l_shipdate < TIMESTAMP '1996-04-01' GROUP BY 1) "
+        "SELECT s.s_suppkey, s.s_name, round(r.total_revenue,4) AS total_revenue "
+        "FROM supplier s JOIN revenue0 r ON s.s_suppkey=r.supplier_no "
+        "WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue0) "
+        "ORDER BY s_suppkey"
+    ),
+    doc="TPC-H Q15 shape: top supplier by windowed revenue (CTE + scalar-max filter)",
+)
+def q15(spark, sf_dir):
+    s = t(spark, sf_dir, "supplier")
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    revenue0 = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(REV()).alias("total_revenue")
+    )
+    mx = revenue0.agg(F.max("total_revenue").alias("mx"))
+    return (
+        revenue0.join(F.broadcast(mx), F.col("total_revenue") == F.col("mx"))
+        .join(s, F.col("supplier_no") == s.s_suppkey)
+        .select("s_suppkey", "s_name", r4(F.col("total_revenue")).alias("total_revenue"))
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "tpch17_small_quantity",
+    oracle=(
+        "SELECT round(CAST(sum(l.l_extendedprice) / 7.0 AS DOUBLE), 4) AS avg_yearly "
+        "FROM lineitem l JOIN part p ON p.p_partkey=l.l_partkey "
+        "WHERE p.p_brand='Brand#1' AND l.l_quantity < ("
+        "SELECT 0.2*avg(l2.l_quantity) FROM lineitem l2 WHERE l2.l_partkey=p.p_partkey)"
+    ),
+    doc=(
+        "TPC-H Q17 shape: small-quantity revenue via correlated per-part "
+        "average (decorrelated to a groupBy + join in Spark)"
+    ),
+)
+def q17(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_bar")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(per_part, li.l_partkey == F.col("pk"))
+        .filter(F.col("l_quantity") < F.col("qty_bar"))
+        .agg(r4(F.sum("l_extendedprice") / 7.0).alias("avg_yearly"))
+    )
+
+
+@query(
+    "tpch19_discounted_revenue",
+    oracle=(
+        "SELECT round(sum(l.l_extendedprice*(1-l.l_discount)),4) AS revenue "
+        "FROM lineitem l JOIN part p ON p.p_partkey=l.l_partkey "
+        "WHERE (p.p_brand='Brand#1' AND p.p_size BETWEEN 1 AND 15 "
+        "AND l.l_quantity BETWEEN 1 AND 11) "
+        "OR (p.p_brand='Brand#2' AND p.p_size BETWEEN 1 AND 25 "
+        "AND l.l_quantity BETWEEN 10 AND 20)"
+    ),
+    doc="TPC-H Q19 shape: OR-of-conjuncts join residual (brand/size/qty bands)",
+)
+def q19(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    c1 = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 11)
+    )
+    c2 = (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(1, 25)
+        & F.col("l_quantity").between(10, 20)
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(c1 | c2)
+        .agg(r4(F.sum(REV())).alias("revenue"))
+    )
+
+
+@query(
+    "tpch22_global_sales_opportunity",
+    oracle=(
+        "SELECT CAST(c_nationkey AS INTEGER) AS cntry, CAST(count(*) AS BIGINT) AS numcust, "
+        "round(sum(c_acctbal),4) AS totacctbal FROM customer "
+        "WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0) "
+        "AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey=c_custkey "
+        "AND o_orderdate >= TIMESTAMP '2000-01-01') "
+        "GROUP BY 1 ORDER BY 1"
+    ),
+    doc=(
+        "TPC-H Q22 shape: above-average-balance customers with no recent "
+        "orders, by nation (scalar subquery + anti join; 'recent' window "
+        "adapts Q22's no-orders predicate to a fixture where every "
+        "customer has ordered at least once)"
+    ),
+)
+def q22(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("ab")
+    )
+    return (
+        c.join(F.broadcast(avg_bal), F.col("c_acctbal") > F.col("ab"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntry"))
+        .agg(F.count("*").alias("numcust"), r4(F.sum("c_acctbal")).alias("totacctbal"))
+        .orderBy("cntry")
+    )
