@@ -561,3 +561,75 @@ def test_source_maxrecords_budget_survives_restart(spark, store, tmp_path):
     run_once()
     got = sorted(r.seq_num for r in spark.read.parquet(out_dir).collect())
     assert got == list(range(7))  # stopped at 7 total
+
+
+def test_read_session_follow_count_limit_mid_follow(spark, store):
+    """catchup→follow transition; a count budget reached mid-follow
+    truncates the live batch and closes the session
+    (read_follow.rs:578-741 family). Events are pulled step-by-step so
+    the append lands while the session is in follow mode."""
+    from s2_spark.store import ReadLimit
+
+    store.append(BASIN, "s1", _recs(3))
+    gen = store.read_session(
+        BASIN, "s1", limit=ReadLimit(count=5), wait_s=30.0, heartbeat_s=30.0
+    )
+    e1 = next(gen)  # catch-up
+    assert e1.kind == "batch" and [r["seq_num"] for r in e1.records] == [0, 1, 2]
+    e2 = next(gen)  # caught up → follow armed, entry heartbeat
+    assert e2.kind == "heartbeat"
+    store.append(BASIN, "s1", _recs(4, start=3))  # more than the budget remains
+    e3 = next(gen)
+    assert e3.kind == "batch"
+    assert [r["seq_num"] for r in e3.records] == [3, 4]  # truncated to remaining 2
+    assert next(gen, None) is None  # budget exhausted → closed
+
+
+def test_read_session_follow_bytes_limit_truncates_live_batch(spark, store):
+    """read_follow.rs:743-808: a live batch larger than the remaining
+    bytes budget is truncated; the session then closes."""
+    from s2_spark.store import ReadLimit
+
+    store.append(BASIN, "s1", _recs(1))  # metered 13 bytes each
+    gen = store.read_session(
+        BASIN, "s1", limit=ReadLimit(bytes=2 * 13), wait_s=30.0, heartbeat_s=30.0
+    )
+    assert next(gen).kind == "batch"
+    assert next(gen).kind == "heartbeat"
+    store.append(BASIN, "s1", _recs(3, start=1))
+    e = next(gen)
+    assert e.kind == "batch" and [r["seq_num"] for r in e.records] == [1]
+    assert next(gen, None) is None
+
+
+def test_read_session_follow_bytes_below_first_record_closes(spark, store):
+    """read_follow.rs:810-867: a bytes budget smaller than the first
+    live record closes the session without delivering a batch."""
+    from s2_spark.store import ReadLimit, ReadStart
+
+    store.append(BASIN, "s1", _recs(1))
+    gen = store.read_session(
+        BASIN, "s1",
+        start=ReadStart(seq_num=1, clamp=True),
+        limit=ReadLimit(bytes=5),
+        wait_s=30.0, heartbeat_s=30.0,
+    )
+    assert next(gen).kind == "heartbeat"
+    store.append(BASIN, "s1", _recs(1, start=1))
+    assert next(gen, None) is None  # nothing delivered
+
+
+def test_read_session_follow_until_bound(spark, store):
+    """read_follow.rs:869+: the exclusive timestamp bound stops a
+    follow session even as records keep arriving past it."""
+    from s2_spark.store import ReadLimit
+
+    store.append(BASIN, "s1", [Record(body=b"a", timestamp=1000)])
+    gen = store.read_session(
+        BASIN, "s1", limit=ReadLimit(until=2000), wait_s=30.0, heartbeat_s=30.0
+    )
+    e1 = next(gen)
+    assert e1.kind == "batch" and [r["timestamp"] for r in e1.records] == [1000]
+    assert next(gen).kind == "heartbeat"
+    store.append(BASIN, "s1", [Record(body=b"b", timestamp=5000)])  # ≥ until
+    assert next(gen, None) is None  # bound reached → closed, record not delivered
