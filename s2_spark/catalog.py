@@ -18,7 +18,13 @@ from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
 
-from s2_spark.model import AlreadyExists, BasinNotFound, S2Error, StreamNotFound
+from s2_spark.model import (
+    AlreadyExists,
+    BasinNotFound,
+    DeletionPending,
+    S2Error,
+    StreamNotFound,
+)
 
 # name validation (common/src/basin.rs:23-79, common/src/stream.rs:28-47)
 _BASIN_RE = re.compile(r"^[a-z0-9]([a-z0-9-]{6,46})[a-z0-9]$")
@@ -274,7 +280,11 @@ class Catalog:
             _creation_idempotency_key(request_token, config) if request_token else None
         )
         existing = self.basins.get(name)
-        if existing is not None and existing.deleted_at is None:
+        if existing is not None:
+            if existing.deleted_at is not None:
+                # recreation is blocked until the async deletion purges
+                # the metadata (basin.rs deletion-pending semantics)
+                raise DeletionPending(name)
             if key_hash is not None and existing.idempotency_key == key_hash:
                 return existing  # retried create: no-op
             raise AlreadyExists(name)
@@ -322,7 +332,11 @@ class Catalog:
             _creation_idempotency_key(request_token, config) if request_token else None
         )
         existing = self.streams.get(key)
-        if existing is not None and existing.deleted_at is None:
+        if existing is not None:
+            if existing.deleted_at is not None:
+                # blocked until the deletion sweep purges the meta
+                # (streams.rs:115-121 StreamDeletionPendingError)
+                raise DeletionPending(f"{basin}/{name}")
             if key_hash is not None and existing.idempotency_key == key_hash:
                 return existing  # retried create: no-op
             raise AlreadyExists(f"{basin}/{name}")
@@ -332,6 +346,65 @@ class Catalog:
         self.streams[key] = meta
         self._save()
         return meta
+
+    def provision_stream(
+        self,
+        basin: str,
+        name: str,
+        config: StreamConfig | None = None,
+        mode: str = "create",
+        request_token: str | None = None,
+    ) -> tuple[StreamMeta, str]:
+        """Provision with an outcome, mirroring ProvisionMode
+        (streams.rs:124-175): ``create`` is create-only (idempotent via
+        ``request_token``); ``ensure`` creates if absent, else updates
+        the stored config to the request merged over the basin's stream
+        defaults — a no-op when the effective config already matches.
+        Ensure preserves created_at and the creation idempotency key.
+        Returns (meta, "created" | "updated" | "noop")."""
+        if mode == "create":
+            before = self.streams.get((basin, name))
+            meta = self.create_stream(basin, name, config, request_token)
+            return meta, ("noop" if meta is before else "created")
+        if mode != "ensure":
+            raise S2Error(f"unknown provision mode {mode!r}")
+        validate_stream_name(name)
+        basin_meta = self.get_basin(basin)
+        existing = self.streams.get((basin, name))
+        if existing is not None and existing.deleted_at is not None:
+            raise DeletionPending(f"{basin}/{name}")
+        desired = (config or StreamConfig()).merge_over(
+            basin_meta.config.default_stream_config
+        )
+        if existing is None:
+            meta = StreamMeta(basin, name, desired, self._clock())
+            self.streams[(basin, name)] = meta
+            self._save()
+            return meta, "created"
+        if existing.config == desired:
+            return existing, "noop"
+        existing.config = desired
+        self._save()
+        return existing, "updated"
+
+    def purge_deleted(self) -> list[str]:
+        """Complete async deletions: physically drop metadata rows whose
+        deleted_at is set (the reference's deletion task removing the
+        meta key), after which the names become creatable again."""
+        purged = []
+        for key, m in list(self.streams.items()):
+            if m.deleted_at is not None:
+                del self.streams[key]
+                purged.append(f"{m.basin}/{m.name}")
+        for bname, m in list(self.basins.items()):
+            if m.deleted_at is not None and not any(
+                b == bname for (b, _s) in self.streams
+            ):
+                del self.basins[bname]
+                purged.append(bname)
+        if purged:
+            self._save()
+        return purged
 
     def get_stream(self, basin: str, name: str) -> StreamMeta:
         meta = self.streams.get((basin, name))
@@ -343,9 +416,16 @@ class Catalog:
         self.get_stream(basin, name).deleted_at = self._clock()
         self._save()
 
-    def reconfigure_stream(self, basin: str, name: str, config: StreamConfig) -> StreamMeta:
+    def reconfigure_stream(
+        self, basin: str, name: str, config: StreamConfig, merge: bool = False
+    ) -> StreamMeta:
+        """Replace the stream's config, or with ``merge`` update only
+        the fields set in ``config`` (None = keep current — the
+        field-mask semantics of stream.rs:515-586). A replace with None
+        fields clears them back to basin/system defaults at resolve
+        time (stream.rs:587-673)."""
         meta = self.get_stream(basin, name)
-        meta.config = config
+        meta.config = config.merge_over(meta.config) if merge else config
         self._save()
         return meta
 

@@ -190,3 +190,9 @@ class BasinNotFound(S2Error):
 
 class AlreadyExists(S2Error):
     pass
+
+
+class DeletionPending(S2Error):
+    """The name refers to a basin/stream whose async deletion hasn't
+    completed; recreation is blocked until the metadata is purged
+    (lite/src/backend/streams.rs:115-121 StreamDeletionPendingError)."""

@@ -103,6 +103,17 @@ def delete_on_empty_sweep(store: StreamStore, now_ms: int | None = None) -> list
     return deleted
 
 
+def deletion_purge_sweep(store: StreamStore) -> list[str]:
+    """Complete pending deletions: physically drop trimmed/expired data
+    (compaction rewrite), then purge deleted basin/stream metadata so
+    the names become creatable again — the final step of the
+    reference's async deletion tasks. Until this runs, create on a
+    deleted name raises DeletionPending."""
+    if store._has_data():
+        store.apply_trim_and_retention()
+    return store.catalog.purge_deleted()
+
+
 def basin_deletion_sweep(store: StreamStore) -> list[str]:
     """Finish async basin deletions: delete every live stream of a
     deleted basin (resumable-cursor semantics in the reference; one

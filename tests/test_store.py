@@ -535,3 +535,80 @@ def test_attach_views_are_live(store, spark):
     ).collect()
     assert [r.seq_num for r in rows] == [4, 5]
     assert spark.sql("SELECT next_seq_num FROM s2_tails").first().next_seq_num == 7
+
+
+def test_deletion_pending_blocks_recreation(spark, store):
+    """stream.rs:783-845: a deleted name cannot be recreated until the
+    async deletion purges the metadata; the purge sweep completes it."""
+    from s2_spark.model import DeletionPending
+    from s2_spark.operators.maintenance import deletion_purge_sweep
+
+    store.append(BASIN, STREAM, recs(3))
+    store.catalog.delete_stream(BASIN, STREAM)
+    with pytest.raises(DeletionPending):
+        store.catalog.create_stream(BASIN, STREAM)
+    with pytest.raises(StreamNotFound):
+        store.catalog.get_stream(BASIN, STREAM)  # data ops blocked too
+    purged = deletion_purge_sweep(store)
+    assert f"{BASIN}/{STREAM}" in purged
+    meta = store.catalog.create_stream(BASIN, STREAM)  # now allowed
+    assert meta.deleted_at is None
+    # basins get the same treatment
+    store.catalog.delete_basin(BASIN)
+    with pytest.raises(DeletionPending):
+        store.catalog.create_basin(BASIN)
+
+
+def test_provision_stream_ensure_semantics(spark, store):
+    """stream.rs:290-463: ensure creates if absent, updates the stored
+    config to request⊕basin-defaults, and no-ops when the effective
+    config already matches; created_at is preserved across updates."""
+    from s2_spark.catalog import BasinConfig, StreamConfig
+
+    store.catalog.reconfigure_basin(
+        BASIN,
+        BasinConfig(default_stream_config=StreamConfig(retention_age_secs=3600)),
+    )
+    meta, outcome = store.catalog.provision_stream(
+        BASIN, "ens", StreamConfig(timestamping_mode="arrival"), mode="ensure"
+    )
+    assert outcome == "created"
+    assert meta.config.timestamping_mode == "arrival"
+    assert meta.config.retention_age_secs == 3600  # basin default merged in
+    created_at = meta.created_at
+    # same request again → noop
+    _, outcome2 = store.catalog.provision_stream(
+        BASIN, "ens", StreamConfig(timestamping_mode="arrival"), mode="ensure"
+    )
+    assert outcome2 == "noop"
+    # different config → updated, created_at preserved
+    m3, outcome3 = store.catalog.provision_stream(
+        BASIN, "ens", StreamConfig(timestamping_mode="client-require"), mode="ensure"
+    )
+    assert outcome3 == "updated"
+    assert m3.config.timestamping_mode == "client-require"
+    assert m3.created_at == created_at
+
+
+def test_reconfigure_stream_merge_vs_replace(spark, store):
+    """stream.rs:515-673: merge updates only the provided fields;
+    replace clears unset fields back to basin/system defaults."""
+    from s2_spark.catalog import StreamConfig
+
+    store.catalog.reconfigure_stream(
+        BASIN, STREAM,
+        StreamConfig(timestamping_mode="arrival", retention_age_secs=60),
+    )
+    store.catalog.reconfigure_stream(
+        BASIN, STREAM, StreamConfig(retention_age_secs=120), merge=True
+    )
+    cfg = store.catalog.resolve_config(BASIN, STREAM)
+    assert cfg.timestamping_mode == "arrival"  # untouched by merge
+    assert cfg.retention_age_secs == 120
+    # replace: timestamping falls back to the system default
+    store.catalog.reconfigure_stream(
+        BASIN, STREAM, StreamConfig(retention_age_secs=180)
+    )
+    cfg = store.catalog.resolve_config(BASIN, STREAM)
+    assert cfg.timestamping_mode == "client-prefer"
+    assert cfg.retention_age_secs == 180
