@@ -169,3 +169,96 @@ def test_compact_preserves_data_and_reduces_files(store, tmp_path):
     # tail survives a state rebuild from compacted storage
     store.recover_state()
     assert store.check_tail(BASIN, "s1")[0] == 12
+
+
+def test_auto_create_is_race_safe(store):
+    """auto_create.rs:266-403: concurrent first appends to a
+    not-yet-existing stream create it exactly once and all batches land
+    contiguously."""
+    from s2_spark.catalog import BasinConfig
+
+    store.catalog.reconfigure_basin(BASIN, BasinConfig(create_stream_on_append=True))
+    n_writers, per = 6, 3
+
+    def writer(i):
+        for j in range(per):
+            store.append(BASIN, "race-auto", [Record(body=f"w{i}-{j}".encode())])
+
+    with ThreadPoolExecutor(n_writers) as ex:
+        wait([ex.submit(writer, i) for i in range(n_writers)])
+    meta = store.catalog.get_stream(BASIN, "race-auto")
+    assert meta.deleted_at is None
+    rows = store.read(BASIN, "race-auto").collect()
+    assert [r.seq_num for r in rows] == list(range(n_writers * per))
+    # every writer's batches all arrived
+    bodies = {bytes(r.body).decode() for r in rows}
+    assert bodies == {f"w{i}-{j}" for i in range(n_writers) for j in range(per)}
+
+
+def test_check_tail_auto_creates_on_read_flag(store):
+    """auto_create.rs:207-264: check_tail auto-creates under
+    create_stream_on_read; without the flag it raises."""
+    from s2_spark.catalog import BasinConfig
+    from s2_spark.model import StreamNotFound
+
+    with pytest.raises(StreamNotFound):
+        store.check_tail(BASIN, "ct-auto")
+    store.catalog.reconfigure_basin(BASIN, BasinConfig(create_stream_on_read=True))
+    assert store.check_tail(BASIN, "ct-auto") == (0, 0)
+    assert store.catalog.get_stream(BASIN, "ct-auto")
+
+
+def test_concurrent_reads_consistent(store):
+    """mixed.rs:180-229: concurrent readers over a stream being appended
+    to each observe a contiguous prefix (no gaps, no reordering)."""
+    store.append(BASIN, "s1", [Record(body=b"seed")])
+
+    stop = []
+
+    def appender():
+        for i in range(4):
+            store.append(BASIN, "s1", [Record(body=f"a{i}".encode())])
+        stop.append(True)
+
+    def reader():
+        snapshots = []
+        while not stop:
+            seqs = [r.seq_num for r in store.read(BASIN, "s1").collect()]
+            snapshots.append(seqs)
+        return snapshots
+
+    with ThreadPoolExecutor(3) as ex:
+        fa = ex.submit(appender)
+        frs = [ex.submit(reader) for _ in range(2)]
+        wait([fa] + frs)
+    for fr in frs:
+        for seqs in fr.result():
+            assert seqs == sorted(seqs)
+            assert seqs == list(range(len(seqs)))  # contiguous prefix
+
+
+def test_concurrent_reconfigure_during_append(store):
+    """mixed.rs:117-179: reconfiguring a stream while appends are in
+    flight neither loses records nor corrupts sequencing; subsequent
+    appends observe the new config."""
+    from s2_spark.catalog import StreamConfig
+
+    def appender():
+        for i in range(6):
+            store.append(BASIN, "s1", [Record(body=f"r{i}".encode())])
+
+    def reconfigurer():
+        for mode in ("arrival", "client-prefer", "arrival"):
+            store.catalog.reconfigure_stream(
+                BASIN, "s1", StreamConfig(timestamping_mode=mode)
+            )
+            time.sleep(0.01)
+
+    with ThreadPoolExecutor(2) as ex:
+        wait([ex.submit(appender), ex.submit(reconfigurer)])
+    rows = store.read(BASIN, "s1").collect()
+    assert [r.seq_num for r in rows] == list(range(6))
+    assert store.catalog.resolve_config(BASIN, "s1").timestamping_mode == "arrival"
+    # post-race appends use the settled config (arrival overrides client ts)
+    ack = store.append(BASIN, "s1", [Record(body=b"post", timestamp=1)])
+    assert ack.start_ts > 1
