@@ -141,12 +141,18 @@ class Catalog:
         the Spark analogue of the reference's BasinMeta/StreamMeta
         keyspaces (lite/src/backend/kv/mod.rs:55-95). Without it the
         catalog is session-local (in-memory)."""
+        import threading
         import time
 
         self.spark = spark
         self._clock = clock or (lambda: int(time.time() * 1000))
         self.basins: dict[str, BasinMeta] = {}
         self.streams: dict[tuple[str, str], StreamMeta] = {}
+        # One reentrant lock serializes metadata mutations with _save's
+        # snapshot iteration: concurrent auto-creates during a save must
+        # not mutate basins/streams mid-iteration, and two savers must
+        # not interleave writes to the same file.
+        self._mu = threading.RLock()
         self.meta_dir = meta_dir
         if meta_dir:
             self._load()
@@ -168,10 +174,19 @@ class Catalog:
 
     def _save(self) -> None:
         """Persist all metadata in one atomic parquet write (driver-side
-        pyarrow — the control plane is tiny; no Spark job needed)."""
+        pyarrow — the control plane is tiny; no Spark job needed).
+
+        Callers mutating ``basins``/``streams`` hold ``_mu`` around the
+        mutation + save; ``_save`` re-acquires it (reentrant) so a direct
+        call also snapshots consistently."""
         if not self.meta_dir:
             return
+        with self._mu:
+            self._save_locked()
+
+    def _save_locked(self) -> None:
         import os
+        import tempfile
 
         import pyarrow as pa
         import pyarrow.parquet as pq
@@ -229,9 +244,17 @@ class Catalog:
         )
         table = pa.Table.from_pylist(rows, schema=schema)
         os.makedirs(self.meta_dir, exist_ok=True)
-        tmp = self._path() + ".tmp"
-        pq.write_table(table, tmp)
-        os.replace(tmp, self._path())
+        # Unique temp name per saver: a shared fixed .tmp path would let
+        # two concurrent saves (threads, or two stores on one dir)
+        # interleave writes and os.replace a torn file.
+        fd, tmp = tempfile.mkstemp(dir=self.meta_dir, suffix=".catalog.tmp")
+        os.close(fd)
+        try:
+            pq.write_table(table, tmp)
+            os.replace(tmp, self._path())
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
 
     def _load(self) -> None:
         import os
@@ -279,21 +302,22 @@ class Catalog:
         key_hash = (
             _creation_idempotency_key(request_token, config) if request_token else None
         )
-        existing = self.basins.get(name)
-        if existing is not None:
-            if existing.deleted_at is not None:
-                # recreation is blocked until the async deletion purges
-                # the metadata (basin.rs deletion-pending semantics)
-                raise DeletionPending(name)
-            if key_hash is not None and existing.idempotency_key == key_hash:
-                return existing  # retried create: no-op
-            raise AlreadyExists(name)
-        meta = BasinMeta(
-            name, config or BasinConfig(), self._clock(), idempotency_key=key_hash
-        )
-        self.basins[name] = meta
-        self._save()
-        return meta
+        with self._mu:
+            existing = self.basins.get(name)
+            if existing is not None:
+                if existing.deleted_at is not None:
+                    # recreation is blocked until the async deletion purges
+                    # the metadata (basin.rs deletion-pending semantics)
+                    raise DeletionPending(name)
+                if key_hash is not None and existing.idempotency_key == key_hash:
+                    return existing  # retried create: no-op
+                raise AlreadyExists(name)
+            meta = BasinMeta(
+                name, config or BasinConfig(), self._clock(), idempotency_key=key_hash
+            )
+            self.basins[name] = meta
+            self._save()
+            return meta
 
     def get_basin(self, name: str) -> BasinMeta:
         meta = self.basins.get(name)
@@ -302,15 +326,17 @@ class Catalog:
         return meta
 
     def delete_basin(self, name: str) -> None:
-        self.get_basin(name).deleted_at = self._clock()
-        self._save()
+        with self._mu:
+            self.get_basin(name).deleted_at = self._clock()
+            self._save()
 
     def reconfigure_basin(self, name: str, config: BasinConfig) -> BasinMeta:
         validate_cipher(config)
-        meta = self.get_basin(name)
-        meta.config = config
-        self._save()
-        return meta
+        with self._mu:
+            meta = self.get_basin(name)
+            meta.config = config
+            self._save()
+            return meta
 
     # --- streams (A22/A23) ----------------------------------------------
 
@@ -331,21 +357,22 @@ class Catalog:
         key_hash = (
             _creation_idempotency_key(request_token, config) if request_token else None
         )
-        existing = self.streams.get(key)
-        if existing is not None:
-            if existing.deleted_at is not None:
-                # blocked until the deletion sweep purges the meta
-                # (streams.rs:115-121 StreamDeletionPendingError)
-                raise DeletionPending(f"{basin}/{name}")
-            if key_hash is not None and existing.idempotency_key == key_hash:
-                return existing  # retried create: no-op
-            raise AlreadyExists(f"{basin}/{name}")
-        meta = StreamMeta(
-            basin, name, config or StreamConfig(), self._clock(), idempotency_key=key_hash
-        )
-        self.streams[key] = meta
-        self._save()
-        return meta
+        with self._mu:
+            existing = self.streams.get(key)
+            if existing is not None:
+                if existing.deleted_at is not None:
+                    # blocked until the deletion sweep purges the meta
+                    # (streams.rs:115-121 StreamDeletionPendingError)
+                    raise DeletionPending(f"{basin}/{name}")
+                if key_hash is not None and existing.idempotency_key == key_hash:
+                    return existing  # retried create: no-op
+                raise AlreadyExists(f"{basin}/{name}")
+            meta = StreamMeta(
+                basin, name, config or StreamConfig(), self._clock(), idempotency_key=key_hash
+            )
+            self.streams[key] = meta
+            self._save()
+            return meta
 
     def provision_stream(
         self,
@@ -369,42 +396,44 @@ class Catalog:
         if mode != "ensure":
             raise S2Error(f"unknown provision mode {mode!r}")
         validate_stream_name(name)
-        basin_meta = self.get_basin(basin)
-        existing = self.streams.get((basin, name))
-        if existing is not None and existing.deleted_at is not None:
-            raise DeletionPending(f"{basin}/{name}")
-        desired = (config or StreamConfig()).merge_over(
-            basin_meta.config.default_stream_config
-        )
-        if existing is None:
-            meta = StreamMeta(basin, name, desired, self._clock())
-            self.streams[(basin, name)] = meta
+        with self._mu:
+            basin_meta = self.get_basin(basin)
+            existing = self.streams.get((basin, name))
+            if existing is not None and existing.deleted_at is not None:
+                raise DeletionPending(f"{basin}/{name}")
+            desired = (config or StreamConfig()).merge_over(
+                basin_meta.config.default_stream_config
+            )
+            if existing is None:
+                meta = StreamMeta(basin, name, desired, self._clock())
+                self.streams[(basin, name)] = meta
+                self._save()
+                return meta, "created"
+            if existing.config == desired:
+                return existing, "noop"
+            existing.config = desired
             self._save()
-            return meta, "created"
-        if existing.config == desired:
-            return existing, "noop"
-        existing.config = desired
-        self._save()
-        return existing, "updated"
+            return existing, "updated"
 
     def purge_deleted(self) -> list[str]:
         """Complete async deletions: physically drop metadata rows whose
         deleted_at is set (the reference's deletion task removing the
         meta key), after which the names become creatable again."""
-        purged = []
-        for key, m in list(self.streams.items()):
-            if m.deleted_at is not None:
-                del self.streams[key]
-                purged.append(f"{m.basin}/{m.name}")
-        for bname, m in list(self.basins.items()):
-            if m.deleted_at is not None and not any(
-                b == bname for (b, _s) in self.streams
-            ):
-                del self.basins[bname]
-                purged.append(bname)
-        if purged:
-            self._save()
-        return purged
+        with self._mu:
+            purged = []
+            for key, m in list(self.streams.items()):
+                if m.deleted_at is not None:
+                    del self.streams[key]
+                    purged.append(f"{m.basin}/{m.name}")
+            for bname, m in list(self.basins.items()):
+                if m.deleted_at is not None and not any(
+                    b == bname for (b, _s) in self.streams
+                ):
+                    del self.basins[bname]
+                    purged.append(bname)
+            if purged:
+                self._save()
+            return purged
 
     def get_stream(self, basin: str, name: str) -> StreamMeta:
         meta = self.streams.get((basin, name))
@@ -413,8 +442,9 @@ class Catalog:
         return meta
 
     def delete_stream(self, basin: str, name: str) -> None:
-        self.get_stream(basin, name).deleted_at = self._clock()
-        self._save()
+        with self._mu:
+            self.get_stream(basin, name).deleted_at = self._clock()
+            self._save()
 
     def reconfigure_stream(
         self, basin: str, name: str, config: StreamConfig, merge: bool = False
@@ -424,10 +454,11 @@ class Catalog:
         field-mask semantics of stream.rs:515-586). A replace with None
         fields clears them back to basin/system defaults at resolve
         time (stream.rs:587-673)."""
-        meta = self.get_stream(basin, name)
-        meta.config = config.merge_over(meta.config) if merge else config
-        self._save()
-        return meta
+        with self._mu:
+            meta = self.get_stream(basin, name)
+            meta.config = config.merge_over(meta.config) if merge else config
+            self._save()
+            return meta
 
     def resolve_config(self, basin: str, name: str) -> StreamConfig:
         """stream → basin default → system default (config.rs:150-165)."""
@@ -447,7 +478,15 @@ class Catalog:
             )
             if not allowed:
                 raise
-            return self.create_stream(basin, name)
+            try:
+                return self.create_stream(basin, name)
+            except AlreadyExists:
+                # Lost the auto-create race: another concurrent first
+                # append/read created the stream between our lookup and
+                # create. The reference swallows StreamAlreadyExists on
+                # this path (lite/src/backend/core.rs:372) and proceeds
+                # with the winner's stream. DeletionPending propagates.
+                return self.get_stream(basin, name)
 
     # --- listing (A21): prefix + start_after + limit ---------------------
 
@@ -455,38 +494,45 @@ class Catalog:
         self, basin: str, prefix: str = "", start_after: str = "", limit: int = 1000
     ) -> tuple[list[str], bool]:
         limit = min(limit, 1000)
-        names = sorted(
-            n
-            for (b, n), m in self.streams.items()
-            if b == basin and m.deleted_at is None and n.startswith(prefix) and n > start_after
-        )
+        with self._mu:
+            names = sorted(
+                n
+                for (b, n), m in self.streams.items()
+                if b == basin
+                and m.deleted_at is None
+                and n.startswith(prefix)
+                and n > start_after
+            )
         return names[:limit], len(names) > limit
 
     def list_basins(
         self, prefix: str = "", start_after: str = "", limit: int = 1000
     ) -> tuple[list[str], bool]:
         limit = min(limit, 1000)
-        names = sorted(
-            n
-            for n, m in self.basins.items()
-            if m.deleted_at is None and n.startswith(prefix) and n > start_after
-        )
+        with self._mu:
+            names = sorted(
+                n
+                for n, m in self.basins.items()
+                if m.deleted_at is None and n.startswith(prefix) and n > start_after
+            )
         return names[:limit], len(names) > limit
 
     # --- DataFrame views -------------------------------------------------
 
     def streams_df(self) -> DataFrame:
-        rows = [
-            (m.basin, m.name, m.created_at, m.deleted_at)
-            for m in self.streams.values()
-        ]
+        with self._mu:
+            rows = [
+                (m.basin, m.name, m.created_at, m.deleted_at)
+                for m in self.streams.values()
+            ]
         return self.spark.createDataFrame(
             rows or [(None, None, None, None)],
             "basin string, stream string, created_at long, deleted_at long",
         ).filter("basin is not null")
 
     def basins_df(self) -> DataFrame:
-        rows = [(m.name, m.created_at, m.deleted_at) for m in self.basins.values()]
+        with self._mu:
+            rows = [(m.name, m.created_at, m.deleted_at) for m in self.basins.values()]
         return self.spark.createDataFrame(
             rows or [(None, None, None)],
             "basin string, created_at long, deleted_at long",

@@ -110,7 +110,10 @@ def frame_sample(
             for mid, dur, p in zip(
                 pdf["media_id"], pdf["duration_ms"], pdf["payload"]
             ):
-                n = max(int(dur or 0) // every_ms, 1)
+                # nullable duration_ms arrives as NaN (truthy — `dur or
+                # 0` won't catch it); a null-duration video yields one
+                # frame, matching the JVM-side greatest(null,0) grid
+                n = max((0 if pd.isna(dur) else int(dur)) // every_ms, 1)
                 for i in range(n):
                     ids.append(mid)
                     idxs.append(i)

@@ -63,6 +63,16 @@ class AppendAck:
 
 
 @dataclass
+class AppendInput:
+    """One pipelined append-session input: a batch plus its conditions
+    (lite/tests/backend/data_plane/append.rs AppendInput)."""
+
+    records: list
+    match_seq_num: Optional[int] = None
+    fencing_token: Optional[str] = None
+
+
+@dataclass
 class ReadStart:
     """One-of start spec (api/src/v1/stream/mod.rs:133-167)."""
 
@@ -160,11 +170,59 @@ class StreamStore:
         # parallel
         self._locks: dict[tuple[str, str], threading.Lock] = defaultdict(threading.Lock)
         os.makedirs(base_dir, exist_ok=True)
+        # Hot state is recovered LAZILY, per touched stream: a store
+        # opened over existing data probes storage on a stream's first
+        # touch (never silently restarting it at seq 0), and only
+        # touched streams occupy driver memory — the reference's
+        # actor-cache shape with its 60 s dormancy eviction
+        # (streamer.rs:55) rather than an eager all-streams scan.
+        self._probe_unknown_streams = self._has_data()
+        self._evicted: set[tuple[str, str]] = set()
+        self._touched_ms: dict[tuple[str, str], int] = {}
+        self._last_sweep_ms = 0
+        # temp-view prefixes attached while the store was still empty;
+        # refreshed to live SQL views on the first append (see
+        # attach_views)
+        self._stale_view_prefixes: set[str] = set()
 
     # --- state ----------------------------------------------------------
 
+    DORMANT_STREAM_MS = 60_000  # actor dormancy eviction (streamer.rs:55)
+
     def _st(self, basin: str, stream: str) -> _StreamState:
-        return self._state.setdefault((basin, stream), _StreamState())
+        key = (basin, stream)
+        now = self._clock()
+        if now - self._last_sweep_ms >= self.DORMANT_STREAM_MS:
+            self._last_sweep_ms = now
+            self.evict_dormant()
+        st = self._state.get(key)
+        if st is None:
+            if self._probe_unknown_streams or key in self._evicted:
+                st = self._recover_one(basin, stream)
+                self._evicted.discard(key)
+            else:
+                st = _StreamState()
+            self._state[key] = st
+        self._touched_ms[key] = now
+        return st
+
+    def evict_dormant(self, max_age_ms: int | None = None) -> int:
+        """Drop hot state for streams untouched for ``max_age_ms`` —
+        bounding driver memory to live streams (streamer.rs:55). State
+        is always re-derivable from storage, so the next touch of an
+        evicted stream recovers it lazily."""
+        max_age = self.DORMANT_STREAM_MS if max_age_ms is None else max_age_ms
+        now = self._clock()
+        n = 0
+        for key in [k for k, t in self._touched_ms.items() if now - t >= max_age]:
+            lk = self._locks.get(key)
+            if lk is not None and lk.locked():
+                continue  # append in flight — not dormant
+            self._state.pop(key, None)
+            self._touched_ms.pop(key, None)
+            self._evicted.add(key)
+            n += 1
+        return n
 
     def _has_data(self) -> bool:
         for _, dirs, fs in os.walk(self.base_dir):
@@ -193,16 +251,15 @@ class StreamStore:
             return self.spark.read.schema(schema).parquet(self.base_dir)
         return self.spark.read.schema(RECORD_SCHEMA).parquet(self.base_dir)
 
-    def recover_state(self) -> None:
-        """Rebuild hot state from storage, like the reference's recovery
-        read of tail/token/trim rows (lite/src/backend/core.rs:101-161).
-        One distributed pass: per-stream aggregates + last-command lookups."""
-        df = self.records_df()
+    @staticmethod
+    def _state_agg(df: DataFrame) -> DataFrame:
+        """Per-stream hot-state aggregation: tail, last ts, latest fence
+        token, monotone trim point (core.rs:101-161, streamer.rs:369-389)."""
         cmd = F.when(
             (F.size("headers") == 1) & (F.length(F.col("headers")[0]["name"]) == 0),
             F.col("headers")[0]["value"].cast("string"),
         )
-        per_stream = (
+        return (
             df.withColumn("cmd", cmd)
             .groupBy("basin", "stream")
             .agg(
@@ -224,16 +281,64 @@ class StreamStore:
                     )
                 ).alias("trim_point"),
             )
-            .collect()
         )
+
+    @staticmethod
+    def _state_of(row) -> _StreamState:
+        return _StreamState(
+            tail_seq=row["tail_seq"],
+            last_ts=row["last_ts"] or 0,
+            fencing_token=row["fence_token"] or "",
+            trim_point=row["trim_point"] or 0,
+        )
+
+    def _recover_one(self, basin: str, stream: str) -> _StreamState:
+        """Lazy single-stream recovery: the aggregation pushed down to
+        one stream's key range (one bucket directory when partitioned —
+        the LSM key-range seek analogue)."""
+        df = self.records_df()
+        if self.bucket_count:
+            df = df.filter(F.col("bucket") == self._bucket_of(basin, stream))
+        df = df.filter((F.col("basin") == basin) & (F.col("stream") == stream))
+        rows = self._state_agg(df).collect()
+        return self._state_of(rows[0]) if rows else _StreamState()
+
+    def _ensure_states(self, keys: list[tuple[str, str]]) -> None:
+        """Batch form of the lazy recovery in :meth:`_st`: recover every
+        missing key in ONE filtered aggregation (bulk_append touches many
+        streams; one Spark job, not one per stream)."""
+        missing = [
+            k
+            for k in keys
+            if k not in self._state
+            and (self._probe_unknown_streams or k in self._evicted)
+        ]
+        if missing:
+            cond = F.concat_ws("\x00", "basin", "stream").isin(
+                [f"{b}\x00{s}" for b, s in missing]
+            )
+            for r in self._state_agg(self.records_df().filter(cond)).collect():
+                self._state[(r["basin"], r["stream"])] = self._state_of(r)
+        now = self._clock()
+        for k in keys:
+            self._state.setdefault(k, _StreamState())
+            self._evicted.discard(k)
+            self._touched_ms[k] = now
+
+    def recover_state(self) -> None:
+        """Rebuild hot state from storage, like the reference's recovery
+        read of tail/token/trim rows (lite/src/backend/core.rs:101-161).
+        One distributed pass: per-stream aggregates + last-command lookups.
+
+        Eager full recovery — normally unnecessary: streams recover
+        lazily on first touch (:meth:`_st`)."""
+        per_stream = self._state_agg(self.records_df()).collect()
         self._state = {}
         for r in per_stream:
-            self._state[(r["basin"], r["stream"])] = _StreamState(
-                tail_seq=r["tail_seq"],
-                last_ts=r["last_ts"] or 0,
-                fencing_token=r["fence_token"] or "",
-                trim_point=r["trim_point"] or 0,
-            )
+            self._state[(r["basin"], r["stream"])] = self._state_of(r)
+        # everything with data is now in _state — unknown keys are fresh
+        self._probe_unknown_streams = False
+        self._evicted.clear()
 
     # --- append (A1-A6, A16) ---------------------------------------------
 
@@ -262,9 +367,18 @@ class StreamStore:
             raise BatchTooLarge(f"{metered} metered bytes")
 
         with self._locks[(basin, stream)]:
-            return self._append_locked(
+            ack = self._append_locked(
                 basin, stream, records, match_seq_num, fencing_token, cfg, st, metered
             )
+        self._refresh_stale_views()
+        return ack
+
+    def _refresh_stale_views(self) -> None:
+        """Upgrade any temp views attached while the store was empty to
+        their live SQL-over-path definitions now that data exists."""
+        if self._stale_view_prefixes and self._has_data():
+            for prefix in list(self._stale_view_prefixes):
+                self.attach_views(prefix)
 
     def _append_locked(
         self, basin, stream, records, match_seq_num, fencing_token, cfg, st, metered
@@ -370,8 +484,14 @@ class StreamStore:
             cfg_rows.append(
                 (b, s, cfg.timestamping_mode, bool(cfg.timestamping_uncapped))
             )
+        # lazily recover every touched stream's tail from storage in one
+        # pass; only the batch's own keys ride in the broadcast
+        self._ensure_states(keys)
         tails = self.spark.createDataFrame(
-            [(b, s, st.tail_seq, st.last_ts) for (b, s), st in self._state.items()]
+            [
+                (b, s, self._st(b, s).tail_seq, self._st(b, s).last_ts)
+                for b, s in keys
+            ]
             or [("", "", 0, 0)],
             "basin string, stream string, tail_seq long, last_ts long",
         )
@@ -469,6 +589,26 @@ class StreamStore:
                 st = self._st(r["basin"], r["stream"])
                 st.tail_seq += r["n"]
                 st.last_ts = max(st.last_ts, r["mx"] or 0)
+        self._refresh_stale_views()
+
+    def append_session(self, basin: str, stream: str, inputs):
+        """Pipelined append session (A2, append.rs:96-220): consume an
+        iterable of :class:`AppendInput` and yield one :class:`AppendAck`
+        per input, in order. The first condition failure
+        (SeqNumMismatch / FencingTokenMismatch) propagates and ENDS the
+        session — later inputs are never applied
+        (append.rs:653-719 test_append_session_stops_after_condition_failure).
+        Inputs are consumed lazily, so a session survives streamer
+        dormancy between inputs (append.rs:416-470): evicted hot state
+        is recovered on the next append's touch."""
+        for inp in inputs:
+            yield self.append(
+                basin,
+                stream,
+                inp.records,
+                match_seq_num=inp.match_seq_num,
+                fencing_token=inp.fencing_token,
+            )
 
     # --- command shortcuts (A5/A6) ----------------------------------------
 
@@ -577,10 +717,12 @@ class StreamStore:
         SQL definitions over the storage path: every query re-resolves
         the file listing and re-derives trim points and tails, so
         appends/trims/fences after ``attach_views()`` show up without
-        re-attaching. Attached while the store is still empty, they are
-        empty snapshots — call ``attach_views()`` again after the first
-        append. Catalog views are snapshots of driver metadata; with a
-        durable catalog they can be re-attached after config changes.
+        re-attaching. Attached while the store is still empty, they
+        start as empty placeholders and are automatically upgraded to
+        the live definitions by the first append (the store remembers
+        the prefix). Catalog views are snapshots of driver metadata;
+        with a durable catalog they can be re-attached after config
+        changes.
         """
         if not self._has_data():
             empty = self.spark.createDataFrame([], RECORD_SCHEMA)
@@ -589,7 +731,9 @@ class StreamStore:
             self.spark.createDataFrame(
                 [], "basin string, stream string, next_seq_num long, last_timestamp long"
             ).createOrReplaceTempView(f"{prefix}tails")
+            self._stale_view_prefixes.add(prefix)
         else:
+            self._stale_view_prefixes.discard(prefix)
             p = self.base_dir
             is_cmd = "(size(headers) = 1 AND length(headers[0].name) = 0)"
             self.spark.sql(
@@ -648,6 +792,8 @@ class StreamStore:
         limit: ReadLimit | None = None,
         wait_s: float = 60.0,
         poll_s: float = 0.05,
+        clock=None,
+        sleep=None,
     ) -> DataFrame:
         """Long-poll read (A7 ``wait``: lite/src/handlers/v1/mod.rs:14,
         read.rs:319-361): if the requested start is at/past the tail,
@@ -655,15 +801,17 @@ class StreamStore:
         records before returning the (possibly empty) read. Sustained
         tailing belongs to the streaming source; this is the unary
         long-poll."""
+        mono = clock or time.monotonic
+        slp = sleep or time.sleep
         start = start or ReadStart(seq_num=0)
         wait_s = min(wait_s, 60.0)
-        deadline = time.monotonic() + wait_s
+        deadline = mono() + wait_s
         want_seq = start.seq_num if start.seq_num is not None else None
-        while time.monotonic() < deadline:
+        while mono() < deadline:
             tail, _ = self.check_tail(basin, stream)
             if want_seq is None or tail > want_seq:
                 break
-            time.sleep(poll_s)
+            slp(poll_s)
         clamped = ReadStart(
             seq_num=start.seq_num,
             timestamp=start.timestamp,
@@ -683,6 +831,8 @@ class StreamStore:
         poll_s: float = 0.02,
         last_event_id: LastEventId | str | None = None,
         batch_count: int = 1000,
+        clock=None,
+        sleep=None,
     ):
         """SSE-style read session (read.rs:95-280, records.rs:213-260):
         a generator of :class:`SessionEvent` — catch-up batches from
@@ -711,6 +861,8 @@ class StreamStore:
         surface; sustained distributed tailing is the streaming source.
         """
         limit = limit or ReadLimit()
+        mono = clock or time.monotonic  # injectable for paused-clock tests
+        slp = sleep or time.sleep
         if isinstance(last_event_id, str):
             last_event_id = LastEventId.parse(last_event_id)
         processed_count = last_event_id.count if last_event_id else 0
@@ -774,7 +926,7 @@ class StreamStore:
             else:
                 if wait_s is None:
                     return
-                now = time.monotonic()
+                now = mono()
                 if wait_deadline is None:
                     wait_deadline = now + wait_s
                     next_heartbeat = now + heartbeat_s
@@ -784,7 +936,7 @@ class StreamStore:
                 if now >= next_heartbeat:
                     next_heartbeat = now + heartbeat_s
                     yield SessionEvent("heartbeat", (), tail)
-                time.sleep(min(poll_s, max(wait_deadline - now, 0)))
+                slp(min(poll_s, max(wait_deadline - now, 0)))
 
     def compact(self, files_per_partition_hint: int | None = None) -> None:
         """Rewrite storage clustered by (basin, stream, seq_num) — the
@@ -817,10 +969,11 @@ class StreamStore:
         trim executor (lite/src/backend/bgtasks/stream_trim.rs:21-151)
         and retention TTL as one compaction rewrite."""
         df = self.records_df()
-        trims = self.spark.createDataFrame(
-            [(b, s, st.trim_point) for (b, s), st in self._state.items()]
-            or [("", "", 0)],
-            "basin string, stream string, trim_point long",
+        # trim points come from storage, not the hot-state cache — the
+        # cache only holds recently-touched streams (lazy recovery), and
+        # maintenance must honor every stream's trim commands
+        trims = self._state_agg(df).select(
+            "basin", "stream", F.coalesce("trim_point", F.lit(0)).alias("trim_point")
         )
         keep = (
             df.join(F.broadcast(trims), ["basin", "stream"], "left")

@@ -113,7 +113,15 @@ def _tails(
     if not os.path.isdir(path):
         return {}
     tails: dict[str, int] = {}
-    for fp in _parquet_files(path):
+    listed = _parquet_files(path)
+    if cache is not None:
+        # evict entries for files removed by compaction/trim rewrites —
+        # a long-running query over a periodically-compacted store must
+        # not leak cache entries for files that no longer exist
+        live = set(listed)
+        for gone in [fp for fp in cache if fp not in live]:
+            del cache[gone]
+    for fp in listed:
         try:
             st = os.stat(fp)
         except OSError:
@@ -148,10 +156,20 @@ class S2StreamReader(DataSourceStreamReader):
         # decrement, records.rs:49-65): the cap start_seq+maxrecords is
         # deterministic, so a checkpoint-restarted query still stops at
         # the original combined limit — the remaining budget is exactly
-        # cap minus the checkpointed offset. (A bytes budget can't be
-        # planned from offsets alone; byte-budgeted SSE reads are the
-        # store.read_session surface.)
+        # cap minus the checkpointed offset.
         self.max_records = int(options.get("maxrecords", 0))
+        # total per-stream metered-bytes budget (the SSE Last-Event-Id
+        # bytes decrement, api/src/v1/stream/sse.rs:10-73 applied in
+        # lite/src/handlers/v1/records.rs:49-65). Cumulative metered
+        # bytes from start_seq are a pure function of the immutable log,
+        # so the byte-capped end seq replans identically across
+        # checkpoint restarts — no offset-format change needed. Planning
+        # reads ≤ maxbytes of record data driver-side over the session's
+        # lifetime (incremental, cached); the unbudgeted hot path never
+        # touches data pages on the driver.
+        self.max_bytes = int(options.get("maxbytes", 0))
+        self._bytes_scan: dict[str, tuple[int, int]] = {}  # key -> (next_seq, cum)
+        self._bytes_cap: dict[str, int] = {}  # key -> resolved final cap
         # driver-side per-file tails cache: each trigger's latestOffset
         # only inspects files that appeared since the previous trigger
         self._tails_cache: dict[str, tuple[tuple, dict[str, int]]] = {}
@@ -183,6 +201,8 @@ class S2StreamReader(DataSourceStreamReader):
         if self.max_records > 0:
             cap = self.start_seq + self.max_records
             tails = {k: min(v, cap) for k, v in tails.items()}
+        if self.max_bytes > 0:
+            tails = {k: min(v, self._byte_capped(k, v)) for k, v in tails.items()}
         if self.max_per_trigger > 0:
             committed = getattr(self, "_last_committed", {})
             tails = {
@@ -190,6 +210,53 @@ class S2StreamReader(DataSourceStreamReader):
                 for k, v in tails.items()
             }
         return tails
+
+    _BYTES_SCAN_WINDOW = 4096  # records per driver-side planning read
+
+    def _byte_capped(self, key: str, tail: int) -> int:
+        """Largest seq e ≤ tail with metered(start_seq..e) ≤ max_bytes —
+        the deterministic byte-budget cutoff (records.rs:49-65 combined
+        limit). Scans forward incrementally in seq windows and stops at
+        the first record that would exceed the budget, so the driver
+        reads at most ~max_bytes of data over the whole session."""
+        if key in self._bytes_cap:
+            return min(self._bytes_cap[key], tail)
+        nxt, cum = self._bytes_scan.get(key, (self.start_seq, 0))
+        if tail <= nxt:
+            return tail
+        import pyarrow.dataset as ds
+
+        b, s = key.split(SEP, 1)
+        dataset = ds.dataset(self.path, format="parquet")
+        while nxt < tail:
+            hi = min(nxt + self._BYTES_SCAN_WINDOW, tail)
+            flt = (
+                (ds.field("basin") == b)
+                & (ds.field("stream") == s)
+                & (ds.field("seq_num") >= nxt)
+                & (ds.field("seq_num") < hi)
+            )
+            table = dataset.to_table(
+                filter=flt, columns=["seq_num", "headers", "body"]
+            ).sort_by("seq_num")
+            for seq, headers, body in zip(
+                table.column("seq_num").to_pylist(),
+                table.column("headers").to_pylist(),
+                table.column("body").to_pylist(),
+            ):
+                m = (
+                    8
+                    + 2 * len(headers or ())
+                    + sum(len(h["name"] or b"") + len(h["value"] or b"") for h in headers or ())
+                    + len(body or b"")
+                )
+                if cum + m > self.max_bytes:
+                    self._bytes_cap[key] = seq  # budget exhausted — final
+                    return seq
+                cum += m
+            nxt = hi
+        self._bytes_scan[key] = (tail, cum)
+        return tail
 
     def partitions(self, start: dict, end: dict):
         # advance the rate-limit baseline here: partitions() sees every

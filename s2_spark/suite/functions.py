@@ -112,7 +112,7 @@ def f4(spark, sf_dir):
     "f5_map_struct",
     oracle=(
         "SELECT event_id, "
-        "map_from_entries(list_value(struct_pack(k:='type', v:=event_type)))['type'] AS tp "
+        "map_from_entries(list_value(struct_pack(k:='type', v:=event_type)))['type'][1] AS tp "
         "FROM events ORDER BY event_id LIMIT 100"
     ),
     doc="map/struct construction + key extraction",

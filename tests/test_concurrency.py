@@ -262,3 +262,58 @@ def test_concurrent_reconfigure_during_append(store):
     # post-race appends use the settled config (arrival overrides client ts)
     ack = store.append(BASIN, "s1", [Record(body=b"post", timestamp=1)])
     assert ack.start_ts > 1
+
+
+def test_auto_create_lost_race_returns_winner(store):
+    """Deterministic lost-race: the stream appears between the lookup
+    and the create. The reference swallows StreamAlreadyExists on this
+    path and proceeds with the winner's stream (core.rs:372)."""
+    from s2_spark.catalog import BasinConfig
+    from s2_spark.model import StreamNotFound
+
+    cat = store.catalog
+    cat.reconfigure_basin(BASIN, BasinConfig(create_stream_on_append=True))
+    orig_get = cat.get_stream
+    state = {"raced": False}
+
+    def losing_get(basin, name):
+        if name == "lost-race" and not state["raced"]:
+            state["raced"] = True
+            cat.create_stream(basin, name)  # the winner lands here
+            raise StreamNotFound(name)
+        return orig_get(basin, name)
+
+    cat.get_stream = losing_get
+    try:
+        meta = cat.ensure_stream_for(BASIN, "lost-race", "append")
+    finally:
+        cat.get_stream = orig_get
+    assert meta.name == "lost-race" and meta.deleted_at is None
+
+
+def test_durable_catalog_concurrent_creates_do_not_corrupt(spark, tmp_path):
+    """Concurrent stream creates against one durable catalog: _save
+    snapshots under the catalog lock and writes via unique temp files,
+    so no 'dict changed size during iteration' and no torn metadata."""
+    from s2_spark.catalog import BasinConfig, Catalog
+
+    meta_dir = str(tmp_path / "meta")
+    cat = Catalog(spark, meta_dir=meta_dir)
+    cat.create_basin(BASIN, BasinConfig(create_stream_on_append=True))
+    n_threads, per = 8, 12
+
+    def creator(i):
+        for j in range(per):
+            cat.ensure_stream_for(BASIN, f"cc-{i}-{j}", "append")
+
+    with ThreadPoolExecutor(n_threads) as ex:
+        futs = [ex.submit(creator, i) for i in range(n_threads)]
+        wait(futs)
+    for f in futs:
+        f.result()  # surface any RuntimeError/corruption
+    names, _ = cat.list_streams(BASIN, prefix="cc-")
+    assert len(names) == n_threads * per
+    # the persisted file reloads cleanly with every stream present
+    cat2 = Catalog(spark, meta_dir=meta_dir)
+    names2, _ = cat2.list_streams(BASIN, prefix="cc-")
+    assert names2 == names

@@ -243,3 +243,20 @@ def test_resize_updates_metadata(spark):
     out = M.resize_images(media, 32, 32, fake=True).collect()
     assert all(r.width == 32 and r.height == 32 for r in out)
     assert all(r.kind == "image" for r in out)
+
+
+def test_frame_sampling_null_duration_yields_one_frame(spark):
+    """MEDIA_SCHEMA declares duration_ms nullable; pandas surfaces NULL
+    as NaN (truthy) — a null-duration video must emit exactly one frame,
+    matching the JVM-side greatest(null, 0) grid."""
+    rows = [
+        (1, "video", "video/mp4", None, None, None, b"payload-a"),
+        (2, "video", "video/mp4", None, None, 3000, b"payload-b"),
+    ]
+    media = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    frames = M.frame_sample(media, every_ms=1000, fake=True).collect()
+    by_media = {}
+    for r in frames:
+        by_media.setdefault(r.media_id, []).append(r)
+    assert len(by_media[1]) == 1 and by_media[1][0].frame_idx == 0
+    assert len(by_media[2]) == 3

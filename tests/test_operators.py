@@ -273,3 +273,34 @@ def test_aegis_cipher_rejected_loudly(spark):
     assert meta.config.stream_cipher == "aes-256-gcm"
     with pytest.raises(S2Error, match="aegis|AEGIS"):
         cat.reconfigure_basin("cipher-basin", BasinConfig(stream_cipher="AEGIS-256"))
+
+
+# --- locations (A25, api/src/v1/location.rs) --------------------------------
+
+
+def test_locations_list_get_set_default(spark):
+    from s2_spark.model import S2Error
+    from s2_spark.operators.locations import LocationRegistry
+
+    reg = LocationRegistry(spark)
+    names = [loc.name for loc in reg.list_locations()]
+    assert names == sorted(names) and "local" in names
+    assert reg.get_default().name == "local"
+    got = reg.set_default("aws:us-east-1")
+    assert got.name == "aws:us-east-1" and reg.get_default().name == "aws:us-east-1"
+    with pytest.raises(S2Error):
+        reg.set_default("nowhere:at-all")  # valid name, unknown location
+    df = reg.locations_df()
+    assert df.columns == ["name", "is_private"]
+    assert df.count() == len(names)
+
+
+def test_location_name_validation(spark):
+    from s2_spark.model import S2Error
+    from s2_spark.operators.locations import validate_location_name
+
+    validate_location_name("aws:us-east-1")
+    validate_location_name("a" * 64)
+    for bad in ["", "a" * 65, "space here", "unders_core", "ünïcode"]:
+        with pytest.raises(S2Error):
+            validate_location_name(bad)

@@ -612,3 +612,293 @@ def test_reconfigure_stream_merge_vs_replace(spark, store):
     cfg = store.catalog.resolve_config(BASIN, STREAM)
     assert cfg.timestamping_mode == "client-prefer"
     assert cfg.retention_age_secs == 180
+
+
+# --- lazy recovery + dormancy (core.rs:101-161, streamer.rs:55) --------------
+
+
+def test_fresh_store_over_existing_data_continues_sequencing(spark, tmp_path):
+    """A restarted store over existing data must not silently restart a
+    stream at seq 0: the first touch lazily recovers the tail from
+    storage (no explicit recover_state call needed)."""
+    base = str(tmp_path / "store")
+    s1 = StreamStore(spark, base)
+    s1.catalog.create_basin(BASIN)
+    s1.catalog.create_stream(BASIN, STREAM)
+    s1.append(BASIN, STREAM, recs(5))
+
+    s2 = StreamStore(spark, base)  # fresh session, durable catalog reloads
+    ack = s2.append(BASIN, STREAM, recs(3, start=5))
+    assert (ack.start_seq, ack.end_seq) == (5, 8)
+    rows = s2.read(BASIN, STREAM).collect()
+    assert [r.seq_num for r in rows] == list(range(8))
+
+
+def test_lazy_recovery_touches_only_used_streams(spark, tmp_path):
+    """Driver-side hot state is bounded by streams actually touched, not
+    all streams in storage (the reference's actor cache shape)."""
+    from s2_spark.catalog import BasinConfig
+
+    base = str(tmp_path / "store")
+    s1 = StreamStore(spark, base)
+    s1.catalog.create_basin(BASIN, BasinConfig(create_stream_on_append=True))
+    n = 25
+    rows = [(BASIN, f"lazy-{i}", None, [], f"b{i}".encode(), i) for i in range(n)]
+    df = spark.createDataFrame(
+        rows,
+        "basin string, stream string, timestamp long, "
+        "headers array<struct<name binary, value binary>>, body binary, "
+        "ingest_order long",
+    )
+    s1.bulk_append(df)
+
+    s2 = StreamStore(spark, base)
+    assert s2._state == {}
+    tail, _ = s2.check_tail(BASIN, "lazy-7")
+    assert tail == 1
+    assert set(s2._state) == {(BASIN, "lazy-7")}
+    s2.read(BASIN, "lazy-3").collect()
+    assert set(s2._state) == {(BASIN, "lazy-7"), (BASIN, "lazy-3")}
+
+
+def test_lazy_recovery_restores_fence_and_trim(spark, tmp_path):
+    base = str(tmp_path / "store")
+    s1 = StreamStore(spark, base)
+    s1.catalog.create_basin(BASIN)
+    s1.catalog.create_stream(BASIN, STREAM)
+    s1.append(BASIN, STREAM, recs(6))
+    s1.fence(BASIN, STREAM, "tok")
+    s1.trim(BASIN, STREAM, 3)
+
+    s2 = StreamStore(spark, base)
+    rows = s2.read(BASIN, STREAM).collect()
+    assert rows[0].seq_num == 3  # trim point recovered lazily
+    with pytest.raises(FencingTokenMismatch):
+        s2.append(BASIN, STREAM, recs(1), fencing_token="wrong")
+    ack = s2.append(BASIN, STREAM, recs(1), fencing_token="tok")
+    assert ack.start_seq == 8
+
+
+def test_dormant_stream_eviction_and_reprobe(store):
+    """Streams untouched past the dormancy window are evicted from hot
+    state (streamer.rs:55) and lazily re-derived on the next touch."""
+    store.append(BASIN, STREAM, recs(4))
+    assert (BASIN, STREAM) in store._state
+    store.clock.ms += StreamStore.DORMANT_STREAM_MS + 1
+    assert store.evict_dormant() == 1
+    assert store._state == {}
+    # next touch re-probes storage
+    assert store.check_tail(BASIN, STREAM)[0] == 4
+    assert (BASIN, STREAM) in store._state
+
+
+def test_eviction_sweep_runs_on_touch(store):
+    store.catalog.create_stream(BASIN, "other")
+    store.append(BASIN, STREAM, recs(2))
+    store.clock.ms += StreamStore.DORMANT_STREAM_MS + 1
+    # touching another stream sweeps the dormant one automatically
+    store.check_tail(BASIN, "other")
+    assert (BASIN, STREAM) not in store._state
+    assert store.check_tail(BASIN, STREAM)[0] == 2
+
+
+# --- attach_views liveness --------------------------------------------------
+
+
+def test_attach_views_empty_store_upgrades_on_first_append(store, spark):
+    store.attach_views("av_")
+    assert spark.sql("SELECT count(*) AS c FROM av_records").first().c == 0
+    store.append(BASIN, STREAM, recs(3))
+    assert spark.sql("SELECT count(*) AS c FROM av_records").first().c == 3
+    # live thereafter: further appends show up without re-attaching
+    store.append(BASIN, STREAM, recs(2, start=3))
+    assert spark.sql("SELECT count(*) AS c FROM av_records").first().c == 5
+    assert spark.sql("SELECT max(next_seq_num) AS t FROM av_tails").first().t == 5
+
+
+# --- append-session scenarios (lite/tests/backend/data_plane/append.rs) -----
+
+
+def _session_inputs(*batches):
+    from s2_spark.store import AppendInput
+
+    return [AppendInput(records=b) if isinstance(b, list) else b for b in batches]
+
+
+def test_append_session_empty(store):
+    """append.rs:471-500 test_append_session_empty: no inputs, no acks,
+    tail stays 0."""
+    acks = list(store.append_session(BASIN, STREAM, []))
+    assert acks == []
+    assert store.check_tail(BASIN, STREAM)[0] == 0
+
+
+def test_append_session_multiple_records_per_batch(store):
+    """append.rs:502-577 test_append_session_multiple_records_per_batch."""
+    b1 = [Record(body=b"record 1"), Record(body=b"record 2")]
+    b2 = [Record(body=b"record 3"), Record(body=b"record 4"), Record(body=b"record 5")]
+    acks = list(store.append_session(BASIN, STREAM, _session_inputs(b1, b2)))
+    assert [(a.start_seq, a.end_seq) for a in acks] == [(0, 2), (2, 5)]
+    assert store.check_tail(BASIN, STREAM)[0] == 5
+    bodies = [bytes(r.body) for r in store.read(BASIN, STREAM).collect()]
+    assert bodies == [b"record 1", b"record 2", b"record 3", b"record 4", b"record 5"]
+
+
+def test_append_session_seq_num_mismatch(store):
+    """append.rs:626-650 test_append_session_seq_num_mismatch."""
+    from s2_spark.store import AppendInput
+
+    store.append(BASIN, STREAM, [Record(body=b"existing data")])
+    gen = store.append_session(
+        BASIN, STREAM,
+        [AppendInput(records=[Record(body=b"batch 1")], match_seq_num=0)],
+    )
+    with pytest.raises(SeqNumMismatch):
+        next(gen)
+
+
+def test_append_session_stops_after_condition_failure(store):
+    """append.rs:652-719: the failed input's batch and everything after
+    it are never applied; the log keeps only the pre-failure records."""
+    from s2_spark.store import AppendInput
+
+    inputs = [
+        AppendInput(records=[Record(body=b"first")], match_seq_num=0),
+        AppendInput(records=[Record(body=b"bad")], match_seq_num=0),
+        AppendInput(records=[Record(body=b"after-error")], match_seq_num=1),
+    ]
+    gen = store.append_session(BASIN, STREAM, inputs)
+    ack = next(gen)
+    assert (ack.start_seq, ack.end_seq) == (0, 1)
+    with pytest.raises(SeqNumMismatch):
+        next(gen)
+    assert next(gen, None) is None  # session closed; third input unapplied
+    assert store.check_tail(BASIN, STREAM)[0] == 1
+    assert [bytes(r.body) for r in store.read(BASIN, STREAM).collect()] == [b"first"]
+
+
+def test_append_session_with_fencing_token(store):
+    """append.rs:720-763: a session carrying the stream's current token
+    on every input keeps appending."""
+    from s2_spark.store import AppendInput
+
+    store.fence(BASIN, STREAM, "tok")
+    inputs = [
+        AppendInput(records=[Record(body=b"batch 1")], fencing_token="tok"),
+        AppendInput(records=[Record(body=b"batch 2")], fencing_token="tok"),
+    ]
+    acks = list(store.append_session(BASIN, STREAM, inputs))
+    assert [a.start_seq for a in acks] == [1, 2]
+
+
+def test_append_session_large_batches(store):
+    """append.rs:764-808 test_append_session_large_batches: 20 batches
+    of one 100 KB record each, all acked, tail = batch count."""
+    from s2_spark.store import AppendInput
+
+    n = 20  # reference uses 50; 20 keeps the local run quick
+    large = b"\x00" * 100_000
+    inputs = (AppendInput(records=[Record(body=large)]) for _ in range(n))
+    acks = list(store.append_session(BASIN, STREAM, inputs))
+    assert len(acks) == n
+    assert store.check_tail(BASIN, STREAM)[0] == n
+
+
+def test_append_session_pipeline_preserves_ack_tail_and_read_order(store):
+    """append.rs:810-872: per-input acks are dense and in order, ack
+    tails are monotone and cover the acked range, and the read returns
+    bodies in submission order."""
+    from s2_spark.store import AppendInput
+
+    bodies = [f"msg-{i:02}".encode() for i in range(32)]
+    inputs = [AppendInput(records=[Record(body=b)]) for b in bodies]
+    acks = list(store.append_session(BASIN, STREAM, inputs))
+    assert len(acks) == 32
+    for i, ack in enumerate(acks):
+        assert (ack.start_seq, ack.end_seq) == (i, i + 1)
+        assert ack.tail_seq >= ack.end_seq
+        if i:
+            assert ack.tail_seq >= acks[i - 1].tail_seq
+    assert store.check_tail(BASIN, STREAM)[0] == 32
+    got = [bytes(r.body) for r in store.read(BASIN, STREAM).collect()]
+    assert got == bodies
+
+
+def test_append_session_survives_streamer_dormancy_between_inputs(spark, tmp_path):
+    """append.rs:415-470 (paused-clock scenario): dormancy eviction
+    between two session inputs must not break sequencing — the second
+    input lazily re-derives the tail from storage."""
+    from s2_spark.store import AppendInput
+
+    clock = FakeClock()
+    cat = Catalog(spark, clock=clock)
+    cat.create_basin(BASIN)
+    cat.create_stream(BASIN, STREAM)
+    s = StreamStore(spark, str(tmp_path / "records"), catalog=cat, clock=clock)
+
+    def inputs():
+        yield AppendInput(records=[Record(body=b"before-dormancy")])
+        # idle past the dormancy window between inputs (streamer.rs:55)
+        clock.ms += StreamStore.DORMANT_STREAM_MS + 1
+        assert s.evict_dormant() == 1
+        yield AppendInput(records=[Record(body=b"after-dormancy")])
+
+    acks = list(s.append_session(BASIN, STREAM, inputs()))
+    assert [(a.start_seq, a.end_seq) for a in acks] == [(0, 1), (1, 2)]
+    assert s.check_tail(BASIN, STREAM)[0] == 2
+    got = [bytes(r.body) for r in s.read(BASIN, STREAM).collect()]
+    assert got == [b"before-dormancy", b"after-dormancy"]
+
+
+# --- batch cap boundaries (common/src/stream.rs:251-268) --------------------
+
+
+def test_batch_exactly_at_metered_boundary(store):
+    """A batch metering exactly 1 MiB is accepted; one more byte is
+    rejected (append.rs metered-batch boundary)."""
+    from s2_spark.model import MAX_BATCH_METERED_BYTES
+
+    half = MAX_BATCH_METERED_BYTES // 2
+    exact = [
+        Record(body=b"x" * (half - 8)),  # metered: half
+        Record(body=b"x" * (half - 8)),  # metered: half → total exactly 1 MiB
+    ]
+    ack = store.append(BASIN, STREAM, exact)
+    assert ack.end_seq == 2
+    over = [
+        Record(body=b"x" * (half - 8)),
+        Record(body=b"x" * (half - 7)),  # total 1 MiB + 1
+    ]
+    with pytest.raises(BatchTooLarge):
+        store.append(BASIN, STREAM, over)
+
+
+def test_batch_exactly_at_record_count_boundary(store):
+    """Exactly MAX_BATCH_RECORDS (1000) is accepted; 1001 is rejected
+    (count cap in test_batch_record_count_cap)."""
+    from s2_spark.model import MAX_BATCH_RECORDS
+
+    ack = store.append(BASIN, STREAM, [Record(body=b"r") for _ in range(MAX_BATCH_RECORDS)])
+    assert ack.end_seq == MAX_BATCH_RECORDS
+
+
+def test_command_batch_mixed_with_conditions(store):
+    """append.rs: command records (fence/trim) ride ordinary appends and
+    respect match_seq_num / fencing_token conditions like data batches."""
+    from s2_spark.model import fence_record, trim_record
+
+    store.append(BASIN, STREAM, recs(4))
+    # a conditioned command batch: fence applies only if the tail matches
+    ack = store.append(BASIN, STREAM, [fence_record("tk-1")], match_seq_num=4)
+    assert ack.start_seq == 4
+    with pytest.raises(SeqNumMismatch):
+        store.append(BASIN, STREAM, [trim_record(2)], match_seq_num=4)
+    # once fenced, commands must carry the token too
+    with pytest.raises(FencingTokenMismatch):
+        store.append(BASIN, STREAM, [trim_record(2)], fencing_token="wrong")
+    ack = store.append(
+        BASIN, STREAM, [trim_record(2)], fencing_token="tk-1", match_seq_num=5
+    )
+    assert ack.start_seq == 5
+    rows = store.read(BASIN, STREAM).collect()
+    assert rows[0].seq_num == 2  # trim applied at its assigned position

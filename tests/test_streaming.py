@@ -633,3 +633,118 @@ def test_read_session_follow_until_bound(spark, store):
     assert next(gen).kind == "heartbeat"
     store.append(BASIN, "s1", [Record(body=b"b", timestamp=5000)])  # ≥ until
     assert next(gen, None) is None  # bound reached → closed, record not delivered
+
+
+def test_tails_cache_evicts_compacted_files(spark, store):
+    """A long-running query over a store with periodic compaction must
+    not leak cache entries for files the rewrite removed."""
+    from s2_spark.streaming.source import SEP, _parquet_files, _tails
+
+    for i in range(6):
+        store.append(BASIN, "s1", [Record(body=f"b{i}".encode())])
+    cache: dict = {}
+    tails = _tails(store.base_dir, cache)
+    assert tails[f"{BASIN}{SEP}s1"] == 6
+    assert len(cache) == len(_parquet_files(store.base_dir)) > 1
+
+    store.compact(files_per_partition_hint=1)
+    tails2 = _tails(store.base_dir, cache)
+    assert tails2[f"{BASIN}{SEP}s1"] == 6
+    live = set(_parquet_files(store.base_dir))
+    assert set(cache) == live  # stale entries evicted
+
+
+def test_source_maxbytes_budget_survives_restart(spark, store, tmp_path):
+    """A14: the source's metered-bytes budget is deterministic over the
+    immutable log (sse.rs:10-73, records.rs:49-65), so a checkpoint-
+    restarted byte-limited query stops at the original combined limit
+    even though more data exists."""
+    ckpt = str(tmp_path / "ckpt-bbudget")
+    out_dir = str(tmp_path / "out-bbudget")
+    store.append(BASIN, "s1", _recs(5))  # each record meters 8 + 5 = 13
+    register(spark)
+
+    def run_once():
+        sdf = (
+            spark.readStream.format("s2")
+            .option("path", store.base_dir)
+            .option("basin", BASIN)
+            .option("maxbytes", 7 * 13)  # admits exactly 7 records
+            .load()
+        )
+        q = (
+            sdf.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run_once()
+    assert spark.read.parquet(out_dir).count() == 5
+    store.append(BASIN, "s1", _recs(10, start=5))  # tail 15, way past budget
+    run_once()
+    got = sorted(r.seq_num for r in spark.read.parquet(out_dir).collect())
+    assert got == list(range(7))  # stopped at the original 91-byte limit
+
+
+# --- paused-clock wait/heartbeat timing (read.rs:603-684) -------------------
+
+
+class FakeMono:
+    """Paused monotonic clock: time advances only through sleep()."""
+
+    def __init__(self):
+        self.t = 0.0
+
+    def __call__(self) -> float:
+        return self.t
+
+    def sleep(self, dt: float) -> None:
+        self.t += dt
+
+
+def test_read_session_heartbeat_cadence_paused_clock(spark, store):
+    """read.rs:603-684: in follow mode a heartbeat is emitted on entry
+    and every heartbeat_s thereafter, and the wait deadline lands at
+    exactly wait_s — heartbeats never extend it. No real sleeps."""
+    store.append(BASIN, "s1", _recs(2))
+    mono = FakeMono()
+    events = list(
+        store.read_session(
+            BASIN, "s1", wait_s=20.0, heartbeat_s=5.0, poll_s=1.0,
+            clock=mono, sleep=mono.sleep,
+        )
+    )
+    batches = [e for e in events if e.kind == "batch"]
+    hbs = [e for e in events if e.kind == "heartbeat"]
+    assert len(batches) == 1
+    assert len(hbs) == 4  # entry at t=0, then t=5, 10, 15
+    assert mono.t == 20.0  # closed exactly at the un-extended deadline
+
+
+def test_read_session_wait_budget_resets_only_on_delivery_paused_clock(spark, store):
+    """read.rs:190-192: only a delivered batch re-arms the wait budget.
+    A batch landing at t=3 extends the session to t=13, past the
+    original t=10 deadline; the heartbeats in between extend nothing."""
+    store.append(BASIN, "s1", _recs(1))
+    mono = FakeMono()
+    gen = store.read_session(
+        BASIN, "s1", wait_s=10.0, heartbeat_s=3.0, poll_s=1.0,
+        clock=mono, sleep=mono.sleep,
+    )
+    assert next(gen).kind == "batch"      # catch-up, t=0
+    assert next(gen).kind == "heartbeat"  # follow armed: deadline t=10
+    e = next(gen)                          # periodic heartbeat at t=3
+    assert e.kind == "heartbeat" and mono.t == 3.0
+    store.append(BASIN, "s1", _recs(1, start=1))  # lands mid-follow
+    e = next(gen)  # one poll sleep (t=4), then the live batch delivers
+    assert e.kind == "batch" and [r["seq_num"] for r in e.records] == [1]
+    assert mono.t == 4.0
+    # delivery re-armed the budget: new deadline t=4+10=14
+    tail_events = list(gen)
+    assert all(e.kind == "heartbeat" for e in tail_events)
+    assert len(tail_events) == 4  # re-entry at t=4, then t=7, 10, 13
+    assert mono.t == 14.0  # closed at the re-armed deadline, not t=10
