@@ -46,13 +46,20 @@ HEADLINE = [
     ("q_asof_join", "j7_asof_join"),
 ]
 
-# Heaviest scan/agg/join entries re-run on a synthesized 10x dataset so
-# round-over-round scaling trends are visible (no sf1 fixture exists;
-# the probe unions 10 key-shifted copies of the fact tables).
+# Fact-table-driven headline entries re-run on a synthesized 10x
+# dataset so round-over-round scaling trends are visible (no sf1
+# fixture exists; the probe unions 10 key-shifted copies of the fact
+# tables — lineitem/orders/events; dimension and document tables are
+# symlinked, so only queries whose input actually scales are probed).
 SCALE_PROBE = [
     ("q_scan_ts", "sc4_range_scan_ts"),
     ("q_tpch1", "ag1_hash_agg_multi"),
     ("q_join_multi", "j2_multiway_join"),
+    ("q_window_seq", "w1_row_number"),
+    ("q_metrics_hour", "ag9_metrics_rollup"),
+    ("q_topk_group", "sl2_topk_per_group"),
+    ("q_cmd_fold", "str6_command_fold"),
+    ("q_asof_join", "j7_asof_join"),
 ]
 
 
