@@ -492,3 +492,164 @@ def x8(spark, sf_dir):
         d.select("doc_id", F.md5(norm.cast("binary")).alias("fp"))
         .orderBy("doc_id")
     )
+
+
+@query(
+    "x19_pii_detect",
+    oracle=(
+        "SELECT doc_id, "
+        "CAST(len(regexp_extract_all(pii_text, "
+        "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email, "
+        "CAST(len(regexp_extract_all(pii_text, '\\d{3}-\\d{4}')) AS BIGINT) AS n_phone "
+        "FROM (SELECT doc_id, text "
+        "|| CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) "
+        "|| '@example.com now' ELSE '' END "
+        "|| CASE WHEN doc_id % 5 = 0 THEN ' tel 555-0' "
+        "|| lpad(CAST(doc_id % 100 AS VARCHAR), 3, '0') ELSE '' END AS pii_text "
+        "FROM documents) ORDER BY doc_id"
+    ),
+    doc=(
+        "PII detection: regex counts of emails/phone patterns per doc — a "
+        "pre-training scrub pass. The corpus is synthetic word soup, so "
+        "deterministic contact strings are injected (doc_id mod rules) on "
+        "BOTH engines, the suite's established synthesis pattern (f6, x17). "
+        "JVM-side regexp_count: codegen, no shuffle, embarrassingly parallel "
+        "at 100 TB."
+    ),
+)
+def x19(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    pii = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com now"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit(" tel 555-0"),
+                F.lpad((F.col("doc_id") % 100).cast("string"), 3, "0"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    return (
+        d.select(
+            "doc_id",
+            F.regexp_count(
+                pii, F.lit(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
+            ).cast("long").alias("n_email"),
+            F.regexp_count(pii, F.lit(r"\d{3}-\d{4}")).cast("long").alias("n_phone"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "x20_benchmark_contamination",
+    oracle=(
+        "WITH grams AS (SELECT doc_id, "
+        "unnest([md5(array_to_string(w[i:i+2], ' ')) "
+        "FOR i IN generate_series(1, greatest(len(w)-2, 0))]) AS g "
+        "FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)), "
+        "bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0) "
+        "SELECT c.doc_id, CAST(count(DISTINCT c.g) AS BIGINT) AS n_overlap "
+        "FROM grams c JOIN bench b USING (g) WHERE c.doc_id % 97 <> 0 "
+        "GROUP BY c.doc_id ORDER BY c.doc_id"
+    ),
+    doc=(
+        "benchmark contamination check: word-3-gram overlap between each "
+        "candidate document and a held-out benchmark set (docs with "
+        "doc_id %% 97 == 0) — the eval-leakage scan a training pipeline "
+        "runs before release. Shingles hash to md5 digests; the benchmark "
+        "side is tiny by construction, so the overlap join broadcasts it "
+        "— no all-pairs comparison, scales to arbitrary corpus size."
+    ),
+)
+def x20(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    idx = F.when(F.size(w) >= 3, F.sequence(F.lit(1), F.size(w) - 2)).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                idx, lambda i: F.md5(F.concat_ws(" ", F.slice(w, i, 3)).cast("binary"))
+            )
+        ).alias("g"),
+    )
+    bench = grams.filter(F.col("doc_id") % 97 == 0).select("g").distinct()
+    return (
+        grams.filter(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("g").alias("n_overlap"))
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "x21_normalize_fingerprint",
+    oracle=(
+        "SELECT doc_id, md5(trim(regexp_replace(regexp_replace("
+        "lower(text || ' ' || upper(source) || '!!'), '[^a-z0-9 ]', '', 'g'), "
+        "' +', ' ', 'g'))) AS fp FROM documents ORDER BY doc_id"
+    ),
+    doc=(
+        "text normalization + canonical fingerprint: lowercase, strip "
+        "non-alphanumerics, collapse runs of spaces, hash — the dedup "
+        "canonicalization step. Mixed-case/punctuation noise is injected "
+        "deterministically (both engines) since the corpus is already "
+        "clean. Pure column expressions, codegen end-to-end."
+    ),
+)
+def x21(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    noisy = F.concat(F.col("text"), F.lit(" "), F.upper(F.col("source")), F.lit("!!"))
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(noisy), "[^a-z0-9 ]", ""), " +", " "
+        )
+    )
+    return d.select("doc_id", F.md5(norm.cast("binary")).alias("fp")).orderBy("doc_id")
+
+
+@query(
+    "x22_dedup_prune",
+    oracle=(
+        "WITH b AS (SELECT doc_id, substr(md5(text), 1, 2) AS bucket FROM documents), "
+        "k AS (SELECT bucket, min(doc_id) AS keep FROM b GROUP BY bucket) "
+        "SELECT b.doc_id, b.bucket FROM b JOIN k USING (bucket) "
+        "WHERE b.doc_id <> k.keep ORDER BY b.doc_id"
+    ),
+    doc=(
+        "dedup pruning action: within each duplicate cluster keep the "
+        "lowest doc_id and emit the dropped rows — the step that turns "
+        "candidate groups into an actual filtered corpus. Cluster key here "
+        "is a coarsened content hash (2 hex chars) so the tiny fixture "
+        "actually forms clusters; in production the key is the full digest "
+        "or an LSH band. One window over the bucket-partitioned shuffle; "
+        "no join, no collect."
+    ),
+)
+def x22(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    d = t(spark, sf_dir, "documents")
+    b = d.select(
+        "doc_id",
+        F.substring(F.md5(F.col("text").cast("binary")), 1, 2).alias("bucket"),
+    )
+    keep = F.min("doc_id").over(W.partitionBy("bucket"))
+    return (
+        b.withColumn("keep", keep)
+        .filter(F.col("doc_id") != F.col("keep"))
+        .select("doc_id", "bucket")
+        .orderBy("doc_id")
+    )
