@@ -111,6 +111,10 @@ class StreamMeta:
     created_at: int
     deleted_at: Optional[int] = None
     idempotency_key: Optional[str] = None
+    # CSEK cipher snapshotted from the basin at creation: later basin
+    # reconfigures never change an existing stream's encryption
+    # (control_plane/stream.rs:104-192)
+    cipher: Optional[str] = None
 
 
 def _creation_idempotency_key(request_token: str, config) -> str:
@@ -220,7 +224,7 @@ class Catalog:
                     "idempotency_key": m.idempotency_key,
                     "create_stream_on_append": None,
                     "create_stream_on_read": None,
-                    "stream_cipher": None,
+                    "stream_cipher": m.cipher,
                     **{f: getattr(m.config, f) for f in self._CFG_FIELDS},
                 }
             )
@@ -286,6 +290,7 @@ class Catalog:
                     created_at=row["created_at"],
                     deleted_at=row["deleted_at"],
                     idempotency_key=row["idempotency_key"],
+                    cipher=row.get("stream_cipher"),
                 )
 
     # --- basins (A20) --------------------------------------------------
@@ -319,10 +324,55 @@ class Catalog:
             self._save()
             return meta
 
+    def provision_basin(
+        self,
+        name: str,
+        config: BasinConfig | None = None,
+        mode: str = "create",
+        request_token: str | None = None,
+    ) -> tuple[BasinMeta, str]:
+        """Basin provisioning with an outcome, mirroring ProvisionMode
+        (lite/tests/backend/control_plane/basin.rs:95-293): ``create``
+        is create-only (idempotent via ``request_token``); ``ensure``
+        creates if absent, else REPLACES the stored config with the
+        request — unspecified fields reset to defaults — preserving
+        created_at and the creation idempotency key, and no-ops when
+        the stored config already equals the request (explicit-zero
+        fields compare as set, not as absent).
+        Returns (meta, "created" | "updated" | "noop")."""
+        if mode == "create":
+            before = self.basins.get(name)
+            meta = self.create_basin(name, config, request_token)
+            return meta, ("noop" if meta is before else "created")
+        if mode != "ensure":
+            raise S2Error(f"unknown provision mode {mode!r}")
+        validate_basin_name(name)
+        desired = config or BasinConfig()
+        validate_cipher(desired)
+        with self._mu:
+            existing = self.basins.get(name)
+            if existing is not None and existing.deleted_at is not None:
+                raise DeletionPending(name)
+            if existing is None:
+                meta = BasinMeta(name, desired, self._clock())
+                self.basins[name] = meta
+                self._save()
+                return meta, "created"
+            if existing.config == desired:
+                return existing, "noop"
+            existing.config = desired
+            self._save()
+            return existing, "updated"
+
     def get_basin(self, name: str) -> BasinMeta:
+        """Missing → NotFound; present but deletion-pending →
+        DeletionPending, so data/control ops against a deleting basin
+        report the pending state, not absence (basin.rs:371-430)."""
         meta = self.basins.get(name)
-        if meta is None or meta.deleted_at is not None:
+        if meta is None:
             raise BasinNotFound(name)
+        if meta.deleted_at is not None:
+            raise DeletionPending(name)
         return meta
 
     def delete_basin(self, name: str) -> None:
@@ -352,7 +402,7 @@ class Catalog:
         returning the live stream; any other create on a live stream
         raises (lite/src/backend/streams.rs:115-175)."""
         validate_stream_name(name)
-        self.get_basin(basin)
+        basin_cfg = self.get_basin(basin).config
         key = (basin, name)
         key_hash = (
             _creation_idempotency_key(request_token, config) if request_token else None
@@ -368,7 +418,12 @@ class Catalog:
                     return existing  # retried create: no-op
                 raise AlreadyExists(f"{basin}/{name}")
             meta = StreamMeta(
-                basin, name, config or StreamConfig(), self._clock(), idempotency_key=key_hash
+                basin,
+                name,
+                config or StreamConfig(),
+                self._clock(),
+                idempotency_key=key_hash,
+                cipher=basin_cfg.stream_cipher,
             )
             self.streams[key] = meta
             self._save()
@@ -405,7 +460,13 @@ class Catalog:
                 basin_meta.config.default_stream_config
             )
             if existing is None:
-                meta = StreamMeta(basin, name, desired, self._clock())
+                meta = StreamMeta(
+                    basin,
+                    name,
+                    desired,
+                    self._clock(),
+                    cipher=basin_meta.config.stream_cipher,
+                )
                 self.streams[(basin, name)] = meta
                 self._save()
                 return meta, "created"
@@ -436,9 +497,16 @@ class Catalog:
             return purged
 
     def get_stream(self, basin: str, name: str) -> StreamMeta:
+        """Missing → NotFound; present but deletion-pending →
+        DeletionPending — data operations on a deleted stream report
+        the pending deletion, not absence (stream.rs:889-967
+        test_delete_stream_blocks_data_operations,
+        test_get_stream_config_for_deleting_stream_returns_pending)."""
         meta = self.streams.get((basin, name))
-        if meta is None or meta.deleted_at is not None:
+        if meta is None:
             raise StreamNotFound(f"{basin}/{name}")
+        if meta.deleted_at is not None:
+            raise DeletionPending(f"{basin}/{name}")
         return meta
 
     def delete_stream(self, basin: str, name: str) -> None:

@@ -10,6 +10,7 @@ from s2_spark.catalog import BasinConfig, Catalog, StreamConfig
 from s2_spark.model import (
     BatchTooLarge,
     ClientTimestampRequired,
+    DeletionPending,
     FencingTokenMismatch,
     RangeNotSatisfiable,
     Record,
@@ -491,7 +492,7 @@ def test_catalog_persists_across_sessions(spark, tmp_path):
     # deletions survive too
     s2.catalog.delete_stream(BASIN, STREAM)
     s3 = StreamStore(spark, base)
-    with pytest.raises(StreamNotFound):
+    with pytest.raises(DeletionPending):  # pending, not absent (stream.rs:944)
         s3.catalog.get_stream(BASIN, STREAM)
 
 
@@ -547,8 +548,8 @@ def test_deletion_pending_blocks_recreation(spark, store):
     store.catalog.delete_stream(BASIN, STREAM)
     with pytest.raises(DeletionPending):
         store.catalog.create_stream(BASIN, STREAM)
-    with pytest.raises(StreamNotFound):
-        store.catalog.get_stream(BASIN, STREAM)  # data ops blocked too
+    with pytest.raises(DeletionPending):
+        store.catalog.get_stream(BASIN, STREAM)  # data ops report pending
     purged = deletion_purge_sweep(store)
     assert f"{BASIN}/{STREAM}" in purged
     meta = store.catalog.create_stream(BASIN, STREAM)  # now allowed
@@ -902,3 +903,188 @@ def test_command_batch_mixed_with_conditions(store):
     assert ack.start_seq == 5
     rows = store.read(BASIN, STREAM).collect()
     assert rows[0].seq_num == 2  # trim applied at its assigned position
+
+
+# --- basin provisioning (control_plane/basin.rs:95-293) ---------------------
+
+
+def test_provision_basin_ensure_updates_config(spark):
+    """basin.rs:147-204: ensure replaces the stored config; a later
+    create-only without a token is NOT idempotent."""
+    from s2_spark.model import AlreadyExists
+
+    cat = Catalog(spark)
+    initial = BasinConfig()
+    cat.provision_basin("prov-basin-upd", initial, mode="create")
+    updated = BasinConfig(
+        create_stream_on_append=True,
+        create_stream_on_read=True,
+        default_stream_config=StreamConfig(storage_class="standard"),
+    )
+    meta, outcome = cat.provision_basin("prov-basin-upd", updated, mode="ensure")
+    assert outcome == "updated"
+    stored = cat.get_basin("prov-basin-upd").config
+    assert stored.create_stream_on_append and stored.create_stream_on_read
+    assert stored.default_stream_config.storage_class == "standard"
+    with pytest.raises(AlreadyExists):
+        cat.provision_basin("prov-basin-upd", updated, mode="create")
+
+
+def test_provision_basin_ensure_resets_unspecified_config(spark):
+    """basin.rs:205-252: fields absent from the ensure request reset to
+    defaults — ensure is replacement, not merge."""
+    cat = Catalog(spark)
+    cat.provision_basin(
+        "prov-basin-reset",
+        BasinConfig(
+            create_stream_on_append=True,
+            default_stream_config=StreamConfig(
+                storage_class="standard", retention_age_secs=0
+            ),
+        ),
+        mode="create",
+    )
+    meta, outcome = cat.provision_basin(
+        "prov-basin-reset", BasinConfig(create_stream_on_read=True), mode="ensure"
+    )
+    assert outcome == "updated"
+    stored = cat.get_basin("prov-basin-reset").config
+    assert not stored.create_stream_on_append
+    assert stored.create_stream_on_read
+    assert stored.default_stream_config.storage_class is None
+    assert stored.default_stream_config.retention_age_secs is None
+
+
+def test_provision_basin_ensure_noops_with_explicit_zero_delete_on_empty(spark):
+    """basin.rs:253-293: an explicit zero compares as set, so re-ensuring
+    the identical config is a noop and the zero survives."""
+    cat = Catalog(spark)
+    cfg = BasinConfig(
+        default_stream_config=StreamConfig(delete_on_empty_min_age_secs=0)
+    )
+    cat.provision_basin("prov-basin-zero", cfg, mode="create")
+    meta, outcome = cat.provision_basin("prov-basin-zero", cfg, mode="ensure")
+    assert outcome == "noop"
+    assert (
+        cat.get_basin("prov-basin-zero").config.default_stream_config
+        .delete_on_empty_min_age_secs == 0
+    )
+
+
+def test_basin_ensure_preserves_idempotency_key(spark):
+    """basin.rs:95-143: a create-only retry with the original token still
+    no-ops after an ensure changed the config."""
+    cat = Catalog(spark)
+    cfg = BasinConfig(create_stream_on_append=True)
+    cat.provision_basin("prov-basin-key", cfg, mode="create", request_token="tok-1")
+    m2, outcome = cat.provision_basin(
+        "prov-basin-key", cfg, mode="create", request_token="tok-1"
+    )
+    assert outcome == "noop"
+    cat.provision_basin(
+        "prov-basin-key",
+        BasinConfig(create_stream_on_append=True, create_stream_on_read=True),
+        mode="ensure",
+    )
+    m3, outcome = cat.provision_basin(
+        "prov-basin-key", cfg, mode="create", request_token="tok-1"
+    )
+    assert outcome == "noop"  # original creation key preserved through ensure
+
+
+def test_delete_stream_blocks_data_operations(store):
+    """stream.rs:889-943: append/read/check_tail on a deleted stream
+    fail; the deletion-pending name cannot be auto-recreated."""
+    from s2_spark.model import DeletionPending
+
+    store.append(BASIN, STREAM, recs(3))
+    store.catalog.delete_stream(BASIN, STREAM)
+    with pytest.raises(DeletionPending):
+        store.append(BASIN, STREAM, recs(1))
+    with pytest.raises(DeletionPending):
+        store.read(BASIN, STREAM).collect()
+    with pytest.raises(DeletionPending):
+        store.check_tail(BASIN, STREAM)
+    # even with auto-create enabled, a deletion-pending name is blocked
+    store.catalog.reconfigure_basin(BASIN, BasinConfig(create_stream_on_append=True))
+    with pytest.raises(DeletionPending):
+        store.append(BASIN, STREAM, recs(1))
+
+
+# --- per-stream cipher binding (control_plane/stream.rs:79-192) -------------
+
+
+def test_create_stream_defaults_to_no_cipher(spark):
+    cat = Catalog(spark)
+    cat.create_basin(BASIN)
+    meta = cat.create_stream(BASIN, "plain")
+    assert meta.cipher is None
+
+
+def test_create_stream_uses_basin_cipher(spark):
+    """stream.rs:104-134: new streams snapshot the basin's CSEK cipher."""
+    cat = Catalog(spark)
+    cat.create_basin(BASIN, BasinConfig(stream_cipher="aes-256-gcm"))
+    meta = cat.create_stream(BASIN, "enc")
+    assert meta.cipher == "aes-256-gcm"
+
+
+def test_existing_stream_keeps_cipher_after_basin_reconfigure(spark):
+    """stream.rs:136-192: reconfiguring the basin's cipher changes only
+    streams created afterwards; existing streams keep the cipher they
+    were created with."""
+    cat = Catalog(spark)
+    cat.create_basin(BASIN, BasinConfig(stream_cipher="aes-256-gcm"))
+    before = cat.create_stream(BASIN, "enc-before")
+    cat.reconfigure_basin(BASIN, BasinConfig(stream_cipher=None))
+    after = cat.create_stream(BASIN, "plain-after")
+    assert cat.get_stream(BASIN, "enc-before").cipher == "aes-256-gcm"
+    assert after.cipher is None
+
+
+def test_stream_cipher_survives_catalog_restart(spark, tmp_path):
+    meta_dir = str(tmp_path / "meta")
+    cat = Catalog(spark, meta_dir=meta_dir)
+    cat.create_basin(BASIN, BasinConfig(stream_cipher="aes-256-gcm"))
+    cat.create_stream(BASIN, "enc")
+    cat2 = Catalog(spark, meta_dir=meta_dir)
+    assert cat2.get_stream(BASIN, "enc").cipher == "aes-256-gcm"
+
+
+def test_check_tail_survives_streamer_dormancy_before_call(store):
+    """read.rs:134-158: a check_tail issued after the stream went
+    dormant (hot state evicted) still reports the appended tail."""
+    ack = store.append(BASIN, STREAM, recs(1))
+    store.clock.ms += StreamStore.DORMANT_STREAM_MS + 1_000
+    store.evict_dormant()
+    assert store.check_tail(BASIN, STREAM)[0] == ack.end_seq
+
+
+def test_read_encrypted_roundtrip_through_store(spark, tmp_path):
+    """read.rs:176-205 (AES-GCM in place of AEGIS — documented
+    deviation): bodies encrypted before append, stored as ciphertext,
+    decrypted on read; plaintext round-trips in order."""
+    from s2_spark.operators import crypto
+
+    clock = FakeClock()
+    cat = Catalog(spark, clock=clock)
+    cat.create_basin(BASIN, BasinConfig(stream_cipher="aes-256-gcm"))
+    cat.create_stream(BASIN, STREAM)
+    store = StreamStore(spark, str(tmp_path / "records"), catalog=cat, clock=clock)
+    assert cat.get_stream(BASIN, STREAM).cipher == "aes-256-gcm"
+
+    key = b"k" * 32
+    src = spark.createDataFrame(
+        [(BASIN, STREAM, None, [], b"secret-1", 0), (BASIN, STREAM, None, [], b"secret-2", 1)],
+        "basin string, stream string, timestamp long, "
+        "headers array<struct<name binary, value binary>>, body binary, "
+        "ingest_order long",
+    )
+    store.bulk_append(crypto.encrypt_bodies(src, key))
+
+    stored = [bytes(r.body) for r in store.read(BASIN, STREAM).collect()]
+    assert stored and all(b not in (b"secret-1", b"secret-2") for b in stored)
+
+    dec = crypto.decrypt_bodies(store.read(BASIN, STREAM), key)
+    got = [bytes(r.body) for r in dec.orderBy("seq_num").collect()]
+    assert got == [b"secret-1", b"secret-2"]
