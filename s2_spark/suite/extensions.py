@@ -653,3 +653,71 @@ def x22(spark, sf_dir):
         .select("doc_id", "bucket")
         .orderBy("doc_id")
     )
+
+
+@query(
+    "x23_stratified_sample",
+    oracle=(
+        "WITH b AS (SELECT doc_id, source, "
+        "(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16 "
+        "+ (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS bucket, "
+        "20 + (CAST(substr(source, 4) AS INTEGER) * 7) % 60 AS rate "
+        "FROM documents) "
+        "SELECT doc_id, source FROM b WHERE bucket % 100 < rate ORDER BY doc_id"
+    ),
+    doc=(
+        "stratified sampling for training mixes: each source gets a "
+        "deterministic keep-rate (here derived from the source id; in "
+        "production a config table) and docs are admitted by md5-bucket "
+        "— reproducible sampling with no RNG state, the standard "
+        "hash-mod-rate mix-building step. Pure column expressions, no "
+        "shuffle; the md5 bucket derivation is the suite's cross-engine "
+        "hash convention (_ann_oracles.py)."
+    ),
+)
+def x23(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10).cast(
+        "int"
+    ) % 100
+    rate = 20 + (F.substring(F.col("source"), 4, 10).cast("int") * 7) % 60
+    return (
+        d.select("doc_id", "source")
+        .filter(bucket < rate)
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "x24_embedding_quantize",
+    oracle=(
+        "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), "
+        "s AS (SELECT vec_id, e, CASE WHEN m = 0 THEN 1.0 ELSE m / 127 END AS sc "
+        "FROM (SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS m FROM v)), "
+        "q AS (SELECT vec_id, e, sc, "
+        "list_transform(e, x -> sign(x) * floor(abs(x) / sc + 0.5)) AS qv FROM s) "
+        "SELECT vec_id, CAST(list_sum(qv) AS BIGINT) AS qsum, "
+        "round(list_max([abs(e[i] - qv[i] * sc) FOR i IN generate_series(1, len(e))]), 4) "
+        "AS qerr FROM q ORDER BY vec_id"
+    ),
+    doc=(
+        "embedding int8 quantization: symmetric per-vector scale "
+        "(absmax/127), explicit sign*floor(+0.5) rounding so both engines "
+        "agree bit-for-bit, reporting the quantized checksum and max "
+        "reconstruction error — the storage-compression step before ANN "
+        "indexing at 100 TB. Elementwise array ops, embarrassingly "
+        "parallel, no Python."
+    ),
+)
+def x24(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    absmax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = F.when(absmax == 0, F.lit(1.0)).otherwise(absmax / F.lit(127.0))
+    q = F.transform(v, lambda x: F.signum(x) * F.floor(F.abs(x) / scale + F.lit(0.5)))
+    qsum = F.aggregate(q, F.lit(0.0), lambda a, x: a + x).cast("long")
+    qerr = r4(F.array_max(F.zip_with(v, q, lambda a, b: F.abs(a - b * scale))))
+    return (
+        e.select("vec_id", qsum.alias("qsum"), qerr.alias("qerr"))
+        .orderBy("vec_id")
+    )
