@@ -101,12 +101,23 @@ def _random_record(rng, arrival):
     return Record(body=rng.randbytes(rng.randint(0, 12)), timestamp=ts)
 
 
-def _run_workload(store, clockbox, seed, n_ops=40):
-    """Returns the op/result trace for determinism comparison."""
+def _run_workload(store, clockbox, seed, n_ops=40, chaos=False, rebuild=None):
+    """Returns the op/result trace for determinism comparison.
+
+    ``chaos`` injects hot-state loss between ops — forced dormancy
+    evictions and (when ``rebuild`` is given) full store reopens over
+    the same directory — so lazy per-stream recovery must reproduce the
+    shadow model from storage alone at any point."""
     rng = random.Random(seed)
     models = {s: ShadowModel() for s in STREAMS}
     trace = []
     for op_i in range(n_ops):
+        if chaos and rng.random() < 0.25:
+            if rebuild is not None and rng.random() < 0.5:
+                store = rebuild()
+                trace.append(("rebuild", op_i))
+            else:
+                trace.append(("evict", op_i, store.evict_dormant(max_age_ms=0)))
         clockbox["ms"] += rng.randint(1, 10_000)
         stream = rng.choice(STREAMS)
         m = models[stream]
@@ -199,6 +210,26 @@ def _run_workload(store, clockbox, seed, n_ops=40):
 def test_sim_differential(sim, seed):
     store, clockbox = sim
     _run_workload(store, clockbox, seed)
+
+
+@pytest.mark.parametrize("seed", [21, 4242])
+def test_sim_differential_with_dormancy_and_restart(spark, tmp_path, seed):
+    """Hot-state chaos: random forced evictions and cold store reopens
+    over the same directory mid-workload. Every op's result must still
+    match the shadow model — lazy recovery (store._st/_ensure_states)
+    always rebuilds exactly the state the log implies (the Spark
+    rendering of the reference's streamer-dormancy scenarios)."""
+    clockbox = {"ms": 1_000_000}
+    base = str(tmp_path / "records")
+    cat = Catalog(spark, clock=lambda: clockbox["ms"])
+    cat.create_basin(BASIN)
+    for s in STREAMS:
+        cat.create_stream(BASIN, s)
+
+    def rebuild():
+        return StreamStore(spark, base, catalog=cat, clock=lambda: clockbox["ms"])
+
+    _run_workload(rebuild(), clockbox, seed, n_ops=30, chaos=True, rebuild=rebuild)
 
 
 def test_sim_deterministic_rerun(spark, tmp_path):
