@@ -1088,3 +1088,22 @@ def test_read_encrypted_roundtrip_through_store(spark, tmp_path):
     dec = crypto.decrypt_bodies(store.read(BASIN, STREAM), key)
     got = [bytes(r.body) for r in dec.orderBy("seq_num").collect()]
     assert got == [b"secret-1", b"secret-2"]
+
+
+def test_list_basins_pagination_and_prefix(spark):
+    """basin.rs:491-633: lexicographic ordering, start_after exclusive,
+    limit with has_more, prefix filter composition."""
+    cat = Catalog(spark)
+    for i in range(5):
+        cat.create_basin(f"page-basin-{i}")
+    cat.create_basin("other-basin1")
+    names, more = cat.list_basins(prefix="page-basin-", limit=3)
+    assert names == ["page-basin-0", "page-basin-1", "page-basin-2"] and more
+    names, more = cat.list_basins(prefix="page-basin-", start_after="page-basin-2")
+    assert names == ["page-basin-3", "page-basin-4"] and not more
+    # deleted basins disappear from listings
+    cat.delete_basin("page-basin-1")
+    names, _ = cat.list_basins(prefix="page-basin-")
+    assert "page-basin-1" not in names and len(names) == 4
+    all_names, _ = cat.list_basins()
+    assert all_names == sorted(all_names)

@@ -748,3 +748,64 @@ def test_read_session_wait_budget_resets_only_on_delivery_paused_clock(spark, st
     assert all(e.kind == "heartbeat" for e in tail_events)
     assert len(tail_events) == 4  # re-entry at t=4, then t=7, 10, 13
     assert mono.t == 14.0  # closed at the re-armed deadline, not t=10
+
+
+def test_follow_mode_survives_streamer_dormancy_after_catchup_batch(spark, store):
+    """read_follow.rs:514-576: the stream goes dormant (hot state
+    evicted) between the catch-up batch and the live append; the session
+    still delivers the live batch with correct positions."""
+    store.append(BASIN, "s1", _recs(2))
+    mono = FakeMono()
+    gen = store.read_session(
+        BASIN, "s1", wait_s=30.0, heartbeat_s=5.0, poll_s=1.0,
+        clock=mono, sleep=mono.sleep,
+    )
+    e = next(gen)
+    assert e.kind == "batch" and [r["seq_num"] for r in e.records] == [0, 1]
+    assert next(gen).kind == "heartbeat"  # follow armed
+    # dormancy strikes: force-evict the stream's hot state
+    assert store.evict_dormant(max_age_ms=0) >= 1
+    store.append(BASIN, "s1", _recs(3, start=2))
+    e = next(gen)
+    assert e.kind == "batch" and [r["seq_num"] for r in e.records] == [2, 3, 4]
+
+
+def test_follow_mode_with_exact_count_limit(spark, store):
+    """read_follow.rs:637-686: a live batch that lands exactly on the
+    remaining count budget is delivered whole and the session closes
+    immediately — no residual waiting."""
+    from s2_spark.store import ReadLimit
+
+    store.append(BASIN, "s1", _recs(2))
+    mono = FakeMono()
+    gen = store.read_session(
+        BASIN, "s1", limit=ReadLimit(count=4), wait_s=30.0, heartbeat_s=5.0,
+        poll_s=1.0, clock=mono, sleep=mono.sleep,
+    )
+    e = next(gen)
+    assert e.kind == "batch" and len(e.records) == 2
+    assert next(gen).kind == "heartbeat"
+    store.append(BASIN, "s1", _recs(2, start=2))  # exactly the remaining 2
+    e = next(gen)
+    assert e.kind == "batch" and [r["seq_num"] for r in e.records] == [2, 3]
+    assert next(gen, None) is None  # budget exhausted exactly → closed
+    assert mono.t < 30.0  # closed by the budget, not the wait deadline
+
+
+def test_follow_collect_stops_at_target_count_with_multi_record_batch(spark, store):
+    """read_follow.rs:687-741: a single multi-record append larger than
+    the remaining budget is truncated at the budget boundary."""
+    from s2_spark.store import ReadLimit
+
+    store.append(BASIN, "s1", _recs(1))
+    mono = FakeMono()
+    gen = store.read_session(
+        BASIN, "s1", limit=ReadLimit(count=3), wait_s=30.0, heartbeat_s=5.0,
+        poll_s=1.0, clock=mono, sleep=mono.sleep,
+    )
+    assert [r["seq_num"] for r in next(gen).records] == [0]
+    assert next(gen).kind == "heartbeat"
+    store.append(BASIN, "s1", _recs(5, start=1))  # one batch of 5, budget has 2 left
+    e = next(gen)
+    assert e.kind == "batch" and [r["seq_num"] for r in e.records] == [1, 2]
+    assert next(gen, None) is None
