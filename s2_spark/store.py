@@ -827,12 +827,13 @@ class StreamStore:
         start: ReadStart | None = None,
         limit: ReadLimit | None = None,
         wait_s: float | None = None,
-        heartbeat_s: float = 5.0,
+        heartbeat_s: float | tuple[float, float] = (5.0, 15.0),
         poll_s: float = 0.02,
         last_event_id: LastEventId | str | None = None,
         batch_count: int = 1000,
         clock=None,
         sleep=None,
+        rng=None,
     ):
         """SSE-style read session (read.rs:95-280, records.rs:213-260):
         a generator of :class:`SessionEvent` — catch-up batches from
@@ -844,8 +845,11 @@ class StreamStore:
         - the absolute wait budget (``wait_s``) is armed when the
           session first becomes caught-up, and **only a delivered batch
           resets it** (read.rs:190-192) — heartbeats never extend it;
-        - a heartbeat is emitted on entering follow mode and every
-          ``heartbeat_s`` while waiting (read.rs:225-228);
+        - a heartbeat is emitted on entering follow mode and then on a
+          randomized 5-15 s cadence while waiting (read.rs:225-228,
+          383-386); pass a scalar ``heartbeat_s`` for a fixed cadence,
+          or ``rng`` (e.g. ``random.Random(seed)``) for a
+          deterministic randomized one;
         - a follower can always fall back to catch-up from storage (the
           broadcast-lag path, read.rs:219-223, FOLLOWER_MAX_LAG=25 in
           lite/src/backend/mod.rs:27, is inherent here: every batch
@@ -863,6 +867,14 @@ class StreamStore:
         limit = limit or ReadLimit()
         mono = clock or time.monotonic  # injectable for paused-clock tests
         slp = sleep or time.sleep
+        if isinstance(heartbeat_s, tuple):
+            import random as _random
+
+            _rng = rng or _random
+            lo, hi = heartbeat_s
+            next_hb_gap = lambda: _rng.uniform(lo, hi)  # noqa: E731
+        else:
+            next_hb_gap = lambda: heartbeat_s  # noqa: E731
         if isinstance(last_event_id, str):
             last_event_id = LastEventId.parse(last_event_id)
         processed_count = last_event_id.count if last_event_id else 0
@@ -929,12 +941,12 @@ class StreamStore:
                 now = mono()
                 if wait_deadline is None:
                     wait_deadline = now + wait_s
-                    next_heartbeat = now + heartbeat_s
+                    next_heartbeat = now + next_hb_gap()
                     yield SessionEvent("heartbeat", (), tail)
                 if now >= wait_deadline:
                     return
                 if now >= next_heartbeat:
-                    next_heartbeat = now + heartbeat_s
+                    next_heartbeat = now + next_hb_gap()
                     yield SessionEvent("heartbeat", (), tail)
                 slp(min(poll_s, max(wait_deadline - now, 0)))
 

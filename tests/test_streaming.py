@@ -809,3 +809,32 @@ def test_follow_collect_stops_at_target_count_with_multi_record_batch(spark, sto
     e = next(gen)
     assert e.kind == "batch" and [r["seq_num"] for r in e.records] == [1, 2]
     assert next(gen, None) is None
+
+
+def test_heartbeat_cadence_randomized_5_to_15s(spark, store):
+    """read.rs:383-386: default heartbeat cadence is uniform 5-15 s per
+    gap. With a seeded rng and a paused clock the gaps are exactly the
+    rng's uniform draws."""
+    import random
+
+    store.append(BASIN, "s1", _recs(1))
+    mono = FakeMono()
+    rng = random.Random(7)
+    expect_gaps = [random.Random(7).uniform(5.0, 15.0) for _ in range(3)]
+    events = []
+    times = []
+    for e in store.read_session(
+        BASIN, "s1", wait_s=25.0, poll_s=1.0,
+        clock=mono, sleep=mono.sleep, rng=rng,
+    ):
+        events.append(e.kind)
+        times.append(mono.t)
+    hb_times = [t for k, t in zip(events, times) if k == "heartbeat"]
+    # entry heartbeat at t=0; the first periodic one fires at the first
+    # poll tick >= the drawn gap (poll_s=1 → ceil)
+    import math
+    assert events.count("batch") == 1
+    assert hb_times[0] == 0.0  # entry heartbeat (after the batch)
+    # periodic heartbeats land on the first poll tick >= each drawn gap
+    assert hb_times[1] == math.ceil(expect_gaps[0])
+    assert mono.t == 25.0  # randomized cadence never extends the budget
