@@ -882,7 +882,35 @@ class StreamStore:
         if last_event_id is not None:
             start = ReadStart(seq_num=last_event_id.seq_num + 1, clamp=True)
         start = start or ReadStart(seq_num=0)
+        # Session-open resolution (lite/src/backend/read.rs:246-284): a
+        # start beyond the tail without clamp is 416-Unwritten with the
+        # current tail, and so is a start exactly AT the tail when the
+        # session may not follow — may_follow is true iff count, bytes
+        # and until are all unbounded, or wait > 0
+        # (common/src/stream.rs:336-339). A resume whose budget is
+        # already exhausted short-circuits before the open check
+        # (lite/src/handlers/v1/records.rs:49-65).
+        budget_spent = (
+            limit.count is not None and processed_count >= limit.count
+        ) or (limit.bytes is not None and processed_bytes >= limit.bytes)
+        self.catalog.ensure_stream_for(basin, stream, "read")
+        st0 = self._st(basin, stream)
+        tail_seq0, tail_ts0 = st0.tail_seq, st0.last_ts
+        may_follow = (
+            limit.count is None and limit.bytes is None and limit.until is None
+        ) or (wait_s is not None and wait_s > 0)
+        if start.timestamp is not None and start.timestamp > tail_ts0:
+            if not start.clamp and not budget_spent:
+                raise RangeNotSatisfiable(tail_seq0)
+            start = ReadStart(seq_num=tail_seq0, clamp=True)
         start_seq = self._resolve_start(basin, stream, start)
+        if (
+            start_seq is not None
+            and start_seq == tail_seq0
+            and not may_follow
+            and not budget_spent
+        ):
+            raise RangeNotSatisfiable(tail_seq0)
         if start_seq is None:  # timestamp start: resolve to a seq once
             first = (
                 self.read(basin, stream, start, ReadLimit(count=1))
@@ -890,6 +918,29 @@ class StreamStore:
                 .first()
             )
             start_seq = first["seq_num"] if first else self._st(basin, stream).tail_seq
+        return self._session_events(
+            basin, stream, limit, wait_s, poll_s, batch_count,
+            start_seq, processed_count, processed_bytes,
+            mono, slp, next_hb_gap,
+        )
+
+    def _session_events(
+        self,
+        basin: str,
+        stream: str,
+        limit: ReadLimit,
+        wait_s: float | None,
+        poll_s: float,
+        batch_count: int,
+        start_seq: int,
+        processed_count: int,
+        processed_bytes: int,
+        mono,
+        slp,
+        next_hb_gap,
+    ):
+        """The event loop behind :meth:`read_session` — open validation
+        happened eagerly in the wrapper (like try_open_read_session)."""
 
         def remaining(kind: str) -> Optional[int]:
             total = getattr(limit, kind)
