@@ -95,20 +95,42 @@ def s2_bench_equivalent(spark, n_records: int = 8000, record_bytes: int = 8192) 
         cat.create_stream("bench-basin", "bench")
         store = StreamStore(spark, os.path.join(base, "records"), catalog=cat)
 
-        # warm the append code path (plan compilation for sequencing,
-        # validation, and the parquet writer) with a throwaway batch so
-        # the timed run measures the workload — same hygiene as the
-        # lineitem warm-up for the query loop
-        warm = spark.range(8).select(
+        def chain_over(df, order_col):
+            # collect (order, hash) pairs, sort in-array (struct sort is
+            # by first field), fold the chain — order-guaranteed
+            hashes = F.array_sort(
+                F.collect_list(F.struct(F.col(order_col).alias("o"), F.xxhash64("body").alias("h")))
+            )
+            return F.aggregate(
+                F.transform(hashes, lambda x: x["h"]),
+                F.lit(0).cast("long"),
+                lambda acc, h: F.xxhash64(acc, h),
+            )
+
+        # warm the append code path — plan compilation AND the JVM JIT
+        # for the size-dependent hot loops (snappy/parquet encode,
+        # window sort, xxhash) — with throwaway batches of the same
+        # record shape, so the timed run measures the workload, not
+        # first-call compilation; same hygiene as the lineitem warm-up
+        # for the query loop
+        warm_payload = F.encode(
+            F.concat(F.lit("w"), F.col("id").cast("string"), F.lit("x" * record_bytes)),
+            "utf-8",
+        )
+        warm = spark.range(2000).select(
             F.lit("bench-basin").alias("basin"),
             F.lit("warm").alias("stream"),
             F.lit(None).cast("long").alias("timestamp"),
             F.array().cast("array<struct<name binary, value binary>>").alias("headers"),
-            F.encode(F.col("id").cast("string"), "utf-8").alias("body"),
+            warm_payload.alias("body"),
             F.col("id").alias("ingest_order"),
         )
         cat.create_stream("bench-basin", "warm")
         store.bulk_append(warm)
+        store.bulk_append(warm)
+        # warm the read+chain path the same way
+        wread = store.read("bench-basin", "warm")
+        wread.agg(F.count("*"), chain_over(wread, "seq_num")).first()
 
         payload = F.encode(
             F.concat(F.lit("r"), F.col("id").cast("string"), F.lit("x" * record_bytes)),
@@ -125,18 +147,6 @@ def s2_bench_equivalent(spark, n_records: int = 8000, record_bytes: int = 8192) 
                 F.col("id").alias("ingest_order"),
             )
         )
-        def chain_over(df, order_col):
-            # collect (order, hash) pairs, sort in-array (struct sort is
-            # by first field), fold the chain — order-guaranteed
-            hashes = F.array_sort(
-                F.collect_list(F.struct(F.col(order_col).alias("o"), F.xxhash64("body").alias("h")))
-            )
-            return F.aggregate(
-                F.transform(hashes, lambda x: x["h"]),
-                F.lit(0).cast("long"),
-                lambda acc, h: F.xxhash64(acc, h),
-            )
-
         write_chain = src.agg(chain_over(src, "ingest_order").alias("chain")).first()["chain"]
         t0 = time.perf_counter()
         store.bulk_append(src)
@@ -157,9 +167,60 @@ def s2_bench_equivalent(spark, n_records: int = 8000, record_bytes: int = 8192) 
             "append_mib_s": round(mib / append_s, 1),
             "read_mib_s": round(mib / read_s, 1),
             "verified": bool(ok),
+            "latency": _latency_probe(spark, store),
         }
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def _percentiles(xs: list[float]) -> dict:
+    """min/p50/p90/p99/max in milliseconds (cli/src/bench.rs:112-181
+    reports the same five points for ack and e2e latency)."""
+    s = sorted(xs)
+    pick = lambda q: s[min(len(s) - 1, int(q * (len(s) - 1) + 0.5))]
+    ms = lambda v: round(v * 1000, 1)
+    return {
+        "min_ms": ms(s[0]),
+        "p50_ms": ms(pick(0.50)),
+        "p90_ms": ms(pick(0.90)),
+        "p99_ms": ms(pick(0.99)),
+        "max_ms": ms(s[-1]),
+    }
+
+
+def _latency_probe(
+    spark, store, n_batches: int = 16, per_batch: int = 10, record_bytes: int = 1024
+) -> dict:
+    """Latency half of `s2 bench` (cli/src/bench.rs:112-181,718-731):
+    small sequential appends through the unary (actor-discipline) path,
+    measuring per-batch ack latency (append durable + acked) and e2e
+    latency (append start → records served back by a read). The
+    reference's standard-class target is <500 ms ack (api/src/v1/
+    config.rs:11-14); this records where the Spark-job floor puts us."""
+    from s2_spark.model import Record
+    from s2_spark.store import ReadLimit, ReadStart
+
+    basin, stream = "bench-basin", "lat"
+    store.catalog.create_stream(basin, stream)
+    body = b"l" * record_bytes
+    # warm the unary append + point-read plans (excluded from stats)
+    store.append(basin, stream, [Record(body=body)])
+    store.read(basin, stream, start=ReadStart(seq_num=0), limit=ReadLimit(count=1)).collect()
+    ack_lat, e2e_lat = [], []
+    for i in range(n_batches):
+        recs = [Record(body=body) for _ in range(per_batch)]
+        t0 = time.perf_counter()
+        ack = store.append(basin, stream, recs)
+        ack_lat.append(time.perf_counter() - t0)
+        got = store.read(
+            basin,
+            stream,
+            start=ReadStart(seq_num=ack.start_seq),
+            limit=ReadLimit(count=per_batch),
+        ).count()
+        e2e_lat.append(time.perf_counter() - t0)
+        assert got == per_batch
+    return {"ack": _percentiles(ack_lat), "e2e": _percentiles(e2e_lat)}
 
 
 def _build_x10(spark, out_dir: str) -> None:

@@ -43,12 +43,31 @@ from s2_spark.model import (
     BatchTooLarge,
     ClientTimestampRequired,
     FencingTokenMismatch,
+    InvalidRecord,
     RangeNotSatisfiable,
     Record,
     RECORD_SCHEMA,
     SeqNumMismatch,
     metered_size_col,
 )
+
+
+def _lit_rows_df(spark: SparkSession, rows: list[tuple], fields: list[tuple[str, str]]) -> DataFrame:
+    """Tiny driver-literal DataFrame WITHOUT a Python RDD: an inline'd
+    array of struct literals — a pure JVM-local plan. Broadcasting one
+    of these inside the append plan costs microseconds; the
+    ``createDataFrame(list)`` alternative scans a Python RDD (spinning
+    up Python workers) on every use, which at small batch sizes cost
+    more than the append itself.
+
+    ``fields`` is ``[(name, sql_type), ...]``; values are cast to the
+    declared type so int literals become longs etc.
+    """
+    structs = [
+        F.struct(*[F.lit(v).cast(t).alias(n) for v, (n, t) in zip(r, fields)])
+        for r in rows
+    ]
+    return spark.range(1).select(F.inline(F.array(*structs)))
 
 
 @dataclass
@@ -176,6 +195,7 @@ class StreamStore:
         # touched streams occupy driver memory — the reference's
         # actor-cache shape with its 60 s dormancy eviction
         # (streamer.rs:55) rather than an eager all-streams scan.
+        self._data_seen = False
         self._probe_unknown_streams = self._has_data()
         self._evicted: set[tuple[str, str]] = set()
         self._touched_ms: dict[tuple[str, str], int] = {}
@@ -225,9 +245,17 @@ class StreamStore:
         return n
 
     def _has_data(self) -> bool:
+        """True once any record file exists. Cached after the first hit:
+        every append path calls this, and a directory walk per append is
+        O(files) — the flag only ever flips False→True (deleting every
+        record later just means reads see an empty DataFrame, which the
+        schema-pinned ``records_df`` read handles)."""
+        if self._data_seen:
+            return True
         for _, dirs, fs in os.walk(self.base_dir):
             dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
             if any(f.endswith(".parquet") and not f.startswith(("_", ".")) for f in fs):
+                self._data_seen = True
                 return True
         return False
 
@@ -423,7 +451,7 @@ class StreamStore:
             seq += 1
 
         # durable commit — one parquet write per append batch
-        df = self.spark.createDataFrame(rows, RECORD_SCHEMA)
+        df = self._local_records_df(rows)
         writer = df.coalesce(1).write.mode("append")
         if self.bucket_count:
             df = df.withColumn(
@@ -431,6 +459,7 @@ class StreamStore:
             )
             writer = df.coalesce(1).write.mode("append").partitionBy("bucket")
         writer.parquet(self.base_dir)
+        self._data_seen = True
 
         ack = AppendAck(
             start_seq=st.tail_seq,
@@ -444,6 +473,47 @@ class StreamStore:
         st.fencing_token = new_token
         st.trim_point = new_trim
         return ack
+
+    # unary-append batches at or under this size are built as struct
+    # literals (pure JVM plan); larger ones take the createDataFrame
+    # path where the Python-RDD cost amortizes
+    _LITERAL_BATCH_MAX = 256
+
+    def _local_records_df(self, rows: list[tuple]) -> DataFrame:
+        """Sequenced record rows as a DataFrame. Small batches (the
+        latency-sensitive unary ack path) become an inline'd array of
+        struct literals — a JVM-local plan whose write job needs no
+        Python workers; ``createDataFrame`` would route every append
+        through a Python RDD scan, multiplying ack latency."""
+        if len(rows) > self._LITERAL_BATCH_MAX:
+            return self.spark.createDataFrame(rows, RECORD_SCHEMA)
+        empty_headers = F.array().cast("array<struct<name binary, value binary>>")
+        structs = [
+            F.struct(
+                F.lit(b).alias("basin"),
+                F.lit(s).alias("stream"),
+                F.lit(seq).cast("long").alias("seq_num"),
+                F.lit(ts).cast("long").alias("timestamp"),
+                (
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(bytes(n)).alias("name"),
+                                F.lit(bytes(v)).alias("value"),
+                            )
+                            for n, v in headers
+                        ]
+                    )
+                    if headers
+                    else empty_headers
+                ).alias("headers"),
+                F.lit(bytes(body) if body is not None else None)
+                .cast("binary")
+                .alias("body"),
+            )
+            for b, s, seq, ts, headers, body in rows
+        ]
+        return self.spark.range(1).select(F.inline(F.array(*structs)))
 
     def bulk_append(
         self, df: DataFrame, order_col: str = "ingest_order", validate: bool = True
@@ -470,50 +540,23 @@ class StreamStore:
         """
         from s2_spark.model import is_command_col, metered_size_col
 
-        # register every touched stream (auto-create semantics, A23) —
-        # the distinct key set is small (it is the shuffle key space)
-        # — and resolve each one's effective config for the join below
-        keys = [
-            (r["basin"], r["stream"])
-            for r in df.select("basin", "stream").distinct().collect()
+        # ONE up-front admission pass over the batch (map-side combined
+        # aggregation): the distinct key set (= the shuffle key space),
+        # per-stream client-timestamp stats for the post-write state
+        # advance, the in-band command count, and — with ``validate`` —
+        # the count of constraint-violating records. Admission control
+        # therefore fails BEFORE anything lands in storage (the
+        # reference validates, then commits: streamer.rs:964-1070).
+        # This replaces three separate passes (distinct().collect(), a
+        # post-write stats job, and a per-row assert_true woven into the
+        # write plan — the assert routing alone tripled the write cost
+        # by blocking codegen).
+        aggs = [
+            F.count("*").alias("n"),
+            F.max("timestamp").alias("mx_client"),
+            F.sum(F.col("timestamp").isNull().cast("int")).alias("n_null_ts"),
+            F.sum(is_command_col().cast("int")).alias("n_cmd"),
         ]
-        cfg_rows = []
-        for b, s in keys:
-            self.catalog.ensure_stream_for(b, s, "append")
-            cfg = self.catalog.resolve_config(b, s)
-            cfg_rows.append(
-                (b, s, cfg.timestamping_mode, bool(cfg.timestamping_uncapped))
-            )
-        # lazily recover every touched stream's tail from storage in one
-        # pass; only the batch's own keys ride in the broadcast
-        self._ensure_states(keys)
-        tails = self.spark.createDataFrame(
-            [
-                (b, s, self._st(b, s).tail_seq, self._st(b, s).last_ts)
-                for b, s in keys
-            ]
-            or [("", "", 0, 0)],
-            "basin string, stream string, tail_seq long, last_ts long",
-        )
-        cfgs = self.spark.createDataFrame(
-            cfg_rows or [("", "", "client-prefer", False)],
-            "basin string, stream string, ts_mode string, ts_uncapped boolean",
-        )
-        w = W.partitionBy("basin", "stream").orderBy(order_col)
-        wmax = w.rowsBetween(W.unboundedPreceding, W.currentRow)
-        arrival = self._clock()
-        client = F.coalesce("timestamp", F.lit(arrival))
-        ts0 = (
-            F.when(F.col("ts_mode") == "arrival", F.lit(arrival))
-            .when(
-                (F.col("ts_mode") == "client-require") & F.col("timestamp").isNull(),
-                F.assert_true(
-                    F.lit(False), F.lit("client timestamp required")
-                ).cast("long"),
-            )
-            .when(F.col("ts_uncapped"), client)
-            .otherwise(F.least(client, F.lit(arrival)))
-        )
         if validate:
             is_cmd = is_command_col()
             cmd_val = F.col("headers")[0]["value"]
@@ -533,11 +576,55 @@ class StreamStore:
                     )
                 )
             )
-            # assert_true yields NULL on pass — route ts0 through it so
-            # the check is evaluated per row and never pruned
-            ts0 = F.when(
-                F.assert_true(ok, F.lit("bulk_append: invalid record")).isNull(), ts0
+            aggs.append(F.sum((~ok).cast("int")).alias("n_bad"))
+        stats = df.groupBy("basin", "stream").agg(*aggs).collect()
+        if validate and any(r["n_bad"] for r in stats):
+            raise InvalidRecord("bulk_append: invalid record")
+
+        # register every touched stream (auto-create semantics, A23) and
+        # resolve each one's effective config for the join below
+        keys = [(r["basin"], r["stream"]) for r in stats]
+        cfg_rows = []
+        cfg_by_key = {}
+        for b, s in keys:
+            self.catalog.ensure_stream_for(b, s, "append")
+            cfg = self.catalog.resolve_config(b, s)
+            cfg_by_key[(b, s)] = cfg
+            cfg_rows.append(
+                (b, s, cfg.timestamping_mode, bool(cfg.timestamping_uncapped))
             )
+        for r in stats:
+            cfg = cfg_by_key[(r["basin"], r["stream"])]
+            if cfg.timestamping_mode == "client-require" and r["n_null_ts"]:
+                raise ClientTimestampRequired("client timestamp required")
+        # lazily recover every touched stream's tail from storage in one
+        # pass; only the batch's own keys ride in the broadcast
+        self._ensure_states(keys)
+        tails = _lit_rows_df(
+            self.spark,
+            [
+                (b, s, self._st(b, s).tail_seq, self._st(b, s).last_ts)
+                for b, s in keys
+            ]
+            or [("", "", 0, 0)],
+            [("basin", "string"), ("stream", "string"),
+             ("tail_seq", "long"), ("last_ts", "long")],
+        )
+        cfgs = _lit_rows_df(
+            self.spark,
+            cfg_rows or [("", "", "client-prefer", False)],
+            [("basin", "string"), ("stream", "string"),
+             ("ts_mode", "string"), ("ts_uncapped", "boolean")],
+        )
+        w = W.partitionBy("basin", "stream").orderBy(order_col)
+        wmax = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+        arrival = self._clock()
+        client = F.coalesce("timestamp", F.lit(arrival))
+        ts0 = (
+            F.when(F.col("ts_mode") == "arrival", F.lit(arrival))
+            .when(F.col("ts_uncapped"), client)
+            .otherwise(F.least(client, F.lit(arrival)))
+        )
         out = (
             df.join(F.broadcast(tails), ["basin", "stream"], "left")
             .join(F.broadcast(cfgs), ["basin", "stream"], "left")
@@ -561,34 +648,30 @@ class StreamStore:
             out.write.mode("append").partitionBy("bucket").parquet(self.base_dir)
         else:
             out.write.mode("append").parquet(self.base_dir)
-        # advance hot state from the batch's own stats — one narrow
-        # aggregation, no storage re-scan (final last_ts per stream is
-        # max(old_last_ts, max(mode-adjusted ts)) since the running-max
-        # adjust never exceeds that bound)
-        ts_stat = (
-            F.when(F.col("ts_mode") == "arrival", F.lit(arrival))
-            .when(F.col("ts_uncapped"), client)
-            .otherwise(F.least(client, F.lit(arrival)))
-        )
-        stats = (
-            df.join(F.broadcast(cfgs), ["basin", "stream"], "left")
-            .groupBy("basin", "stream")
-            .agg(
-                F.count("*").alias("n"),
-                F.max(ts_stat).alias("mx"),
-                F.sum(is_command_col().cast("int")).alias("n_cmd"),
-            )
-            .collect()
-        )
+        self._data_seen = True
+        # advance hot state from the up-front stats — pure driver math,
+        # no second scan. Per stream the final last_ts is
+        # max(old_last_ts, max(mode-adjusted per-row ts)) since the
+        # running-max adjust never exceeds that bound; and because
+        # least(·, arrival) is monotone, max over rows of the capped
+        # client ts folds to least(max_client, arrival), with arrival
+        # itself a candidate when any row's timestamp was NULL.
         if any(r["n_cmd"] for r in stats):
             # in-band fence/trim in a bulk batch: rare — take the full
             # recovery scan to fold them at their assigned positions
             self.recover_state()
         else:
             for r in stats:
-                st = self._st(r["basin"], r["stream"])
+                b, s = r["basin"], r["stream"]
+                cfg = cfg_by_key[(b, s)]
+                cands = [arrival] if r["n_null_ts"] else []
+                if r["mx_client"] is not None:
+                    mxc = r["mx_client"]
+                    cands.append(mxc if cfg.timestamping_uncapped else min(mxc, arrival))
+                mx = arrival if cfg.timestamping_mode == "arrival" else max(cands)
+                st = self._st(b, s)
                 st.tail_seq += r["n"]
-                st.last_ts = max(st.last_ts, r["mx"] or 0)
+                st.last_ts = max(st.last_ts, mx)
         self._refresh_stale_views()
 
     def append_session(self, basin: str, stream: str, inputs):

@@ -19,7 +19,7 @@ def tumbling_counts(df: DataFrame, ts_col: str = "ts", width: str = "1 hour") ->
     return (
         df.groupBy(F.window(ts_col, width).alias("win"))
         .agg(F.count("*").alias("n"))
-        .select(F.unix_millis("win.start").alias("w"), "n")
+        .select(F.unix_millis(F.col("win.start").cast("timestamp")).alias("w"), "n")
     )
 
 
@@ -30,7 +30,7 @@ def sliding_counts(
     return (
         df.groupBy(F.window(ts_col, width, slide).alias("win"))
         .agg(F.count("*").alias("n"))
-        .select(F.unix_millis("win.start").alias("w_start_ms"), "n")
+        .select(F.unix_millis(F.col("win.start").cast("timestamp")).alias("w_start_ms"), "n")
     )
 
 
@@ -43,8 +43,8 @@ def session_counts(
         .agg(F.count("*").alias("n"), F.max(ts_col).alias("mx"), F.min(ts_col).alias("mn"))
         .select(
             key,
-            F.unix_millis("mn").alias("s_ms"),
-            F.unix_millis("mx").alias("e_ms"),
+            F.unix_millis(F.col("mn").cast("timestamp")).alias("s_ms"),
+            F.unix_millis(F.col("mx").cast("timestamp")).alias("e_ms"),
             "n",
         )
     )

@@ -231,16 +231,24 @@ def test_stateful_commands_state_carries_across_batches(spark, store):
 
 
 def _events_stream(spark, sf_dir):
+    """Batch + streaming reads of the same events fixture, ts normalized
+    identically on both sides. The fixture's parquet ``ts`` is
+    TIMESTAMP(MICROS) (read by Spark as TIMESTAMP_NTZ); declare the same
+    in the stream schema rather than assuming an i64-nanos encoding."""
     batch = t(spark, sf_dir, "events")
+    raw_ts = dict(
+        spark.read.parquet(f"{sf_dir}/events.parquet").dtypes
+    ).get("ts", "timestamp_ntz")
     stream = (
         spark.readStream.schema(
-            "event_id long, ts long, user_id long, event_type string, "
+            f"event_id long, ts {raw_ts}, user_id long, event_type string, "
             "value double, props string"
         )
         .parquet(sf_dir)
         .where(F.col("event_id").isNotNull())
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
+    if raw_ts == "bigint":  # i64-nanos fixture variant; t() did this for batch
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return batch, stream
 
 
