@@ -286,7 +286,10 @@ def scale_probe(spark) -> dict:
 def main() -> None:
     spark = get_spark("s2_spark_bench", cpus=CPUS, shuffle_partitions=CPUS)
     # warm the JVM + file listing so query times measure execution
-    spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).count()
+    for name in ("lineitem", "orders", "events", "documents"):
+        p = os.path.join(SF_DIR, f"{name}.parquet")
+        if os.path.exists(p):
+            spark.read.parquet(p).count()
 
     queries = run_queries(spark)
     bench = s2_bench_equivalent(spark)

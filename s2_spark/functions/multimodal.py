@@ -2,12 +2,15 @@
 typed metadata, plus the Spark-side plumbing (schema, partitioning,
 Arrow batch shape) for decode / feature-extract / resize / frame-sample.
 
-The decode step itself is STUBBED: the image/audio codec libraries are
-not in this container. Each operator takes a ``decoder`` callable; the
-default raises ``NotImplementedError`` unless ``fake=True``, which
-installs a deterministic fake (byte-hash features) so the distributed
+Image decode is REAL: PIL when importable, else a built-in pure
+numpy+zlib PNG decoder (8-bit, non-interlaced — gray / RGB / palette /
+alpha), so PNG feature-extraction and resize run honestly end-to-end
+with zero extra dependencies. Audio/video codecs are not in this
+container, so those decodes stay STUBBED: each operator takes a
+``decoder`` callable, and ``fake=True`` installs a deterministic fake
+(byte-hash features) used as the oracle path for the distributed
 plumbing — mapInPandas over Arrow batches, schema contracts, metadata
-propagation — is real and tested end-to-end.
+propagation.
 
 Scale notes: media bytes never hit the driver; operators are
 ``mapInPandas`` over the binary column with spill-friendly batch sizes.
@@ -18,8 +21,11 @@ Feature vectors come back as ``array<float>`` ready for the
 from __future__ import annotations
 
 import hashlib
+import struct
+import zlib
 from collections.abc import Callable, Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -46,6 +52,147 @@ def _not_implemented_decoder(payload: bytes) -> list[float]:
     )
 
 
+# --- real image codec: PIL when importable, built-in PNG otherwise -------
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Pure numpy+zlib PNG decode → (H, W, 3) uint8 RGB. Supports the
+    baseline 8-bit non-interlaced formats (color types 0 gray, 2 RGB,
+    3 palette, 4 gray+alpha, 6 RGBA); alpha is dropped. Production
+    clusters would ship PIL/turbojpeg on executors; this keeps the
+    decode path honest where only the stdlib exists."""
+    if payload[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG")
+    pos, idat, plte, hdr = 8, [], None, None
+    while pos + 8 <= len(payload):
+        (length,), ctype = struct.unpack(">I", payload[pos : pos + 4]), payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if ctype == b"IHDR":
+            hdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+    if hdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color, _comp, _filt, interlace = hdr
+    if depth != 8 or interlace != 0:
+        raise NotImplementedError("only 8-bit non-interlaced PNG supported")
+    ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * ch
+    out = np.zeros((h, stride), np.uint8)
+    prev = np.zeros(stride, np.int32)
+    for y in range(h):
+        row = raw[y * (stride + 1) : (y + 1) * (stride + 1)]
+        ftype, cur = row[0], np.frombuffer(row[1:], np.uint8).astype(np.int32)
+        if ftype == 0:
+            pass
+        elif ftype == 2:  # up
+            cur = (cur + prev) & 0xFF
+        else:  # sub/average/paeth carry a left dependency — scan the row
+            for x in range(stride):
+                a = cur[x - ch] if x >= ch else 0
+                b = prev[x]
+                c = prev[x - ch] if x >= ch else 0
+                if ftype == 1:
+                    cur[x] = (cur[x] + a) & 0xFF
+                elif ftype == 3:
+                    cur[x] = (cur[x] + ((a + b) >> 1)) & 0xFF
+                elif ftype == 4:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    cur[x] = (cur[x] + pr) & 0xFF
+                else:
+                    raise ValueError(f"bad PNG filter {ftype}")
+        out[y] = cur
+        prev = cur
+    px = out.reshape(h, w, ch)
+    if color == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE")
+        return plte[px[:, :, 0]]
+    if color in (0, 4):
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    return px[:, :, :3]
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 RGB → PNG bytes (filter 0, one zlib stream)."""
+    arr = np.ascontiguousarray(arr, np.uint8)
+    h, w = arr.shape[:2]
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+        return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_image_rgb(payload: bytes) -> np.ndarray:
+    """payload → (H, W, 3) uint8 RGB: PIL for any format it knows,
+    else the built-in PNG path, else NotImplementedError (the honest
+    stub for codecs absent from this container)."""
+    try:
+        import io
+
+        from PIL import Image  # optional dep
+
+        return np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
+    except ImportError:
+        pass
+    if payload[:8] == _PNG_MAGIC:
+        return decode_png(payload)
+    _not_implemented_decoder(payload)
+
+
+def image_feature_decoder(payload: bytes, dim: int = 16) -> list[float]:
+    """Real image features from decoded pixels: per-channel mean/std
+    (6), 3×3 luma grid means (9), aspect (1) — 16 dims, truncated or
+    zero-padded to ``dim``. Deterministic, dependency-light, and ready
+    for the similarity operators."""
+    px = decode_image_rgb(payload).astype(np.float32) / 255.0
+    h, w = px.shape[:2]
+    luma = px @ np.float32([0.299, 0.587, 0.114])
+
+    def block(r: int, c: int) -> float:
+        # 3×3 grid cells, clamped to at least one pixel for tiny images
+        y0, x0 = r * h // 3, c * w // 3
+        y1, x1 = max((r + 1) * h // 3, y0 + 1), max((c + 1) * w // 3, x0 + 1)
+        return float(luma[y0:y1, x0:x1].mean())
+
+    grid = [block(r, c) for r in range(3) for c in range(3)]
+    feats = (
+        [float(px[:, :, i].mean()) for i in range(3)]
+        + [float(px[:, :, i].std()) for i in range(3)]
+        + grid
+        + [w / (w + h)]
+    )
+    return (feats + [0.0] * dim)[:dim]
+
+
+def image_resize_decoder(payload: bytes, width: int, height: int) -> bytes:
+    """Real resize: decode → nearest-neighbor grid → re-encode PNG."""
+    px = decode_image_rgb(payload)
+    h, w = px.shape[:2]
+    ys = (np.arange(height) * h // height).clip(0, h - 1)
+    xs = (np.arange(width) * w // width).clip(0, w - 1)
+    return encode_png(px[ys][:, xs])
+
+
 def _fake_feature_decoder(payload: bytes, dim: int = 16) -> list[float]:
     """Deterministic fake: features from the sha256 of the payload —
     stable across runs/executors, zero codec dependencies."""
@@ -64,9 +211,13 @@ def extract_features(
 
     Runs as mapInPandas: each Arrow batch's payload column is decoded
     executor-side; only (id, features) survive, so downstream shuffles
-    never carry media bytes."""
+    never carry media bytes. The non-fake default decodes real pixels
+    (PIL, or the built-in PNG path) and raises NotImplementedError for
+    formats with no codec in this container."""
     dec = decoder or (
-        (lambda p: _fake_feature_decoder(p, dim)) if fake else _not_implemented_decoder
+        (lambda p: _fake_feature_decoder(p, dim))
+        if fake
+        else (lambda p: image_feature_decoder(p, dim))
     )
     out_schema = "media_id long, kind string, features array<float>"
 
@@ -148,7 +299,7 @@ def resize_images(
     dec = decoder or (
         (lambda p, w, h: (p or b"")[: max(1, w * h)])  # deterministic fake crop
         if fake
-        else (lambda p, w, h: _not_implemented_decoder(p))
+        else image_resize_decoder
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

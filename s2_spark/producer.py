@@ -4,6 +4,13 @@ records submitted individually are coalesced into batches bounded by
 linger time, record count (≤1000), and metered bytes (≤1 MiB); every
 submit returns a future that resolves to the record's assigned
 position once its batch's append acks.
+
+Admission control: submits block while un-acked metered bytes (queued
++ in-flight batches) exceed the producer's window — 5 MiB by default,
+floored at 1 MiB — matching the SDK's un-acked-bytes semaphore
+(``sdk/src/producer.rs:63-80``; server analogue
+``lite/src/backend/streamer.rs:815-838``). Without it a submit burst
+queues unboundedly in driver memory.
 """
 
 from __future__ import annotations
@@ -18,6 +25,9 @@ from s2_spark.model import (
 )
 from s2_spark.store import StreamStore
 
+MIN_UNACKED_WINDOW_BYTES = 1 << 20  # 1 MiB floor (sdk/src/producer.rs:66)
+DEFAULT_UNACKED_WINDOW_BYTES = 5 << 20  # 5 MiB default (sdk/src/producer.rs:63)
+
 
 class Producer:
     def __init__(
@@ -28,6 +38,7 @@ class Producer:
         linger_ms: float = 5.0,
         max_batch_records: int = MAX_BATCH_RECORDS,
         max_batch_bytes: int = MAX_BATCH_METERED_BYTES,
+        max_unacked_bytes: int = DEFAULT_UNACKED_WINDOW_BYTES,
     ):
         self.store = store
         self.basin = basin
@@ -35,23 +46,39 @@ class Producer:
         self.linger_s = linger_ms / 1000.0
         self.max_records = max_batch_records
         self.max_bytes = max_batch_bytes
+        self.max_unacked_bytes = max(int(max_unacked_bytes), MIN_UNACKED_WINDOW_BYTES)
         self._pending: list[tuple[Record, Future]] = []
         self._pending_bytes = 0
+        self._unacked_bytes = 0  # queued + batches whose append hasn't returned
         self._lock = threading.Lock()
+        self._unacked_cv = threading.Condition(self._lock)
         self._timer: threading.Timer | None = None
         self._closed = False
 
     def submit(self, record: Record) -> Future:
         """Queue one record; returns a Future resolving to its assigned
         seq_num. Flushes when the batch fills (count/bytes) or after the
-        linger window."""
+        linger window. Blocks while the un-acked window is full — the
+        caller experiences backpressure instead of unbounded queueing."""
         record.validate()
         fut: Future = Future()
         flush_now = False
-        with self._lock:
+        with self._unacked_cv:
             if self._closed:
                 raise RuntimeError("producer closed")
             size = record.metered_size()
+            # un-acked window admission: wait for in-flight acks to drain
+            # (the `> 0` guard admits a lone record wider than the window
+            # rather than deadlocking on an unsatisfiable wait)
+            while (
+                not self._closed
+                and self._unacked_bytes > 0
+                and self._unacked_bytes + size > self.max_unacked_bytes
+            ):
+                self._unacked_cv.wait()
+            if self._closed:
+                raise RuntimeError("producer closed")
+            self._unacked_bytes += size
             if (
                 len(self._pending) + 1 > self.max_records
                 or self._pending_bytes + size > self.max_bytes
@@ -80,8 +107,16 @@ class Producer:
 
     def _commit(self, batch) -> None:
         records = [r for r, _ in batch]
+        size = sum(r.metered_size() for r in records)
         try:
-            ack = self.store.append(self.basin, self.stream, records)
+            try:
+                ack = self.store.append(self.basin, self.stream, records)
+            finally:
+                # acked OR failed: either way the bytes are no longer
+                # in flight — release blocked submitters
+                with self._unacked_cv:
+                    self._unacked_bytes -= size
+                    self._unacked_cv.notify_all()
         except Exception as e:  # fail every future in the batch
             for _, fut in batch:
                 if not fut.done():
@@ -99,8 +134,9 @@ class Producer:
 
     def close(self) -> None:
         self.flush()
-        with self._lock:
+        with self._unacked_cv:
             self._closed = True
+            self._unacked_cv.notify_all()  # wake blocked submitters → raise
 
     def __enter__(self):
         return self

@@ -130,6 +130,98 @@ def test_producer_count_cap_splits_batches(store):
     assert [f.result(timeout=5) for f in futs] == list(range(10))
 
 
+def test_producer_unacked_window_bounds_inflight(store):
+    """sdk/src/producer.rs:63-80: a submit burst never holds more than
+    the un-acked window (5 MiB default, 1 MiB floor) in flight — the
+    submitter blocks until acks drain, instead of queueing unboundedly
+    in driver memory. Sampled at every admission and append."""
+    from s2_spark.producer import MIN_UNACKED_WINDOW_BYTES
+
+    n, body = 9, b"b" * (300 * 1024)  # ~300 KiB metered each
+    peaks = []
+    p = Producer(
+        store, BASIN, "s1", linger_ms=20, max_batch_records=2, max_unacked_bytes=1
+    )  # window clamps up to the 1 MiB floor
+    assert p.max_unacked_bytes == MIN_UNACKED_WINDOW_BYTES
+    orig_append = store.append
+
+    def sampling_append(*a, **k):
+        peaks.append(p._unacked_bytes)
+        return orig_append(*a, **k)
+
+    store.append = sampling_append
+    try:
+        with p:
+            futs = []
+            for _ in range(n):
+                futs.append(p.submit(Record(body=body)))
+                peaks.append(p._unacked_bytes)
+            wait(futs, timeout=60)
+    finally:
+        store.append = orig_append
+    # every future resolved to its position despite the blocking
+    assert sorted(f.result(timeout=5) for f in futs) == list(range(n))
+    assert max(peaks) <= MIN_UNACKED_WINDOW_BYTES
+    tail, _ = store.check_tail(BASIN, "s1")
+    assert tail == n
+
+
+def test_producer_window_admits_max_size_record(store):
+    """A maximum-size record (1 MiB metered == the window floor) drains
+    the window and is then admitted — no unsatisfiable wait (the record
+    cap guarantees size <= floor, so admission always terminates)."""
+    from s2_spark.model import MAX_RECORD_METERED_BYTES
+
+    p = Producer(store, BASIN, "s1", linger_ms=10, max_unacked_bytes=1)
+    small = Record(body=b"s" * 1024)
+    big = Record(body=b"x" * (MAX_RECORD_METERED_BYTES - 8))  # metered == 1 MiB
+    with p:
+        f1 = p.submit(small)
+        f2 = p.submit(big)  # must wait for f1's ack, then proceed
+    assert f1.result(timeout=30) == 0
+    assert f2.result(timeout=30) == 1
+
+
+def test_producer_close_wakes_blocked_submitter(store):
+    """close() while a submitter is blocked on the window raises in the
+    submitter instead of hanging it."""
+    import threading
+
+    slow = threading.Event()
+    orig_append = store.append
+
+    def slow_append(*a, **k):
+        slow.set()
+        time.sleep(0.5)
+        return orig_append(*a, **k)
+
+    store.append = slow_append
+    p = Producer(
+        store, BASIN, "s1", linger_ms=5, max_batch_records=1, max_unacked_bytes=1
+    )
+    errs = []
+
+    def burst():
+        try:
+            for _ in range(8):
+                p.submit(Record(body=b"z" * (900 * 1024)))
+        except RuntimeError as e:
+            errs.append(e)
+
+    t = threading.Thread(target=burst)
+    try:
+        t.start()
+        slow.wait(timeout=10)  # first batch in flight; submitter will block
+        p.close()
+        t.join(timeout=30)
+        assert not t.is_alive()
+    finally:
+        store.append = orig_append
+    # either the burst finished during close's flush or it was woken
+    # with "producer closed" — it must not hang
+    assert all("producer closed" in str(e) for e in errs)
+
+
 def test_producer_failure_propagates_to_futures(store):
     p = Producer(store, BASIN, "s1", linger_ms=60_000)
     fut = p.submit(Record(body=b"x"))

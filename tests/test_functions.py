@@ -245,6 +245,103 @@ def test_resize_updates_metadata(spark):
     assert all(r.kind == "image" for r in out)
 
 
+def test_png_codec_roundtrip():
+    """Built-in PNG encode→decode is pixel-exact (filter-0 write; the
+    decoder also handles sub/up/average/paeth rows)."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, size=(5, 3, 3), dtype=np.uint8)
+    assert (M.decode_png(M.encode_png(px)) == px).all()
+
+
+def test_png_decoder_handles_all_filter_types():
+    """Hand-build a PNG whose rows use filters 0-4 and check against a
+    straightforwardly computed expectation."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    w, h, ch = 4, 5, 3
+    rng = np.random.default_rng(5)
+    px = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8).astype(np.int32)
+    flat = px.reshape(h, w * ch)
+    raw = bytearray()
+    prev = np.zeros(w * ch, np.int32)
+    for y in range(h):
+        f = y % 5
+        raw.append(f)
+        cur = flat[y]
+        for x in range(w * ch):
+            a = int(cur[x - ch]) if x >= ch else 0
+            b = int(prev[x])
+            c = int(prev[x - ch]) if x >= ch else 0
+            if f == 0:
+                enc = cur[x]
+            elif f == 1:
+                enc = cur[x] - a
+            elif f == 2:
+                enc = cur[x] - b
+            elif f == 3:
+                enc = cur[x] - ((a + b) >> 1)
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc = cur[x] - pr
+            raw.append(int(enc) & 0xFF)
+        prev = cur
+
+    def chunk(ctype, data):
+        crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+        return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    assert (M.decode_png(png) == px.astype(np.uint8)).all()
+
+
+def test_extract_features_real_png_through_media_pipeline(spark):
+    """x17 honest end-to-end: real PNG payloads through extract_features
+    with NO fake decoder — features come from decoded pixels."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for i in range(4):
+        px = rng.integers(0, 256, size=(6, 6, 3), dtype=np.uint8)
+        rows.append((i, "image", "image/png", 6, 6, None, M.encode_png(px)))
+    media = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    got = {r.media_id: r.features for r in M.extract_features(media).collect()}
+    assert len(got) == 4
+    for i in range(4):
+        assert len(got[i]) == 16
+        assert all(0.0 <= v <= 1.0 for v in got[i])
+    # matches a driver-side decode of the same payload
+    want = M.image_feature_decoder(rows[2][6], dim=16)
+    assert got[2] == pytest.approx(want, abs=1e-6)
+
+
+def test_resize_images_real_png(spark):
+    """Real resize path: PNG in, resized PNG out, pixels from the
+    nearest-neighbor grid of the source."""
+    import numpy as np
+
+    px = np.arange(8 * 8 * 3, dtype=np.uint8).reshape(8, 8, 3)
+    rows = [(1, "image", "image/png", 8, 8, None, M.encode_png(px))]
+    media = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    out = M.resize_images(media, 4, 4).collect()
+    assert len(out) == 1 and out[0].width == 4 and out[0].height == 4
+    small = M.decode_png(bytes(out[0].payload))
+    assert small.shape == (4, 4, 3)
+    assert (small == px[::2, ::2]).all()
+
+
 def test_frame_sampling_null_duration_yields_one_frame(spark):
     """MEDIA_SCHEMA declares duration_ms nullable; pandas surfaces NULL
     as NaN (truthy) — a null-duration video must emit exactly one frame,
