@@ -11,95 +11,133 @@ analogues, as scheduled Spark batch jobs:
 Each sweep is decoupled from the data plane exactly like the
 reference's 60s-tick tasks: reads the catalog + tails, mutates
 metadata, and delegates physical deletes to the store's compaction.
+
+Driver-memory bound: sweeps page over their candidate streams
+(``page_size`` at a time — the reference's resumable-cursor shape,
+``basin_deletion.rs:23-150``), so a sweep over millions of streams
+holds one page of (basin, stream, …) tuples on the driver and runs one
+Spark aggregation per page, never one job per stream and never an
+unbounded collect. The remaining O(streams) driver structure is the
+catalog's metadata dict itself, which is the declared driver-resident
+metadata store (SURVEY §1.1).
 """
 
 from __future__ import annotations
+
+from collections.abc import Iterator
 
 from pyspark.sql import functions as F
 
 from s2_spark.catalog import Catalog
 from s2_spark.model import trim_record
-from s2_spark.store import StreamStore
+from s2_spark.store import StreamStore, _lit_rows_df
+
+SWEEP_PAGE_SIZE = 10_000
 
 
-def retention_sweep(store: StreamStore, now_ms: int | None = None) -> int:
+def _paged(items: list, page_size: int) -> Iterator[list]:
+    for i in range(0, len(items), page_size):
+        yield items[i : i + page_size]
+
+
+def retention_sweep(
+    store: StreamStore, now_ms: int | None = None, page_size: int = SWEEP_PAGE_SIZE
+) -> int:
     """Advance trim points past expired records for every stream with a
     finite retention age; returns number of streams trimmed. Physical
-    deletion happens at the next compaction."""
+    deletion happens at the next compaction.
+
+    One Spark job per page: the page's (stream → cutoff) table joins
+    the records once, and min(live seq)/tail come back per stream —
+    the per-stream point lookups of the naive form would be O(streams)
+    driver-side Spark jobs."""
     now_ms = now_ms or store._clock()
-    trimmed = 0
-    expiry = store.records_df().groupBy("basin", "stream").agg(
-        F.max("seq_num").alias("max_seq")
-    )
-    bounds = {(r["basin"], r["stream"]): r["max_seq"] for r in expiry.collect()}
-    for (basin, stream), _max_seq in bounds.items():
+    candidates = []
+    for (basin, stream), meta in store.catalog.streams.items():
+        if meta.deleted_at is not None:
+            continue
         try:
             cfg = store.catalog.resolve_config(basin, stream)
         except Exception:
             continue
         age = cfg.retention_age_secs or 0
-        if age <= 0:
-            continue
-        cutoff_ts = now_ms - age * 1000
-        first_live = (
-            store.records_df()
-            .filter(
-                (F.col("basin") == basin)
-                & (F.col("stream") == stream)
-                & (F.col("timestamp") >= cutoff_ts)
-            )
-            .agg(F.min("seq_num").alias("s"))
-            .first()["s"]
+        if age > 0:
+            candidates.append((basin, stream, now_ms - age * 1000))
+    trimmed = 0
+    for page in _paged(candidates, page_size):
+        cutoffs = _lit_rows_df(
+            store.spark,
+            page,
+            [("basin", "string"), ("stream", "string"), ("cutoff_ms", "long")],
         )
-        st = store._st(basin, stream)
-        target = first_live if first_live is not None else st.tail_seq
-        if target > st.trim_point:
-            st.trim_point = target
-            trimmed += 1
+        rows = (
+            store.records_df()
+            .join(F.broadcast(cutoffs), ["basin", "stream"])
+            .groupBy("basin", "stream")
+            .agg(
+                F.min(
+                    F.when(F.col("timestamp") >= F.col("cutoff_ms"), F.col("seq_num"))
+                ).alias("first_live"),
+                (F.max("seq_num") + 1).alias("tail"),
+            )
+            .collect()
+        )
+        store._ensure_states([(r["basin"], r["stream"]) for r in rows])
+        for r in rows:
+            st = store._st(r["basin"], r["stream"])
+            target = r["first_live"] if r["first_live"] is not None else r["tail"]
+            if target > st.trim_point:
+                st.trim_point = target
+                trimmed += 1
     return trimmed
 
 
-def delete_on_empty_sweep(store: StreamStore, now_ms: int | None = None) -> list[str]:
+def delete_on_empty_sweep(
+    store: StreamStore, now_ms: int | None = None, page_size: int = SWEEP_PAGE_SIZE
+) -> list[str]:
     """Streams configured with delete_on_empty whose live range is empty
     and whose age exceeds min_age get deleted (terminal trim + catalog
-    delete) — stream_doe.rs eligibility (streamer.rs:448-511)."""
+    delete) — stream_doe.rs eligibility (streamer.rs:448-511).
+
+    Candidates (configured + old enough) come from the catalog; each
+    page runs one distributed pass counting visible envelope records
+    ("empty" = every data record at/below the trim point; command
+    records riding the log don't keep a stream alive)."""
     now_ms = now_ms or store._clock()
-    deleted = []
-    # one distributed pass: visible envelope-record count per stream
-    # ("empty" = every data record is at/below the trim point; command
-    # records riding the log don't keep a stream alive)
     from s2_spark.model import is_command_col
 
-    trims = store.spark.createDataFrame(
-        [(b, s, st.trim_point) for (b, s), st in store._state.items()] or [("", "", 0)],
-        "basin string, stream string, trim_point long",
-    )
-    live = (
-        store.records_df()
-        .join(F.broadcast(trims), ["basin", "stream"], "left")
-        .filter(
-            (F.col("seq_num") >= F.coalesce("trim_point", F.lit(0)))
-            & ~is_command_col()
-        )
-        .groupBy("basin", "stream")
-        .agg(F.count("*").alias("n"))
-    )
-    live_counts = {(r["basin"], r["stream"]): r["n"] for r in live.collect()}
+    candidates = []
     for (basin, stream), meta in list(store.catalog.streams.items()):
         if meta.deleted_at is not None:
             continue
         cfg = store.catalog.resolve_config(basin, stream)
         min_age = cfg.delete_on_empty_min_age_secs or 0
-        if min_age <= 0:
+        if min_age <= 0 or now_ms - meta.created_at < min_age * 1000:
             continue
-        st = store._st(basin, stream)
-        fully_trimmed = st.tail_seq > 0 and live_counts.get((basin, stream), 0) == 0
-        old_enough = now_ms - meta.created_at >= min_age * 1000
-        if fully_trimmed and old_enough:
-            # terminal trim (u64::MAX clamps to tail) then delete
-            store.append(basin, stream, [trim_record((1 << 64) - 1)])
-            store.catalog.delete_stream(basin, stream)
-            deleted.append(f"{basin}/{stream}")
+        candidates.append((basin, stream))
+    deleted = []
+    for page in _paged(candidates, page_size):
+        store._ensure_states(page)
+        trims = _lit_rows_df(
+            store.spark,
+            [(b, s, store._st(b, s).trim_point) for b, s in page],
+            [("basin", "string"), ("stream", "string"), ("trim_point", "long")],
+        )
+        live = (
+            store.records_df()
+            .join(F.broadcast(trims), ["basin", "stream"])
+            .filter((F.col("seq_num") >= F.col("trim_point")) & ~is_command_col())
+            .groupBy("basin", "stream")
+            .agg(F.count("*").alias("n"))
+        )
+        live_counts = {(r["basin"], r["stream"]): r["n"] for r in live.collect()}
+        for basin, stream in page:
+            st = store._st(basin, stream)
+            if st.tail_seq > 0 and live_counts.get((basin, stream), 0) == 0:
+                # terminal trim (u64::MAX clamps to tail) then delete
+                store.append(basin, stream, [trim_record((1 << 64) - 1)])
+                store.catalog.delete_stream(basin, stream)
+                deleted.append(f"{basin}/{stream}")
     return deleted
 
 

@@ -61,8 +61,14 @@ def _lit_rows_df(spark: SparkSession, rows: list[tuple], fields: list[tuple[str,
     more than the append itself.
 
     ``fields`` is ``[(name, sql_type), ...]``; values are cast to the
-    declared type so int literals become longs etc.
+    declared type so int literals become longs etc. Row sets past a few
+    hundred fall back to ``createDataFrame`` — there the one-off
+    Python-RDD cost amortizes and a giant literal plan would bloat
+    analysis instead.
     """
+    if len(rows) > 256:
+        ddl = ", ".join(f"{n} {t}" for n, t in fields)
+        return spark.createDataFrame(rows, ddl)
     structs = [
         F.struct(*[F.lit(v).cast(t).alias(n) for v, (n, t) in zip(r, fields)])
         for r in rows
@@ -1121,8 +1127,11 @@ class StreamStore:
         trims = self._state_agg(df).select(
             "basin", "stream", F.coalesce("trim_point", F.lit(0)).alias("trim_point")
         )
+        # no broadcast hint: one row per stream can be huge at the
+        # million-stream scale — AQE picks broadcast vs shuffle join
+        # from the aggregate's actual runtime size
         keep = (
-            df.join(F.broadcast(trims), ["basin", "stream"], "left")
+            df.join(trims, ["basin", "stream"], "left")
             .filter(F.col("seq_num") >= F.coalesce("trim_point", F.lit(0)))
             .drop("trim_point")
         )

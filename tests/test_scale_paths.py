@@ -72,6 +72,64 @@ def test_bulk_append_into_buckets(bstore, spark):
 # --- skew salting ------------------------------------------------------------
 
 
+def test_maintenance_sweeps_page_bounded_driver(spark, tmp_path, monkeypatch):
+    """The million-stream bound: retention and delete-on-empty sweeps
+    page over candidates (one Spark aggregation per page, one page of
+    tuples on the driver) instead of collecting a row per stream or
+    running a job per stream. Verified by shrinking page_size below the
+    candidate count and recording every page that flows through the
+    pager."""
+    from s2_spark.catalog import StreamConfig
+    from s2_spark.model import trim_record
+    from s2_spark.operators import maintenance as mnt
+
+    cat = Catalog(spark)
+    cat.create_basin(BASIN)
+    n = 7
+    now = 10_000_000
+    for i in range(n):
+        cat.create_stream(
+            BASIN, f"r{i}", StreamConfig(retention_age_secs=60)
+        )
+    store = StreamStore(spark, str(tmp_path / "records"), catalog=cat)
+    store._clock = lambda: now
+    for i in range(n):
+        # one expired record (ts clamps to arrival=now... use explicit old ts)
+        store.append(
+            BASIN, f"r{i}", [Record(body=b"old", timestamp=now - 120_000)]
+        )
+        store.append(BASIN, f"r{i}", [Record(body=b"new", timestamp=now)])
+
+    pages = []
+    orig_paged = mnt._paged
+
+    def spy_paged(items, page_size):
+        for page in orig_paged(items, page_size):
+            pages.append(len(page))
+            yield page
+
+    monkeypatch.setattr(mnt, "_paged", spy_paged)
+    trimmed = mnt.retention_sweep(store, now_ms=now, page_size=3)
+    assert trimmed == n
+    # every stream's trim point advanced past the expired record
+    for i in range(n):
+        assert store._st(BASIN, f"r{i}").trim_point == 1
+    # paging actually bounded the driver batches: ceil(7/3) pages, none over 3
+    assert pages == [3, 3, 1]
+
+    # delete-on-empty: fully-trim 4 of the streams, configure DOE, sweep
+    pages.clear()
+    for i in range(4):
+        store.append(BASIN, f"r{i}", [trim_record(1 << 40)])
+        cat.reconfigure_stream(
+            BASIN, f"r{i}", StreamConfig(delete_on_empty_min_age_secs=1), merge=True
+        )
+        cat.streams[(BASIN, f"r{i}")].created_at = 0
+    deleted = mnt.delete_on_empty_sweep(store, now_ms=now, page_size=3)
+    assert sorted(deleted) == [f"{BASIN}/r{i}" for i in range(4)]
+    assert pages and max(pages) <= 3
+
+
 def test_salted_agg_matches_plain(spark, sf_dir):
     e = t(spark, sf_dir, "events")
     plain = {
