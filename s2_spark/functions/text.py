@@ -32,8 +32,12 @@ def bpe_ish_tokens(col) -> Column:
 
 
 def token_count(col, tokenizer: str = "ws") -> Column:
-    toks = ws_tokens(col) if tokenizer == "ws" else bpe_ish_tokens(col)
-    return F.size(toks).cast("long")
+    if tokenizer == "ws":
+        return F.size(ws_tokens(col)).cast("long")
+    # count matches directly — same regex as bpe_ish_tokens but without
+    # materializing the token array per document just to take its size
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(F.lower(c), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]")).cast("long")
 
 
 def stopword_ratio(col, lang: str = "en") -> Column:

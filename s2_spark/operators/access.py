@@ -4,16 +4,47 @@ matchers (exact / prefix, for basins and streams) × an operation group
 set, evaluated either as a driver-side check (API admission) or as a
 Column predicate (filtering listings/scans to what the token can see).
 
+Lifecycle (issue / list / revoke / expiry sweep) follows the API
+surface the lite server declares but stubs
+(``lite/src/handlers/v1/access_tokens.rs``,
+``api/src/v1/access.rs:168-239,408-417``): ids unique, 1-96 bytes, not
+"." / ".."; list paginates by prefix + start_after + limit (≤1000);
+``auto_prefix_streams`` namespaces stream names under the token's
+single stream-scope prefix. :class:`TokenStore` persists to a JSON
+blob beside the catalog metadata with the same atomic-replace
+discipline.
+
 Not an auth system — the analytic-engine rendering of the reference's
 scope algebra.
 """
 
 from __future__ import annotations
 
+import json
+import os
+import tempfile
+import threading
 from dataclasses import dataclass, field
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+
+from s2_spark.model import AlreadyExists, S2Error
+
+MAX_ACCESS_TOKEN_ID_LEN = 96  # common/src/caps.rs MAX_ACCESS_TOKEN_ID_LEN
+MAX_LIST_LIMIT = 1000  # api/src/v1/access.rs:415-417
+
+
+class TokenNotFound(S2Error):
+    pass
+
+
+class TokenExpired(S2Error):
+    pass
+
+
+class AccessDenied(S2Error):
+    pass
 
 # op groups (access.rs op enum collapsed to the r/w groups)
 READ_OPS = {"read", "check_tail", "list_streams", "list_basins"}
@@ -76,3 +107,218 @@ class AccessToken:
         for m in self.streams:
             s = s | m.column(F.col(stream_col))
         return b & s
+
+
+def _validate_token_id(token_id: str) -> None:
+    """access.rs:22-43 validate_str — non-empty, not "."/"..", ≤96 bytes."""
+    if not token_id:
+        raise ValueError("access token id must not be empty")
+    if token_id in (".", ".."):
+        raise ValueError('access token id must not be "." or ".."')
+    if len(token_id.encode()) > MAX_ACCESS_TOKEN_ID_LEN:
+        raise ValueError(
+            f"access token id must not exceed {MAX_ACCESS_TOKEN_ID_LEN} bytes"
+        )
+
+
+@dataclass(frozen=True)
+class IssuedToken:
+    """AccessTokenInfo (api/src/v1/access.rs:168-178): the scope plus
+    the lifecycle fields the issue request carries."""
+
+    token: AccessToken
+    auto_prefix_streams: bool = False
+
+    @property
+    def id(self) -> str:
+        return self.token.token_id
+
+    def stream_prefix(self) -> str:
+        """The single stream-scope prefix auto_prefix_streams namespaces
+        under (api/src/v1/access.rs:202-205)."""
+        return self.token.streams[0].pattern
+
+
+class TokenStore:
+    """Issue / list / revoke / expiry-sweep over a persisted token set —
+    the data-ops rendering of the declared-but-stubbed lite endpoints
+    (lite/src/handlers/v1/access_tokens.rs).
+
+    Driver-resident like the catalog's metadata dict (the declared
+    bound); persisted as one JSON blob with the catalog's atomic
+    tmp+replace discipline so tokens survive session restarts.
+    """
+
+    def __init__(self, meta_dir: str | None = None):
+        self.meta_dir = meta_dir
+        self._tokens: dict[str, IssuedToken] = {}
+        self._mu = threading.RLock()
+        if meta_dir:
+            os.makedirs(meta_dir, exist_ok=True)
+            self._load()
+
+    # --- lifecycle -----------------------------------------------------
+
+    def issue(
+        self,
+        token_id: str,
+        basins: tuple[ResourceMatcher, ...] = (ResourceMatcher("", prefix=True),),
+        streams: tuple[ResourceMatcher, ...] = (ResourceMatcher("", prefix=True),),
+        can_read: bool = True,
+        can_write: bool = False,
+        expires_at_ms: int | None = None,
+        auto_prefix_streams: bool = False,
+    ) -> IssuedToken:
+        """IssueAccessTokenRequest (api/src/v1/access.rs:194-208): id
+        unique to the store; with auto_prefix_streams the stream scope
+        must be exactly one prefix matcher."""
+        _validate_token_id(token_id)
+        if auto_prefix_streams and not (len(streams) == 1 and streams[0].prefix):
+            raise ValueError(
+                "auto_prefix_streams requires a single stream-scope prefix"
+            )
+        tok = IssuedToken(
+            AccessToken(
+                token_id=token_id,
+                basins=tuple(basins),
+                streams=tuple(streams),
+                can_read=can_read,
+                can_write=can_write,
+                expires_at_ms=expires_at_ms,
+            ),
+            auto_prefix_streams=auto_prefix_streams,
+        )
+        with self._mu:
+            if token_id in self._tokens:
+                raise AlreadyExists(f"access token {token_id!r}")  # 409
+            self._tokens[token_id] = tok
+            self._save_locked()
+        return tok
+
+    def get(self, token_id: str) -> IssuedToken:
+        with self._mu:
+            tok = self._tokens.get(token_id)
+        if tok is None:
+            raise TokenNotFound(token_id)
+        return tok
+
+    def revoke(self, token_id: str) -> IssuedToken:
+        """DELETE returning the revoked token's info."""
+        with self._mu:
+            tok = self._tokens.pop(token_id, None)
+            if tok is None:
+                raise TokenNotFound(token_id)
+            self._save_locked()
+        return tok
+
+    def list(
+        self, prefix: str = "", start_after: str = "", limit: int | None = None
+    ) -> list[IssuedToken]:
+        """ListAccessTokensRequest pagination — identical shape to basin
+        /stream listing (A21): id prefix, lexicographic start_after,
+        limit capped at 1000."""
+        n = min(limit if limit is not None else MAX_LIST_LIMIT, MAX_LIST_LIMIT)
+        with self._mu:
+            ids = sorted(self._tokens)
+        out = []
+        for i in ids:
+            if not i.startswith(prefix) or i <= start_after:
+                continue
+            out.append(self._tokens[i])
+            if len(out) >= n:
+                break
+        return out
+
+    def expiry_sweep(self, now_ms: int) -> list[str]:
+        """Drop expired tokens (the maintenance-tick analogue of the
+        reference enforcing expiry at auth time); returns dropped ids."""
+        with self._mu:
+            dead = [
+                i
+                for i, t in self._tokens.items()
+                if t.token.expires_at_ms is not None
+                and now_ms >= t.token.expires_at_ms
+            ]
+            for i in dead:
+                del self._tokens[i]
+            if dead:
+                self._save_locked()
+        return dead
+
+    # --- enforcement ---------------------------------------------------
+
+    def check(
+        self, token_id: str, op: str, basin: str, stream: str | None, now_ms: int
+    ) -> None:
+        """API admission: raises TokenNotFound / TokenExpired /
+        AccessDenied; returns normally when the op is in scope."""
+        tok = self.get(token_id)
+        t = tok.token
+        if t.expires_at_ms is not None and now_ms >= t.expires_at_ms:
+            raise TokenExpired(token_id)
+        target_stream = stream
+        if tok.auto_prefix_streams and stream is not None:
+            target_stream = tok.stream_prefix() + stream
+        if not t.allows(op, basin, target_stream, now_ms=now_ms):
+            raise AccessDenied(f"{token_id}: {op} {basin}/{stream}")
+
+    def effective_stream(self, token_id: str, stream: str) -> str:
+        """Namespace a caller-supplied stream name under the token's
+        prefix when auto_prefix_streams is set (api access.rs:202-205)."""
+        tok = self.get(token_id)
+        return tok.stream_prefix() + stream if tok.auto_prefix_streams else stream
+
+    def strip_prefix(self, token_id: str, stream: str) -> str:
+        """Inverse of :meth:`effective_stream` for listings."""
+        tok = self.get(token_id)
+        if tok.auto_prefix_streams and stream.startswith(tok.stream_prefix()):
+            return stream[len(tok.stream_prefix()) :]
+        return stream
+
+    # --- persistence ---------------------------------------------------
+
+    def _path(self) -> str:
+        return os.path.join(self.meta_dir, "tokens.json")
+
+    def _save_locked(self) -> None:
+        if not self.meta_dir:
+            return
+        blob = [
+            {
+                "id": t.id,
+                "basins": [[m.pattern, m.prefix] for m in t.token.basins],
+                "streams": [[m.pattern, m.prefix] for m in t.token.streams],
+                "can_read": t.token.can_read,
+                "can_write": t.token.can_write,
+                "expires_at_ms": t.token.expires_at_ms,
+                "auto_prefix_streams": t.auto_prefix_streams,
+            }
+            for t in self._tokens.values()
+        ]
+        fd, tmp = tempfile.mkstemp(dir=self.meta_dir, suffix=".tokens.tmp")
+        try:
+            with os.fdopen(fd, "w") as f:
+                json.dump(blob, f)
+            os.replace(tmp, self._path())
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+
+    def _load(self) -> None:
+        try:
+            with open(self._path()) as f:
+                blob = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            return
+        for row in blob:
+            self._tokens[row["id"]] = IssuedToken(
+                AccessToken(
+                    token_id=row["id"],
+                    basins=tuple(ResourceMatcher(p, x) for p, x in row["basins"]),
+                    streams=tuple(ResourceMatcher(p, x) for p, x in row["streams"]),
+                    can_read=row["can_read"],
+                    can_write=row["can_write"],
+                    expires_at_ms=row["expires_at_ms"],
+                ),
+                auto_prefix_streams=row["auto_prefix_streams"],
+            )

@@ -721,3 +721,74 @@ def x24(spark, sf_dir):
         e.select("vec_id", qsum.alias("qsum"), qerr.alias("qerr"))
         .orderBy("vec_id")
     )
+
+
+@query(
+    "x25_repetition_signals",
+    oracle=(
+        "WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents), "
+        "g AS (SELECT doc_id, list_transform(generate_series(1, len(ws) - 1), "
+        "i -> ws[i] || ' ' || ws[i + 1]) AS gs FROM w) "
+        "SELECT doc_id, CAST(len(gs) AS BIGINT) AS n_bigrams, "
+        "round(CASE WHEN len(gs) = 0 THEN 0.0 "
+        "ELSE 1.0 - len(list_distinct(gs)) * 1.0 / len(gs) END, 4) AS dup_bigram_frac "
+        "FROM g ORDER BY doc_id"
+    ),
+    doc=(
+        "repetition quality signal (the Gopher-style duplicate-n-gram "
+        "fraction): per document, 1 - distinct/total over word bigrams — "
+        "high values flag boilerplate and degenerate generations before "
+        "training. Pure JVM higher-order functions (split → sequence → "
+        "transform → array_distinct); no shuffle, no Python, linear in "
+        "corpus size."
+    ),
+)
+def x25(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    ws = F.split(F.lower("text"), " ")
+    n = F.size(ws)
+    gs = F.transform(
+        F.sequence(F.lit(0), n - 2),
+        lambda i: F.concat_ws(" ", F.element_at(ws, i + 1), F.element_at(ws, i + 2)),
+    )
+    n_bigrams = F.when(n < 2, F.lit(0)).otherwise(n - 1).cast("long")
+    dup_frac = F.when(
+        n < 2, F.lit(0.0)
+    ).otherwise(1.0 - F.size(F.array_distinct(gs)).cast("double") / F.size(gs))
+    return d.select(
+        "doc_id",
+        n_bigrams.alias("n_bigrams"),
+        r4(dup_frac).alias("dup_bigram_frac"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "x26_corpus_composition",
+    oracle=(
+        "SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(n_chars) AS BIGINT) AS n_chars, "
+        "CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT) AS n_tokens, "
+        "round(avg(len(string_split(lower(text), ' '))), 4) AS avg_tokens "
+        "FROM documents GROUP BY source, lang ORDER BY source, lang"
+    ),
+    doc=(
+        "corpus composition report: docs / chars / tokens per (source, "
+        "lang) stratum — the mix-table a training run is planned against "
+        "(and the denominator for x23's sampling rates). One map-side-"
+        "combined aggregation; at 100 TB this is the cheapest full-corpus "
+        "statement there is."
+    ),
+)
+def x26(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    ntok = F.size(F.split(F.lower("text"), " "))
+    return (
+        d.groupBy("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("n_chars"),
+            F.sum(ntok).cast("long").alias("n_tokens"),
+            r4(F.avg(ntok)).alias("avg_tokens"),
+        )
+        .orderBy("source", "lang")
+    )

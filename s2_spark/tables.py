@@ -63,10 +63,13 @@ def ensure_nanos_conf(spark: SparkSession) -> None:
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table as a DataFrame.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark reads as i64
-    nanoseconds under ``legacy.parquet.nanosAsLong``; normalize it to a
-    TimestampType column (microsecond floor, matching DuckDB's own
-    ns→ms flooring in ``epoch_ms``).
+    ``events.ts`` has shipped in two parquet encodings across fixture
+    generations: INT64 TIMESTAMP(NANOS) (read as i64 nanoseconds under
+    ``legacy.parquet.nanosAsLong`` — normalized here to TimestampType
+    at microsecond floor, matching DuckDB's ns→ms flooring in
+    ``epoch_ms``) and plain TIMESTAMP(MICROS) (read natively as
+    TIMESTAMP_NTZ — passed through). Callers branch on the actual
+    dtype, never on an assumed encoding.
     """
     ensure_nanos_conf(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))

@@ -56,6 +56,90 @@ def test_token_id_cap():
         AccessToken("x" * 97)
 
 
+def test_token_lifecycle_issue_list_revoke(tmp_path):
+    """lite/src/handlers/v1/access_tokens.rs surface: issue (unique id,
+    409 on dup), list (prefix + start_after + limit, cap 1000), revoke
+    (returns info, 404 after), persisted across a store reopen."""
+    from s2_spark.model import AlreadyExists
+    from s2_spark.operators.access import TokenNotFound, TokenStore
+
+    ts = TokenStore(meta_dir=str(tmp_path / "meta"))
+    for i in range(5):
+        ts.issue(f"tok-{i}", can_write=(i % 2 == 0))
+    ts.issue("other-1")
+    with pytest.raises(AlreadyExists):
+        ts.issue("tok-3")
+    with pytest.raises(ValueError):
+        ts.issue("")
+    with pytest.raises(ValueError):
+        ts.issue("..")
+    with pytest.raises(ValueError):
+        ts.issue("x" * 97)
+    assert [t.id for t in ts.list(prefix="tok-")] == [f"tok-{i}" for i in range(5)]
+    assert [t.id for t in ts.list(prefix="tok-", start_after="tok-1", limit=2)] == [
+        "tok-2",
+        "tok-3",
+    ]
+    got = ts.revoke("tok-4")
+    assert got.id == "tok-4" and got.token.can_write
+    with pytest.raises(TokenNotFound):
+        ts.revoke("tok-4")
+    # reopen from disk: remaining tokens survive
+    ts2 = TokenStore(meta_dir=str(tmp_path / "meta"))
+    assert [t.id for t in ts2.list()] == ["other-1"] + [f"tok-{i}" for i in (0, 1, 2, 3)]
+
+
+def test_token_expiry_sweep_and_check(tmp_path):
+    from s2_spark.operators.access import (
+        AccessDenied,
+        TokenExpired,
+        TokenStore,
+    )
+
+    ts = TokenStore()
+    ts.issue("short", expires_at_ms=1000)
+    ts.issue("long", expires_at_ms=5000)
+    ts.issue("forever")
+    # expiry enforced at check time before the sweep runs
+    with pytest.raises(TokenExpired):
+        ts.check("short", "read", "b", None, now_ms=1500)
+    assert sorted(ts.expiry_sweep(now_ms=1500)) == ["short"]
+    assert [t.id for t in ts.list()] == ["forever", "long"]
+    assert ts.expiry_sweep(now_ms=1500) == []
+    # scope enforcement routes through AccessToken.allows
+    ts.issue(
+        "scoped",
+        basins=(ResourceMatcher(BASIN),),
+        streams=(ResourceMatcher("logs-", prefix=True),),
+    )
+    ts.check("scoped", "read", BASIN, "logs-a", now_ms=0)
+    with pytest.raises(AccessDenied):
+        ts.check("scoped", "read", BASIN, "metrics-a", now_ms=0)
+    with pytest.raises(AccessDenied):
+        ts.check("scoped", "append", BASIN, "logs-a", now_ms=0)
+
+
+def test_token_auto_prefix_streams(tmp_path):
+    """api/src/v1/access.rs:202-205: stream names namespace under the
+    token's stream-scope prefix; listings strip it back off."""
+    from s2_spark.operators.access import TokenStore
+
+    ts = TokenStore()
+    with pytest.raises(ValueError):  # scope must be a single prefix
+        ts.issue("bad", streams=(ResourceMatcher("exact"),), auto_prefix_streams=True)
+    ts.issue(
+        "ns",
+        streams=(ResourceMatcher("tenant1-", prefix=True),),
+        auto_prefix_streams=True,
+        can_write=True,
+    )
+    assert ts.effective_stream("ns", "orders") == "tenant1-orders"
+    assert ts.strip_prefix("ns", "tenant1-orders") == "orders"
+    # the caller's un-prefixed name is checked against the scope AFTER
+    # namespacing, so it lands inside the prefix by construction
+    ts.check("ns", "append", "any-basin", "orders", now_ms=0)
+
+
 def test_scope_filter_prunes_records(store):
     store.catalog.create_stream(BASIN, "logs-a")
     store.catalog.create_stream(BASIN, "metrics-a")
