@@ -66,7 +66,9 @@ def _lit_rows_df(spark: SparkSession, rows: list[tuple], fields: list[tuple[str,
     Python-RDD cost amortizes and a giant literal plan would bloat
     analysis instead.
     """
-    if len(rows) > 256:
+    if not rows or len(rows) > 256:
+        # empty: inline(array()) has no element type — use an empty
+        # relation with the declared schema instead
         ddl = ", ".join(f"{n} {t}" for n, t in fields)
         return spark.createDataFrame(rows, ddl)
     structs = [
