@@ -563,6 +563,7 @@ class Catalog:
     ) -> tuple[list[str], bool]:
         limit = min(limit, 1000)
         with self._mu:
+            self.get_basin(basin)  # basin-scoped: 404 on unknown basin
             names = sorted(
                 n
                 for (b, n), m in self.streams.items()

@@ -417,6 +417,53 @@ def test_auto_create_flags(store):
     assert store.catalog.get_stream(BASIN, "auto-1")
 
 
+def test_read_auto_create_flag(store):
+    """auto_create.rs:150-205: read auto-creates (empty stream, tail 0)
+    under create_stream_on_read, and raises NotFound without it — the
+    append flag alone does not authorize read-side creation."""
+    store.catalog.reconfigure_basin(BASIN, BasinConfig(create_stream_on_append=True))
+    with pytest.raises(StreamNotFound):
+        store.read(BASIN, "ghost-r").collect()
+    store.catalog.reconfigure_basin(BASIN, BasinConfig(create_stream_on_read=True))
+    assert store.read(BASIN, "ghost-r").count() == 0
+    assert store.catalog.get_stream(BASIN, "ghost-r")
+    assert store.check_tail(BASIN, "ghost-r") == (0, 0)
+
+
+def test_auto_created_stream_snapshots_basin_cipher(spark, tmp_path):
+    """auto_create.rs:80-126,225-248: a stream created implicitly by
+    append/check_tail snapshots the basin's CSEK cipher exactly like an
+    explicit create."""
+    cat = Catalog(spark)
+    cat.create_basin(
+        "cipher-basin",
+        BasinConfig(create_stream_on_append=True, stream_cipher="aes-256-gcm"),
+    )
+    store = StreamStore(spark, str(tmp_path / "cb_records"), catalog=cat)
+    store.append("cipher-basin", "auto-enc", recs(1))
+    assert cat.get_stream("cipher-basin", "auto-enc").cipher == "aes-256-gcm"
+
+
+def test_nonexistent_lookups_raise(store):
+    """control_plane/{basin,stream}.rs NotFound paths: config get and
+    delete on names that were never created raise the typed errors (not
+    silent no-ops), and empty listings return empty, not errors."""
+    from s2_spark.model import BasinNotFound
+
+    with pytest.raises(BasinNotFound):
+        store.catalog.get_basin("never-created-basin")
+    with pytest.raises(BasinNotFound):
+        store.catalog.delete_basin("never-created-basin")
+    with pytest.raises(StreamNotFound):
+        store.catalog.get_stream(BASIN, "never-created")
+    with pytest.raises(StreamNotFound):
+        store.catalog.delete_stream(BASIN, "never-created")
+    with pytest.raises(BasinNotFound):
+        store.catalog.list_streams("never-created-basin")
+    names, has_more = store.catalog.list_streams(BASIN, prefix="zz-no-match-")
+    assert names == [] and not has_more
+
+
 def test_list_streams_pagination(store):
     for i in range(25):
         store.catalog.create_stream(BASIN, f"pfx-{i:03d}")
