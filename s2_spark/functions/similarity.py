@@ -41,12 +41,18 @@ def cosine(a, b) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def _vec_lit_df(spark, query: list[float]) -> DataFrame:
+    """1-row query-vector DataFrame as a pure literal plan (broadcast
+    build needs no Python workers, unlike createDataFrame)."""
+    return spark.range(1).select(
+        F.array(*[F.lit(float(v)) for v in query]).cast("array<float>").alias("qe")
+    )
+
+
 def _query_df(df: DataFrame, vec_col: str, query: list[float] | None, query_id=None,
               id_col: str = "vec_id") -> DataFrame:
     if query is not None:
-        return df.sparkSession.createDataFrame(
-            [(query,)], f"qe array<float>"
-        )
+        return _vec_lit_df(df.sparkSession, query)
     return df.filter(F.col(id_col) == query_id).select(F.col(vec_col).alias("qe"))
 
 
@@ -206,7 +212,7 @@ def ivf_topk(
         return d / (na * nb)
 
     probe_cells = [i for i, _ in sorted(centers, key=lambda ic: -_cos(ic[1], query))[:nprobe]]
-    qdf = assigned.sparkSession.createDataFrame([(query,)], "qe array<float>")
+    qdf = _vec_lit_df(assigned.sparkSession, query)
     base = assigned.filter(F.col("_cell").isin(probe_cells))
     if query_id is not None:
         base = base.filter(F.col(id_col) != query_id)

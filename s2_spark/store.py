@@ -535,16 +535,18 @@ class StreamStore:
 
         Each stream's resolved timestamping config rides the same
         broadcast join (streamer.rs:1121-1149 matrix): ``arrival``
-        overrides client timestamps, ``client-require`` fails the job on
-        a missing timestamp, ``timestamping_uncapped`` skips the
+        overrides client timestamps, ``client-require`` rejects a batch
+        with missing timestamps, ``timestamping_uncapped`` skips the
         min(client, arrival) cap. With ``validate`` (default), record
-        constraints are enforced as codegen'd expressions in the same
-        pass — metered size cap, envelope header names non-empty, fence
-        token ≤ 36 bytes, trim payload exactly u64 BE (record/mod.rs:
-        90-103, 204-212; fence-token UTF-8 validity is only checked on
-        the unary path). The unary per-call batch caps (1000 records /
-        1 MiB) intentionally don't apply: they are per-HTTP-append
-        limits, not ingest limits.
+        constraints — metered size cap, envelope header names non-empty,
+        fence token ≤ 36 bytes, trim payload exactly u64 BE
+        (record/mod.rs:90-103, 204-212; fence-token UTF-8 validity is
+        only checked on the unary path) — are counted in the single
+        up-front admission aggregation, so the batch is rejected BEFORE
+        anything is written (validate-then-commit, streamer.rs:964-1070).
+        The unary per-call batch caps (1000 records / 1 MiB)
+        intentionally don't apply: they are per-HTTP-append limits, not
+        ingest limits.
         """
         from s2_spark.model import is_command_col, metered_size_col
 
