@@ -204,6 +204,7 @@ class StreamStore:
         # actor-cache shape with its 60 s dormancy eviction
         # (streamer.rs:55) rather than an eager all-streams scan.
         self._data_seen = False
+        self._records_cache: DataFrame | None = None
         self._probe_unknown_streams = self._has_data()
         self._evicted: set[tuple[str, str]] = set()
         self._touched_ms: dict[tuple[str, str], int] = {}
@@ -275,7 +276,16 @@ class StreamStore:
     def records_df(self) -> DataFrame:
         """The raw records table (commands included, trim not applied).
         In bucketed layout the partition column rides along so stream
-        filters prune directories."""
+        filters prune directories.
+
+        The DataFrame (and with it the parquet file listing, which Spark
+        snapshots at read time) is cached between writes: the store is
+        the only writer of its directory, so every append/compaction
+        invalidates it (:meth:`_invalidate_records`) and read-heavy
+        paths — follow sessions polling for new batches above all —
+        skip a full directory re-listing per call."""
+        if self._records_cache is not None:
+            return self._records_cache
         if not self._has_data():
             return self.spark.createDataFrame([], RECORD_SCHEMA)
         if self.bucket_count:
@@ -284,8 +294,14 @@ class StreamStore:
             schema = T.StructType(
                 RECORD_SCHEMA.fields + [T.StructField("bucket", T.IntegerType(), True)]
             )
-            return self.spark.read.schema(schema).parquet(self.base_dir)
-        return self.spark.read.schema(RECORD_SCHEMA).parquet(self.base_dir)
+            df = self.spark.read.schema(schema).parquet(self.base_dir)
+        else:
+            df = self.spark.read.schema(RECORD_SCHEMA).parquet(self.base_dir)
+        self._records_cache = df
+        return df
+
+    def _invalidate_records(self) -> None:
+        self._records_cache = None
 
     @staticmethod
     def _state_agg(df: DataFrame) -> DataFrame:
@@ -468,6 +484,7 @@ class StreamStore:
             writer = df.coalesce(1).write.mode("append").partitionBy("bucket")
         writer.parquet(self.base_dir)
         self._data_seen = True
+        self._invalidate_records()
 
         ack = AppendAck(
             start_seq=st.tail_seq,
@@ -659,6 +676,7 @@ class StreamStore:
         else:
             out.write.mode("append").parquet(self.base_dir)
         self._data_seen = True
+        self._invalidate_records()
         # advance hot state from the up-front stats — pure driver math,
         # no second scan. Per stream the final last_ts is
         # max(old_last_ts, max(mode-adjusted per-row ts)) since the
@@ -1119,6 +1137,7 @@ class StreamStore:
 
         shutil.rmtree(self.base_dir)
         os.rename(tmp, self.base_dir)
+        self._invalidate_records()
 
     def apply_trim_and_retention(self) -> None:
         """Physically delete trimmed/expired records — the background
