@@ -2,11 +2,12 @@
 typed metadata, plus the Spark-side plumbing (schema, partitioning,
 Arrow batch shape) for decode / feature-extract / resize / frame-sample.
 
-Image decode is REAL: PIL when importable, else a built-in pure
-numpy+zlib PNG decoder (8-bit, non-interlaced — gray / RGB / palette /
-alpha), so PNG feature-extraction and resize run honestly end-to-end
-with zero extra dependencies. Audio/video codecs are not in this
-container, so those decodes stay STUBBED: each operator takes a
+Image and audio decode are REAL: PIL when importable, else a built-in
+pure numpy+zlib PNG decoder (8-bit, non-interlaced — gray / RGB /
+palette / alpha) for images, and the stdlib ``wave`` module + numpy FFT
+for WAV/PCM audio — feature-extraction and resize run honestly
+end-to-end with zero extra dependencies. Video codecs are not in this
+container, so frame decode stays STUBBED: each operator takes a
 ``decoder`` callable, and ``fake=True`` installs a deterministic fake
 (byte-hash features) used as the oracle path for the distributed
 plumbing — mapInPandas over Arrow batches, schema contracts, metadata
@@ -193,6 +194,86 @@ def image_resize_decoder(payload: bytes, width: int, height: int) -> bytes:
     return encode_png(px[ys][:, xs])
 
 
+# --- real audio codec: stdlib WAV/PCM ------------------------------------
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """WAV/PCM decode via the stdlib ``wave`` module → (mono float32
+    samples in [-1, 1], sample_rate). 8/16/32-bit PCM; channels are
+    averaged to mono."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload)) as w:
+        sr, ch, sw = w.getframerate(), w.getnchannels(), w.getsampwidth()
+        raw = w.readframes(w.getnframes())
+    if sw == 2:
+        x = np.frombuffer(raw, "<i2").astype(np.float32) / 32768.0
+    elif sw == 1:
+        x = (np.frombuffer(raw, "u1").astype(np.float32) - 128.0) / 128.0
+    elif sw == 4:
+        x = np.frombuffer(raw, "<i4").astype(np.float32) / float(2**31)
+    else:
+        raise NotImplementedError(f"unsupported PCM sample width {sw}")
+    if ch > 1:
+        x = x.reshape(-1, ch).mean(axis=1)
+    return x, sr
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """Mono float [-1, 1] → 16-bit PCM WAV bytes."""
+    import io
+    import wave
+
+    pcm = (np.clip(samples, -1.0, 1.0) * 32767.0).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+def audio_feature_decoder(payload: bytes, dim: int = 16) -> list[float]:
+    """Real audio features from decoded PCM: duration, RMS energy,
+    zero-crossing rate, peak, sample-rate norm, spectral centroid norm,
+    and 8 log-spaced band-energy fractions (numpy rfft) — 14 dims,
+    zero-padded/truncated to ``dim``. All values in [0, 1]."""
+    x, sr = decode_wav(payload)
+    n = len(x)
+    if n == 0:
+        return [0.0] * dim
+    dur = min(n / sr / 60.0, 1.0)
+    rms = float(np.sqrt(np.mean(x * x)))
+    zcr = float(np.mean(np.signbit(x[:-1]) != np.signbit(x[1:]))) if n > 1 else 0.0
+    peak = float(np.abs(x).max())
+    spec = np.abs(np.fft.rfft(x))
+    power = spec * spec
+    total = float(power.sum()) or 1.0
+    freqs = np.fft.rfftfreq(n, 1.0 / sr)
+    centroid = float((freqs * power).sum() / total) / (sr / 2.0 or 1.0)
+    # 8 geometric bands over [sr/2**9, sr/2]; energy fraction per band
+    edges = (sr / 2.0) / (2.0 ** np.arange(9, -1, -1))
+    bands = [
+        float(power[(freqs >= lo) & (freqs < hi)].sum() / total)
+        for lo, hi in zip(edges[1:-1], edges[2:])
+    ]
+    feats = [dur, rms, zcr, peak, min(sr / 48000.0, 1.0), centroid] + bands
+    return (feats + [0.0] * dim)[:dim]
+
+
+_WAV_MAGIC = b"RIFF"
+
+
+def media_feature_decoder(payload: bytes, dim: int = 16) -> list[float]:
+    """Sniff the payload and route to the real decoder: PNG/PIL images,
+    WAV/PCM audio; anything else raises the honest stub error."""
+    if payload[:4] == _WAV_MAGIC and payload[8:12] == b"WAVE":
+        return audio_feature_decoder(payload, dim)
+    return image_feature_decoder(payload, dim)
+
+
 def _fake_feature_decoder(payload: bytes, dim: int = 16) -> list[float]:
     """Deterministic fake: features from the sha256 of the payload —
     stable across runs/executors, zero codec dependencies."""
@@ -211,13 +292,14 @@ def extract_features(
 
     Runs as mapInPandas: each Arrow batch's payload column is decoded
     executor-side; only (id, features) survive, so downstream shuffles
-    never carry media bytes. The non-fake default decodes real pixels
-    (PIL, or the built-in PNG path) and raises NotImplementedError for
-    formats with no codec in this container."""
+    never carry media bytes. The non-fake default decodes real content
+    (PIL or built-in PNG for images, stdlib WAV/PCM for audio) and
+    raises NotImplementedError for formats with no codec in this
+    container."""
     dec = decoder or (
         (lambda p: _fake_feature_decoder(p, dim))
         if fake
-        else (lambda p: image_feature_decoder(p, dim))
+        else (lambda p: media_feature_decoder(p, dim))
     )
     out_schema = "media_id long, kind string, features array<float>"
 

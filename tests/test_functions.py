@@ -342,6 +342,53 @@ def test_resize_images_real_png(spark):
     assert (small == px[::2, ::2]).all()
 
 
+def test_wav_codec_roundtrip_and_features():
+    """Stdlib WAV decode is sample-exact for 16-bit PCM, and the real
+    audio features separate a pure tone from silence."""
+    import numpy as np
+
+    sr = 8000
+    t = np.arange(sr) / sr
+    tone = 0.5 * np.sin(2 * np.pi * 440 * t).astype(np.float32)
+    x, got_sr = M.decode_wav(M.encode_wav(tone, sr))
+    assert got_sr == sr and len(x) == sr
+    assert np.abs(x - tone).max() < 1e-3  # 16-bit quantization bound
+    f_tone = M.audio_feature_decoder(M.encode_wav(tone, sr))
+    f_silence = M.audio_feature_decoder(M.encode_wav(np.zeros(sr, np.float32), sr))
+    assert len(f_tone) == 16
+    assert f_tone[1] > 0.3 > f_silence[1]  # rms
+    assert all(0.0 <= v <= 1.0 for v in f_tone)
+    # tone energy concentrates in few bands; silence has none
+    assert max(f_tone[6:14]) > 0.9
+    assert sum(f_silence[6:14]) == 0.0
+
+
+def test_extract_features_real_audio_through_media_pipeline(spark):
+    """x17 honest end-to-end for audio: WAV payloads through
+    extract_features with no fake decoder, mixed with PNG images in the
+    same table (the default decoder sniffs per payload)."""
+    import numpy as np
+
+    sr = 4000
+    t = np.arange(sr) / sr
+    rows = []
+    for i in range(3):
+        tone = (0.3 + 0.2 * i) * np.sin(2 * np.pi * (220 * (i + 1)) * t)
+        rows.append(
+            (i, "audio", "audio/wav", None, None, 1000, M.encode_wav(tone.astype(np.float32), sr))
+        )
+    png = M.encode_png(np.full((4, 4, 3), 128, np.uint8))
+    rows.append((9, "image", "image/png", 4, 4, None, png))
+    media = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    got = {r.media_id: r.features for r in M.extract_features(media).collect()}
+    assert len(got) == 4
+    want0 = M.audio_feature_decoder(rows[0][6], dim=16)
+    assert got[0] == pytest.approx(want0, abs=1e-6)
+    assert got[9] == pytest.approx(M.image_feature_decoder(png, dim=16), abs=1e-6)
+    # louder tones have higher RMS feature
+    assert got[0][1] < got[1][1] < got[2][1]
+
+
 def test_frame_sampling_null_duration_yields_one_frame(spark):
     """MEDIA_SCHEMA declares duration_ms nullable; pandas surfaces NULL
     as NaN (truthy) — a null-duration video must emit exactly one frame,
