@@ -148,9 +148,43 @@ def s2_bench_equivalent(spark, n_records: int = 8000, record_bytes: int = 8192) 
             )
         )
         write_chain = src.agg(chain_over(src, "ingest_order").alias("chain")).first()["chain"]
+
+        # live leg: a follow-mode read session opened BEFORE the append,
+        # tailing records as they commit — the reference bench verifies
+        # write == LIVE-read == catchup three ways (cli/src/bench.rs:
+        # 389-394,948-963), not just write vs catchup
+        import threading
+
+        from s2_spark.store import ReadLimit
+
+        live_rows: list = []
+
+        def live_reader():
+            for ev in store.read_session(
+                "bench-basin",
+                "bench",
+                limit=ReadLimit(count=n_records),
+                wait_s=120.0,
+                poll_s=0.05,
+            ):
+                if ev.kind == "batch":
+                    live_rows.extend(ev.records)
+
+        live_t = threading.Thread(target=live_reader, daemon=True)
+        live_t.start()
+
         t0 = time.perf_counter()
         store.bulk_append(src)
         append_s = time.perf_counter() - t0
+        live_t.join(timeout=180)
+        live_ok = not live_t.is_alive() and len(live_rows) == n_records
+        if live_ok:
+            live_df = spark.createDataFrame(
+                [(r["seq_num"], bytes(r["body"])) for r in live_rows],
+                "seq_num long, body binary",
+            )
+            live_chain = live_df.agg(chain_over(live_df, "seq_num").alias("c")).first()["c"]
+            live_ok = live_chain == write_chain
 
         t0 = time.perf_counter()
         read = store.read("bench-basin", "bench")
@@ -164,9 +198,12 @@ def s2_bench_equivalent(spark, n_records: int = 8000, record_bytes: int = 8192) 
             "append_sec": round(append_s, 3),
             "read_sec": round(read_s, 3),
             "mib": round(mib, 1),
+            "records_per_s": round(n_records / append_s, 1),
             "append_mib_s": round(mib / append_s, 1),
             "read_mib_s": round(mib / read_s, 1),
-            "verified": bool(ok),
+            # write == live-tail == catchup, all chain-verified
+            "verified": bool(ok and live_ok),
+            "live_verified": bool(live_ok),
             "latency": _latency_probe(spark, store),
         }
     finally:
