@@ -263,6 +263,47 @@ def audio_feature_decoder(payload: bytes, dim: int = 16) -> list[float]:
     return (feats + [0.0] * dim)[:dim]
 
 
+def probe_mp4(payload: bytes) -> dict:
+    """Real ISO-BMFF (MP4) metadata probe — no codecs needed: walk the
+    box tree to ``moov/mvhd`` and return {duration_ms, timescale,
+    n_tracks}. Frame pixel decode still needs a codec library and stays
+    stubbed; this makes the video column's *metadata* path honest."""
+    def walk(buf: bytes, want: bytes):
+        pos = 0
+        while pos + 8 <= len(buf):
+            (size,) = struct.unpack(">I", buf[pos : pos + 4])
+            btype = buf[pos + 4 : pos + 8]
+            body_off, body_end = pos + 8, pos + size
+            if size == 1:  # 64-bit largesize
+                (size,) = struct.unpack(">Q", buf[pos + 8 : pos + 16])
+                body_off, body_end = pos + 16, pos + size
+            elif size == 0:  # to end of enclosing box
+                body_end = len(buf)
+            if size != 0 and body_end <= pos:
+                raise ValueError("bad MP4 box size")
+            yield btype, buf[body_off:body_end]
+            if size == 0:
+                break
+            pos = body_end
+
+    moov = next((b for t, b in walk(payload, b"moov") if t == b"moov"), None)
+    if moov is None:
+        raise ValueError("no moov box")
+    out = {"duration_ms": None, "timescale": None, "n_tracks": 0}
+    for t, b in walk(moov, b""):
+        if t == b"mvhd":
+            version = b[0]
+            if version == 1:
+                timescale, duration = struct.unpack(">IQ", b[20:32])
+            else:
+                timescale, duration = struct.unpack(">II", b[12:20])
+            out["timescale"] = timescale
+            out["duration_ms"] = int(duration * 1000 // (timescale or 1))
+        elif t == b"trak":
+            out["n_tracks"] += 1
+    return out
+
+
 _WAV_MAGIC = b"RIFF"
 
 

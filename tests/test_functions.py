@@ -389,6 +389,36 @@ def test_extract_features_real_audio_through_media_pipeline(spark):
     assert got[0][1] < got[1][1] < got[2][1]
 
 
+def test_mp4_metadata_probe():
+    """probe_mp4 reads duration/timescale/track-count from a hand-built
+    minimal ISO-BMFF tree (ftyp + moov{mvhd, 2×trak}) — real container
+    parsing, no codecs."""
+    import struct
+
+    def box(btype, body):
+        return struct.pack(">I", 8 + len(body)) + btype + body
+
+    mvhd = box(
+        b"mvhd",
+        bytes(4)  # version 0 + flags
+        + struct.pack(">II", 0, 0)  # ctime, mtime
+        + struct.pack(">II", 1000, 7500),  # timescale, duration
+    )
+    moov = box(b"moov", mvhd + box(b"trak", b"") + box(b"trak", b""))
+    mp4 = box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2") + moov
+    got = M.probe_mp4(mp4)
+    assert got == {"duration_ms": 7500, "timescale": 1000, "n_tracks": 2}
+    # 64-bit mvhd (version 1)
+    mvhd1 = box(
+        b"mvhd",
+        b"\x01" + bytes(3) + struct.pack(">QQ", 0, 0) + struct.pack(">IQ", 90000, 90000 * 3),
+    )
+    got1 = M.probe_mp4(box(b"moov", mvhd1))
+    assert got1["duration_ms"] == 3000 and got1["timescale"] == 90000
+    with pytest.raises(ValueError):
+        M.probe_mp4(b"\x00" * 32)
+
+
 def test_frame_sampling_null_duration_yields_one_frame(spark):
     """MEDIA_SCHEMA declares duration_ms nullable; pandas surfaces NULL
     as NaN (truthy) — a null-duration video must emit exactly one frame,
