@@ -475,3 +475,246 @@ def q22(spark, sf_dir):
         .agg(F.count("*").alias("numcust"), r4(F.sum("c_acctbal")).alias("totacctbal"))
         .orderBy("cntry")
     )
+
+
+@query(
+    "tpch2_min_cost_supplier",
+    oracle=(
+        "WITH j AS (SELECT DISTINCT p.p_partkey, p.p_name, s.s_name, s.s_acctbal "
+        "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey AND p.p_size <= 10 "
+        "JOIN supplier s ON l.l_suppkey = s.s_suppkey), "
+        "r AS (SELECT *, row_number() OVER (PARTITION BY p_partkey "
+        "ORDER BY s_acctbal, s_name) AS rn FROM j) "
+        "SELECT p_partkey, p_name, s_name, round(s_acctbal, 4) AS acctbal "
+        "FROM r WHERE rn = 1 ORDER BY acctbal DESC, p_partkey LIMIT 20"
+    ),
+    doc=(
+        "TPC-H Q2 shape (no partsupp fixture: lineitem is the "
+        "part-supplier bridge): per small part, the lowest-acctbal "
+        "supplier that shipped it — the correlated-min subquery as a "
+        "dedup + partitioned window, top-20"
+    ),
+)
+def q2(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
+    s = t(spark, sf_dir, "supplier")
+    j = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .select("p_partkey", "p_name", "s_name", "s_acctbal")
+        .distinct()
+    )
+    rn = F.row_number().over(
+        W.partitionBy("p_partkey").orderBy("s_acctbal", "s_name")
+    )
+    return (
+        j.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select("p_partkey", "p_name", "s_name", r4(F.col("s_acctbal")).alias("acctbal"))
+        .orderBy(F.desc("acctbal"), "p_partkey")
+        .limit(20)
+    )
+
+
+@query(
+    "tpch9_product_profit",
+    oracle=(
+        "SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS BIGINT) AS o_year, "
+        "round(sum(l.l_extendedprice*(1-l.l_discount) - 0.1*l.l_quantity*p.p_retailprice), 4) "
+        "AS profit "
+        "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey "
+        "JOIN supplier s ON l.l_suppkey = s.s_suppkey "
+        "JOIN nation n ON s.s_nationkey = n.n_nationkey "
+        "JOIN orders o ON l.l_orderkey = o.o_orderkey "
+        "WHERE p.p_name LIKE '%rod%' GROUP BY 1, 2 ORDER BY nation, o_year DESC"
+    ),
+    doc=(
+        "TPC-H Q9 shape: product profit by supplier nation and order "
+        "year over a 5-way join (supply cost synthesized as "
+        "0.1*qty*retailprice — no partsupp fixture)"
+    ),
+)
+def q9(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(F.col("p_name").like("%rod%"))
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    o = t(spark, sf_dir, "orders")
+    profit = REV() - 0.1 * F.col("l_quantity") * F.col("p_retailprice")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(r4(F.sum(profit)).alias("profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+@query(
+    "tpch11_important_stock",
+    oracle=(
+        "WITH v AS (SELECT l.l_partkey, sum(l.l_quantity * p.p_retailprice) AS val "
+        "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey "
+        "JOIN supplier s ON l.l_suppkey = s.s_suppkey WHERE s.s_nationkey < 5 "
+        "GROUP BY 1) "
+        "SELECT l_partkey, round(val, 4) AS val FROM v "
+        "WHERE val > (SELECT 2.0 * avg(val) FROM v) ORDER BY val DESC, l_partkey"
+    ),
+    doc=(
+        "TPC-H Q11 shape: per-part inventory value for one nation "
+        "group, kept only above twice the average part value (scale-invariant threshold) — the "
+        "correlated scalar subquery as a broadcast 1-row cross join"
+    ),
+)
+def q11(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    s = t(spark, sf_dir, "supplier").filter(F.col("s_nationkey") < 5)
+    v = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_quantity") * F.col("p_retailprice")).alias("val"))
+    )
+    total = v.agg((2.0 * F.avg("val")).alias("thresh"))
+    return (
+        v.crossJoin(F.broadcast(total))
+        .filter(F.col("val") > F.col("thresh"))
+        .select("l_partkey", r4(F.col("val")).alias("val"))
+        .orderBy(F.desc("val"), "l_partkey")
+    )
+
+
+@query(
+    "tpch16_supplier_cnt",
+    oracle=(
+        "SELECT p.p_brand, p.p_type, p.p_size, "
+        "CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt "
+        "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey "
+        "WHERE p.p_size IN (1, 4, 9, 16, 25, 36, 49) "
+        "AND l.l_suppkey NOT IN "
+        "(SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000) "
+        "GROUP BY 1, 2, 3 ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"
+    ),
+    doc=(
+        "TPC-H Q16 shape: distinct-supplier count per (brand, type, "
+        "size) with a NOT-IN exclusion set (low-balance suppliers "
+        "standing in for the complaints filter) — the anti-join path"
+    ),
+)
+def q16(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(
+        F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+    )
+    excluded = (
+        t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 1000)
+        .select(F.col("s_suppkey").alias("x_suppkey"))
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(
+            F.broadcast(excluded),
+            li.l_suppkey == F.col("x_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").cast("long").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@query(
+    "tpch20_potential_promo",
+    oracle=(
+        "SELECT s.s_name FROM supplier s WHERE s.s_suppkey IN ("
+        "SELECT l.l_suppkey FROM lineitem l "
+        "JOIN part p ON l.l_partkey = p.p_partkey "
+        "WHERE p.p_name LIKE 'blue%' AND year(l.l_shipdate) = 1996 "
+        "GROUP BY 1 HAVING sum(l.l_quantity) > 50) ORDER BY s_name"
+    ),
+    doc=(
+        "TPC-H Q20 shape: suppliers who moved enough of a named part "
+        "family in one year — nested IN subqueries as a HAVING-filtered "
+        "aggregate semi-joined back to supplier"
+    ),
+)
+def q20(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").filter(F.year("l_shipdate") == 1996)
+    p = t(spark, sf_dir, "part").filter(F.col("p_name").like("blue%"))
+    s = t(spark, sf_dir, "supplier")
+    qualifying = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 50)
+        .select("l_suppkey")
+    )
+    return (
+        s.join(F.broadcast(qualifying), s.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .select("s_name")
+        .orderBy("s_name")
+    )
+
+
+@query(
+    "tpch21_waiting_orders",
+    oracle=(
+        "WITH sl AS (SELECT l.l_orderkey, l.l_suppkey, "
+        "max(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY "
+        "THEN 1 ELSE 0 END) AS late "
+        "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+        "WHERE o.o_orderstatus = 'F' GROUP BY 1, 2), "
+        "os AS (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_supp, "
+        "CAST(sum(late) AS BIGINT) AS n_late FROM sl GROUP BY 1) "
+        "SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait "
+        "FROM sl JOIN os USING (l_orderkey) "
+        "JOIN supplier s ON sl.l_suppkey = s.s_suppkey "
+        "WHERE sl.late = 1 AND os.n_supp > 1 AND os.n_late = 1 "
+        "GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20"
+    ),
+    doc=(
+        "TPC-H Q21 shape: suppliers who were the SOLE late supplier on "
+        "a multi-supplier finished order (lateness = shipped >90 days "
+        "after order date; fixture has no commit/receipt dates). The "
+        "exists/not-exists pair becomes two bounded per-order "
+        "aggregations — the scale-correct plan"
+    ),
+)
+def q21(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = t(spark, sf_dir, "supplier")
+    late = F.max(
+        (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")
+        ).cast("int")
+    )
+    sl = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(late.alias("late"))
+    )
+    os_ = sl.groupBy("l_orderkey").agg(
+        F.count("*").cast("long").alias("n_supp"),
+        F.sum("late").cast("long").alias("n_late"),
+    )
+    return (
+        sl.join(os_, "l_orderkey")
+        .filter((F.col("late") == 1) & (F.col("n_supp") > 1) & (F.col("n_late") == 1))
+        .join(F.broadcast(s), sl.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").cast("long").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
