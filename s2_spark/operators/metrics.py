@@ -18,7 +18,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import Window as W
 
 from s2_spark.model import metered_size_col
 
@@ -91,29 +90,22 @@ def storage_gauge(
     derives each chunk's starting offset from the chunk totals with a
     broadcast inequality join. A years-long minute-granularity range
     therefore spreads across tasks instead of serializing on one."""
+    from s2_spark.operators.prefix import chunked_running
+
     per_bucket = (
         _bucketed(_scoped(records, basin, stream), interval)
         .groupBy("bucket")
         .agg(F.sum(metered_size_col()).alias("delta"))
     )
     chunk_ms = INTERVAL_MS[interval] * _CHUNK_BUCKETS
-    pb = per_bucket.withColumn("chunk", (F.col("bucket") / chunk_ms).cast("long"))
-    win = (
-        W.partitionBy("chunk")
-        .orderBy("bucket")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    run = pb.withColumn("run", F.sum("delta").over(win))
-    tot = pb.groupBy("chunk").agg(F.sum("delta").alias("ct"))
-    offsets = (
-        tot.alias("a")
-        .join(F.broadcast(tot.alias("b")), F.col("b.chunk") < F.col("a.chunk"), "left")
-        .groupBy(F.col("a.chunk").alias("chunk"))
-        .agg(F.coalesce(F.sum("b.ct"), F.lit(0)).alias("offset"))
-    )
     return (
-        run.join(F.broadcast(offsets), "chunk")
-        .select("bucket", (F.col("run") + F.col("offset")).alias("level"))
+        chunked_running(
+            per_bucket,
+            ["bucket"], "delta", "level",
+            kind="sum",
+            chunk=F.floor(F.col("bucket") / F.lit(chunk_ms)).cast("long"),
+        )
+        .select("bucket", "level")
         .orderBy("bucket")
     )
 

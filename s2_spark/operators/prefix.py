@@ -1,0 +1,195 @@
+"""Distributed running aggregates (chunked two-phase prefix).
+
+A ``Window.orderBy(...)`` with no partition key collapses the whole
+input onto one task (Spark warns ``WindowExec: No Partition Defined``).
+Running sums and running maxes don't need that: both are
+prefix-decomposable, so the global running value at a row is
+
+    combine(running-value within the row's chunk,
+            fold of the totals of all earlier chunks)
+
+for any chunking that respects the global order. Phase 1 runs the
+window partitioned by chunk (parallel across tasks); phase 2 folds the
+per-chunk totals into per-chunk starting offsets with a broadcast
+inequality join over the tiny chunk-totals relation (``rows /
+chunk_width`` rows). This is the same plan proven for the metrics gauge
+set in ``s2_spark/operators/metrics.py`` (storage_gauge), generalized
+to any monotone chunk key and to max as well as sum.
+
+Scale: with the default width of 65 536 order-units per chunk, a
+10-billion-row series produces ~150k chunk rows — broadcastable. For a
+series long enough that even the chunk relation is large, the same
+decomposition nests (chunk the chunks); no query in this repo needs
+the third level.
+
+Reference tie-in: these are the scale-safe forms of the per-stream log
+folds (running timestamp max = monotone adjust, streamer.rs:996-1000;
+running metered-byte sum = read bytes-limit cutoff, read_extent.rs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+DEFAULT_CHUNK_WIDTH = 65_536
+
+
+def _col(c: Column | str) -> Column:
+    return c if isinstance(c, Column) else F.col(c)
+
+
+def chunked_running(
+    df: DataFrame,
+    order_by: list[Column | str],
+    value: Column | str,
+    out_col: str,
+    kind: str = "sum",
+    chunk: Column | None = None,
+    chunk_width: int = DEFAULT_CHUNK_WIDTH,
+    partition_by: list[str] | None = None,
+) -> DataFrame:
+    """Add ``out_col`` = running ``kind`` of ``value`` over the global
+    order ``order_by`` (ROWS UNBOUNDED PRECEDING .. CURRENT ROW),
+    computed without a global single-partition window.
+
+    ``chunk`` must be monotone non-decreasing in the global order (ties
+    in the order key must land in the same chunk); defaults to
+    ``floor(first-order-column / chunk_width)``, which is valid whenever
+    the first order column alone is unique-enough that equal values
+    sharing a chunk is acceptable (always true: equal primary keys sort
+    adjacent and stay together under floor()).
+
+    ``partition_by`` scopes the running aggregate to each key group
+    (e.g. one S2 stream): the fold restarts per key, and — unlike
+    ``Window.partitionBy(keys)`` alone — a single hot key still spreads
+    across tasks, because the real partition key is (key, chunk). This
+    is the skew-proof form of the per-stream log folds.
+
+    All input columns are preserved.
+    """
+    if kind not in ("sum", "max"):
+        raise ValueError(f"kind must be 'sum' or 'max', got {kind!r}")
+    order_cols = [_col(c) for c in order_by]
+    pcols = list(partition_by or [])
+    if chunk is None:
+        chunk = F.floor(order_cols[0] / F.lit(chunk_width)).cast("long")
+    agg = F.sum if kind == "sum" else F.max
+
+    d = df.withColumn("_pchunk", chunk).withColumn("_pval", _col(value))
+    win = (
+        W.partitionBy(*pcols, "_pchunk")
+        .orderBy(*order_cols)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    run = d.withColumn("_prun", agg("_pval").over(win))
+
+    tot = d.groupBy(*pcols, "_pchunk").agg(agg("_pval").alias("_pct"))
+    same_key = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in pcols]
+    cond = same_key + [F.col("b._pchunk") < F.col("a._pchunk")]
+    offsets = (
+        tot.alias("a")
+        .join(F.broadcast(tot.alias("b")), cond, "left")
+        .groupBy(
+            *[F.col(f"a.{c}").alias(c) for c in pcols],
+            F.col("a._pchunk").alias("_pchunk"),
+        )
+        .agg(agg(F.col("b._pct")).alias("_poff"))
+    )
+    joined = run.join(F.broadcast(offsets), [*pcols, "_pchunk"])
+    if kind == "sum":
+        combined = F.when(
+            F.col("_poff").isNull(), F.col("_prun")
+        ).otherwise(F.col("_prun") + F.col("_poff"))
+    else:
+        # greatest() skips nulls: null offset (first chunk) -> _prun
+        combined = F.greatest(F.col("_prun"), F.col("_poff"))
+    return joined.withColumn(out_col, combined).drop(
+        "_pchunk", "_pval", "_prun", "_poff"
+    )
+
+
+def chunked_row_number(
+    df: DataFrame,
+    order_by: list[Column | str],
+    out_col: str,
+    chunk: Column | None = None,
+    chunk_width: int = DEFAULT_CHUNK_WIDTH,
+) -> DataFrame:
+    """Add ``out_col`` = global 1-based row number over ``order_by``,
+    without a global window: row_number within each chunk + the count of
+    all rows in earlier chunks (phase-2 broadcast inequality join over
+    per-chunk counts).
+
+    With a unique order key this is also the global rank, which makes
+    the rank family distributable: ntile(n) = floor((rn-1)*n/N)+1,
+    percent_rank = (rn-1)/(N-1), cume_dist = rn/N — N via a 1-row
+    broadcast count. The engine uses the same decomposition for
+    seq_num assignment across partitioned appends.
+    """
+    order_cols = [_col(c) for c in order_by]
+    if chunk is None:
+        chunk = F.floor(order_cols[0] / F.lit(chunk_width)).cast("long")
+    d = df.withColumn("_pchunk", chunk)
+    win = W.partitionBy("_pchunk").orderBy(*order_cols)
+    run = d.withColumn("_prn", F.row_number().over(win).cast("long"))
+    tot = d.groupBy("_pchunk").agg(F.count("*").alias("_pct"))
+    offsets = (
+        tot.alias("a")
+        .join(
+            F.broadcast(tot.alias("b")),
+            F.col("b._pchunk") < F.col("a._pchunk"),
+            "left",
+        )
+        .groupBy(F.col("a._pchunk").alias("_pchunk"))
+        .agg(F.coalesce(F.sum("b._pct"), F.lit(0)).alias("_poff"))
+    )
+    return (
+        run.join(F.broadcast(offsets), "_pchunk")
+        .withColumn(out_col, F.col("_prn") + F.col("_poff"))
+        .drop("_pchunk", "_prn", "_poff")
+    )
+
+
+def chunked_lag(
+    df: DataFrame,
+    order_by: list[Column | str],
+    value: Column | str,
+    out_col: str,
+    chunk: Column | None = None,
+    chunk_width: int = DEFAULT_CHUNK_WIDTH,
+) -> DataFrame:
+    """Add ``out_col`` = ``lag(value, 1)`` over the global order without
+    a global window: lag within each chunk, and for each chunk's first
+    row, the last value of the nearest earlier non-empty chunk (max_by
+    over the tiny chunk-summary relation).
+
+    NOTE: assumes ``value`` is non-null (the boundary fill uses
+    coalesce); a null value at a chunk's end would be skipped, not
+    propagated. All callers in this repo lag non-null columns.
+    """
+    order_cols = [_col(c) for c in order_by]
+    if chunk is None:
+        chunk = F.floor(order_cols[0] / F.lit(chunk_width)).cast("long")
+    d = df.withColumn("_pchunk", chunk).withColumn("_pval", _col(value))
+    win = W.partitionBy("_pchunk").orderBy(*order_cols)
+    run = d.withColumn("_plag", F.lag("_pval").over(win))
+    last = d.groupBy("_pchunk").agg(
+        F.max_by("_pval", F.struct(*order_cols)).alias("_plast")
+    )
+    prev = (
+        last.alias("a")
+        .join(
+            F.broadcast(last.alias("b")),
+            F.col("b._pchunk") < F.col("a._pchunk"),
+            "left",
+        )
+        .groupBy(F.col("a._pchunk").alias("_pchunk"))
+        .agg(F.max_by(F.col("b._plast"), F.col("b._pchunk")).alias("_pprev"))
+    )
+    return (
+        run.join(F.broadcast(prev), "_pchunk")
+        .withColumn(out_col, F.coalesce(F.col("_plag"), F.col("_pprev")))
+        .drop("_pchunk", "_pval", "_plag", "_pprev")
+    )

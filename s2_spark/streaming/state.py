@@ -24,7 +24,6 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
-from pyspark.sql import Window as W
 
 OUT_SCHEMA = T.StructType(
     [
@@ -105,28 +104,44 @@ def apply_commands_stream(records: DataFrame) -> DataFrame:
 
 
 def apply_commands_batch(records: DataFrame) -> DataFrame:
-    """Batch-equivalent fold via running-max windows (Q-W4 structure) —
-    fully distributed: partitions by stream, no Python in the loop."""
+    """Batch-equivalent fold via per-stream chunked running maxes
+    (``s2_spark.operators.prefix``) — fully distributed AND skew-proof:
+    the fold is scoped per (basin, stream), but within a stream the
+    running state decomposes across seq_num chunks, so one hot stream
+    (or a single-stream fixture) spreads over many tasks instead of
+    serializing on one. No Python in the loop.
+
+    Both folds are running maxes: the latest fence is the max of
+    struct(fence_seq, token) — lexicographic struct order picks the
+    highest fence position — and the trim point is the max clamped
+    trim request seen so far (streamer.rs:368-390 semantics).
+    """
+    from s2_spark.operators.prefix import chunked_running
+
     df = _with_cmd_cols(records)
-    w = (
-        W.partitionBy("basin", "stream")
-        .orderBy("seq_num")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
     trim_req = F.when(
         F.col("cmd") == "trim",
         F.least(F.conv(F.hex("payload"), 16, 10).cast("long"), F.col("seq_num") + 1),
     )
     token_at = F.when(F.col("cmd") == "fence", F.col("payload").cast("string"))
-    return df.select(
+    fence_at = F.when(
+        token_at.isNotNull(),
+        F.struct(F.col("seq_num").alias("s"), token_at.alias("t")),
+    )
+    d = df.withColumn("_fence", fence_at).withColumn("_treq", trim_req)
+    d = chunked_running(
+        d, ["seq_num"], "_fence", "_fmax",
+        kind="max", partition_by=["basin", "stream"],
+    )
+    d = chunked_running(
+        d, ["seq_num"], "_treq", "_tmax",
+        kind="max", partition_by=["basin", "stream"],
+    )
+    return d.select(
         "basin",
         "stream",
         "seq_num",
         "timestamp",
-        # latest fence at-or-before this row (max_by over running frame)
-        F.coalesce(
-            F.max_by(token_at, F.when(token_at.isNotNull(), F.col("seq_num"))).over(w),
-            F.lit(""),
-        ).alias("fencing_token"),
-        F.coalesce(F.max(trim_req).over(w), F.lit(0)).alias("trim_point"),
+        F.coalesce(F.col("_fmax")["t"], F.lit("")).alias("fencing_token"),
+        F.coalesce(F.col("_tmax"), F.lit(0)).alias("trim_point"),
     ).withColumn("visible", F.col("seq_num") >= F.col("trim_point"))

@@ -261,11 +261,12 @@ def ag13(spark, sf_dir):
     doc="metrics gauge: running level (A26 storage metric shape)",
 )
 def ag10(spark, sf_dir):
-    from pyspark.sql import Window as W
+    from s2_spark.operators.prefix import chunked_running
 
     e = t(spark, sf_dir, "events").filter(F.col("user_id") == 1)
-    w = W.orderBy("event_id").rowsBetween(W.unboundedPreceding, W.currentRow)
-    return (
-        e.select("event_id", r4(F.sum("value").over(w)).alias("level"))
-        .orderBy("event_id")
+    # running level via the chunked two-phase prefix (no global window)
+    d = chunked_running(
+        e.select("event_id", "value"),
+        ["event_id"], "value", "lvl", kind="sum", chunk_width=8192,
     )
+    return d.select("event_id", r4(F.col("lvl")).alias("level")).orderBy("event_id")

@@ -10,7 +10,6 @@ partitions by the series key instead of doing an O(n²) theta join.
 
 from __future__ import annotations
 
-from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from s2_spark.registry import query
@@ -169,11 +168,14 @@ def j6(spark, sf_dir):
     doc=(
         "as-of join (resolve position at-or-before a timestamp, A8: "
         "lite/src/backend/read.rs:287-317). Spark lacks native ASOF; built as "
-        "union + running-max window — O(n log n), partitionable by series key, "
-        "no quadratic theta join."
+        "union + chunked running max (s2_spark.operators.prefix) — O(n log n), "
+        "time-chunked so no single-partition global sort, no quadratic theta "
+        "join."
     ),
 )
 def j7(spark, sf_dir):
+    from s2_spark.operators.prefix import chunked_running
+
     e = t(spark, sf_dir, "events")
     # Probe side: user 1 events. Reference side: user 2 events.
     a = e.filter(F.col("user_id") == 1).select(
@@ -183,15 +185,18 @@ def j7(spark, sf_dir):
         "event_id", "ts", F.lit(0).alias("is_probe"), F.col("event_id").alias("ref_id")
     )
     # At equal ts the reference row sorts first (is_probe asc) so ties count
-    # as "at-or-before". running max of ref ids = most recent reference event.
-    w = (
-        W.orderBy("ts", "is_probe", "event_id")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    # as "at-or-before". Running max of ref ids = most recent reference
+    # event; chunked by 6h time buckets (monotone in ts, ties co-chunked).
+    chunk = F.floor(
+        F.unix_millis(F.col("ts").cast("timestamp")) / F.lit(21_600_000)
+    ).cast("long")
+    d = chunked_running(
+        a.unionByName(b),
+        ["ts", "is_probe", "event_id"], "ref_id", "prior_ev",
+        kind="max", chunk=chunk,
     )
     return (
-        a.unionByName(b)
-        .withColumn("prior_ev", F.max("ref_id").over(w))
-        .filter(F.col("is_probe") == 1)
+        d.filter(F.col("is_probe") == 1)
         .select("event_id", "prior_ev")
         .orderBy("event_id")
     )

@@ -276,10 +276,33 @@ def w8(spark, sf_dir):
     doc="value-RANGE window frame (±10 on the ordering key)",
 )
 def w9(spark, sf_dir):
-    e = t(spark, sf_dir, "events").filter(F.col("user_id") == 5)
-    w = W.orderBy("event_id").rangeBetween(-10, 10)
+    # Bounded RANGE frame (±10 order-units) without a global window:
+    # chunk the order key, and duplicate rows within 10 units of a chunk
+    # boundary into the neighboring chunk as halo rows, so every row's
+    # frame is fully visible inside its own chunk partition. Halo copies
+    # are dropped after the windowed count (they only feed neighbors'
+    # frames). The halo trick generalizes any bounded frame; unbounded
+    # frames use operators/prefix.chunked_running instead.
+    e = t(spark, sf_dir, "events").filter(F.col("user_id") == 5).select("event_id")
+    C, H = 8192, 10
+    chunk = F.floor(F.col("event_id") / F.lit(C)).cast("long")
+    own = e.withColumn("_ck", chunk).withColumn("_halo", F.lit(0))
+    lo = (
+        e.filter(F.col("event_id") % C < H)
+        .withColumn("_ck", chunk - 1)
+        .withColumn("_halo", F.lit(1))
+    )
+    hi = (
+        e.filter(F.col("event_id") % C >= C - H)
+        .withColumn("_ck", chunk + 1)
+        .withColumn("_halo", F.lit(1))
+    )
+    w = W.partitionBy("_ck").orderBy("event_id").rangeBetween(-H, H)
     return (
-        e.select("event_id", F.count("*").over(w).cast("long").alias("in_range"))
+        own.unionByName(lo).unionByName(hi)
+        .withColumn("in_range", F.count("*").over(w).cast("long"))
+        .filter(F.col("_halo") == 0)
+        .select("event_id", "in_range")
         .orderBy("event_id")
     )
 
@@ -294,14 +317,26 @@ def w9(spark, sf_dir):
     doc="percent_rank / cume_dist",
 )
 def w10(spark, sf_dir):
+    from s2_spark.operators.prefix import chunked_row_number
+
+    # unique order key => rank == row_number, so percent_rank =
+    # (rn-1)/(N-1) and cume_dist = rn/N from the distributed global row
+    # number — no global single-partition window; N is a 1-row broadcast
     c = t(spark, sf_dir, "customer")
-    w = W.orderBy("c_acctbal", "c_custkey")
+    rn = chunked_row_number(
+        c.select("c_custkey", "c_acctbal"),
+        ["c_acctbal", "c_custkey"], "rn",
+        chunk=F.floor(F.col("c_acctbal") / F.lit(500)).cast("long"),
+    )
+    total = c.agg(F.count("*").alias("_n"))
+    d = rn.crossJoin(F.broadcast(total))
+    pr = F.when(
+        F.col("_n") > 1,
+        (F.col("rn") - 1).cast("double") / (F.col("_n") - 1).cast("double"),
+    ).otherwise(F.lit(0.0))
+    cd = F.col("rn").cast("double") / F.col("_n").cast("double")
     return (
-        c.select(
-            "c_custkey",
-            r4(F.percent_rank().over(w)).alias("pr"),
-            r4(F.cume_dist().over(w)).alias("cd"),
-        )
+        d.select("c_custkey", r4(pr).alias("pr"), r4(cd).alias("cd"))
         .orderBy("c_custkey")
     )
 
@@ -400,16 +435,21 @@ def ag14(spark, sf_dir):
     ),
 )
 def st8(spark, sf_dir):
+    from s2_spark.operators.prefix import chunked_running
+
     e = t(spark, sf_dir, "events")
-    w = W.orderBy("event_id").rowsBetween(W.unboundedPreceding, W.currentRow)
-    metered = F.lit(8) + F.length("props")
+    # cumulative metered bytes via the chunked two-phase prefix — the
+    # same scale-safe shape as the engine's read bytes-limit cutoff
+    filtered = e.filter(
+        (F.col("event_id") >= 500)
+        & (F.col("ts").cast("timestamp") < F.lit("2024-01-25").cast("timestamp"))
+    )
+    d = chunked_running(
+        filtered.withColumn("_m", F.lit(8) + F.length("props")),
+        ["event_id"], "_m", "cum", kind="sum", chunk_width=8192,
+    )
     return (
-        e.filter(
-            (F.col("event_id") >= 500)
-            & (F.col("ts").cast("timestamp") < F.lit("2024-01-25").cast("timestamp"))
-        )
-        .withColumn("cum", F.sum(metered).over(w))
-        .filter(F.col("cum") <= 5000)
+        d.filter(F.col("cum") <= 5000)
         .select("event_id")
         .orderBy("event_id")
         .limit(30)

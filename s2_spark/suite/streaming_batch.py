@@ -104,14 +104,17 @@ def str3(spark, sf_dir):
     ),
 )
 def str4(spark, sf_dir):
-    from pyspark.sql import Window as W
+    from s2_spark.operators.prefix import chunked_running
 
     e = t(spark, sf_dir, "events")
-    w = W.orderBy("event_id").rowsBetween(W.unboundedPreceding, W.currentRow)
-    ts = F.col("ts").cast("timestamp")
+    # running watermark (max event-time so far in arrival order) via the
+    # chunked two-phase prefix — no global single-partition window
+    d = chunked_running(
+        e.withColumn("_ts", F.col("ts").cast("timestamp")),
+        ["event_id"], "_ts", "wm", kind="max", chunk_width=8192,
+    )
     return (
-        e.withColumn("wm", F.max(ts).over(w))
-        .filter(ts >= F.col("wm") - F.expr("INTERVAL 10 MINUTE"))
+        d.filter(F.col("_ts") >= F.col("wm") - F.expr("INTERVAL 10 MINUTE"))
         .agg(F.count("*").alias("n"))
     )
 

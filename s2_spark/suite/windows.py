@@ -6,11 +6,15 @@ sequencing and read-limit machinery:
 - cumulative byte sum = metered-bytes read limit (A12, read_extent.rs)
 - max_by      = latest fencing token per stream (A5)
 
-Scale notes: the single-series oracle queries use a global ORDER BY
-window (inherently one partition — they model ONE stream's log, which
-is exactly the reference's per-stream total order). The engine-level
-operators in ``s2_spark.store`` partition these windows by
-``(basin, stream)`` so N streams parallelize across executors.
+Scale notes: the single-series oracle queries model ONE stream's log
+(the reference's per-stream total order). The prefix-decomposable ones
+(running max w4, cumulative sum w5) run through the chunked two-phase
+prefix in ``s2_spark.operators.prefix`` — no global single-partition
+window. w3 (lag) and w6 (ntile) keep the global ORDER BY: lag needs
+only the one prior row and ntile needs the global count, and both are
+oracle shapes, not engine paths. The engine-level operators in
+``s2_spark.store`` partition every window by ``(basin, stream)`` so N
+streams parallelize across executors.
 """
 
 from __future__ import annotations
@@ -66,12 +70,19 @@ def w2(spark, sf_dir):
     doc="lag — monotone-timestamp regression check (A16)",
 )
 def w3(spark, sf_dir):
+    from s2_spark.operators.prefix import chunked_lag
+
     e = t(spark, sf_dir, "events")
-    w = W.orderBy("event_id")
+    # lag via chunked decomposition: in-chunk lag + previous chunk's
+    # last value at the boundary — no global single-partition window
+    d = chunked_lag(
+        e.select("event_id", "ts"), ["event_id"], "ts", "prev_ts",
+        chunk_width=8192,
+    )
     return (
-        e.select(
+        d.select(
             "event_id",
-            F.when(F.col("ts") < F.lag("ts").over(w), 1).otherwise(0).alias("regress"),
+            F.when(F.col("ts") < F.col("prev_ts"), 1).otherwise(0).alias("regress"),
         )
         .orderBy("event_id")
     )
@@ -88,11 +99,17 @@ def w3(spark, sf_dir):
     doc="running max — timestamp monotonic adjust (A16, streamer.rs:996-1000)",
 )
 def w4(spark, sf_dir):
+    from s2_spark.operators.prefix import chunked_running
+
     e = t(spark, sf_dir, "events").filter(F.col("user_id") == 2)
     v = (F.col("value") * 1000).cast("long")
-    w = W.orderBy("event_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    # running max via the chunked two-phase prefix (no global window)
+    d = chunked_running(
+        e.select("event_id", v.alias("v")),
+        ["event_id"], "v", "rm", kind="max", chunk_width=8192,
+    )
     return (
-        e.select("event_id", F.greatest(v, F.max(v).over(w)).alias("adj"))
+        d.select("event_id", F.greatest(F.col("v"), F.col("rm")).alias("adj"))
         .orderBy("event_id")
     )
 
@@ -107,15 +124,16 @@ def w4(spark, sf_dir):
     doc="cumulative metered-bytes — read bytes-limit cutoff (A12, read_extent.rs:18-137)",
 )
 def w5(spark, sf_dir):
+    from s2_spark.operators.prefix import chunked_running
+
     e = t(spark, sf_dir, "events").filter(F.col("user_id") == 3)
-    w = W.orderBy("event_id").rowsBetween(W.unboundedPreceding, W.currentRow)
-    return (
-        e.select(
-            "event_id",
-            F.sum(F.length("props").cast("long")).over(w).alias("cum"),
-        )
-        .orderBy("event_id")
+    # cumulative metered bytes via the chunked two-phase prefix — the
+    # scale-safe form of the read bytes-limit cutoff (A12)
+    d = chunked_running(
+        e.select("event_id", F.length("props").cast("long").alias("b")),
+        ["event_id"], "b", "cum", kind="sum", chunk_width=8192,
     )
+    return d.select("event_id", "cum").orderBy("event_id")
 
 
 @query(
@@ -127,10 +145,27 @@ def w5(spark, sf_dir):
     doc="ntile quartiles",
 )
 def w6(spark, sf_dir):
+    from s2_spark.operators.prefix import chunked_row_number
+
+    # ntile from the distributed global row number: with q = N div n and
+    # r = N mod n, SQL ntile gives the first r buckets q+1 rows and the
+    # rest q (front-loaded). No global window; N is a 1-row broadcast.
     c = t(spark, sf_dir, "customer")
-    w = W.orderBy("c_acctbal", "c_custkey")
+    rn = chunked_row_number(
+        c.select("c_custkey", "c_acctbal"),
+        ["c_acctbal", "c_custkey"], "rn",
+        chunk=F.floor(F.col("c_acctbal") / F.lit(500)).cast("long"),
+    )
+    n_buckets = F.lit(4)
+    total = c.agg(F.count("*").alias("_n"))
+    d = rn.crossJoin(F.broadcast(total))
+    q, r = F.floor(F.col("_n") / n_buckets), F.col("_n") % n_buckets
+    tile = F.when(
+        F.col("rn") <= r * (q + 1),
+        F.floor((F.col("rn") - 1) / (q + 1)) + 1,
+    ).otherwise(r + F.floor((F.col("rn") - 1 - r * (q + 1)) / q) + 1)
     return (
-        c.select(F.ntile(4).over(w).cast("long").alias("q"), "c_custkey")
+        d.select(tile.cast("long").alias("q"), "c_custkey")
         .orderBy("c_custkey")
     )
 

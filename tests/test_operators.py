@@ -304,3 +304,140 @@ def test_location_name_validation(spark):
     for bad in ["", "a" * 65, "space here", "unders_core", "ünïcode"]:
         with pytest.raises(S2Error):
             validate_location_name(bad)
+
+
+# --- chunked two-phase prefix (operators/prefix.py) ------------------------
+
+
+def test_chunked_running_sum_matches_global(spark):
+    from pyspark.sql import Window as W
+
+    from s2_spark.operators.prefix import chunked_running
+
+    df = spark.range(500).select(
+        (F.col("id") * 7).alias("k"),  # sparse order key
+        (F.col("id") % 13).cast("long").alias("v"),
+    )
+    got = chunked_running(df, ["k"], "v", "run", kind="sum", chunk_width=64)
+    ref = df.withColumn(
+        "run",
+        F.sum("v").over(
+            W.orderBy("k").rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    assert sorted(got.select("k", "run").collect()) == sorted(
+        ref.select("k", "run").collect()
+    )
+
+
+def test_chunked_running_max_with_nulls(spark):
+    from pyspark.sql import Window as W
+
+    from s2_spark.operators.prefix import chunked_running
+
+    # nulls in the value column (j7's probe rows): max must skip them,
+    # leading rows before any non-null value stay null
+    df = spark.range(300).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 3 == 0, F.col("id")).cast("long").alias("v"),
+    )
+    got = chunked_running(df, ["k"], "v", "rm", kind="max", chunk_width=32)
+    ref = df.withColumn(
+        "rm",
+        F.max("v").over(
+            W.orderBy("k").rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    assert sorted(got.select("k", "rm").collect()) == sorted(
+        ref.select("k", "rm").collect()
+    )
+
+
+def test_chunked_running_all_null_leading_chunk(spark):
+    from s2_spark.operators.prefix import chunked_running
+
+    # an entire leading chunk of nulls: its chunk total is null; later
+    # chunks' offsets must still fold correctly
+    df = spark.range(100).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") >= 40, F.lit(1)).cast("long").alias("v"),
+    )
+    got = (
+        chunked_running(df, ["k"], "v", "run", kind="sum", chunk_width=20)
+        .orderBy("k")
+        .collect()
+    )
+    assert got[39]["run"] is None  # before any value arrives
+    assert got[40]["run"] == 1
+    assert got[99]["run"] == 60
+
+
+def test_chunked_running_rejects_bad_kind(spark):
+    import pytest as _pytest
+
+    from s2_spark.operators.prefix import chunked_running
+
+    df = spark.range(3).select(F.col("id").alias("k"), F.col("id").alias("v"))
+    with _pytest.raises(ValueError):
+        chunked_running(df, ["k"], "v", "o", kind="avg")
+
+
+def test_chunked_row_number_matches_global(spark):
+    from pyspark.sql import Window as W
+
+    from s2_spark.operators.prefix import chunked_row_number
+
+    df = spark.range(400).select(
+        (F.col("id") * 3 + 17).alias("k"), (F.col("id") % 7).alias("grp")
+    )
+    got = chunked_row_number(df, ["k"], "rn", chunk_width=50)
+    ref = df.withColumn("rn", F.row_number().over(W.orderBy("k")).cast("long"))
+    assert sorted(got.select("k", "rn").collect()) == sorted(
+        ref.select("k", "rn").collect()
+    )
+
+
+def test_chunked_lag_matches_global(spark):
+    from pyspark.sql import Window as W
+
+    from s2_spark.operators.prefix import chunked_lag
+
+    # sparse keys => some chunks are empty; the boundary fill must reach
+    # back to the nearest NON-empty earlier chunk
+    df = spark.range(200).select(
+        (F.col("id") * F.col("id")).alias("k"), (F.col("id") * 2).alias("v")
+    )
+    got = chunked_lag(df, ["k"], "v", "pv", chunk_width=100)
+    ref = df.withColumn("pv", F.lag("v").over(W.orderBy("k")))
+    assert sorted(got.select("k", "pv").collect()) == sorted(
+        ref.select("k", "pv").collect()
+    )
+
+
+def test_chunked_running_partitioned_restarts_per_key(spark):
+    from pyspark.sql import Window as W
+
+    from s2_spark.operators.prefix import chunked_running
+
+    # two keys interleaved on the same order domain: the fold must
+    # restart per key, and one key's totals must never leak into the
+    # other's offsets even across chunk boundaries
+    df = spark.range(600).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 2).cast("string").alias("s"),
+        F.lit(1).cast("long").alias("v"),
+    )
+    got = chunked_running(
+        df, ["k"], "v", "run", kind="sum", chunk_width=64, partition_by=["s"]
+    )
+    ref = df.withColumn(
+        "run",
+        F.sum("v").over(
+            W.partitionBy("s")
+            .orderBy("k")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    assert sorted(got.select("s", "k", "run").collect()) == sorted(
+        ref.select("s", "k", "run").collect()
+    )
