@@ -268,7 +268,7 @@ def probe_mp4(payload: bytes) -> dict:
     box tree to ``moov/mvhd`` and return {duration_ms, timescale,
     n_tracks}. Frame pixel decode still needs a codec library and stays
     stubbed; this makes the video column's *metadata* path honest."""
-    def walk(buf: bytes, want: bytes):
+    def walk(buf: bytes):
         pos = 0
         while pos + 8 <= len(buf):
             (size,) = struct.unpack(">I", buf[pos : pos + 4])
@@ -286,11 +286,11 @@ def probe_mp4(payload: bytes) -> dict:
                 break
             pos = body_end
 
-    moov = next((b for t, b in walk(payload, b"moov") if t == b"moov"), None)
+    moov = next((b for t, b in walk(payload) if t == b"moov"), None)
     if moov is None:
         raise ValueError("no moov box")
     out = {"duration_ms": None, "timescale": None, "n_tracks": 0}
-    for t, b in walk(moov, b""):
+    for t, b in walk(moov):
         if t == b"mvhd":
             version = b[0]
             if version == 1:

@@ -219,12 +219,12 @@ class TokenStore:
         limit capped at 1000."""
         n = min(limit if limit is not None else MAX_LIST_LIMIT, MAX_LIST_LIMIT)
         with self._mu:
-            ids = sorted(self._tokens)
+            snapshot = sorted(self._tokens.items())
         out = []
-        for i in ids:
+        for i, tok in snapshot:
             if not i.startswith(prefix) or i <= start_after:
                 continue
-            out.append(self._tokens[i])
+            out.append(tok)
             if len(out) >= n:
                 break
         return out

@@ -46,7 +46,14 @@ class Producer:
         self.linger_s = linger_ms / 1000.0
         self.max_records = max_batch_records
         self.max_bytes = max_batch_bytes
-        self.max_unacked_bytes = max(int(max_unacked_bytes), MIN_UNACKED_WINDOW_BYTES)
+        if int(max_unacked_bytes) < MIN_UNACKED_WINDOW_BYTES:
+            # the SDK rejects sub-1MiB windows rather than clamping
+            # (sdk/src/producer.rs with_max_unacked_bytes validation)
+            raise ValueError(
+                f"max_unacked_bytes must be >= {MIN_UNACKED_WINDOW_BYTES} "
+                f"(1 MiB), got {int(max_unacked_bytes)}"
+            )
+        self.max_unacked_bytes = int(max_unacked_bytes)
         self._pending: list[tuple[Record, Future]] = []
         self._pending_bytes = 0
         self._unacked_bytes = 0  # queued + batches whose append hasn't returned
@@ -62,39 +69,48 @@ class Producer:
         caller experiences backpressure instead of unbounded queueing."""
         record.validate()
         fut: Future = Future()
-        flush_now = False
-        with self._unacked_cv:
-            if self._closed:
-                raise RuntimeError("producer closed")
-            size = record.metered_size()
-            # un-acked window admission: wait for in-flight acks to drain
-            # (the `> 0` guard admits a lone record wider than the window
-            # rather than deadlocking on an unsatisfiable wait)
-            while (
-                not self._closed
-                and self._unacked_bytes > 0
-                and self._unacked_bytes + size > self.max_unacked_bytes
-            ):
-                self._unacked_cv.wait()
-            if self._closed:
-                raise RuntimeError("producer closed")
-            self._unacked_bytes += size
-            if (
-                len(self._pending) + 1 > self.max_records
-                or self._pending_bytes + size > self.max_bytes
-            ):
-                flush_now = True  # current batch is full: flush, then queue
-            if flush_now:
-                batch = self._take_locked()
-            self._pending.append((record, fut))
-            self._pending_bytes += size
-            if self._timer is None:
-                self._timer = threading.Timer(self.linger_s, self.flush)
-                self._timer.daemon = True
-                self._timer.start()
-        if flush_now and batch:
-            self._commit(batch)
-        return fut
+        size = record.metered_size()
+        while True:
+            stale = None
+            batch = None
+            admitted = False
+            with self._unacked_cv:
+                if self._closed:
+                    raise RuntimeError("producer closed")
+                # un-acked window admission (the `> 0` guard admits a lone
+                # record wider than the window rather than deadlocking)
+                window_full = (
+                    self._unacked_bytes > 0
+                    and self._unacked_bytes + size > self.max_unacked_bytes
+                )
+                if not window_full:
+                    admitted = True
+                    self._unacked_bytes += size
+                    if (
+                        len(self._pending) + 1 > self.max_records
+                        or self._pending_bytes + size > self.max_bytes
+                    ):
+                        batch = self._take_locked()  # full: flush, then queue
+                    self._pending.append((record, fut))
+                    self._pending_bytes += size
+                    if self._timer is None:
+                        self._timer = threading.Timer(self.linger_s, self.flush)
+                        self._timer.daemon = True
+                        self._timer.start()
+                elif self._pending_bytes > 0:
+                    # queued-but-unflushed bytes may be the sole occupant
+                    # of the window; flush them now instead of stalling up
+                    # to the full linger on bytes nothing else will move
+                    stale = self._take_locked()
+                else:
+                    self._unacked_cv.wait()
+            if stale is not None:
+                self._commit(stale)  # frees window bytes, then re-check
+                continue
+            if admitted:
+                if batch:
+                    self._commit(batch)
+                return fut
 
     def _take_locked(self):
         batch = self._pending

@@ -140,8 +140,9 @@ def test_producer_unacked_window_bounds_inflight(store):
     n, body = 9, b"b" * (300 * 1024)  # ~300 KiB metered each
     peaks = []
     p = Producer(
-        store, BASIN, "s1", linger_ms=20, max_batch_records=2, max_unacked_bytes=1
-    )  # window clamps up to the 1 MiB floor
+        store, BASIN, "s1", linger_ms=20, max_batch_records=2,
+        max_unacked_bytes=MIN_UNACKED_WINDOW_BYTES,
+    )
     assert p.max_unacked_bytes == MIN_UNACKED_WINDOW_BYTES
     orig_append = store.append
 
@@ -171,8 +172,12 @@ def test_producer_window_admits_max_size_record(store):
     the window and is then admitted — no unsatisfiable wait (the record
     cap guarantees size <= floor, so admission always terminates)."""
     from s2_spark.model import MAX_RECORD_METERED_BYTES
+    from s2_spark.producer import MIN_UNACKED_WINDOW_BYTES
 
-    p = Producer(store, BASIN, "s1", linger_ms=10, max_unacked_bytes=1)
+    p = Producer(
+        store, BASIN, "s1", linger_ms=10,
+        max_unacked_bytes=MIN_UNACKED_WINDOW_BYTES,
+    )
     small = Record(body=b"s" * 1024)
     big = Record(body=b"x" * (MAX_RECORD_METERED_BYTES - 8))  # metered == 1 MiB
     with p:
@@ -180,6 +185,43 @@ def test_producer_window_admits_max_size_record(store):
         f2 = p.submit(big)  # must wait for f1's ack, then proceed
     assert f1.result(timeout=30) == 0
     assert f2.result(timeout=30) == 1
+
+
+def test_producer_rejects_sub_floor_window(store):
+    """The SDK rejects sub-1MiB un-acked windows with a validation error
+    (sdk/src/producer.rs with_max_unacked_bytes) rather than silently
+    loosening a caller's tighter request."""
+    from s2_spark.producer import MIN_UNACKED_WINDOW_BYTES
+
+    with pytest.raises(ValueError, match="max_unacked_bytes"):
+        Producer(store, BASIN, "s1", max_unacked_bytes=1)
+    with pytest.raises(ValueError, match="max_unacked_bytes"):
+        Producer(store, BASIN, "s1", max_unacked_bytes=MIN_UNACKED_WINDOW_BYTES - 1)
+    # exactly the floor is accepted
+    Producer(store, BASIN, "s1", max_unacked_bytes=MIN_UNACKED_WINDOW_BYTES).close()
+
+
+def test_producer_window_wait_flushes_pending(store):
+    """When the un-acked window is held open solely by queued-but-
+    unflushed bytes, a blocked submit flushes the pending batch itself
+    instead of stalling for the full linger timer."""
+    from s2_spark.producer import MIN_UNACKED_WINDOW_BYTES
+
+    p = Producer(
+        store, BASIN, "s1",
+        linger_ms=60_000,  # linger will never fire within the test
+        max_unacked_bytes=MIN_UNACKED_WINDOW_BYTES,
+    )
+    body = b"q" * (700 * 1024)  # ~700 KiB metered: two don't fit the window
+    with p:
+        t0 = time.monotonic()
+        f1 = p.submit(Record(body=body))  # queued, not flushed (60s linger)
+        f2 = p.submit(Record(body=body))  # window full of f1's queued bytes
+        elapsed = time.monotonic() - t0
+    assert f1.result(timeout=30) == 0
+    assert f2.result(timeout=30) == 1
+    # far below the 60s linger: the submit drove the flush itself
+    assert elapsed < 30
 
 
 def test_producer_close_wakes_blocked_submitter(store):
@@ -196,8 +238,11 @@ def test_producer_close_wakes_blocked_submitter(store):
         return orig_append(*a, **k)
 
     store.append = slow_append
+    from s2_spark.producer import MIN_UNACKED_WINDOW_BYTES
+
     p = Producer(
-        store, BASIN, "s1", linger_ms=5, max_batch_records=1, max_unacked_bytes=1
+        store, BASIN, "s1", linger_ms=5, max_batch_records=1,
+        max_unacked_bytes=MIN_UNACKED_WINDOW_BYTES,
     )
     errs = []
 
