@@ -75,6 +75,20 @@ _R03_BACKLOG = frozenset({
 })
 
 
+# Queries whose implementation changed AFTER their latest driver proof
+# (the round-4-tail chunked-prefix re-plan, commit 672d356, landed after
+# CORRECTNESS_r04 was recorded). Their r4 hash-matches predate the
+# current code, so they re-enter the scoring prefix ahead of untouched
+# proven entries until a fresh proof lands.
+_R05_RESCORE = frozenset({
+    "w3_lag_regress", "w4_running_max", "w5_cumulative_bytes",
+    "w6_ntile", "w9_range_frame", "w10_percent_rank",
+    "ag10_metrics_gauge", "ag13_metrics_storage_gauge",
+    "str4_watermark_survivors", "str6_command_fold",
+    "j7_asof_join", "st8_combined_read_limits",
+})
+
+
 def _prioritized(names: list[str]) -> list[str]:
     """Order queries so the driver's per-round scoring budget lands on
     the entries that need evidence.
@@ -108,7 +122,15 @@ def _prioritized(names: list[str]) -> list[str]:
 
     backlog = [n for n in fresh if n in _R03_BACKLOG]
     newer = [n for n in fresh if n not in _R03_BACKLOG]
-    return failed + _round_robin(backlog) + _round_robin(newer) + proven
+    rescore = [n for n in proven if n in _R05_RESCORE]
+    stable = [n for n in proven if n not in _R05_RESCORE]
+    return (
+        failed
+        + _round_robin(backlog)
+        + _round_robin(newer)
+        + rescore
+        + stable
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -158,8 +158,16 @@ class Catalog:
         # not interleave writes to the same file.
         self._mu = threading.RLock()
         self.meta_dir = meta_dir
+        # optional OpsAudit sink (wired by the owning StreamStore): the
+        # BasinOps metric set (api/src/v1/metrics.rs:110-130) counts
+        # control-plane RPCs, which live here
+        self.audit = None
         if meta_dir:
             self._load()
+
+    def _audit_op(self, op: str, basin: str) -> None:
+        if self.audit is not None:
+            self.audit.log(op, basin)
 
     # --- durability -----------------------------------------------------
 
@@ -415,6 +423,7 @@ class Catalog:
                     # (streams.rs:115-121 StreamDeletionPendingError)
                     raise DeletionPending(f"{basin}/{name}")
                 if key_hash is not None and existing.idempotency_key == key_hash:
+                    self._audit_op("create_stream", basin)
                     return existing  # retried create: no-op
                 raise AlreadyExists(f"{basin}/{name}")
             meta = StreamMeta(
@@ -427,6 +436,7 @@ class Catalog:
             )
             self.streams[key] = meta
             self._save()
+            self._audit_op("create_stream", basin)
             return meta
 
     def provision_stream(
@@ -513,6 +523,7 @@ class Catalog:
         with self._mu:
             self.get_stream(basin, name).deleted_at = self._clock()
             self._save()
+        self._audit_op("delete_stream", basin)
 
     def reconfigure_stream(
         self, basin: str, name: str, config: StreamConfig, merge: bool = False
@@ -526,7 +537,8 @@ class Catalog:
             meta = self.get_stream(basin, name)
             meta.config = config.merge_over(meta.config) if merge else config
             self._save()
-            return meta
+        self._audit_op("reconfigure_stream", basin)
+        return meta
 
     def resolve_config(self, basin: str, name: str) -> StreamConfig:
         """stream → basin default → system default (config.rs:150-165)."""
@@ -572,6 +584,7 @@ class Catalog:
                 and n.startswith(prefix)
                 and n > start_after
             )
+        self._audit_op("list_streams", basin)
         return names[:limit], len(names) > limit
 
     def list_basins(

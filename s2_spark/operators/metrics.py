@@ -110,6 +110,84 @@ def storage_gauge(
     )
 
 
+def read_ops(
+    audit: DataFrame,
+    interval: str = "hour",
+    basin: str | None = None,
+    stream: str | None = None,
+) -> DataFrame:
+    """Scalar set over the ops-audit meta-stream: read RPCs per bucket
+    (BasinMetricSet::ReadOps, api/src/v1/metrics.rs:110-130). Counts
+    client-shaped read / read_session ops; session batch deliveries and
+    internal polls are excluded by op type."""
+    from s2_spark.operators.audit import READ_OPS
+
+    return (
+        _bucketed(
+            _scoped(audit.filter(F.col("op").isin(*READ_OPS)), basin, stream),
+            interval,
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("ops"))
+        .orderBy("bucket")
+    )
+
+
+def read_throughput(
+    audit: DataFrame,
+    interval: str = "hour",
+    basin: str | None = None,
+    stream: str | None = None,
+) -> DataFrame:
+    """Scalar set: metered bytes served to readers per bucket
+    (BasinMetricSet::ReadThroughput). Sums the per-delivered-batch
+    byte accounting the session loop records — the point where served
+    bytes are exactly known."""
+    return (
+        _bucketed(
+            _scoped(audit.filter(F.col("op") == "read_batch"), basin, stream),
+            interval,
+        )
+        .groupBy("bucket")
+        .agg(F.sum("bytes").alias("bytes"))
+        .orderBy("bucket")
+    )
+
+
+def basin_ops(
+    audit: DataFrame,
+    interval: str = "hour",
+    basin: str | None = None,
+) -> DataFrame:
+    """Scalar set: control-plane basin RPCs per bucket
+    (BasinMetricSet::BasinOps) — stream create/delete/reconfigure/list
+    as recorded by the catalog's audit hook."""
+    from s2_spark.operators.audit import BASIN_OPS
+
+    return (
+        _bucketed(
+            _scoped(audit.filter(F.col("op").isin(*BASIN_OPS)), basin, None),
+            interval,
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("ops"))
+        .orderBy("bucket")
+    )
+
+
+def active_basins(
+    records: DataFrame, interval: str = "day"
+) -> DataFrame:
+    """Account-level set: basins with at least one record in the bucket
+    (AccountMetricSet::ActiveBasins, api/src/v1/metrics.rs:70-76)."""
+    return (
+        _bucketed(records, interval)
+        .groupBy("bucket")
+        .agg(F.countDistinct("basin").alias("active"))
+        .orderBy("bucket")
+    )
+
+
 def ops_by_label(
     records: DataFrame,
     interval: str = "hour",

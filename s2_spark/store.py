@@ -213,6 +213,16 @@ class StreamStore:
         # refreshed to live SQL views on the first append (see
         # attach_views)
         self._stale_view_prefixes: set[str] = set()
+        # ops audit meta-stream: one row per served read / session /
+        # control op — the input the read-side metric sets aggregate
+        # (api/src/v1/metrics.rs:110-130 ReadOps/ReadThroughput/BasinOps)
+        from s2_spark.operators.audit import OpsAudit
+
+        self.audit = OpsAudit(
+            spark, os.path.join(base_dir, "_audit"), self._clock
+        )
+        if self.catalog.audit is None:
+            self.catalog.audit = self.audit
 
     # --- state ----------------------------------------------------------
 
@@ -737,6 +747,13 @@ class StreamStore:
 
     def check_tail(self, basin: str, stream: str) -> tuple[int, int]:
         """(next_seq_num, last_timestamp) (A15, read.rs:31-43)."""
+        self.audit.log("check_tail", basin, stream)
+        return self._tail(basin, stream)
+
+    def _tail(self, basin: str, stream: str) -> tuple[int, int]:
+        """check_tail without the audit record — for internal polls
+        (session follow loops would otherwise flood the ops log with
+        20 ms heartbeat probes that are not client RPCs)."""
         self.catalog.ensure_stream_for(basin, stream, "read")
         st = self._st(basin, stream)
         return st.tail_seq, st.last_ts
@@ -766,10 +783,18 @@ class StreamStore:
         start: ReadStart | None = None,
         limit: ReadLimit | None = None,
         apply_retention: bool = False,
+        audit: bool = True,
     ) -> DataFrame:
         """Range read returning an ordered DataFrame of sequenced
-        records (A7). All bounds are filters/windows — nothing collects."""
+        records (A7). All bounds are filters/windows — nothing collects.
+
+        Audit: one ``read`` op is logged per client-shaped call (the
+        ReadOps input). Bytes aren't known for a lazily-returned plan,
+        so only the session path accounts throughput; internal callers
+        (session batch reads) pass ``audit=False``."""
         self.catalog.ensure_stream_for(basin, stream, "read")
+        if audit:
+            self.audit.log("read", basin, stream)
         start = start or ReadStart(seq_num=0)
         limit = limit or ReadLimit()
         cfg = self.catalog.resolve_config(basin, stream)
@@ -919,7 +944,7 @@ class StreamStore:
         deadline = mono() + wait_s
         want_seq = start.seq_num if start.seq_num is not None else None
         while mono() < deadline:
-            tail, _ = self.check_tail(basin, stream)
+            tail, _ = self._tail(basin, stream)
             if want_seq is None or tail > want_seq:
                 break
             slp(poll_s)
@@ -1005,6 +1030,7 @@ class StreamStore:
             limit.count is not None and processed_count >= limit.count
         ) or (limit.bytes is not None and processed_bytes >= limit.bytes)
         self.catalog.ensure_stream_for(basin, stream, "read")
+        self.audit.log("read_session", basin, stream)
         st0 = self._st(basin, stream)
         tail_seq0, tail_ts0 = st0.tail_seq, st0.last_ts
         may_follow = (
@@ -1024,7 +1050,7 @@ class StreamStore:
             raise RangeNotSatisfiable(tail_seq0)
         if start_seq is None:  # timestamp start: resolve to a seq once
             first = (
-                self.read(basin, stream, start, ReadLimit(count=1))
+                self.read(basin, stream, start, ReadLimit(count=1), audit=False)
                 .select("seq_num")
                 .first()
             )
@@ -1074,7 +1100,7 @@ class StreamStore:
             rem_count, rem_bytes = remaining("count"), remaining("bytes")
             if rem_count == 0 or rem_bytes == 0:
                 return
-            tail, _ = self.check_tail(basin, stream)
+            tail, _ = self._tail(basin, stream)
             if start_seq < tail:
                 batch_limit = ReadLimit(
                     count=min(rem_count or batch_count, batch_count),
@@ -1086,12 +1112,20 @@ class StreamStore:
                     stream,
                     ReadStart(seq_num=start_seq, clamp=True),
                     batch_limit,
+                    audit=False,  # the session op was logged at open
                 ).collect()
                 if not rows:
                     # until/bytes bound cut everything that remains
                     return
+                batch_bytes = sum(metered(r) for r in rows)
                 processed_count += len(rows)
-                processed_bytes += sum(metered(r) for r in rows)
+                processed_bytes += batch_bytes
+                # throughput accounting: bytes are known exactly here —
+                # this is the serving point (ReadThroughput input)
+                self.audit.log(
+                    "read_batch", basin, stream,
+                    records=len(rows), nbytes=batch_bytes,
+                )
                 start_seq = rows[-1]["seq_num"] + 1
                 token = LastEventId(rows[-1]["seq_num"], processed_count, processed_bytes)
                 yield SessionEvent("batch", tuple(rows), tail, token)

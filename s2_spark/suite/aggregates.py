@@ -251,6 +251,110 @@ def ag13(spark, sf_dir):
     return storage_gauge(records, "day").select("bucket", "level")
 
 
+def _synthetic_audit(spark, sf_dir):
+    """Deterministic ops-audit frame derived from the events table so
+    the read-side metric sets (operators/metrics.py read_ops /
+    read_throughput / basin_ops over the OpsAudit relation) are
+    DuckDB-provable: event_type maps onto op kinds, props length onto
+    served bytes."""
+    e = t(spark, sf_dir, "events")
+    op = (
+        F.when(F.col("event_type") == "click", F.lit("read"))
+        .when(F.col("event_type") == "view", F.lit("read_session"))
+        .when(F.col("event_type") == "purchase", F.lit("read_batch"))
+        .when(F.col("event_type") == "signup", F.lit("create_stream"))
+        .otherwise(F.lit("list_streams"))
+    )
+    return e.select(
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("timestamp"),
+        op.alias("op"),
+        F.concat(F.lit("b"), (F.col("user_id") % 7).cast("string")).alias("basin"),
+        F.lit("s").alias("stream"),
+        F.lit(1).cast("long").alias("records"),
+        (F.lit(8) + F.length("props")).cast("long").alias("bytes"),
+    )
+
+
+@query(
+    "ag15_read_ops",
+    oracle=(
+        "SELECT epoch_ms(date_trunc('hour', ts)) AS bucket, count(*) AS ops "
+        "FROM events WHERE event_type IN ('click','view') GROUP BY 1 ORDER BY 1"
+    ),
+    doc=(
+        "metrics API (A26) ReadOps set (api/src/v1/metrics.rs:110-130): "
+        "read RPCs per hour over the ops-audit meta-stream"
+    ),
+)
+def ag15(spark, sf_dir):
+    from s2_spark.operators.metrics import read_ops
+
+    return read_ops(_synthetic_audit(spark, sf_dir), "hour").select("bucket", "ops")
+
+
+@query(
+    "ag16_read_throughput",
+    oracle=(
+        "SELECT epoch_ms(date_trunc('hour', ts)) AS bucket, "
+        "CAST(sum(8 + length(props)) AS BIGINT) AS bytes "
+        "FROM events WHERE event_type = 'purchase' GROUP BY 1 ORDER BY 1"
+    ),
+    doc=(
+        "metrics API (A26) ReadThroughput set: served bytes per hour from "
+        "the session loop's per-delivered-batch accounting"
+    ),
+)
+def ag16(spark, sf_dir):
+    from s2_spark.operators.metrics import read_throughput
+
+    return read_throughput(_synthetic_audit(spark, sf_dir), "hour").select(
+        "bucket", "bytes"
+    )
+
+
+@query(
+    "ag17_basin_ops",
+    oracle=(
+        "SELECT epoch_ms(date_trunc('day', ts)) AS bucket, count(*) AS ops "
+        "FROM events WHERE event_type IN ('signup','error') "
+        "AND (user_id % 7) = 3 GROUP BY 1 ORDER BY 1"
+    ),
+    doc=(
+        "metrics API (A26) BasinOps set: control-plane RPCs per day for "
+        "one basin, from the catalog's audit hook"
+    ),
+)
+def ag17(spark, sf_dir):
+    from s2_spark.operators.metrics import basin_ops
+
+    return basin_ops(_synthetic_audit(spark, sf_dir), "day", basin="b3").select(
+        "bucket", "ops"
+    )
+
+
+@query(
+    "ag18_active_basins",
+    oracle=(
+        "SELECT epoch_ms(date_trunc('day', ts)) AS bucket, "
+        "count(DISTINCT user_id % 7) AS active "
+        "FROM events GROUP BY 1 ORDER BY 1"
+    ),
+    doc=(
+        "metrics API (A26) AccountMetricSet::ActiveBasins "
+        "(api/src/v1/metrics.rs:70-76): distinct active basins per day"
+    ),
+)
+def ag18(spark, sf_dir):
+    from s2_spark.operators.metrics import active_basins
+
+    e = t(spark, sf_dir, "events")
+    records = e.select(
+        F.concat(F.lit("b"), (F.col("user_id") % 7).cast("string")).alias("basin"),
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("timestamp"),
+    )
+    return active_basins(records, "day").select("bucket", "active")
+
+
 @query(
     "ag10_metrics_gauge",
     oracle=(

@@ -1,0 +1,104 @@
+"""Ops-audit meta-stream (the ReadOps/ReadThroughput/BasinOps input,
+api/src/v1/metrics.rs:110-130) — the store logs one row per
+client-shaped operation, sessions account served bytes exactly, and
+the read-side metric sets aggregate the audit relation."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from s2_spark.catalog import Catalog
+from s2_spark.model import Record
+from s2_spark.operators.metrics import basin_ops, read_ops, read_throughput
+from s2_spark.store import ReadLimit, ReadStart, StreamStore
+
+BASIN = "audit-basin"
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    cat = Catalog(spark)
+    cat.create_basin(BASIN)
+    cat.create_stream(BASIN, "s1")
+    return StreamStore(spark, str(tmp_path / "records"), catalog=cat)
+
+
+def _ops(store, *names):
+    return [
+        r
+        for r in store.audit.df().collect()
+        if r["op"] in names
+    ]
+
+
+def test_reads_logged_once_per_client_call(store):
+    store.append(BASIN, "s1", [Record(body=b"x"), Record(body=b"y")])
+    store.read(BASIN, "s1").collect()
+    store.read_unary(BASIN, "s1", limit=ReadLimit(count=1)).collect()
+    assert len(_ops(store, "read")) == 2  # one per client call, not per job
+
+
+def test_check_tail_logged_but_not_internal_polls(store):
+    store.append(BASIN, "s1", [Record(body=b"x")])
+    store.check_tail(BASIN, "s1")
+    store.check_tail(BASIN, "s1")
+    # a finite session polls the tail internally via _tail — no audit
+    list(store.read_session(BASIN, "s1", limit=ReadLimit(count=1)))
+    assert len(_ops(store, "check_tail")) == 2
+
+
+def test_session_accounts_served_bytes_exactly(store):
+    recs = [Record(body=b"a" * 100), Record(body=b"b" * 50)]
+    store.append(BASIN, "s1", recs)
+    batches = [
+        e
+        for e in store.read_session(BASIN, "s1", limit=ReadLimit(count=2))
+        if e.kind == "batch"
+    ]
+    served = sum(
+        8 + 2 * len(r.headers) + len(r.body) for b in batches for r in b.records
+    )
+    sessions = _ops(store, "read_session")
+    deliveries = _ops(store, "read_batch")
+    assert len(sessions) == 1
+    assert sum(d["bytes"] for d in deliveries) == served
+    assert sum(d["records"] for d in deliveries) == 2
+
+
+def test_basin_ops_cover_stream_crud_and_list(store):
+    store.catalog.create_stream(BASIN, "s2")
+    store.catalog.list_streams(BASIN)
+    store.catalog.delete_stream(BASIN, "s2")
+    got = {r["op"] for r in _ops(store, "create_stream", "list_streams", "delete_stream")}
+    assert got == {"create_stream", "list_streams", "delete_stream"}
+
+
+def test_metric_sets_aggregate_audit(store):
+    t0 = 1_700_000_000_000
+    ticks = iter(range(200))
+    store._clock = lambda: t0 + next(ticks) * 60_000  # one minute per op
+    store.audit._clock = store._clock
+    store.append(BASIN, "s1", [Record(body=b"p" * 64)])
+    store.read(BASIN, "s1").collect()
+    store.read(BASIN, "s1").collect()
+    list(store.read_session(BASIN, "s1", limit=ReadLimit(count=1)))
+    store.catalog.list_streams(BASIN)
+
+    audit = store.audit.df()
+    ops = read_ops(audit, "day", basin=BASIN).agg(F.sum("ops")).first()[0]
+    assert ops == 3  # 2 reads + 1 session
+    tput = read_throughput(audit, "day").agg(F.sum("bytes")).first()[0]
+    assert tput == 8 + 64  # one delivered record, metered
+    bops = basin_ops(audit, "day", basin=BASIN).agg(F.sum("ops")).first()[0]
+    assert bops >= 1  # the explicit list_streams (+ fixture creates if co-timed)
+
+
+def test_flush_persists_and_df_unions_buffer(store):
+    store.append(BASIN, "s1", [Record(body=b"x")])
+    store.read(BASIN, "s1")
+    n_before = store.audit.df().count()
+    store.audit.flush()
+    assert not store.audit._buf
+    store.read(BASIN, "s1")  # buffered only
+    assert store.audit.df().count() == n_before + 1
