@@ -60,6 +60,11 @@ SCALE_PROBE = [
     ("q_topk_group", "sl2_topk_per_group"),
     ("q_cmd_fold", "str6_command_fold"),
     ("q_asof_join", "j7_asof_join"),
+    # LLM-pipeline heads: the bucketed-not-all-pairs claim gets a
+    # measured ratio (documents/embeddings scale 10x in the probe dir)
+    ("q_dedup_exact", "x1b_distinct_docs"),
+    ("q_minhash_lsh", "x9_minhash_neardup"),
+    ("q_lsh_ann", "x13_lsh_ann_topk"),
 ]
 
 
@@ -173,9 +178,19 @@ def s2_bench_equivalent(spark, n_records: int = 8000, record_bytes: int = 8192) 
         live_t = threading.Thread(target=live_reader, daemon=True)
         live_t.start()
 
+        sc = spark.sparkContext
+        sc.setJobGroup("bench_append", "timed bulk_append")
         t0 = time.perf_counter()
-        store.bulk_append(src)
+        phases: dict = {}
+        store.bulk_append(src, timings=phases)
         append_s = time.perf_counter() - t0
+        # job count for the timed call (pinned-thread mode keeps the
+        # live reader's jobs out of this group): the plan is 2 jobs —
+        # admission agg + write; anything more is a regression
+        phases["spark_jobs"] = len(
+            sc.statusTracker().getJobIdsForGroup("bench_append")
+        )
+        sc.setJobGroup("", "")
         live_t.join(timeout=180)
         live_ok = not live_t.is_alive() and len(live_rows) == n_records
         if live_ok:
@@ -204,6 +219,11 @@ def s2_bench_equivalent(spark, n_records: int = 8000, record_bytes: int = 8192) 
             # write == live-tail == catchup, all chain-verified
             "verified": bool(ok and live_ok),
             "live_verified": bool(live_ok),
+            # sub-phase decomposition of the timed append (admission
+            # agg / shuffle+window+parquet write / driver state
+            # advance) — attributes any run-to-run variance to the
+            # phase that moved instead of leaving it a mystery
+            "append_phases": phases,
             "latency": _latency_probe(spark, store),
         }
     finally:
@@ -268,11 +288,12 @@ def _build_x10(spark, out_dir: str) -> None:
         "lineitem": ("l_orderkey", 10_000_000),
         "orders": ("o_orderkey", 10_000_000),
         "events": ("event_id", 100_000_000),
+        "documents": ("doc_id", 10_000_000),
+        "embeddings": ("vec_id", 10_000_000),
     }
     os.makedirs(out_dir, exist_ok=True)
     for name in [
         "region", "nation", "customer", "supplier", "part",
-        "documents", "embeddings",
     ]:
         src = os.path.join(SF_DIR, f"{name}.parquet")
         if os.path.exists(src):

@@ -118,6 +118,78 @@ def exact_jaccard(
     return j.select("d1", "d2", (inter / union).alias("jaccard"))
 
 
+def _collapse_exact(
+    df: DataFrame, id_col: str, text_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """(representatives, membership) for exact-duplicate clusters:
+    one representative (min id) per distinct normalized text, and
+    (_rep, id) for every input row.
+
+    This is the scale guard in front of every near-dup pipeline:
+    dup-heavy corpora (web crawls routinely carry clusters of thousands
+    of identical documents) would otherwise send m identical signatures
+    into every LSH band bucket and pay m² candidate verifications per
+    cluster. Collapsing first bounds the expensive stages by the number
+    of DISTINCT texts; cluster membership re-expands the verified pairs
+    afterward, which is output-size-bound, not verification-bound."""
+    keyed = df.select(
+        F.col(id_col),
+        F.md5(normalize_text(F.col(text_col)).cast("binary")).alias("_h"),
+    )
+    reps = keyed.groupBy("_h").agg(F.min(id_col).alias("_rep"))
+    members = keyed.join(reps, "_h").select("_rep", id_col)
+    rep_docs = df.join(
+        members.filter(F.col("_rep") == F.col(id_col)).select(id_col), id_col
+    )
+    return rep_docs, members
+
+
+def _expand_pairs(
+    rep_pairs: DataFrame, members: DataFrame, id_col: str, value_col: str,
+    intra_value,
+) -> DataFrame:
+    """Re-expand verified representative pairs to all member pairs, and
+    add intra-cluster pairs (identical texts) at ``intra_value``. The
+    expansion reproduces EXACTLY what the uncollapsed pipeline would
+    emit: identical texts have identical token/shingle sets, so every
+    member pair's similarity equals its representative pair's."""
+    # Evaluation barrier: without it Catalyst inlines the similarity
+    # expression (array_intersect/union over full token arrays) through
+    # the expansion joins and recomputes it once per EXPANDED row —
+    # turning an output-bound fan-out into verification × fan-out
+    # (measured 25× slower at 10x dup density). The aggregate forces
+    # the value to materialize once per representative pair; pairs are
+    # already distinct, so first() is an identity.
+    rep_pairs = rep_pairs.groupBy("d1", "d2").agg(
+        F.first(value_col).alias(value_col)
+    )
+    m1 = members.select(F.col("_rep").alias("d1"), F.col(id_col).alias("_m1"))
+    m2 = members.select(F.col("_rep").alias("d2"), F.col(id_col).alias("_m2"))
+    cross = (
+        rep_pairs.join(m1, "d1")
+        .join(m2, "d2")
+        .select(
+            F.least("_m1", "_m2").alias("d1"),
+            F.greatest("_m1", "_m2").alias("d2"),
+            value_col,
+        )
+    )
+    x, y = members.alias("x"), members.alias("y")
+    intra = (
+        x.join(
+            y,
+            (F.col("x._rep") == F.col("y._rep"))
+            & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
+        )
+        .select(
+            F.col(f"x.{id_col}").alias("d1"),
+            F.col(f"y.{id_col}").alias("d2"),
+            F.lit(intra_value).alias(value_col),
+        )
+    )
+    return cross.unionByName(intra)
+
+
 def minhash_neardup_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -126,13 +198,16 @@ def minhash_neardup_pairs(
     bands: int = 8,
     threshold: float = 0.7,
 ) -> DataFrame:
-    """Full near-dup pipeline: minhash → LSH candidates → exact-Jaccard
-    verify → pairs with jaccard >= threshold."""
-    sig = minhash_signatures(df, id_col, text_col, k)
+    """Full near-dup pipeline: exact-dup collapse → minhash → LSH
+    candidates → exact-Jaccard verify (on distinct texts only) →
+    membership re-expansion → pairs with jaccard >= threshold."""
+    rep_docs, members = _collapse_exact(df, id_col, text_col)
+    sig = minhash_signatures(rep_docs, id_col, text_col, k)
     cands = lsh_candidate_pairs(sig, id_col, bands)
-    return exact_jaccard(df, cands, id_col, text_col).filter(
+    rep_pairs = exact_jaccard(rep_docs, cands, id_col, text_col).filter(
         F.col("jaccard") >= threshold
     )
+    return _expand_pairs(rep_pairs, members, id_col, "jaccard", 1.0)
 
 
 def _pack_bits64(col_prefix: str) -> Column:
@@ -216,7 +291,8 @@ def simhash_neardup_pairs(
     (:func:`simhash_md5`) so results are replayable by any SQL engine."""
     width = 64 // bands
     mask = (1 << width) - 1
-    fps = (simhash_md5 if hash_fn == "md5" else simhash)(df, id_col, text_col)
+    rep_docs, members = _collapse_exact(df, id_col, text_col)
+    fps = (simhash_md5 if hash_fn == "md5" else simhash)(rep_docs, id_col, text_col)
     chunk = lambda b: F.shiftright("simhash", b * width).bitwiseAND(F.lit(mask))  # noqa: E731
     banded = fps.select(
         id_col,
@@ -238,7 +314,9 @@ def simhash_neardup_pairs(
         )
         .distinct()
     )
-    return cands.filter(F.col("hamming") <= max_hamming)
+    rep_pairs = cands.filter(F.col("hamming") <= max_hamming)
+    # identical texts → identical fingerprints → hamming 0
+    return _expand_pairs(rep_pairs, members, id_col, "hamming", 0)
 
 
 def ngram_shingles(text_col: str, n: int = 5) -> Column:
@@ -258,20 +336,25 @@ def ngram_jaccard_pairs(
     threshold: float = 0.7,
 ) -> DataFrame:
     """Near-dup on character n-grams: same minhash/LSH machinery with
-    shingles instead of word tokens."""
-    sh = df.select(id_col, F.explode(ngram_shingles(text_col, n)).alias("tok"))
+    shingles instead of word tokens (and the same exact-dup collapse in
+    front — identical normalized texts have identical shingle sets)."""
+    rep_docs, members = _collapse_exact(df, id_col, text_col)
+    sh = rep_docs.select(id_col, F.explode(ngram_shingles(text_col, n)).alias("tok"))
     aggs = [F.min(F.xxhash64("tok", F.lit(i))).alias(f"h{i}") for i in range(k)]
     sig = sh.groupBy(id_col).agg(*aggs).select(
         id_col, F.array(*[f"h{i}" for i in range(k)]).alias("sig")
     )
     cands = lsh_candidate_pairs(sig, id_col, bands)
-    toks = df.select(F.col(id_col).alias("_id"), ngram_shingles(text_col, n).alias("_toks"))
+    toks = rep_docs.select(
+        F.col(id_col).alias("_id"), ngram_shingles(text_col, n).alias("_toks")
+    )
     j = (
         cands.join(toks.withColumnRenamed("_id", "d1").withColumnRenamed("_toks", "t1"), "d1")
         .join(toks.withColumnRenamed("_id", "d2").withColumnRenamed("_toks", "t2"), "d2")
     )
     inter = F.size(F.array_intersect("t1", "t2")).cast("double")
     union = F.size(F.array_union("t1", "t2")).cast("double")
-    return j.select("d1", "d2", (inter / union).alias("jaccard")).filter(
+    rep_pairs = j.select("d1", "d2", (inter / union).alias("jaccard")).filter(
         F.col("jaccard") >= threshold
     )
+    return _expand_pairs(rep_pairs, members, id_col, "jaccard", 1.0)

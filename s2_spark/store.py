@@ -550,15 +550,43 @@ class StreamStore:
         ]
         return self.spark.range(1).select(F.inline(F.array(*structs)))
 
+    # default per-stream sequencing chunk (in order-col units): with a
+    # dense order column this is records/chunk — 4096 × 8 KiB records
+    # ≈ 32 MiB of shuffle per window task. The offset relation has
+    # ~rows/width entries per stream; for extreme single-stream batches
+    # (≥ ~1e9 rows) pass a larger chunk_width to keep it broadcastable.
+    SEQ_CHUNK_WIDTH = 4096
+
     def bulk_append(
-        self, df: DataFrame, order_col: str = "ingest_order", validate: bool = True
+        self,
+        df: DataFrame,
+        order_col: str = "ingest_order",
+        validate: bool = True,
+        timings: dict | None = None,
+        chunk_width: int | None = None,
     ) -> None:
         """Distributed sequencing for arbitrary-size ingest — the 100 TB
         path. Input columns: basin, stream, timestamp (nullable ms),
         headers, body, plus ``order_col`` defining per-stream input
-        order. Sequencing = per-stream window row_number + a broadcast
-        join with current tails; timestamps get the running-max monotone
-        adjustment in the same window. One shuffle on (basin, stream).
+        order. Sequencing is a chunked two-phase prefix (the
+        ``operators/prefix.py`` decomposition, fused into the passes
+        this method already pays): the admission aggregation groups by
+        (basin, stream, chunk) where chunk = floor(order/width) is
+        monotone in the per-stream order; the driver folds the tiny
+        per-chunk stats into each chunk's starting seq offset and
+        timestamp floor; the write's window partitions by (basin,
+        stream, chunk). Two consequences a plain per-stream window
+        can't give: a single hot stream spreads across tasks instead of
+        serializing on one (the sort is per-chunk), and a bench-style
+        constant-literal stream key — which Catalyst's foldable
+        propagation would REMOVE from the partition spec, silently
+        collapsing the window to one global partition — still leaves
+        the non-foldable chunk column partitioning the sort. One
+        shuffle on (basin, stream, chunk), same two scans as before.
+
+        ``chunk_width`` is in order-col units (records, for a dense
+        counter). Non-numeric order columns fall back to one chunk per
+        stream (the pre-chunk plan).
 
         Each stream's resolved timestamping config rides the same
         broadcast join (streamer.rs:1121-1149 matrix): ``arrival``
@@ -614,13 +642,49 @@ class StreamStore:
                 )
             )
             aggs.append(F.sum((~ok).cast("int")).alias("n_bad"))
-        stats = df.groupBy("basin", "stream").agg(*aggs).collect()
-        if validate and any(r["n_bad"] for r in stats):
+        from pyspark.sql import types as T
+
+        width = chunk_width or self.SEQ_CHUNK_WIDTH
+        if isinstance(df.schema[order_col].dataType, T.NumericType):
+            chunk_col = F.floor(F.col(order_col) / F.lit(width)).cast("long")
+        else:
+            # non-numeric order: no monotone chunking available — one
+            # chunk per stream (the plain per-stream window plan)
+            chunk_col = F.lit(0).cast("long")
+        _t0 = time.perf_counter()
+        cstats = (
+            df.groupBy("basin", "stream", chunk_col.alias("_chunk"))
+            .agg(*aggs)
+            .collect()
+        )
+        if timings is not None:
+            timings["admission_sec"] = round(time.perf_counter() - _t0, 3)
+        # driver-side per-stream rollup of the chunk stats (tiny:
+        # rows/width entries) — admission decisions use stream totals
+        cstats.sort(key=lambda r: (r["basin"], r["stream"], r["_chunk"]))
+        per_stream: dict[tuple[str, str], dict] = {}
+        for r in cstats:
+            k = (r["basin"], r["stream"])
+            acc = per_stream.setdefault(
+                k, {"n": 0, "mx_client": None, "n_null_ts": 0, "n_cmd": 0, "n_bad": 0}
+            )
+            acc["n"] += r["n"]
+            acc["n_null_ts"] += r["n_null_ts"]
+            acc["n_cmd"] += r["n_cmd"]
+            if validate:
+                acc["n_bad"] += r["n_bad"]
+            if r["mx_client"] is not None:
+                acc["mx_client"] = (
+                    r["mx_client"]
+                    if acc["mx_client"] is None
+                    else max(acc["mx_client"], r["mx_client"])
+                )
+        if validate and any(v["n_bad"] for v in per_stream.values()):
             raise InvalidRecord("bulk_append: invalid record")
 
         # register every touched stream (auto-create semantics, A23) and
         # resolve each one's effective config for the join below
-        keys = [(r["basin"], r["stream"]) for r in stats]
+        keys = list(per_stream)
         cfg_rows = []
         cfg_by_key = {}
         for b, s in keys:
@@ -630,22 +694,50 @@ class StreamStore:
             cfg_rows.append(
                 (b, s, cfg.timestamping_mode, bool(cfg.timestamping_uncapped))
             )
-        for r in stats:
-            cfg = cfg_by_key[(r["basin"], r["stream"])]
-            if cfg.timestamping_mode == "client-require" and r["n_null_ts"]:
+        for k, v in per_stream.items():
+            cfg = cfg_by_key[k]
+            if cfg.timestamping_mode == "client-require" and v["n_null_ts"]:
                 raise ClientTimestampRequired("client timestamp required")
         # lazily recover every touched stream's tail from storage in one
-        # pass; only the batch's own keys ride in the broadcast
+        # pass; only the batch's own chunk keys ride in the broadcast
         self._ensure_states(keys)
-        tails = _lit_rows_df(
+        arrival = self._clock()
+
+        def _chunk_ts_max(r, cfg) -> int:
+            # max over the chunk's rows of the mode-adjusted ts0 — the
+            # same fold the per-stream state advance uses: least(·,
+            # arrival) is monotone, so the max of capped client ts is
+            # least(max_client, arrival), with arrival a candidate when
+            # any row's timestamp was NULL
+            if cfg.timestamping_mode == "arrival":
+                return arrival
+            cands = [arrival] if r["n_null_ts"] else []
+            if r["mx_client"] is not None:
+                mxc = r["mx_client"]
+                cands.append(mxc if cfg.timestamping_uncapped else min(mxc, arrival))
+            return max(cands)
+
+        # phase 2 of the prefix, in driver math: each chunk's starting
+        # seq (tail + earlier chunks' counts) and timestamp floor
+        # (max of last_ts and earlier chunks' ts0 maxima)
+        off_rows = []
+        running: dict[tuple[str, str], tuple[int, int]] = {}
+        for r in cstats:
+            k = (r["basin"], r["stream"])
+            if k not in running:
+                st = self._st(*k)
+                running[k] = (st.tail_seq, st.last_ts)
+            seq_off, ts_floor = running[k]
+            off_rows.append((k[0], k[1], r["_chunk"], seq_off, ts_floor))
+            running[k] = (
+                seq_off + r["n"],
+                max(ts_floor, _chunk_ts_max(r, cfg_by_key[k])),
+            )
+        offsets = _lit_rows_df(
             self.spark,
-            [
-                (b, s, self._st(b, s).tail_seq, self._st(b, s).last_ts)
-                for b, s in keys
-            ]
-            or [("", "", 0, 0)],
-            [("basin", "string"), ("stream", "string"),
-             ("tail_seq", "long"), ("last_ts", "long")],
+            off_rows or [("", "", 0, 0, 0)],
+            [("basin", "string"), ("stream", "string"), ("_chunk", "long"),
+             ("seq_off", "long"), ("ts_floor", "long")],
         )
         cfgs = _lit_rows_df(
             self.spark,
@@ -653,9 +745,8 @@ class StreamStore:
             [("basin", "string"), ("stream", "string"),
              ("ts_mode", "string"), ("ts_uncapped", "boolean")],
         )
-        w = W.partitionBy("basin", "stream").orderBy(order_col)
+        w = W.partitionBy("basin", "stream", "_chunk").orderBy(order_col)
         wmax = w.rowsBetween(W.unboundedPreceding, W.currentRow)
-        arrival = self._clock()
         client = F.coalesce("timestamp", F.lit(arrival))
         ts0 = (
             F.when(F.col("ts_mode") == "arrival", F.lit(arrival))
@@ -663,17 +754,19 @@ class StreamStore:
             .otherwise(F.least(client, F.lit(arrival)))
         )
         out = (
-            df.join(F.broadcast(tails), ["basin", "stream"], "left")
+            df.withColumn("_chunk", chunk_col)
+            .join(F.broadcast(offsets), ["basin", "stream", "_chunk"], "left")
             .join(F.broadcast(cfgs), ["basin", "stream"], "left")
-            .withColumn("tail_seq", F.coalesce("tail_seq", F.lit(0)))
-            .withColumn("last_ts", F.coalesce("last_ts", F.lit(0)))
-            .withColumn("seq_num", F.row_number().over(w) - 1 + F.col("tail_seq"))
+            .withColumn("seq_off", F.coalesce("seq_off", F.lit(0)))
+            .withColumn("ts_floor", F.coalesce("ts_floor", F.lit(0)))
+            .withColumn("seq_num", F.row_number().over(w) - 1 + F.col("seq_off"))
             .withColumn("ts0", ts0)
             .withColumn(
-                "timestamp", F.greatest(F.max("ts0").over(wmax), F.col("last_ts"))
+                "timestamp", F.greatest(F.max("ts0").over(wmax), F.col("ts_floor"))
             )
             .select("basin", "stream", "seq_num", "timestamp", "headers", "body")
         )
+        _t0 = time.perf_counter()
         if self.bucket_count:
             out = out.withColumn(
                 "bucket",
@@ -685,8 +778,11 @@ class StreamStore:
             out.write.mode("append").partitionBy("bucket").parquet(self.base_dir)
         else:
             out.write.mode("append").parquet(self.base_dir)
+        if timings is not None:
+            timings["write_sec"] = round(time.perf_counter() - _t0, 3)
         self._data_seen = True
         self._invalidate_records()
+        _t0 = time.perf_counter()
         # advance hot state from the up-front stats — pure driver math,
         # no second scan. Per stream the final last_ts is
         # max(old_last_ts, max(mode-adjusted per-row ts)) since the
@@ -694,23 +790,20 @@ class StreamStore:
         # least(·, arrival) is monotone, max over rows of the capped
         # client ts folds to least(max_client, arrival), with arrival
         # itself a candidate when any row's timestamp was NULL.
-        if any(r["n_cmd"] for r in stats):
+        if any(v["n_cmd"] for v in per_stream.values()):
             # in-band fence/trim in a bulk batch: rare — take the full
             # recovery scan to fold them at their assigned positions
             self.recover_state()
         else:
-            for r in stats:
-                b, s = r["basin"], r["stream"]
-                cfg = cfg_by_key[(b, s)]
-                cands = [arrival] if r["n_null_ts"] else []
-                if r["mx_client"] is not None:
-                    mxc = r["mx_client"]
-                    cands.append(mxc if cfg.timestamping_uncapped else min(mxc, arrival))
-                mx = arrival if cfg.timestamping_mode == "arrival" else max(cands)
+            # the prefix fold in `running` already ends at each
+            # stream's final (tail, last_ts) — reuse it, no recompute
+            for (b, s), (tail, last_ts) in running.items():
                 st = self._st(b, s)
-                st.tail_seq += r["n"]
-                st.last_ts = max(st.last_ts, mx)
+                st.tail_seq = tail
+                st.last_ts = max(st.last_ts, last_ts)
         self._refresh_stale_views()
+        if timings is not None:
+            timings["state_sec"] = round(time.perf_counter() - _t0, 3)
 
     def append_session(self, basin: str, stream: str, inputs):
         """Pipelined append session (A2, append.rs:96-220): consume an
