@@ -24,6 +24,7 @@ from s2_spark.model import (
     DeletionPending,
     S2Error,
     StreamNotFound,
+    UnsupportedCipher,
 )
 
 # name validation (common/src/basin.rs:23-79, common/src/stream.rs:28-47)
@@ -87,7 +88,7 @@ class BasinConfig:
 def validate_cipher(config: "BasinConfig") -> None:
     c = config.stream_cipher
     if c is not None and c.lower() not in SUPPORTED_CIPHERS:
-        raise S2Error(
+        raise UnsupportedCipher(
             f"cipher {c!r} is not supported: AEGIS-256 has no JVM-side "
             "implementation (documented deviation, docs/adr/csek.md); "
             "use 'aes-256-gcm'"

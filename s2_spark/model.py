@@ -196,3 +196,12 @@ class DeletionPending(S2Error):
     """The name refers to a basin/stream whose async deletion hasn't
     completed; recreation is blocked until the metadata is purged
     (lite/src/backend/streams.rs:115-121 StreamDeletionPendingError)."""
+
+
+class UnsupportedCipher(S2Error):
+    """CSEK cipher not implemented by this engine. The reference
+    supports AEGIS-256 and AES-256-GCM (docs/adr/csek.md,
+    storage/src/record/encryption.rs); only AES-256-GCM has a JVM-side
+    implementation here — a row-at-a-time Python AEGIS cipher would
+    violate the no-Python-hot-path rule, so the config is rejected
+    loudly instead of accepted and silently downgraded."""

@@ -419,6 +419,70 @@ def test_mp4_metadata_probe():
         M.probe_mp4(b"\x00" * 32)
 
 
+def test_raw_mp4_roundtrip_and_probe():
+    """build_raw_mp4 emits a spec-shaped uncompressed-track container:
+    probe_mp4 reads its metadata and decode_raw_mp4_frame returns the
+    exact source pixels for any timestamp."""
+    import numpy as np
+
+    w, h, fps = 8, 6, 10
+    frames = [
+        np.arange(w * h * 3, dtype=np.uint8).reshape(h, w, 3) + i
+        for i in range(4)
+    ]
+    mp4 = M.build_raw_mp4(frames, w, h, fps=fps)
+    meta = M.probe_mp4(mp4)
+    assert meta["n_tracks"] == 1 and meta["timescale"] == 1000
+    assert meta["duration_ms"] == 400  # 4 frames @ 10 fps
+    for i in range(4):
+        got = M.decode_raw_mp4_frame(mp4, ts_ms=i * 100)
+        assert np.array_equal(got, frames[i])
+    # timestamps between/past samples clamp to the covering/last frame
+    assert np.array_equal(M.decode_raw_mp4_frame(mp4, ts_ms=150), frames[1])
+    assert np.array_equal(M.decode_raw_mp4_frame(mp4, ts_ms=9999), frames[3])
+
+
+def test_frame_sample_real_raw_mp4_end_to_end(spark):
+    """The real (non-fake) frame_sample path: raw-RGB MP4 payloads ride
+    a media table through mapInPandas and come back as byte-exact
+    pixels per sampled frame."""
+    import numpy as np
+
+    w, h = 4, 4
+    vids = []
+    for mid in range(2):
+        frames = [
+            np.full((h, w, 3), 16 * mid + i, dtype=np.uint8) for i in range(3)
+        ]
+        vids.append((mid, M.build_raw_mp4(frames, w, h, fps=1), 3000))
+    media = spark.createDataFrame(
+        [
+            (mid, "video", "video/mp4", None, None, dur, payload)
+            for mid, payload, dur in vids
+        ],
+        M.MEDIA_SCHEMA,
+    )
+    rows = M.frame_sample(media, every_ms=1000).collect()
+    assert len(rows) == 6  # 2 videos × 3 sampled frames
+    for r in rows:
+        expect = np.full((h, w, 3), 16 * r.media_id + r.frame_idx, dtype=np.uint8)
+        assert bytes(r.frame) == expect.tobytes()
+
+
+def test_frame_sample_compressed_codec_still_raises(spark):
+    """A non-raw sample entry (e.g. avc1) keeps the honest codec
+    boundary: the real path raises instead of fabricating pixels."""
+    mp4 = M.build_raw_mp4(
+        [bytes(4 * 4 * 3)], 4, 4, fps=1
+    ).replace(b"raw ", b"avc1", 1)
+    media = spark.createDataFrame(
+        [(0, "video", "video/mp4", None, None, 1000, mp4)], M.MEDIA_SCHEMA
+    )
+    with pytest.raises(Exception) as ei:
+        M.frame_sample(media, every_ms=1000).collect()
+    assert "NotImplementedError" in str(ei.value) or "codec" in str(ei.value)
+
+
 def test_frame_sampling_null_duration_yields_one_frame(spark):
     """MEDIA_SCHEMA declares duration_ms nullable; pandas surfaces NULL
     as NaN (truthy) — a null-duration video must emit exactly one frame,

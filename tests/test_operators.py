@@ -262,16 +262,17 @@ def test_storage_gauge_two_phase_matches_single_window(store):
 
 def test_aegis_cipher_rejected_loudly(spark):
     """A19: AEGIS-256 is a documented deviation — configuring it must
-    fail with a clear error, never silently map to AES-GCM."""
+    fail with a typed error citing the ADR, never silently map to
+    AES-GCM."""
     from s2_spark.catalog import BasinConfig, Catalog
-    from s2_spark.model import S2Error
+    from s2_spark.model import UnsupportedCipher
 
     cat = Catalog(spark)
-    with pytest.raises(S2Error, match="aegis|AEGIS"):
+    with pytest.raises(UnsupportedCipher, match="csek"):
         cat.create_basin("cipher-basin", BasinConfig(stream_cipher="aegis-256"))
     meta = cat.create_basin("cipher-basin", BasinConfig(stream_cipher="aes-256-gcm"))
     assert meta.config.stream_cipher == "aes-256-gcm"
-    with pytest.raises(S2Error, match="aegis|AEGIS"):
+    with pytest.raises(UnsupportedCipher, match="aegis|AEGIS"):
         cat.reconfigure_basin("cipher-basin", BasinConfig(stream_cipher="AEGIS-256"))
 
 
