@@ -130,6 +130,71 @@ def test_maintenance_sweeps_page_bounded_driver(spark, tmp_path, monkeypatch):
     assert pages and max(pages) <= 3
 
 
+def test_hundred_k_stream_catalog_probe(spark, tmp_path):
+    """Control-plane bound: a 100k-stream catalog lists completely and
+    in order through 1000-item pages, and a store over a multi-stream
+    batch recovers every stream's state in ONE aggregation pass (the
+    million-stream recovery shape — recover_state never loops streams
+    driver-side)."""
+    import time as _time
+
+    cat = Catalog(spark)  # in-memory: no per-mutation save
+    cat.create_basin(BASIN)
+    n = 100_000
+    t0 = _time.perf_counter()
+    for i in range(n):
+        cat.create_stream(BASIN, f"s{i:06d}")
+    create_s = _time.perf_counter() - t0
+
+    t0 = _time.perf_counter()
+    seen, after, pages = [], "", 0
+    while True:
+        names, more = cat.list_streams(BASIN, start_after=after, limit=1000)
+        if not names:
+            break
+        assert names == sorted(names)
+        seen.extend(names)
+        after = names[-1]
+        pages += 1
+        if not more:
+            break
+    list_s = _time.perf_counter() - t0
+    assert len(seen) == n and pages == 100
+    assert seen == sorted(seen)
+    # control-plane ops stay interactive even at 100k streams
+    assert list_s < 30, f"pagination took {list_s:.1f}s"
+
+    # one bulk batch across 2k of the streams, then a cold store
+    # recovers all tails in one distributed aggregation
+    store = StreamStore(spark, str(tmp_path / "records"), catalog=cat)
+    n_streams = 2000
+    src = (
+        spark.range(n_streams * 4)
+        .select(
+            F.lit(BASIN).alias("basin"),
+            F.format_string("s%06d", (F.col("id") % n_streams).cast("int")).alias(
+                "stream"
+            ),
+            F.lit(None).cast("long").alias("timestamp"),
+            F.array().cast("array<struct<name binary, value binary>>").alias("headers"),
+            F.encode(F.col("id").cast("string"), "utf-8").alias("body"),
+            F.col("id").alias("ingest_order"),
+        )
+    )
+    store.bulk_append(src)
+    cold = StreamStore(spark, str(tmp_path / "records"), catalog=cat)
+    t0 = _time.perf_counter()
+    cold.recover_state()
+    recover_s = _time.perf_counter() - t0
+    assert len(cold._state) == n_streams
+    assert all(st.tail_seq == 4 for st in cold._state.values())
+    assert recover_s < 60, f"recover_state took {recover_s:.1f}s"
+    print(
+        f"catalog probe: create100k={create_s:.2f}s list100={list_s:.2f}s "
+        f"recover2k={recover_s:.2f}s"
+    )
+
+
 def test_salted_agg_matches_plain(spark, sf_dir):
     e = t(spark, sf_dir, "events")
     plain = {
