@@ -75,17 +75,24 @@ _R03_BACKLOG = frozenset({
 })
 
 
-# Queries whose implementation changed AFTER their latest driver proof
-# (the round-4-tail chunked-prefix re-plan, commit 672d356, landed after
-# CORRECTNESS_r04 was recorded). Their r4 hash-matches predate the
-# current code, so they re-enter the scoring prefix ahead of untouched
-# proven entries until a fresh proof lands.
+# Queries whose implementation changed AFTER their latest driver proof,
+# so their r4 hash-matches predate the current code and they re-enter
+# the scoring prefix ahead of untouched proven entries until a fresh
+# proof lands:
+#  - chunked two-phase prefix re-plan (commit 672d356): w*/ag10/ag13/
+#    str4/str6/j7/st8
+#  - near-dup exact-cluster collapse (commit be5435a, dedup.py): x5/x9/
+#    x10/x16
+#  - raw-RGB video pixel path (commit 2ece42d, multimodal.py): x17/x18
 _R05_RESCORE = frozenset({
     "w3_lag_regress", "w4_running_max", "w5_cumulative_bytes",
     "w6_ntile", "w9_range_frame", "w10_percent_rank",
     "ag10_metrics_gauge", "ag13_metrics_storage_gauge",
     "str4_watermark_survivors", "str6_command_fold",
     "j7_asof_join", "st8_combined_read_limits",
+    "x5_neardup_candidates", "x9_minhash_neardup",
+    "x10_simhash_neardup", "x16_ngram_jaccard_neardup",
+    "x17_media_features", "x18_video_frame_sample",
 })
 
 

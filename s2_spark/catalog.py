@@ -69,29 +69,30 @@ SYSTEM_DEFAULT = StreamConfig(
 )
 
 
-SUPPORTED_CIPHERS = ("aes-256-gcm",)
+SUPPORTED_CIPHERS = ("aes-256-gcm", "aegis-256")
 
 
 @dataclass(frozen=True)
 class BasinConfig:
     """Basin config + stream defaults (common/src/config.rs:1-25).
     ``stream_cipher`` selects the CSEK AEAD for new streams
-    (docs/adr/csek.md); only AES-256-GCM is supported — AEGIS-256 is a
-    documented deviation and is rejected loudly at config time."""
+    (docs/adr/csek.md): AES-256-GCM (JVM-side codegen, the fast
+    default) or AEGIS-256 (lane-parallel numpy over mapInPandas,
+    spec-test-vector pinned — operators/crypto.py); anything else is
+    rejected loudly at config time."""
 
     default_stream_config: StreamConfig = StreamConfig()
     create_stream_on_append: bool = False
     create_stream_on_read: bool = False
-    stream_cipher: Optional[str] = None  # None | "aes-256-gcm"
+    stream_cipher: Optional[str] = None  # None | "aes-256-gcm" | "aegis-256"
 
 
 def validate_cipher(config: "BasinConfig") -> None:
     c = config.stream_cipher
     if c is not None and c.lower() not in SUPPORTED_CIPHERS:
         raise UnsupportedCipher(
-            f"cipher {c!r} is not supported: AEGIS-256 has no JVM-side "
-            "implementation (documented deviation, docs/adr/csek.md); "
-            "use 'aes-256-gcm'"
+            f"cipher {c!r} is not a csek AEAD this engine implements "
+            "(docs/adr/csek.md): use 'aes-256-gcm' or 'aegis-256'"
         )
 
 

@@ -201,7 +201,7 @@ class DeletionPending(S2Error):
 class UnsupportedCipher(S2Error):
     """CSEK cipher not implemented by this engine. The reference
     supports AEGIS-256 and AES-256-GCM (docs/adr/csek.md,
-    storage/src/record/encryption.rs); only AES-256-GCM has a JVM-side
-    implementation here — a row-at-a-time Python AEGIS cipher would
-    violate the no-Python-hot-path rule, so the config is rejected
-    loudly instead of accepted and silently downgraded."""
+    storage/src/record/encryption.rs) and so does this engine
+    (operators/crypto.py: AES-GCM JVM-side, AEGIS-256 as a
+    lane-parallel numpy kernel); any other name is rejected loudly
+    instead of accepted and silently downgraded."""

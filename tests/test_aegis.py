@@ -1,0 +1,174 @@
+"""AEGIS-256 cipher (A19 second reference AEAD —
+``storage/src/record/encryption.rs:31,54-55,92-101``: format 0x01,
+32-byte nonce, 16-byte tag).
+
+Correctness is pinned three independent ways:
+1. the AES round primitive against the FIPS-197 AES-128 known-answer
+   vector (building the full cipher from the round function),
+2. the published AEGIS-256 spec test vectors (IRTF CFRG aegis-aead,
+   Appendix A.3) for ciphertext and 128-bit tag,
+3. batch-lane consistency: a record encrypted inside a mixed-size
+   batch must decrypt identically to one processed alone.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+
+from s2_spark.functions import aegis
+from s2_spark.functions.aegis import (
+    AegisDecryptError,
+    decrypt_batch,
+    decrypt_one,
+    encrypt_batch,
+    encrypt_one,
+)
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    from s2_spark.catalog import Catalog
+    from s2_spark.store import StreamStore
+
+    cat = Catalog(spark)
+    cat.create_basin("aegis-basin")
+    cat.create_stream("aegis-basin", "s1")
+    cat.create_stream("aegis-basin", "s2")
+    return StreamStore(spark, str(tmp_path / "records"), catalog=cat)
+
+
+KEY = bytes.fromhex(
+    "1001000000000000000000000000000000000000000000000000000000000000"
+)
+NONCE = bytes.fromhex(
+    "1000020000000000000000000000000000000000000000000000000000000000"
+)
+
+
+def test_aes_round_matches_fips197():
+    """Build AES-128 from the lane-parallel round function and check
+    the FIPS-197 Appendix B known-answer vector."""
+
+    def keyexp(key):
+        rcon = [0x01, 0x02, 0x04, 0x08, 0x10, 0x20, 0x40, 0x80, 0x1B, 0x36]
+        w = [list(key[i * 4 : (i + 1) * 4]) for i in range(4)]
+        for i in range(4, 44):
+            t = list(w[i - 1])
+            if i % 4 == 0:
+                t = t[1:] + t[:1]
+                t = [int(aegis._SBOX[b]) for b in t]
+                t[0] ^= rcon[i // 4 - 1]
+            w.append([a ^ b for a, b in zip(w[i - 4], t)])
+        return [bytes(sum(w[i * 4 : (i + 1) * 4], [])) for i in range(11)]
+
+    key = bytes.fromhex("2b7e151628aed2a6abf7158809cf4f3c")
+    pt = bytes.fromhex("3243f6a8885a308d313198a2e0370734")
+    rks = keyexp(key)
+    s = np.frombuffer(pt, np.uint8).reshape(1, 16) ^ np.frombuffer(rks[0], np.uint8)
+    for r in range(1, 10):
+        s = aegis._aes_round(s, np.frombuffer(rks[r], np.uint8).reshape(1, 16))
+    s = aegis._SBOX[s][:, aegis._SHIFT_ROWS] ^ np.frombuffer(rks[10], np.uint8)
+    assert bytes(s[0]).hex() == "3925841d02dc09fbdc118597196a0b32"
+
+
+def test_spec_vector_1_single_block():
+    ct, tag = encrypt_one(KEY, NONCE, b"", bytes(16))
+    assert ct.hex() == "754fc3d8c973246dcc6d741412a4b236"
+    assert tag.hex() == "3fe91994768b332ed7f570a19ec5896e"
+    assert decrypt_one(KEY, NONCE, b"", ct, tag) == bytes(16)
+
+
+def test_spec_vector_2_empty_message():
+    ct, tag = encrypt_one(KEY, NONCE, b"", b"")
+    assert ct == b""
+    assert tag.hex() == "e3def978a0f054afd1e761d7553afba3"
+
+
+def test_batch_roundtrip_mixed_sizes_and_nulls():
+    key = os.urandom(32)
+    msgs = [os.urandom(n) for n in (0, 1, 15, 16, 17, 100, 1000)] + [None, b"x" * 33]
+    aads = [b"aad%d" % i for i in range(len(msgs))]
+    enc = encrypt_batch(key, msgs, aads)
+    assert enc[7] is None
+    overhead = 1 + aegis.NONCE_LEN + aegis.TAG_LEN
+    for m, e in zip(msgs, enc):
+        if m is not None:
+            assert e[0] == aegis.FORMAT_ID_AEGIS256_V1
+            assert len(e) == overhead + len(m)
+    assert decrypt_batch(key, enc, aads) == msgs
+
+
+def test_batch_lane_equals_single_lane():
+    """The lockstep lane machinery must not couple lanes: a record
+    encrypted in a batch decrypts alone, and vice versa."""
+    key = os.urandom(32)
+    msgs = [os.urandom(n) for n in (7, 0, 500, 16, 48)]
+    aads = [b"a" * n for n in (3, 20, 0, 17, 1)]
+    enc = encrypt_batch(key, msgs, aads)
+    for m, a, e in zip(msgs, aads, enc):
+        assert decrypt_batch(key, [e], [a]) == [m]
+    single = encrypt_batch(key, [msgs[2]], [aads[2]])
+    assert decrypt_batch(key, single, [aads[2]]) == [msgs[2]]
+
+
+def test_tamper_and_aad_binding():
+    key = os.urandom(32)
+    msgs = [b"hello world", b"second"]
+    aads = [b"b\x00s1", b"b\x00s2"]
+    enc = encrypt_batch(key, msgs, aads)
+    bad = [enc[0][:-1] + bytes([enc[0][-1] ^ 1]), enc[1]]
+    with pytest.raises(AegisDecryptError, match="tag"):
+        decrypt_batch(key, bad, aads)
+    with pytest.raises(AegisDecryptError, match="tag"):
+        decrypt_batch(key, enc, [b"b\x00s2", b"b\x00s1"])
+    with pytest.raises(AegisDecryptError, match="format"):
+        decrypt_batch(key, [b"\x02" + enc[0][1:]], [aads[0]])
+    wrong_key = os.urandom(32)
+    with pytest.raises(AegisDecryptError, match="tag"):
+        decrypt_batch(wrong_key, enc, aads)
+
+
+def test_nonce_uniqueness_per_record():
+    key = os.urandom(32)
+    enc = encrypt_batch(key, [b"same"] * 8, [b"aad"] * 8)
+    nonces = {e[1 : 1 + aegis.NONCE_LEN] for e in enc}
+    cts = {e for e in enc}
+    assert len(nonces) == 8 and len(cts) == 8
+
+
+def test_spark_encrypt_decrypt_roundtrip(spark, store):
+    """End-to-end through mapInPandas: AEGIS-256 bodies roundtrip and
+    AAD binds to the stream identity like the AES-GCM path."""
+    from s2_spark.model import Record
+    from s2_spark.operators import crypto
+
+    store.append("aegis-basin", "s1", [Record(body=b"secret-payload")])
+    store.append("aegis-basin", "s2", [Record(body=b"other"), Record(body=b"")])
+    key = os.urandom(32)
+    enc = crypto.encrypt_bodies(store.records_df(), key, cipher="aegis-256")
+    enc.cache()
+    rows = {(r["stream"], r["seq_num"]): r["body"] for r in enc.collect()}
+    assert bytes(rows[("s1", 0)]) != b"secret-payload"
+    assert len(bytes(rows[("s2", 1)])) == 1 + 32 + 16  # empty body still framed
+    dec = crypto.decrypt_bodies(enc, key, cipher="aegis-256")
+    got = {(r["stream"], r["seq_num"]): r["body"] for r in dec.collect()}
+    assert bytes(got[("s1", 0)]) == b"secret-payload"
+    assert bytes(got[("s2", 0)]) == b"other"
+    assert bytes(got[("s2", 1)]) == b""
+    # moving ciphertext to another stream breaks the AAD binding
+    from pyspark.sql import functions as F
+
+    moved = enc.withColumn("stream", F.lit("other-stream"))
+    with pytest.raises(Exception):
+        crypto.decrypt_bodies(moved, key, cipher="aegis-256").collect()
+    enc.unpersist()
+
+
+def test_gcm_seq_cap_parity():
+    from s2_spark.operators.crypto import max_assignable_seq_num
+
+    assert max_assignable_seq_num("aes-256-gcm") == (1 << 32) - 1
+    assert max_assignable_seq_num("aegis-256") == (1 << 63) - 1
+    assert max_assignable_seq_num(None) == (1 << 63) - 1

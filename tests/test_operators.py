@@ -260,20 +260,20 @@ def test_storage_gauge_two_phase_matches_single_window(store):
     assert got == naive
 
 
-def test_aegis_cipher_rejected_loudly(spark):
-    """A19: AEGIS-256 is a documented deviation — configuring it must
-    fail with a typed error citing the ADR, never silently map to
-    AES-GCM."""
+def test_cipher_config_validation(spark):
+    """A19: both reference ciphers (docs/adr/csek.md) are accepted —
+    AES-256-GCM and AEGIS-256 — while unknown names fail with a typed
+    error, never silently downgraded."""
     from s2_spark.catalog import BasinConfig, Catalog
     from s2_spark.model import UnsupportedCipher
 
     cat = Catalog(spark)
-    with pytest.raises(UnsupportedCipher, match="csek"):
-        cat.create_basin("cipher-basin", BasinConfig(stream_cipher="aegis-256"))
-    meta = cat.create_basin("cipher-basin", BasinConfig(stream_cipher="aes-256-gcm"))
+    meta = cat.create_basin("cipher-basin", BasinConfig(stream_cipher="aegis-256"))
+    assert meta.config.stream_cipher == "aegis-256"
+    meta = cat.create_basin("cipher-basin-2", BasinConfig(stream_cipher="aes-256-gcm"))
     assert meta.config.stream_cipher == "aes-256-gcm"
-    with pytest.raises(UnsupportedCipher, match="aegis|AEGIS"):
-        cat.reconfigure_basin("cipher-basin", BasinConfig(stream_cipher="AEGIS-256"))
+    with pytest.raises(UnsupportedCipher, match="csek"):
+        cat.reconfigure_basin("cipher-basin", BasinConfig(stream_cipher="chacha20"))
 
 
 # --- locations (A25, api/src/v1/location.rs) --------------------------------
