@@ -792,3 +792,96 @@ def x26(spark, sf_dir):
         )
         .orderBy("source", "lang")
     )
+
+
+@query(
+    "x27_passage_dedup",
+    oracle=(
+        "WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents), "
+        "p AS (SELECT doc_id, md5(list_aggregate(ws[(i - 1) * 8 + 1 : i * 8], 'string_agg', ' ')) AS ph "
+        "FROM w, unnest(generate_series(1, len(ws) // 8)) AS u(i)), "
+        "d AS (SELECT ph, count(DISTINCT doc_id) AS nd, count(*) AS np FROM p GROUP BY ph) "
+        "SELECT CAST(count(*) AS BIGINT) AS shared_passages, "
+        "CAST(CAST(sum(np) AS BIGINT) AS BIGINT) AS passage_occurrences, "
+        "CAST(max(nd) AS BIGINT) AS max_docs_sharing "
+        "FROM d WHERE nd > 1"
+    ),
+    doc=(
+        "passage-level exact dedup (the sub-document granularity of "
+        "'Deduplicating Training Data Makes Language Models Better'): "
+        "split each document into consecutive non-overlapping 8-word "
+        "passages, hash each, and count passages shared across distinct "
+        "documents. Spark plan: split -> sequence -> transform(slice) -> "
+        "explode -> groupBy(md5) — the shuffle carries 16-byte digests, "
+        "never text, so at 100 TB this is a digest-count aggregation."
+    ),
+)
+def x27(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    ws = F.split(F.lower("text"), " ")
+    npass = F.size(ws) / F.lit(8)
+    passages = F.transform(
+        F.sequence(F.lit(1), F.floor(npass).cast("int")),
+        lambda i: F.md5(
+            F.concat_ws(" ", F.slice(ws, (i - 1) * 8 + 1, 8)).cast("binary")
+        ),
+    )
+    p = d.select("doc_id", F.explode(passages).alias("ph"))
+    shared = (
+        p.groupBy("ph")
+        .agg(
+            F.countDistinct("doc_id").alias("nd"),
+            F.count("*").alias("np"),
+        )
+        .filter(F.col("nd") > 1)
+    )
+    return shared.agg(
+        F.count("*").alias("shared_passages"),
+        F.sum("np").cast("long").alias("passage_occurrences"),
+        F.max("nd").cast("long").alias("max_docs_sharing"),
+    )
+
+
+@query(
+    "x28_incremental_ingest_dedup",
+    oracle=(
+        "WITH mid AS (SELECT max(doc_id) / 2 AS m FROM documents), "
+        "corpus AS (SELECT DISTINCT md5(text) AS h FROM documents, mid WHERE doc_id <= m), "
+        "batch AS (SELECT doc_id, md5(text) AS h FROM documents, mid WHERE doc_id > m), "
+        "fresh AS (SELECT b.doc_id, b.h FROM batch b ANTI JOIN corpus c ON b.h = c.h) "
+        "SELECT CAST(count(*) AS BIGINT) AS batch_docs, "
+        "CAST(count(DISTINCT h) AS BIGINT) AS admitted, "
+        "CAST(count(*) - count(DISTINCT h) AS BIGINT) AS intra_batch_dups "
+        "FROM fresh"
+    ),
+    doc=(
+        "incremental corpus ingestion dedup: at 100 TB you never re-dedup "
+        "the whole corpus per ingest — the existing corpus is reduced to "
+        "a digest set once, and each new batch LEFT ANTI joins against it "
+        "(digests only, broadcast when the batch is small), then dedups "
+        "within itself. Here the fixture's lower doc_id half plays the "
+        "corpus and the upper half the incoming batch; reports batch "
+        "survivors vs docs already seen and intra-batch duplicates."
+    ),
+)
+def x28(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    mid = d.agg((F.max("doc_id") / F.lit(2)).alias("m"))
+    h = F.md5(F.col("text").cast("binary")).alias("h")
+    corpus = (
+        d.join(F.broadcast(mid))
+        .filter(F.col("doc_id") <= F.col("m"))
+        .select(h)
+        .distinct()
+    )
+    batch = (
+        d.join(F.broadcast(mid))
+        .filter(F.col("doc_id") > F.col("m"))
+        .select("doc_id", h)
+    )
+    fresh = batch.join(corpus, "h", "left_anti")
+    return fresh.agg(
+        F.count("*").alias("batch_docs"),
+        F.countDistinct("h").alias("admitted"),
+        (F.count("*") - F.countDistinct("h")).cast("long").alias("intra_batch_dups"),
+    )
