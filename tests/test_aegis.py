@@ -172,3 +172,30 @@ def test_gcm_seq_cap_parity():
     assert max_assignable_seq_num("aes-256-gcm") == (1 << 32) - 1
     assert max_assignable_seq_num("aegis-256") == (1 << 63) - 1
     assert max_assignable_seq_num(None) == (1 << 63) - 1
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        msgs=st.lists(
+            st.one_of(st.none(), st.binary(min_size=0, max_size=200)),
+            min_size=1,
+            max_size=12,
+        ),
+        key=st.binary(min_size=32, max_size=32),
+    )
+    def test_property_batch_roundtrip(msgs, key):
+        """Any mix of sizes/nulls roundtrips, and each lane decrypts
+        identically alone (lane independence)."""
+        aads = [b"aad-%d" % i for i in range(len(msgs))]
+        enc = encrypt_batch(key, msgs, aads)
+        assert decrypt_batch(key, enc, aads) == msgs
+        for m, a, e in zip(msgs, aads, enc):
+            if m is not None:
+                assert decrypt_batch(key, [e], [a]) == [m]
+
+except ImportError:  # hypothesis not in env: covered by fixed tests
+    pass
