@@ -61,9 +61,15 @@ SCALE_PROBE = [
     ("q_cmd_fold", "str6_command_fold"),
     ("q_asof_join", "j7_asof_join"),
     # LLM-pipeline heads: the bucketed-not-all-pairs claim gets a
-    # measured ratio (documents/embeddings scale 10x in the probe dir)
+    # measured ratio (documents/embeddings scale 10x in the probe dir).
+    # Near-dup is probed via the keep/drop action (x29), NOT the
+    # pair-emitting oracle shape (x9): on this dup-dense corpus the
+    # pair *answer* is quadratic (8.9M true pairs at J>=0.5 from 5000
+    # sf0.1 docs — DuckDB brute force needs 223 s for the same output),
+    # so pair emission cannot scale no matter the candidate pruning;
+    # production dedup emits one decision per doc (O(n*bands) rows).
     ("q_dedup_exact", "x1b_distinct_docs"),
-    ("q_minhash_lsh", "x9_minhash_neardup"),
+    ("q_minhash_dedup", "x29_minhash_dedup_keep"),
     ("q_lsh_ann", "x13_lsh_ann_topk"),
 ]
 

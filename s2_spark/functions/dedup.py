@@ -358,3 +358,62 @@ def ngram_jaccard_pairs(
         F.col("jaccard") >= threshold
     )
     return _expand_pairs(rep_pairs, members, id_col, "jaccard", 1.0)
+
+
+def minhash_dedup_keep(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup dedup as a KEEP/DROP action — the production shape at
+    100 TB.
+
+    The pair-emitting pipelines above (:func:`minhash_neardup_pairs`
+    et al.) are verification/oracle shapes: on a dup-dense corpus the
+    *answer itself* is quadratic (the sf0.1 fixture has 8.9M pairs at
+    J >= 0.5 from 5000 docs), so no candidate pruning can make them
+    scale. Production dedup instead emits one decision per document
+    (cf. "Deduplicating Training Data Makes Language Models Better",
+    Lee et al. 2022 — their suffix/minhash dedup keeps one member per
+    duplicate cluster): a document is DROPPED iff any LSH band bucket
+    contains a lower-id document. Cost is O(n * bands) rows end to
+    end — signature agg, bucket-min agg, bucket join, per-doc min —
+    never materializing pairs.
+
+    Hashes are md5 hex digests compared lexicographically (a valid
+    uniform order), so any SQL engine replays the exact decision —
+    same portability trick as :func:`simhash_md5`.
+
+    Note the keep-set is a deterministic greedy independent-set style
+    rule, not transitive-closure clustering: of three chained near-dups
+    1-2-3 with 1,3 not sharing a bucket, doc 3 survives only if no
+    bucket links it to 1 or 2. Connected-components clustering is a
+    different (iterative) operator; this one is the single-pass rule
+    large pipelines actually run.
+    """
+    r = k // bands
+    assert bands * r == k, "bands must divide k"
+    toks = df.select(id_col, F.explode(tokens_col(text_col)).alias("tok"))
+    comps = [
+        F.min(F.md5(F.concat(F.col("tok"), F.lit(f":{i}")).cast("binary"))).alias(f"c{i}")
+        for i in range(k)
+    ]
+    sig = toks.groupBy(id_col).agg(*comps)
+    band_hashes = [
+        F.md5(
+            F.concat_ws("|", *[F.col(f"c{b * r + j}") for j in range(r)]).cast("binary")
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select(
+        id_col, F.posexplode(F.array(*band_hashes)).alias("band", "bh")
+    )
+    bucket_min = banded.groupBy("band", "bh").agg(F.min(id_col).alias("_bmin"))
+    doc_min = (
+        banded.join(bucket_min, ["band", "bh"])
+        .groupBy(id_col)
+        .agg(F.min("_bmin").alias("_dmin"))
+    )
+    return doc_min.filter(F.col(id_col) == F.col("_dmin")).select(id_col)

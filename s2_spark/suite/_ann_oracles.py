@@ -165,3 +165,35 @@ SELECT doc_id, CAST(list_reduce(list_transform(string_split_regex(lower(text), '
   (h, t) -> (h * 31 + t) % 1000000007) AS BIGINT) AS fp
 FROM documents ORDER BY doc_id
 """
+
+
+def minhash_keep_oracle(k: int = 16, bands: int = 4) -> str:
+    """Full replay of dedup.minhash_dedup_keep: md5-string minhash
+    signature (lexicographic min over md5(tok || ':i') hex digests —
+    a valid uniform order both engines share), md5 band hashes over
+    '|'-joined component slices, bucket-min, and the keep rule
+    (doc survives iff no band bucket holds a lower doc_id)."""
+    r = k // bands
+    comps = ", ".join(
+        f"min(md5(tok || ':{i}')) AS c{i}" for i in range(k)
+    )
+    cases = " ".join(
+        "WHEN {b} THEN md5({expr})".format(
+            b=b,
+            expr=" || '|' || ".join(f"c{b * r + j}" for j in range(r)),
+        )
+        for b in range(bands)
+    )
+    band_list = ", ".join(str(b) for b in range(bands))
+    return f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+sig AS (SELECT doc_id, {comps} FROM toks GROUP BY doc_id),
+banded AS (
+  SELECT doc_id, band, CASE band {cases} END AS bh
+  FROM sig CROSS JOIN (SELECT unnest([{band_list}]) AS band)
+),
+bmin AS (SELECT band, bh, min(doc_id) AS bm FROM banded GROUP BY band, bh),
+dmin AS (SELECT banded.doc_id AS doc_id, min(bm) AS dm
+         FROM banded JOIN bmin USING (band, bh) GROUP BY banded.doc_id)
+SELECT doc_id FROM dmin WHERE doc_id = dm ORDER BY doc_id
+"""

@@ -218,6 +218,7 @@ from s2_spark.suite._ann_oracles import (  # noqa: E402
     fingerprint_oracle,
     ivf_topk_oracle,
     lsh_topk_oracle,
+    minhash_keep_oracle,
     minhash_oracle,
     simhash_oracle,
 )
@@ -885,3 +886,24 @@ def x28(spark, sf_dir):
         F.countDistinct("h").alias("admitted"),
         (F.count("*") - F.countDistinct("h")).cast("long").alias("intra_batch_dups"),
     )
+
+
+@query(
+    "x29_minhash_dedup_keep",
+    oracle=minhash_keep_oracle(k=16, bands=4),
+    doc=(
+        "near-dup dedup as a KEEP/DROP action — the O(n)-output "
+        "production shape (pair emission is inherently quadratic on "
+        "dup-dense corpora: this fixture has 8.9M true pairs at "
+        "J >= 0.5 from 5000 sf0.1 docs). md5-portable minhash(16), "
+        "4 bands of 4; a doc is dropped iff any band bucket contains "
+        "a lower doc_id (Lee et al. 2022's keep-one-per-cluster rule, "
+        "greedy single-pass form). The oracle replays every stage — "
+        "signature, band hash, bucket-min, keep rule — in DuckDB."
+    ),
+)
+def x29(spark, sf_dir):
+    from s2_spark.functions.dedup import minhash_dedup_keep
+
+    d = t(spark, sf_dir, "documents")
+    return minhash_dedup_keep(d, k=16, bands=4).orderBy("doc_id")

@@ -498,3 +498,57 @@ def test_frame_sampling_null_duration_yields_one_frame(spark):
         by_media.setdefault(r.media_id, []).append(r)
     assert len(by_media[1]) == 1 and by_media[1][0].frame_idx == 0
     assert len(by_media[2]) == 3
+
+
+# --- minhash keep/drop dedup action ------------------------------------------
+
+
+def _keep_replay(rows, k=16, bands=4):
+    """Independent Python replay of the minhash keep rule (md5-string
+    minhash, '|'-joined md5 band hashes, drop-if-bucket-has-lower-id)."""
+    import hashlib
+    import re
+
+    r = k // bands
+
+    def md5hex(s: str) -> str:
+        return hashlib.md5(s.encode()).hexdigest()
+
+    buckets: dict[tuple[int, str], list[int]] = {}
+    for doc_id, text in rows:
+        toks = sorted(set(re.split(r"\s+", text.lower())))
+        sig = [min(md5hex(f"{t}:{i}") for t in toks) for i in range(k)]
+        for b in range(bands):
+            bh = md5hex("|".join(sig[b * r : (b + 1) * r]))
+            buckets.setdefault((b, bh), []).append(doc_id)
+    dropped = set()
+    for members in buckets.values():
+        lo = min(members)
+        dropped.update(m for m in members if m != lo)
+    return sorted({d for d, _ in rows} - dropped)
+
+
+def test_minhash_dedup_keep_matches_replay(spark, docs):
+    corpus = docs.limit(40)
+    rows = [(r["doc_id"], r["text"]) for r in corpus.collect()]
+    kept = [r["doc_id"] for r in D.minhash_dedup_keep(corpus).orderBy("doc_id").collect()]
+    assert kept == _keep_replay(rows)
+
+
+def test_minhash_dedup_keep_drops_exact_and_keeps_disjoint(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "alpha beta gamma delta epsilon"),   # exact dup of 1
+            (5, "alpha beta gamma delta epsilon"),   # exact dup of 1
+            (9, "zeta eta theta iota kappa"),        # token-disjoint
+        ],
+        ["doc_id", "text"],
+    )
+    kept = sorted(
+        r["doc_id"] for r in D.minhash_dedup_keep(corpus).collect()
+    )
+    # exact dups share every bucket -> only the min id of the cluster
+    # survives; the disjoint doc shares no token, so (w.h.p. over the
+    # fixed md5 hashes — deterministic here) it keeps its own buckets
+    assert kept == [1, 9]
