@@ -54,6 +54,11 @@ def chunked_running(
     order ``order_by`` (ROWS UNBOUNDED PRECEDING .. CURRENT ROW),
     computed without a global single-partition window.
 
+    Multiple running aggregates over the same order should go through
+    :func:`chunked_running_multi` in ONE pass — chaining two
+    ``chunked_running`` calls recomputes the first fold's whole plan
+    inside the second one's three scans.
+
     ``chunk`` must be monotone non-decreasing in the global order (ties
     in the order key must land in the same chunk); defaults to
     ``floor(first-order-column / chunk_width)``, which is valid whenever
@@ -69,23 +74,56 @@ def chunked_running(
 
     All input columns are preserved.
     """
-    if kind not in ("sum", "max"):
-        raise ValueError(f"kind must be 'sum' or 'max', got {kind!r}")
+    return chunked_running_multi(
+        df,
+        order_by,
+        [(value, out_col, kind)],
+        chunk=chunk,
+        chunk_width=chunk_width,
+        partition_by=partition_by,
+    )
+
+
+def chunked_running_multi(
+    df: DataFrame,
+    order_by: list[Column | str],
+    specs: list[tuple[Column | str, str, str]],
+    chunk: Column | None = None,
+    chunk_width: int = DEFAULT_CHUNK_WIDTH,
+    partition_by: list[str] | None = None,
+) -> DataFrame:
+    """N running aggregates over the same global order in ONE chunked
+    two-phase pass. ``specs`` is ``[(value, out_col, kind), ...]`` with
+    kind 'sum' or 'max'. All N share the per-chunk window, the
+    chunk-totals aggregation, and the two broadcast joins — the plan
+    cost is that of a single :func:`chunked_running` regardless of N.
+    """
+    for _, _, kind in specs:
+        if kind not in ("sum", "max"):
+            raise ValueError(f"kind must be 'sum' or 'max', got {kind!r}")
     order_cols = [_col(c) for c in order_by]
     pcols = list(partition_by or [])
     if chunk is None:
         chunk = F.floor(order_cols[0] / F.lit(chunk_width)).cast("long")
-    agg = F.sum if kind == "sum" else F.max
 
-    d = df.withColumn("_pchunk", chunk).withColumn("_pval", _col(value))
+    def agg(i: int, col: Column | str) -> Column:
+        return (F.sum if specs[i][2] == "sum" else F.max)(col)
+
+    d = df.withColumn("_pchunk", chunk)
+    for i, (value, _, _) in enumerate(specs):
+        d = d.withColumn(f"_pval{i}", _col(value))
     win = (
         W.partitionBy(*pcols, "_pchunk")
         .orderBy(*order_cols)
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    run = d.withColumn("_prun", agg("_pval").over(win))
+    run = d.select(
+        "*", *[agg(i, f"_pval{i}").over(win).alias(f"_prun{i}") for i in range(len(specs))]
+    )
 
-    tot = d.groupBy(*pcols, "_pchunk").agg(agg("_pval").alias("_pct"))
+    tot = d.groupBy(*pcols, "_pchunk").agg(
+        *[agg(i, f"_pval{i}").alias(f"_pct{i}") for i in range(len(specs))]
+    )
     same_key = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in pcols]
     cond = same_key + [F.col("b._pchunk") < F.col("a._pchunk")]
     offsets = (
@@ -95,19 +133,21 @@ def chunked_running(
             *[F.col(f"a.{c}").alias(c) for c in pcols],
             F.col("a._pchunk").alias("_pchunk"),
         )
-        .agg(agg(F.col("b._pct")).alias("_poff"))
+        .agg(*[agg(i, F.col(f"b._pct{i}")).alias(f"_poff{i}") for i in range(len(specs))])
     )
     joined = run.join(F.broadcast(offsets), [*pcols, "_pchunk"])
-    if kind == "sum":
-        combined = F.when(
-            F.col("_poff").isNull(), F.col("_prun")
-        ).otherwise(F.col("_prun") + F.col("_poff"))
-    else:
-        # greatest() skips nulls: null offset (first chunk) -> _prun
-        combined = F.greatest(F.col("_prun"), F.col("_poff"))
-    return joined.withColumn(out_col, combined).drop(
-        "_pchunk", "_pval", "_prun", "_poff"
-    )
+    drop = ["_pchunk"]
+    for i, (_, out_col, kind) in enumerate(specs):
+        if kind == "sum":
+            combined = F.when(
+                F.col(f"_poff{i}").isNull(), F.col(f"_prun{i}")
+            ).otherwise(F.col(f"_prun{i}") + F.col(f"_poff{i}"))
+        else:
+            # greatest() skips nulls: null offset (first chunk) -> _prun
+            combined = F.greatest(F.col(f"_prun{i}"), F.col(f"_poff{i}"))
+        joined = joined.withColumn(out_col, combined)
+        drop += [f"_pval{i}", f"_prun{i}", f"_poff{i}"]
+    return joined.drop(*drop)
 
 
 def chunked_row_number(

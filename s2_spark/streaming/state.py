@@ -116,7 +116,7 @@ def apply_commands_batch(records: DataFrame) -> DataFrame:
     highest fence position — and the trim point is the max clamped
     trim request seen so far (streamer.rs:368-390 semantics).
     """
-    from s2_spark.operators.prefix import chunked_running
+    from s2_spark.operators.prefix import chunked_running_multi
 
     df = _with_cmd_cols(records)
     trim_req = F.when(
@@ -129,13 +129,13 @@ def apply_commands_batch(records: DataFrame) -> DataFrame:
         F.struct(F.col("seq_num").alias("s"), token_at.alias("t")),
     )
     d = df.withColumn("_fence", fence_at).withColumn("_treq", trim_req)
-    d = chunked_running(
-        d, ["seq_num"], "_fence", "_fmax",
-        kind="max", partition_by=["basin", "stream"],
-    )
-    d = chunked_running(
-        d, ["seq_num"], "_treq", "_tmax",
-        kind="max", partition_by=["basin", "stream"],
+    # both running maxes share one chunked pass — chaining two calls
+    # would re-execute the first fold's plan inside the second's scans
+    d = chunked_running_multi(
+        d,
+        ["seq_num"],
+        [("_fence", "_fmax", "max"), ("_treq", "_tmax", "max")],
+        partition_by=["basin", "stream"],
     )
     return d.select(
         "basin",

@@ -442,3 +442,30 @@ def test_chunked_running_partitioned_restarts_per_key(spark):
     assert sorted(got.select("s", "k", "run").collect()) == sorted(
         ref.select("s", "k", "run").collect()
     )
+
+
+def test_chunked_running_multi_matches_single_calls(spark):
+    import random
+
+    from s2_spark.operators.prefix import chunked_running, chunked_running_multi
+
+    rng = random.Random(7)
+    rows = [
+        (k, rng.choice(["s1", "s2"]), rng.randint(-50, 50),
+         rng.choice([None, rng.randint(0, 99)]))
+        for k in range(500)
+    ]
+    df = spark.createDataFrame(rows, ["k", "g", "v", "m"])
+    multi = chunked_running_multi(
+        df, ["k"], [("v", "rsum", "sum"), ("m", "rmax", "max")],
+        chunk_width=64, partition_by=["g"],
+    )
+    single = chunked_running(
+        chunked_running(df, ["k"], "v", "rsum", kind="sum",
+                        chunk_width=64, partition_by=["g"]),
+        ["k"], "m", "rmax", kind="max", chunk_width=64, partition_by=["g"],
+    )
+    key = lambda r: (r["g"], r["k"])  # noqa: E731
+    got = sorted(multi.collect(), key=key)
+    want = sorted(single.collect(), key=key)
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
