@@ -326,17 +326,23 @@ def scale_probe(spark) -> dict:
     tmp = tempfile.mkdtemp(prefix="s2scale_")
     try:
         _build_x10(spark, tmp)
+        def best_of(fn, sf_dir, reps: int = 2) -> float:
+            # min over reps: the first execution of a plan in a session
+            # pays whole-stage-codegen + JIT compilation (observed 17x
+            # swings on the heavier expression trees), which is not the
+            # quantity the x10/x1 ratio is about
+            best = float("inf")
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                _materialize(fn(spark, sf_dir))
+                best = min(best, time.perf_counter() - t0)
+            return best
+
         out = {}
         for label, name in SCALE_PROBE:
             fn = qs[name].spark
-            # warm x1 re-run so the ratio compares execution, not the
-            # first run's plan-compilation overhead
-            t0 = time.perf_counter()
-            _materialize(fn(spark, SF_DIR))
-            x1 = time.perf_counter() - t0
-            t0 = time.perf_counter()
-            _materialize(fn(spark, tmp))
-            x10 = time.perf_counter() - t0
+            x1 = best_of(fn, SF_DIR)
+            x10 = best_of(fn, tmp)
             out[label] = {
                 "x1_warm_sec": round(x1, 3),
                 "x10_sec": round(x10, 3),

@@ -169,13 +169,16 @@ FROM documents ORDER BY doc_id
 
 def minhash_keep_oracle(k: int = 16, bands: int = 4) -> str:
     """Full replay of dedup.minhash_dedup_keep: md5-string minhash
-    signature (lexicographic min over md5(tok || ':i') hex digests —
-    a valid uniform order both engines share), md5 band hashes over
+    signature (component i = lexicographic min over the 2i-hex-char
+    cyclic rotation of md5(tok) — one digest per token, a valid
+    uniform order both engines share), md5 band hashes over
     '|'-joined component slices, bucket-min, and the keep rule
     (doc survives iff no band bucket holds a lower doc_id)."""
     r = k // bands
     comps = ", ".join(
-        f"min(md5(tok || ':{i}')) AS c{i}" for i in range(k)
+        f"min(substr(md5(tok), {2 * i + 1}, {32 - 2 * i}) || "
+        f"substr(md5(tok), 1, {2 * i})) AS c{i}"
+        for i in range(k)
     )
     cases = " ".join(
         "WHEN {b} THEN md5({expr})".format(

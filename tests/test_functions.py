@@ -514,10 +514,13 @@ def _keep_replay(rows, k=16, bands=4):
     def md5hex(s: str) -> str:
         return hashlib.md5(s.encode()).hexdigest()
 
+    def rot(h: str, i: int) -> str:
+        return h[2 * i :] + h[: 2 * i]
+
     buckets: dict[tuple[int, str], list[int]] = {}
     for doc_id, text in rows:
         toks = sorted(set(re.split(r"\s+", text.lower())))
-        sig = [min(md5hex(f"{t}:{i}") for t in toks) for i in range(k)]
+        sig = [min(rot(md5hex(t), i) for t in toks) for i in range(k)]
         for b in range(bands):
             bh = md5hex("|".join(sig[b * r : (b + 1) * r]))
             buckets.setdefault((b, bh), []).append(doc_id)
