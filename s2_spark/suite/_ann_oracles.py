@@ -200,3 +200,45 @@ dmin AS (SELECT banded.doc_id AS doc_id, min(bm) AS dm
          FROM banded JOIN bmin USING (band, bh) GROUP BY banded.doc_id)
 SELECT doc_id FROM dmin WHERE doc_id = dm ORDER BY doc_id
 """
+
+
+def neardup_clusters_oracle(k: int = 16, bands: int = 4) -> str:
+    """Full replay of dedup.neardup_clusters: identical md5-rotation
+    signature/banding as :func:`minhash_keep_oracle`, bucket-star
+    edges, then the connected-components min-label closure as a
+    recursive CTE (DuckDB computes the reachability closure; min label
+    per node = minimum member id of its component — exactly the
+    fixpoint of the Spark side's iterative propagation)."""
+    r = k // bands
+    comps = ", ".join(
+        f"min(substr(md5(tok), {2 * i + 1}, {32 - 2 * i}) || "
+        f"substr(md5(tok), 1, {2 * i})) AS c{i}"
+        for i in range(k)
+    )
+    cases = " ".join(
+        "WHEN {b} THEN md5({expr})".format(
+            b=b,
+            expr=" || '|' || ".join(f"c{b * r + j}" for j in range(r)),
+        )
+        for b in range(bands)
+    )
+    band_list = ", ".join(str(b) for b in range(bands))
+    return f"""
+WITH RECURSIVE
+toks AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+sig AS (SELECT doc_id, {comps} FROM toks GROUP BY doc_id),
+banded AS (
+  SELECT doc_id, band, CASE band {cases} END AS bh
+  FROM sig CROSS JOIN (SELECT unnest([{band_list}]) AS band)
+),
+bmin AS (SELECT band, bh, min(doc_id) AS bm FROM banded GROUP BY band, bh),
+edges AS (SELECT DISTINCT banded.doc_id AS a, bm AS b
+          FROM banded JOIN bmin USING (band, bh) WHERE banded.doc_id <> bm),
+und AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
+cc(v, lbl) AS (
+  SELECT doc_id, doc_id FROM sig
+  UNION
+  SELECT und.b, cc.lbl FROM cc JOIN und ON und.a = cc.v
+)
+SELECT v AS doc_id, min(lbl) AS cluster FROM cc GROUP BY v ORDER BY doc_id
+"""

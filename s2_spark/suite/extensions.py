@@ -219,6 +219,7 @@ from s2_spark.suite._ann_oracles import (  # noqa: E402
     ivf_topk_oracle,
     lsh_topk_oracle,
     minhash_keep_oracle,
+    neardup_clusters_oracle,
     minhash_oracle,
     simhash_oracle,
 )
@@ -907,3 +908,23 @@ def x29(spark, sf_dir):
 
     d = t(spark, sf_dir, "documents")
     return minhash_dedup_keep(d, k=16, bands=4).orderBy("doc_id")
+
+
+@query(
+    "x30_neardup_clusters",
+    oracle=neardup_clusters_oracle(k=16, bands=4),
+    doc=(
+        "duplicate-cluster formation: connected components over the "
+        "LSH band-bucket star graph (edges member -> bucket-min, "
+        "O(n*bands), never within-bucket quadratic), via driver-paced "
+        "min-label propagation — the iterative distributed-CC loop "
+        "(Kiveris et al., SoCC'14) with a one-scalar convergence check "
+        "per round. The oracle replays the same graph and computes the "
+        "min-label fixpoint with a recursive CTE."
+    ),
+)
+def x30(spark, sf_dir):
+    from s2_spark.functions.dedup import neardup_clusters
+
+    d = t(spark, sf_dir, "documents")
+    return neardup_clusters(d, k=16, bands=4).orderBy("doc_id")

@@ -555,3 +555,63 @@ def test_minhash_dedup_keep_drops_exact_and_keeps_disjoint(spark):
     # survives; the disjoint doc shares no token, so (w.h.p. over the
     # fixed md5 hashes — deterministic here) it keeps its own buckets
     assert kept == [1, 9]
+
+
+def _cluster_replay(rows, k=16, bands=4):
+    """Union-find over the same bucket-star graph (min-label fixpoint
+    == connected components, so plain union-find replays it)."""
+    import hashlib
+    import re
+
+    r = k // bands
+
+    def md5hex(s: str) -> str:
+        return hashlib.md5(s.encode()).hexdigest()
+
+    def rot(h: str, i: int) -> str:
+        return h[2 * i :] + h[: 2 * i]
+
+    parent = {d: d for d, _ in rows}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    buckets: dict[tuple[int, str], list[int]] = {}
+    for doc_id, text in rows:
+        toks = sorted(set(re.split(r"\s+", text.lower())))
+        sig = [min(rot(md5hex(t), i) for t in toks) for i in range(k)]
+        for b in range(bands):
+            bh = md5hex("|".join(sig[b * r : (b + 1) * r]))
+            buckets.setdefault((b, bh), []).append(doc_id)
+    for members in buckets.values():
+        for m in members[1:]:
+            union(members[0], m)
+    return sorted((d, find(d)) for d, _ in rows)
+
+
+def test_neardup_clusters_matches_union_find_replay(spark, docs):
+    corpus = docs.limit(60)
+    rows = [(r["doc_id"], r["text"]) for r in corpus.collect()]
+    got = sorted(
+        (r["doc_id"], r["cluster"])
+        for r in D.neardup_clusters(corpus).collect()
+    )
+    assert got == _cluster_replay(rows)
+
+
+def test_neardup_cluster_ids_survive_keep_rule(spark, docs):
+    """The min member of a connected component is by construction a
+    bucket-min of every bucket it appears in, so every cluster id must
+    be in minhash_dedup_keep's survivor set."""
+    corpus = docs.limit(60)
+    kept = {r["doc_id"] for r in D.minhash_dedup_keep(corpus).collect()}
+    cluster_ids = {r["cluster"] for r in D.neardup_clusters(corpus).collect()}
+    assert cluster_ids <= kept
