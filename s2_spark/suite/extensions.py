@@ -928,3 +928,91 @@ def x30(spark, sf_dir):
 
     d = t(spark, sf_dir, "documents")
     return neardup_clusters(d, k=16, bands=4).orderBy("doc_id")
+
+
+@query(
+    "x31_sequence_packing",
+    oracle=(
+        "WITH n AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens "
+        "FROM documents), "
+        "c AS (SELECT doc_id, n_tokens, "
+        "CAST(sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED "
+        "PRECEDING AND CURRENT ROW) AS BIGINT) AS cum FROM n) "
+        "SELECT doc_id, n_tokens, cum - n_tokens AS start_off, "
+        "(cum - n_tokens) // 512 AS seq_first, "
+        "(cum - 1) // 512 AS seq_last "
+        "FROM c ORDER BY doc_id"
+    ),
+    doc=(
+        "pretraining sequence packing: concatenate the corpus in doc_id "
+        "order and slice fixed 512-token training sequences (the GPT-style "
+        "pack-then-chunk step); each doc reports its global token offset "
+        "and the first/last sequence it lands in. The global running token "
+        "count is the chunked two-phase prefix sum (operators/prefix.py) — "
+        "task-parallel across seq ranges, no single-partition WindowExec — "
+        "so the packing assignment scales to a 100 TB corpus."
+    ),
+)
+def x31(spark, sf_dir):
+    from s2_spark.operators.prefix import chunked_running
+
+    d = t(spark, sf_dir, "documents")
+    n = d.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    c = chunked_running(n, ["doc_id"], "n_tokens", "cum", kind="sum")
+    budget = F.lit(512)
+    return c.select(
+        "doc_id",
+        "n_tokens",
+        (F.col("cum") - F.col("n_tokens")).alias("start_off"),
+        F.floor((F.col("cum") - F.col("n_tokens")) / budget).alias("seq_first"),
+        F.floor((F.col("cum") - 1) / budget).alias("seq_last"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "x32_tfidf_top_terms",
+    oracle=(
+        "WITH tk AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term "
+        "FROM documents), "
+        "tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tk GROUP BY 1, 2), "
+        "dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1), "
+        "n AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents), "
+        "s AS (SELECT tf.doc_id, tf.term, CAST(tf.tf AS DOUBLE) * n.nd / dfq.df AS score "
+        "FROM tf JOIN dfq ON tf.term = dfq.term CROSS JOIN n), "
+        "r AS (SELECT doc_id, term, score, row_number() OVER "
+        "(PARTITION BY doc_id ORDER BY score DESC, term) AS rk FROM s) "
+        "SELECT doc_id, term, CAST(rk AS BIGINT) AS rank, round(score, 4) AS score "
+        "FROM r WHERE rk <= 3 ORDER BY doc_id, rank"
+    ),
+    doc=(
+        "per-document top-3 characteristic terms by tf x N/df — the "
+        "log-free TF-IDF variant (ln() is not bit-specified across "
+        "engines; tf*N is an exact integer and one IEEE division gives "
+        "both engines the identical double, so ranking decisions agree "
+        "exactly). Plan: one explode, two map-side-combined aggs, "
+        "document-frequency side broadcast, window partitioned by "
+        "doc_id (scales with the corpus, no global sort)."
+    ),
+)
+def x32(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    d = t(spark, sf_dir, "documents")
+    tk = d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term"))
+    tf = tk.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = d.agg(F.count("*").alias("nd"))
+    s = tf.join(F.broadcast(dfq), "term").crossJoin(F.broadcast(n)).select(
+        "doc_id",
+        "term",
+        (F.col("tf").cast("double") * F.col("nd") / F.col("df")).alias("score"),
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        s.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "rank", r4(F.col("score")).alias("score"))
+        .orderBy("doc_id", "rank")
+    )
