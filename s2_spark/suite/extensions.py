@@ -1016,3 +1016,70 @@ def x32(spark, sf_dir):
         .select("doc_id", "term", "rank", r4(F.col("score")).alias("score"))
         .orderBy("doc_id", "rank")
     )
+
+
+@query(
+    "x33_quality_funnel",
+    oracle=(
+        "WITH w AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS ws "
+        "FROM documents), "
+        "g AS (SELECT doc_id, lang, len(ws) AS ntok, "
+        "CAST(length(list_filter(ws, x -> x IN "
+        "('the','a','of','and','to','in','is'))) AS BIGINT) AS stop, "
+        "list_transform(generate_series(1, len(ws) - 1), "
+        "i -> ws[i] || ' ' || ws[i + 1]) AS gs FROM w), "
+        "v AS (SELECT doc_id, CASE "
+        "WHEN lang NOT IN ('en', 'es', 'de', 'fr') THEN 'lang_filtered' "
+        "WHEN ntok < 15 THEN 'too_short' "
+        "WHEN stop * 25 < ntok THEN 'low_stopword' "
+        "WHEN (len(gs) - len(list_distinct(gs))) * 5 > len(gs) THEN 'repetitive' "
+        "ELSE 'keep' END AS verdict FROM g) "
+        "SELECT CASE verdict WHEN 'lang_filtered' THEN 0 WHEN 'too_short' THEN 1 "
+        "WHEN 'low_stopword' THEN 2 WHEN 'repetitive' THEN 3 ELSE 4 END AS stage, "
+        "verdict, CAST(count(*) AS BIGINT) AS n_docs "
+        "FROM v GROUP BY verdict ORDER BY stage"
+    ),
+    doc=(
+        "quality filter funnel (the C4/Gopher-style cascade): language "
+        "allowlist -> min length -> stopword-ratio floor -> duplicate-"
+        "bigram ceiling, each document attributed to its FIRST failing "
+        "rule; reports docs per funnel stage. All thresholds are integer "
+        "comparisons (stop*25 < ntok, dup*5 > n_bigrams) so both engines "
+        "take bit-identical branches. One projection plus one map-side-"
+        "combined aggregation — at 100 TB the funnel costs one corpus "
+        "scan, no shuffle beyond the 5-row verdict rollup."
+    ),
+)
+def x33(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    ws = F.split(F.lower("text"), " ")
+    ntok = F.size(ws)
+    stop = F.size(F.filter(ws, lambda x: x.isin(*_STOPWORDS))).cast("long")
+    gs = F.transform(
+        F.sequence(F.lit(0), ntok - 2),
+        lambda i: F.concat_ws(" ", F.element_at(ws, i + 1), F.element_at(ws, i + 2)),
+    )
+    n_bi = F.size(gs)
+    dup = n_bi - F.size(F.array_distinct(gs))
+    verdict = (
+        F.when(~F.col("lang").isin("en", "es", "de", "fr"), F.lit("lang_filtered"))
+        .when(ntok < 15, F.lit("too_short"))
+        .when(stop * 25 < ntok, F.lit("low_stopword"))
+        .when(dup * 5 > n_bi, F.lit("repetitive"))
+        .otherwise(F.lit("keep"))
+    )
+    stage = (
+        F.when(F.col("verdict") == "lang_filtered", 0)
+        .when(F.col("verdict") == "too_short", 1)
+        .when(F.col("verdict") == "low_stopword", 2)
+        .when(F.col("verdict") == "repetitive", 3)
+        .otherwise(4)
+        .cast("long")
+    )
+    return (
+        d.select(verdict.alias("verdict"))
+        .groupBy("verdict")
+        .agg(F.count("*").alias("n_docs"))
+        .select(stage.alias("stage"), "verdict", "n_docs")
+        .orderBy("stage")
+    )
