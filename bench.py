@@ -71,6 +71,9 @@ SCALE_PROBE = [
     ("q_dedup_exact", "x1b_distinct_docs"),
     ("q_minhash_dedup", "x29_minhash_dedup_keep"),
     ("q_lsh_ann", "x13_lsh_ann_topk"),
+    # global running token count via the chunked two-phase prefix sum —
+    # the scale-safe replacement for single-partition windows
+    ("q_seq_packing", "x31_sequence_packing"),
 ]
 
 

@@ -242,3 +242,69 @@ cc(v, lbl) AS (
 )
 SELECT v AS doc_id, min(lbl) AS cluster FROM cc GROUP BY v ORDER BY doc_id
 """
+
+
+def ann_recall_oracle(
+    query_ids=(0, 1, 2, 3, 4),
+    k: int = 10,
+    m: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+) -> str:
+    """Recall@k of the multiprobe-LSH ANN vs exact brute force, per
+    query vector — both pipelines fully replayed (same hyperplane
+    literals, same left-associated cosine chains), so the recall number
+    itself is hash-verified, not just bounded."""
+    planes = _hyperplanes(dim, m, seed)
+
+    def bkt(vec: str) -> str:
+        return " + ".join(
+            f"CASE WHEN ({_dot_lit(vec, p)}) >= 0 THEN {1 << i} ELSE 0 END"
+            for i, p in enumerate(planes)
+        )
+
+    flips = ", ".join(f"({1 << i})" for i in range(m))
+    sim = f"({_chain('v', 'qe', dim)})"
+    ctes, rows = [], []
+    for qi, qid in enumerate(query_ids):
+        ctes.append(
+            f"q{qi} AS (SELECT CAST(embedding AS DOUBLE[]) AS qe "
+            f"FROM embeddings WHERE vec_id = {qid})"
+        )
+        ctes.append(
+            f"e{qi} AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+            f"FROM embeddings WHERE vec_id <> {qid})"
+        )
+        # cosine = dot / (|v||qe|): |qe| constant per query and |v| > 0,
+        # but rank by the FULL cosine (same as the Spark side) so ties
+        # and signs behave identically
+        cos = (
+            f"({_chain('v', 'qe', dim)}) /"
+            f" (sqrt({_chain('v', 'v', dim)}) * sqrt({_chain('qe', 'qe', dim)}))"
+        )
+        ctes.append(
+            f"br{qi} AS (SELECT vec_id FROM e{qi}, q{qi} "
+            f"ORDER BY {cos} DESC, vec_id LIMIT {k})"
+        )
+        ctes.append(f"b{qi} AS (SELECT vec_id, v, ({bkt('v')}) AS bkt FROM e{qi})")
+        ctes.append(f"qb{qi} AS (SELECT qe, ({bkt('qe')}) AS qbkt FROM q{qi})")
+        ctes.append(
+            f"pr{qi} AS (SELECT qbkt AS p FROM qb{qi} "
+            f"UNION ALL SELECT xor(qbkt, f) FROM qb{qi}, (VALUES {flips}) AS fl(f))"
+        )
+        ctes.append(
+            f"an{qi} AS (SELECT vec_id FROM b{qi}, qb{qi} "
+            f"WHERE b{qi}.bkt IN (SELECT p FROM pr{qi}) "
+            f"ORDER BY {cos} DESC, vec_id LIMIT {k})"
+        )
+        rows.append(
+            f"SELECT {qid} AS query_id, "
+            f"(SELECT CAST(count(*) AS BIGINT) FROM an{qi} "
+            f"WHERE vec_id IN (SELECT vec_id FROM br{qi})) AS hits"
+        )
+    union = " UNION ALL ".join(rows)
+    return (
+        "WITH " + ", ".join(ctes) + " "
+        f"SELECT query_id, hits, round(hits / {k}.0, 4) AS recall "
+        f"FROM ({union}) ORDER BY query_id"
+    )

@@ -215,6 +215,7 @@ def x7(spark, sf_dir):
 
 
 from s2_spark.suite._ann_oracles import (  # noqa: E402
+    ann_recall_oracle,
     fingerprint_oracle,
     ivf_topk_oracle,
     lsh_topk_oracle,
@@ -1082,4 +1083,52 @@ def x33(spark, sf_dir):
         .agg(F.count("*").alias("n_docs"))
         .select(stage.alias("stage"), "verdict", "n_docs")
         .orderBy("stage")
+    )
+
+
+@query(
+    "x34_ann_recall_report",
+    oracle=ann_recall_oracle(query_ids=(0, 1, 2, 3, 4), k=10, m=8, dim=64, seed=42),
+    doc=(
+        "recall@10 of the multiprobe-LSH ANN against exact brute force, "
+        "per query vector - the measurement harness for the ANN tier, "
+        "shipped as a first-class query so recall regressions hash-"
+        "mismatch instead of drifting silently. Both pipelines run with "
+        "identical hyperplane literals and left-associated cosine "
+        "chains, so Spark and the oracle agree on every ranking decision "
+        "and the recall number itself is verified. (On this fixture's "
+        "uniform random vectors recall is legitimately low - neighbors "
+        "are weak and m=8 buckets are fine-grained; the dial is (m, "
+        "multiprobe, nprobe), cf. functions/similarity.py.)"
+    ),
+)
+def x34(spark, sf_dir):
+    from functools import reduce
+
+    from s2_spark.functions.similarity import cosine_topk, lsh_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    k = 10
+    brutes, anns = [], []
+    for qid in (0, 1, 2, 3, 4):
+        brutes.append(
+            cosine_topk(emb, k=k, query_id=qid)
+            .select(F.lit(qid).alias("query_id"), "vec_id")
+        )
+        anns.append(
+            lsh_topk(emb, k=k, query_id=qid, m=8, multiprobe=1)
+            .select(F.lit(qid).alias("query_id"), "vec_id")
+        )
+    brute = reduce(lambda a, b: a.unionByName(b), brutes).withColumn("_m", F.lit(1))
+    ann = reduce(lambda a, b: a.unionByName(b), anns)
+    return (
+        ann.join(F.broadcast(brute), ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(F.sum(F.coalesce(F.col("_m"), F.lit(0))).cast("long").alias("hits"))
+        .select(
+            F.col("query_id").cast("long").alias("query_id"),
+            "hits",
+            r4(F.col("hits") / F.lit(float(k))).alias("recall"),
+        )
+        .orderBy("query_id")
     )
