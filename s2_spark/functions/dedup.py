@@ -13,6 +13,13 @@ Scale design notes:
 - **verification**: exact Jaccard on token sets, computed only for the
   candidate pairs (array_intersect/array_union on the already-small
   candidate join).
+
+Two output shapes, and the distinction is the 100 TB design decision:
+the PAIR-emitting pipelines (``*_neardup_pairs``) are verification /
+oracle shapes whose answer is inherently quadratic on dup-dense
+corpora; the production shapes are the per-document KEEP/DROP action
+(:func:`minhash_dedup_keep`) and cluster assignment
+(:func:`neardup_clusters`), both O(n * bands) rows end to end.
 """
 
 from __future__ import annotations
