@@ -308,3 +308,69 @@ def ann_recall_oracle(
         f"SELECT query_id, hits, round(hits / {k}.0, 4) AS recall "
         f"FROM ({union}) ORDER BY query_id"
     )
+
+
+# the funnel CASE shared by the x33 and x35 oracles (mirrors
+# extensions._funnel_verdict; integer-only thresholds)
+_FUNNEL_CASE = (
+    "CASE "
+    "WHEN lang NOT IN ('en', 'es', 'de', 'fr') THEN 'lang_filtered' "
+    "WHEN ntok < 15 THEN 'too_short' "
+    "WHEN stop * 25 < ntok THEN 'low_stopword' "
+    "WHEN (len(gs) - len(list_distinct(gs))) * 5 > len(gs) THEN 'repetitive' "
+    "ELSE 'keep' END"
+)
+
+
+def pipeline_summary_oracle(k: int = 16, bands: int = 4, budget: int = 512) -> str:
+    """End-to-end replay of the x35 training-data pipeline: quality
+    funnel -> exact dedup (min id per md5) -> minhash keep rule (same
+    md5-rotation family as :func:`minhash_keep_oracle`, but over the
+    exact-dedup survivors) -> token total and 512-budget sequence
+    count. Single summary row."""
+    r = k // bands
+    comps = ", ".join(
+        f"min(substr(md5(tok), {2 * i + 1}, {32 - 2 * i}) || "
+        f"substr(md5(tok), 1, {2 * i})) AS c{i}"
+        for i in range(k)
+    )
+    cases = " ".join(
+        "WHEN {b} THEN md5({expr})".format(
+            b=b,
+            expr=" || '|' || ".join(f"c{b * r + j}" for j in range(r)),
+        )
+        for b in range(bands)
+    )
+    band_list = ", ".join(str(b) for b in range(bands))
+    toks_of_text = "list_distinct(string_split_regex(lower(text), '\\s+'))"
+    return f"""
+WITH w AS (SELECT doc_id, text, lang, string_split(lower(text), ' ') AS ws FROM documents),
+g AS (SELECT doc_id, text, lang, len(ws) AS ntok,
+      CAST(length(list_filter(ws, x -> x IN
+        ('the','a','of','and','to','in','is'))) AS BIGINT) AS stop,
+      list_transform(generate_series(1, len(ws) - 1),
+        i -> ws[i] || ' ' || ws[i + 1]) AS gs FROM w),
+q AS (SELECT doc_id, text FROM g WHERE {_FUNNEL_CASE} = 'keep'),
+eh AS (SELECT doc_id, text, md5(text) AS h FROM q),
+er AS (SELECT min(doc_id) AS doc_id FROM eh GROUP BY h),
+ed AS (SELECT eh.doc_id, eh.text FROM eh JOIN er USING (doc_id)),
+toks AS (SELECT doc_id, unnest({toks_of_text}) AS tok FROM ed),
+sig AS (SELECT doc_id, {comps} FROM toks GROUP BY doc_id),
+banded AS (
+  SELECT doc_id, band, CASE band {cases} END AS bh
+  FROM sig CROSS JOIN (SELECT unnest([{band_list}]) AS band)
+),
+bmin AS (SELECT band, bh, min(doc_id) AS bm FROM banded GROUP BY band, bh),
+dmin AS (SELECT banded.doc_id AS doc_id, min(bm) AS dm
+         FROM banded JOIN bmin USING (band, bh) GROUP BY banded.doc_id),
+keep AS (SELECT doc_id FROM dmin WHERE doc_id = dm),
+kd AS (SELECT ed.doc_id, len(string_split(ed.text, ' ')) AS ntok
+       FROM ed JOIN keep USING (doc_id))
+SELECT
+  (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_input,
+  (SELECT CAST(count(*) AS BIGINT) FROM q) AS after_quality,
+  (SELECT CAST(count(*) AS BIGINT) FROM ed) AS after_exact,
+  (SELECT CAST(count(*) AS BIGINT) FROM kd) AS after_neardup,
+  (SELECT CAST(sum(ntok) AS BIGINT) FROM kd) AS total_tokens,
+  (SELECT CAST((sum(ntok) + {budget - 1}) // {budget} AS BIGINT) FROM kd) AS n_sequences
+"""

@@ -216,6 +216,7 @@ def x7(spark, sf_dir):
 
 from s2_spark.suite._ann_oracles import (  # noqa: E402
     ann_recall_oracle,
+    pipeline_summary_oracle,
     fingerprint_oracle,
     ivf_topk_oracle,
     lsh_topk_oracle,
@@ -1019,6 +1020,27 @@ def x32(spark, sf_dir):
     )
 
 
+def _funnel_verdict():
+    """First-failing-rule verdict column for the C4/Gopher-style quality
+    cascade — shared by x33 (per-stage report) and x35 (e2e pipeline)."""
+    ws = F.split(F.lower("text"), " ")
+    ntok = F.size(ws)
+    stop = F.size(F.filter(ws, lambda x: x.isin(*_STOPWORDS))).cast("long")
+    gs = F.transform(
+        F.sequence(F.lit(0), ntok - 2),
+        lambda i: F.concat_ws(" ", F.element_at(ws, i + 1), F.element_at(ws, i + 2)),
+    )
+    n_bi = F.size(gs)
+    dup = n_bi - F.size(F.array_distinct(gs))
+    return (
+        F.when(~F.col("lang").isin("en", "es", "de", "fr"), F.lit("lang_filtered"))
+        .when(ntok < 15, F.lit("too_short"))
+        .when(stop * 25 < ntok, F.lit("low_stopword"))
+        .when(dup * 5 > n_bi, F.lit("repetitive"))
+        .otherwise(F.lit("keep"))
+    )
+
+
 @query(
     "x33_quality_funnel",
     oracle=(
@@ -1053,22 +1075,7 @@ def x32(spark, sf_dir):
 )
 def x33(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
-    ws = F.split(F.lower("text"), " ")
-    ntok = F.size(ws)
-    stop = F.size(F.filter(ws, lambda x: x.isin(*_STOPWORDS))).cast("long")
-    gs = F.transform(
-        F.sequence(F.lit(0), ntok - 2),
-        lambda i: F.concat_ws(" ", F.element_at(ws, i + 1), F.element_at(ws, i + 2)),
-    )
-    n_bi = F.size(gs)
-    dup = n_bi - F.size(F.array_distinct(gs))
-    verdict = (
-        F.when(~F.col("lang").isin("en", "es", "de", "fr"), F.lit("lang_filtered"))
-        .when(ntok < 15, F.lit("too_short"))
-        .when(stop * 25 < ntok, F.lit("low_stopword"))
-        .when(dup * 5 > n_bi, F.lit("repetitive"))
-        .otherwise(F.lit("keep"))
-    )
+    verdict = _funnel_verdict()
     stage = (
         F.when(F.col("verdict") == "lang_filtered", 0)
         .when(F.col("verdict") == "too_short", 1)
@@ -1132,3 +1139,41 @@ def x34(spark, sf_dir):
         )
         .orderBy("query_id")
     )
+
+
+@query(
+    "x35_pipeline_summary",
+    oracle=pipeline_summary_oracle(k=16, bands=4, budget=512),
+    doc=(
+        "the whole training-data preparation pipeline as ONE declarative "
+        "plan: quality funnel (x33 rules) -> exact dedup (min id per "
+        "md5(text)) -> minhash keep/drop near-dup (x29 rule, over exact "
+        "survivors) -> 512-token sequence budget; reports the funnel "
+        "counts, surviving token total, and training-sequence count in "
+        "a single row. Every stage is the library operator, composed "
+        "lazily - Catalyst sees one DAG, so the corpus is scanned once "
+        "per stage chain, digests and signatures shuffle instead of "
+        "text, and the oracle replays all four stages end to end."
+    ),
+)
+def x35(spark, sf_dir):
+    from s2_spark.functions.dedup import minhash_dedup_keep
+
+    d = t(spark, sf_dir, "documents")
+    q = d.filter(_funnel_verdict() == "keep")
+    eh = q.withColumn("_h", F.md5(F.col("text").cast("binary")))
+    er = eh.groupBy("_h").agg(F.min("doc_id").alias("doc_id"))
+    ed = eh.join(er.select("doc_id"), "doc_id").select("doc_id", "text")
+    keep = minhash_dedup_keep(ed)
+    kd = ed.join(keep, "doc_id").select(
+        F.size(F.split("text", " ")).cast("long").alias("ntok")
+    )
+    s1 = d.agg(F.count("*").alias("n_input"))
+    s2 = q.agg(F.count("*").alias("after_quality"))
+    s3 = ed.agg(F.count("*").alias("after_exact"))
+    s4 = kd.agg(
+        F.count("*").alias("after_neardup"),
+        F.sum("ntok").alias("total_tokens"),
+        F.floor((F.sum("ntok") + 511) / 512).cast("long").alias("n_sequences"),
+    )
+    return s1.crossJoin(s2).crossJoin(s3).crossJoin(s4)
