@@ -175,6 +175,22 @@ def basin_ops(
     )
 
 
+def account_ops(
+    audit: DataFrame,
+    interval: str = "hour",
+) -> DataFrame:
+    """Account-level accumulation set: client-shaped RPCs per bucket,
+    labeled by operation (AccountMetricSet::AccountOps,
+    api/src/v1/metrics.rs:69-78) — the whole audit relation at account
+    scope, no basin/stream filter."""
+    return (
+        _bucketed(audit, interval)
+        .groupBy("bucket", "op")
+        .agg(F.count("*").alias("ops"))
+        .orderBy("bucket", "op")
+    )
+
+
 def active_basins(
     records: DataFrame, interval: str = "day"
 ) -> DataFrame:

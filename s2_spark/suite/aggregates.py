@@ -374,3 +374,29 @@ def ag10(spark, sf_dir):
         ["event_id"], "value", "lvl", kind="sum", chunk_width=8192,
     )
     return d.select("event_id", r4(F.col("lvl")).alias("level")).orderBy("event_id")
+
+
+@query(
+    "ag19_account_ops",
+    oracle=(
+        "SELECT epoch_ms(date_trunc('hour', ts)) AS bucket, "
+        "CASE event_type WHEN 'click' THEN 'read' WHEN 'view' THEN 'read_session' "
+        "WHEN 'purchase' THEN 'read_batch' WHEN 'signup' THEN 'create_stream' "
+        "ELSE 'list_streams' END AS op, "
+        "CAST(count(*) AS BIGINT) AS ops "
+        "FROM events GROUP BY 1, 2 ORDER BY 1, 2"
+    ),
+    doc=(
+        "metrics API (A26) AccountMetricSet::AccountOps "
+        "(api/src/v1/metrics.rs:69-78): account-scope RPC counts per "
+        "hour labeled by operation, over the ops-audit relation — "
+        "completes the reference's metric-set matrix (account/basin/"
+        "stream x scalar/accumulation/gauge/label)"
+    ),
+)
+def ag19(spark, sf_dir):
+    from s2_spark.operators.metrics import account_ops
+
+    return account_ops(_synthetic_audit(spark, sf_dir), "hour").select(
+        "bucket", "op", "ops"
+    )
