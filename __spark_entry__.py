@@ -79,7 +79,8 @@ _R03_BACKLOG = frozenset({
 # so their r4 hash-matches predate the current code and they re-enter
 # the scoring prefix ahead of untouched proven entries until a fresh
 # proof lands:
-#  - chunked two-phase prefix re-plan (commit 672d356): w*/ag10/ag13/
+#  - chunked two-phase prefix re-plan (commit 672d356), then the
+#    single-pass chunked_running_multi fold (f6e3bf1): w*/ag10/ag13/
 #    str4/str6/j7/st8
 #  - near-dup exact-cluster collapse (commit be5435a, dedup.py): x5/x9/
 #    x10/x16

@@ -298,7 +298,7 @@ def ann_recall_oracle(
             f"ORDER BY {cos} DESC, vec_id LIMIT {k})"
         )
         rows.append(
-            f"SELECT {qid} AS query_id, "
+            f"SELECT CAST({qid} AS BIGINT) AS query_id, "
             f"(SELECT CAST(count(*) AS BIGINT) FROM an{qi} "
             f"WHERE vec_id IN (SELECT vec_id FROM br{qi})) AS hits"
         )

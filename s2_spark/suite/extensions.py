@@ -1057,8 +1057,8 @@ def _funnel_verdict():
         "WHEN stop * 25 < ntok THEN 'low_stopword' "
         "WHEN (len(gs) - len(list_distinct(gs))) * 5 > len(gs) THEN 'repetitive' "
         "ELSE 'keep' END AS verdict FROM g) "
-        "SELECT CASE verdict WHEN 'lang_filtered' THEN 0 WHEN 'too_short' THEN 1 "
-        "WHEN 'low_stopword' THEN 2 WHEN 'repetitive' THEN 3 ELSE 4 END AS stage, "
+        "SELECT CAST(CASE verdict WHEN 'lang_filtered' THEN 0 WHEN 'too_short' THEN 1 "
+        "WHEN 'low_stopword' THEN 2 WHEN 'repetitive' THEN 3 ELSE 4 END AS BIGINT) AS stage, "
         "verdict, CAST(count(*) AS BIGINT) AS n_docs "
         "FROM v GROUP BY verdict ORDER BY stage"
     ),
