@@ -367,6 +367,47 @@ def ngram_jaccard_pairs(
     return _expand_pairs(rep_pairs, members, id_col, "jaccard", 1.0)
 
 
+def _band_buckets(
+    df: DataFrame, id_col: str, text_col: str, k: int, bands: int
+) -> tuple[DataFrame, DataFrame]:
+    """Shared md5-rotation minhash → LSH band-bucket construction for
+    the production dedup shapes (:func:`minhash_dedup_keep`,
+    :func:`neardup_clusters`): one digest per token, component i =
+    lexicographic min over the 2i-hex-char cyclic rotation of
+    md5(token) (k ≤ 16 — the rotation family yields at most 16
+    components), band hash = md5 of the '|'-joined component slice.
+
+    Returns ``(banded, bucket_min)``: ``banded`` = one (id, band, bh)
+    row per document per band (O(n·bands) rows); ``bucket_min`` = the
+    minimum member id per (band, bh) bucket. A single definition keeps
+    the Spark side and the SQL-fragment oracles
+    (``suite/_ann_oracles._minhash_band_sql``) from drifting apart.
+    """
+    r = k // bands
+    assert bands * r == k, "bands must divide k"
+    assert k <= 16, "rotation family yields at most 16 components"
+    toks = df.select(id_col, F.explode(tokens_col(text_col)).alias("tok"))
+    mh = F.md5(F.col("tok").cast("binary"))
+    comps = [
+        F.min(
+            F.concat(F.substring(mh, 2 * i + 1, 32 - 2 * i), F.substring(mh, 1, 2 * i))
+        ).alias(f"c{i}")
+        for i in range(k)
+    ]
+    sig = toks.groupBy(id_col).agg(*comps)
+    band_hashes = [
+        F.md5(
+            F.concat_ws("|", *[F.col(f"c{b * r + j}") for j in range(r)]).cast("binary")
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select(
+        id_col, F.posexplode(F.array(*band_hashes)).alias("band", "bh")
+    )
+    bucket_min = banded.groupBy("band", "bh").agg(F.min(id_col).alias("_bmin"))
+    return banded, bucket_min
+
+
 def minhash_dedup_keep(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -408,28 +449,7 @@ def minhash_dedup_keep(
     different (iterative) operator; this one is the single-pass rule
     large pipelines actually run.
     """
-    r = k // bands
-    assert bands * r == k, "bands must divide k"
-    assert k <= 16, "rotation family yields at most 16 components"
-    toks = df.select(id_col, F.explode(tokens_col(text_col)).alias("tok"))
-    mh = F.md5(F.col("tok").cast("binary"))
-    comps = [
-        F.min(
-            F.concat(F.substring(mh, 2 * i + 1, 32 - 2 * i), F.substring(mh, 1, 2 * i))
-        ).alias(f"c{i}")
-        for i in range(k)
-    ]
-    sig = toks.groupBy(id_col).agg(*comps)
-    band_hashes = [
-        F.md5(
-            F.concat_ws("|", *[F.col(f"c{b * r + j}") for j in range(r)]).cast("binary")
-        )
-        for b in range(bands)
-    ]
-    banded = sig.select(
-        id_col, F.posexplode(F.array(*band_hashes)).alias("band", "bh")
-    )
-    bucket_min = banded.groupBy("band", "bh").agg(F.min(id_col).alias("_bmin"))
+    banded, bucket_min = _band_buckets(df, id_col, text_col, k, bands)
     doc_min = (
         banded.join(bucket_min, ["band", "bh"])
         .groupBy(id_col)
@@ -466,31 +486,20 @@ def neardup_clusters(
     round is a shuffle-bounded join+agg, so the loop is cluster-safe;
     the driver holds only the changed-row count.
 
-    Same md5-rotation minhash family as :func:`minhash_dedup_keep`, so
-    an external SQL engine (recursive CTE) replays the exact clusters.
+    Same md5-rotation minhash family as :func:`minhash_dedup_keep`
+    (shared :func:`_band_buckets` construction), so an external SQL
+    engine (recursive CTE) replays the exact clusters.
+
+    Raises ``RuntimeError`` if min-label propagation has not converged
+    after ``max_iters`` rounds — partial labels would silently diverge
+    from true connected components (and from the recursive-CTE
+    oracle), so non-convergence is loud, never returned. Bucket-star
+    edges keep component diameter ≈ 2·(chain length in bucket-min
+    hops); 25 rounds covers any realistic corpus, and a pathological
+    chain is a reason to raise ``max_iters``, not to trust a prefix of
+    the fixpoint.
     """
-    r = k // bands
-    assert bands * r == k, "bands must divide k"
-    assert k <= 16, "rotation family yields at most 16 components"
-    toks = df.select(id_col, F.explode(tokens_col(text_col)).alias("tok"))
-    mh = F.md5(F.col("tok").cast("binary"))
-    comps = [
-        F.min(
-            F.concat(F.substring(mh, 2 * i + 1, 32 - 2 * i), F.substring(mh, 1, 2 * i))
-        ).alias(f"c{i}")
-        for i in range(k)
-    ]
-    sig = toks.groupBy(id_col).agg(*comps)
-    band_hashes = [
-        F.md5(
-            F.concat_ws("|", *[F.col(f"c{b * r + j}") for j in range(r)]).cast("binary")
-        )
-        for b in range(bands)
-    ]
-    banded = sig.select(
-        id_col, F.posexplode(F.array(*band_hashes)).alias("band", "bh")
-    )
-    bucket_min = banded.groupBy("band", "bh").agg(F.min(id_col).alias("_bmin"))
+    banded, bucket_min = _band_buckets(df, id_col, text_col, k, bands)
     edges = (
         banded.join(bucket_min, ["band", "bh"])
         .filter(F.col(id_col) != F.col("_bmin"))
@@ -507,6 +516,7 @@ def neardup_clusters(
     labels = df.select(
         F.col(id_col).alias("_v"), F.col(id_col).alias("_lbl")
     ).localCheckpoint(eager=True)
+    changed = 0
     for _ in range(max_iters):
         # candidate labels flowing along edges, both directions
         fwd = edges.join(labels, edges["_a"] == labels["_v"]).select(
@@ -532,6 +542,12 @@ def neardup_clusters(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"neardup_clusters: min-label propagation did not converge in "
+            f"{max_iters} rounds ({changed} labels still changing) — raise "
+            f"max_iters; partial labels are not connected components"
+        )
     return labels.select(
         F.col("_v").alias(id_col), F.col("_lbl").alias("cluster")
     )

@@ -139,9 +139,17 @@ def chunked_running_multi(
     drop = ["_pchunk"]
     for i, (_, out_col, kind) in enumerate(specs):
         if kind == "sum":
-            combined = F.when(
-                F.col(f"_poff{i}").isNull(), F.col(f"_prun{i}")
-            ).otherwise(F.col(f"_prun{i}") + F.col(f"_poff{i}"))
+            # three-way null handling matches sum() OVER (ROWS UNBOUNDED
+            # PRECEDING): a null offset means "no earlier chunk" (keep
+            # the in-chunk prefix, possibly null), a null in-chunk
+            # prefix (all-null values so far in this chunk) must NOT
+            # poison the earlier chunks' sum — SQL running sum skips
+            # nulls, so the combine falls back to the offset alone
+            combined = (
+                F.when(F.col(f"_poff{i}").isNull(), F.col(f"_prun{i}"))
+                .when(F.col(f"_prun{i}").isNull(), F.col(f"_poff{i}"))
+                .otherwise(F.col(f"_prun{i}") + F.col(f"_poff{i}"))
+            )
         else:
             # greatest() skips nulls: null offset (first chunk) -> _prun
             combined = F.greatest(F.col(f"_prun{i}"), F.col(f"_poff{i}"))
@@ -205,9 +213,12 @@ def chunked_lag(
     row, the last value of the nearest earlier non-empty chunk (max_by
     over the tiny chunk-summary relation).
 
-    NOTE: assumes ``value`` is non-null (the boundary fill uses
-    coalesce); a null value at a chunk's end would be skipped, not
-    propagated. All callers in this repo lag non-null columns.
+    REQUIRES ``value`` non-null: the boundary fill uses coalesce, so a
+    null at a chunk's end would be skipped rather than propagated. The
+    contract is ENFORCED — each chunk's summary row (the tiny phase-2
+    relation, not the hot path) counts nulls and raises at execution
+    time if any appear, so a future caller gets a loud error instead of
+    silently-wrong skip-not-propagate lag semantics.
     """
     order_cols = [_col(c) for c in order_by]
     if chunk is None:
@@ -216,7 +227,24 @@ def chunked_lag(
     win = W.partitionBy("_pchunk").orderBy(*order_cols)
     run = d.withColumn("_plag", F.lag("_pval").over(win))
     last = d.groupBy("_pchunk").agg(
-        F.max_by("_pval", F.struct(*order_cols)).alias("_plast")
+        F.max_by("_pval", F.struct(*order_cols)).alias("_plast"),
+        F.sum(F.col("_pval").isNull().cast("int")).alias("_pnulls"),
+    ).select(
+        "_pchunk",
+        F.when(
+            F.col("_pnulls") > 0,
+            F.raise_error(
+                F.concat(
+                    F.lit("chunked_lag requires a non-null value column ("),
+                    F.col("_pnulls").cast("string"),
+                    F.lit(" null(s) in chunk "),
+                    F.col("_pchunk").cast("string"),
+                    F.lit(")"),
+                )
+            ).cast(d.schema["_pval"].dataType),
+        )
+        .otherwise(F.col("_plast"))
+        .alias("_plast"),
     )
     prev = (
         last.alias("a")

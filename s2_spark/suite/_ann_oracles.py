@@ -167,14 +167,14 @@ FROM documents ORDER BY doc_id
 """
 
 
-def minhash_keep_oracle(k: int = 16, bands: int = 4) -> str:
-    """Full replay of dedup.minhash_dedup_keep: md5-string minhash
-    signature (component i = lexicographic min over the 2i-hex-char
-    cyclic rotation of md5(tok) — one digest per token, a valid
-    uniform order both engines share), md5 band hashes over
-    '|'-joined component slices, bucket-min, and the keep rule
-    (doc survives iff no band bucket holds a lower doc_id)."""
+def _minhash_band_sql(k: int, bands: int) -> tuple[str, str, str]:
+    """(comps, cases, band_list) SQL fragments for the md5-rotation
+    minhash band-bucket family — the single definition behind every
+    oracle that replays ``dedup._band_buckets`` (keep rule, cluster CC,
+    pipeline summary), so the k ≤ 16 rotation family can't drift
+    between copies."""
     r = k // bands
+    assert bands * r == k and k <= 16
     comps = ", ".join(
         f"min(substr(md5(tok), {2 * i + 1}, {32 - 2 * i}) || "
         f"substr(md5(tok), 1, {2 * i})) AS c{i}"
@@ -188,6 +188,17 @@ def minhash_keep_oracle(k: int = 16, bands: int = 4) -> str:
         for b in range(bands)
     )
     band_list = ", ".join(str(b) for b in range(bands))
+    return comps, cases, band_list
+
+
+def minhash_keep_oracle(k: int = 16, bands: int = 4) -> str:
+    """Full replay of dedup.minhash_dedup_keep: md5-string minhash
+    signature (component i = lexicographic min over the 2i-hex-char
+    cyclic rotation of md5(tok) — one digest per token, a valid
+    uniform order both engines share), md5 band hashes over
+    '|'-joined component slices, bucket-min, and the keep rule
+    (doc survives iff no band bucket holds a lower doc_id)."""
+    comps, cases, band_list = _minhash_band_sql(k, bands)
     return f"""
 WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
 sig AS (SELECT doc_id, {comps} FROM toks GROUP BY doc_id),
@@ -209,20 +220,7 @@ def neardup_clusters_oracle(k: int = 16, bands: int = 4) -> str:
     recursive CTE (DuckDB computes the reachability closure; min label
     per node = minimum member id of its component — exactly the
     fixpoint of the Spark side's iterative propagation)."""
-    r = k // bands
-    comps = ", ".join(
-        f"min(substr(md5(tok), {2 * i + 1}, {32 - 2 * i}) || "
-        f"substr(md5(tok), 1, {2 * i})) AS c{i}"
-        for i in range(k)
-    )
-    cases = " ".join(
-        "WHEN {b} THEN md5({expr})".format(
-            b=b,
-            expr=" || '|' || ".join(f"c{b * r + j}" for j in range(r)),
-        )
-        for b in range(bands)
-    )
-    band_list = ", ".join(str(b) for b in range(bands))
+    comps, cases, band_list = _minhash_band_sql(k, bands)
     return f"""
 WITH RECURSIVE
 toks AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
@@ -328,20 +326,7 @@ def pipeline_summary_oracle(k: int = 16, bands: int = 4, budget: int = 512) -> s
     md5-rotation family as :func:`minhash_keep_oracle`, but over the
     exact-dedup survivors) -> token total and 512-budget sequence
     count. Single summary row."""
-    r = k // bands
-    comps = ", ".join(
-        f"min(substr(md5(tok), {2 * i + 1}, {32 - 2 * i}) || "
-        f"substr(md5(tok), 1, {2 * i})) AS c{i}"
-        for i in range(k)
-    )
-    cases = " ".join(
-        "WHEN {b} THEN md5({expr})".format(
-            b=b,
-            expr=" || '|' || ".join(f"c{b * r + j}" for j in range(r)),
-        )
-        for b in range(bands)
-    )
-    band_list = ", ".join(str(b) for b in range(bands))
+    comps, cases, band_list = _minhash_band_sql(k, bands)
     toks_of_text = "list_distinct(string_split_regex(lower(text), '\\s+'))"
     return f"""
 WITH w AS (SELECT doc_id, text, lang, string_split(lower(text), ' ') AS ws FROM documents),

@@ -963,13 +963,16 @@ def x31(spark, sf_dir):
         "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
     )
     c = chunked_running(n, ["doc_id"], "n_tokens", "cum", kind="sum")
-    budget = F.lit(512)
+    # integer `div`, not floor(double /): the oracle uses exact //, and
+    # double division loses exactness past 2^53 total tokens — this
+    # query is pitched as the 100 TB shape, so keep the arithmetic
+    # exact at any scale
     return c.select(
         "doc_id",
         "n_tokens",
         (F.col("cum") - F.col("n_tokens")).alias("start_off"),
-        F.floor((F.col("cum") - F.col("n_tokens")) / budget).alias("seq_first"),
-        F.floor((F.col("cum") - 1) / budget).alias("seq_last"),
+        F.expr("(cum - n_tokens) div 512").alias("seq_first"),
+        F.expr("(cum - 1) div 512").alias("seq_last"),
     ).orderBy("doc_id")
 
 
@@ -1128,14 +1131,26 @@ def x34(spark, sf_dir):
         )
     brute = reduce(lambda a, b: a.unionByName(b), brutes).withColumn("_m", F.lit(1))
     ann = reduce(lambda a, b: a.unionByName(b), anns)
-    return (
+    hits = (
         ann.join(F.broadcast(brute), ["query_id", "vec_id"], "left")
         .groupBy("query_id")
         .agg(F.sum(F.coalesce(F.col("_m"), F.lit(0))).cast("long").alias("hits"))
+    )
+    # anchor on a literal query-id frame: a query whose probe buckets
+    # come back empty contributes zero ANN rows, and grouping only the
+    # ANN side would silently drop its row (the oracle still emits
+    # hits=0) — every query must always report, recall 0 included
+    qframe = spark.range(1).select(
+        F.explode(F.array(*[F.lit(q).cast("long") for q in (0, 1, 2, 3, 4)])).alias(
+            "query_id"
+        )
+    )
+    return (
+        qframe.join(F.broadcast(hits), "query_id", "left")
         .select(
-            F.col("query_id").cast("long").alias("query_id"),
-            "hits",
-            r4(F.col("hits") / F.lit(float(k))).alias("recall"),
+            "query_id",
+            F.coalesce(F.col("hits"), F.lit(0)).cast("long").alias("hits"),
+            r4(F.coalesce(F.col("hits"), F.lit(0)) / F.lit(float(k))).alias("recall"),
         )
         .orderBy("query_id")
     )
@@ -1174,6 +1189,11 @@ def x35(spark, sf_dir):
     s4 = kd.agg(
         F.count("*").alias("after_neardup"),
         F.sum("ntok").alias("total_tokens"),
-        F.floor((F.sum("ntok") + 511) / 512).cast("long").alias("n_sequences"),
+    ).select(
+        "after_neardup",
+        "total_tokens",
+        # exact integer div (matches the oracle's //) — floor(double /)
+        # diverges past 2^53 total tokens
+        F.expr("(total_tokens + 511) div 512").alias("n_sequences"),
     )
     return s1.crossJoin(s2).crossJoin(s3).crossJoin(s4)

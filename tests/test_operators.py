@@ -373,6 +373,50 @@ def test_chunked_running_all_null_leading_chunk(spark):
     assert got[99]["run"] == 60
 
 
+def test_chunked_running_null_prefix_after_valued_chunk(spark):
+    from pyspark.sql import Window as W
+
+    from s2_spark.operators.prefix import chunked_running
+
+    # the ADVICE case: a chunk whose leading rows are all-NULL following
+    # chunks that DO carry values — SQL running sum skips nulls, so those
+    # rows must surface the earlier chunks' sum, not NULL
+    df = spark.range(60).select(
+        F.col("id").alias("k"),
+        F.when((F.col("id") < 20) | (F.col("id") >= 50), F.lit(1))
+        .cast("long")
+        .alias("v"),
+    )
+    got = chunked_running(df, ["k"], "v", "run", kind="sum", chunk_width=20)
+    ref = df.withColumn(
+        "run",
+        F.sum("v").over(
+            W.orderBy("k").rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    rows = {r["k"]: r["run"] for r in got.collect()}
+    assert rows[25] == 20  # mid-null-chunk row sees the earlier sum
+    assert sorted(got.select("k", "run").collect()) == sorted(
+        ref.select("k", "run").collect()
+    )
+
+
+def test_chunked_lag_rejects_null_values(spark):
+    import pytest as _pytest
+
+    from s2_spark.operators.prefix import chunked_lag
+
+    # the non-null contract is enforced: a null anywhere in the value
+    # column raises at execution instead of silently skipping the null
+    # at a chunk boundary (prefix.py chunked_lag docstring)
+    df = spark.range(100).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") != 37, F.col("id")).cast("long").alias("v"),
+    )
+    with _pytest.raises(Exception, match="non-null"):
+        chunked_lag(df, ["k"], "v", "pv", chunk_width=25).collect()
+
+
 def test_chunked_running_rejects_bad_kind(spark):
     import pytest as _pytest
 
