@@ -242,17 +242,22 @@ SELECT v AS doc_id, min(lbl) AS cluster FROM cc GROUP BY v ORDER BY doc_id
 """
 
 
-def ann_recall_oracle(
-    query_ids=(0, 1, 2, 3, 4),
-    k: int = 10,
-    m: int = 8,
-    dim: int = 64,
-    seed: int = 42,
+def _recall_sql(
+    corpus_ctes: list[str],
+    corpus: str,
+    query_ids,
+    k: int,
+    m: int,
+    dim: int,
+    seed: int,
 ) -> str:
-    """Recall@k of the multiprobe-LSH ANN vs exact brute force, per
-    query vector — both pipelines fully replayed (same hyperplane
-    literals, same left-associated cosine chains), so the recall number
-    itself is hash-verified, not just bounded."""
+    """Shared recall@k replay over a ``corpus`` CTE exposing
+    ``(vec_id, v DOUBLE[])`` — both the brute-force and multiprobe-LSH
+    (multiprobe=1) pipelines per query, with identical hyperplane
+    literals and left-associated cosine chains, so the recall number
+    itself is hash-verified. Backs :func:`ann_recall_oracle` (raw
+    fixture corpus) and :func:`planted_recall_oracle` (fixture ∪
+    planted near-neighbors)."""
     planes = _hyperplanes(dim, m, seed)
 
     def bkt(vec: str) -> str:
@@ -262,16 +267,13 @@ def ann_recall_oracle(
         )
 
     flips = ", ".join(f"({1 << i})" for i in range(m))
-    sim = f"({_chain('v', 'qe', dim)})"
-    ctes, rows = [], []
+    ctes, rows = list(corpus_ctes), []
     for qi, qid in enumerate(query_ids):
         ctes.append(
-            f"q{qi} AS (SELECT CAST(embedding AS DOUBLE[]) AS qe "
-            f"FROM embeddings WHERE vec_id = {qid})"
+            f"q{qi} AS (SELECT v AS qe FROM {corpus} WHERE vec_id = {qid})"
         )
         ctes.append(
-            f"e{qi} AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
-            f"FROM embeddings WHERE vec_id <> {qid})"
+            f"e{qi} AS (SELECT vec_id, v FROM {corpus} WHERE vec_id <> {qid})"
         )
         # cosine = dot / (|v||qe|): |qe| constant per query and |v| > 0,
         # but rank by the FULL cosine (same as the Spark side) so ties
@@ -306,6 +308,78 @@ def ann_recall_oracle(
         f"SELECT query_id, hits, round(hits / {k}.0, 4) AS recall "
         f"FROM ({union}) ORDER BY query_id"
     )
+
+
+def ann_recall_oracle(
+    query_ids=(0, 1, 2, 3, 4),
+    k: int = 10,
+    m: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+) -> str:
+    """Recall@k of the multiprobe-LSH ANN vs exact brute force on the
+    raw fixture corpus, per query vector — full replay via
+    :func:`_recall_sql`."""
+    corpus = [
+        "corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings)"
+    ]
+    return _recall_sql(corpus, "corpus", query_ids, k, m, dim, seed)
+
+
+def planted_deltas(
+    query_ids=(0, 1, 2, 3, 4),
+    copies: int = 12,
+    eps: float = 0.02,
+    dim: int = 64,
+) -> list[tuple[int, int, list[float]]]:
+    """Deterministic planted-near-neighbor deltas: for each query id,
+    ``copies`` perturbation vectors of length ``eps`` from the same LCG
+    unit-vector generator the LSH hyperplanes use
+    (``similarity._hyperplanes``, seed 1000+qid). Returns
+    ``(planted_id, base_id, delta[dim])`` rows; planted ids start at
+    10_000_000 (above any fixture vec_id at any SF). Both the Spark
+    query and the oracle consume these exact Python floats, so the
+    synthetic corpus is bit-identical across engines."""
+    rows = []
+    for qid in query_ids:
+        units = _hyperplanes(dim, copies, 1000 + qid)
+        for j, u in enumerate(units):
+            rows.append(
+                (10_000_000 + qid * 100 + j + 1, qid, [eps * x for x in u])
+            )
+    return rows
+
+
+def planted_recall_oracle(
+    query_ids=(0, 1, 2, 3, 4),
+    copies: int = 12,
+    eps: float = 0.02,
+    k: int = 10,
+    m: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+) -> str:
+    """Recall@k on the fixture corpus ∪ planted near-neighbors: each
+    query vector gets ``copies`` planted copies (base + eps·unit), so
+    its true top-k is dominated by genuine near-duplicates — the
+    clusterable regime ANN is built for, where the (m, multiprobe) dial
+    must deliver high recall. The planted vectors are derived IN SQL
+    from the base embeddings plus literal deltas (one addition per
+    element, same association as the Spark side's zip_with)."""
+    deltas = planted_deltas(query_ids, copies, eps, dim)
+    vals = ", ".join(
+        f"({pid}, {qid}, [{', '.join(repr(x) for x in d)}]::DOUBLE[])"
+        for pid, qid, d in deltas
+    )
+    corpus = [
+        "base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        f"pl(pid, bid, d) AS (VALUES {vals})",
+        "corpus AS (SELECT vec_id, v FROM base UNION ALL "
+        f"SELECT pid, list_transform(range(1, {dim + 1}), i -> v[i] + d[i]) "
+        "FROM pl JOIN base ON base.vec_id = pl.bid)",
+    ]
+    return _recall_sql(corpus, "corpus", query_ids, k, m, dim, seed)
 
 
 # the funnel CASE shared by the x33 and x35 oracles (mirrors

@@ -223,6 +223,8 @@ from s2_spark.suite._ann_oracles import (  # noqa: E402
     minhash_keep_oracle,
     neardup_clusters_oracle,
     minhash_oracle,
+    planted_deltas,
+    planted_recall_oracle,
     simhash_oracle,
 )
 
@@ -1113,20 +1115,26 @@ def x33(spark, sf_dir):
     ),
 )
 def x34(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    return _recall_report(spark, emb, (0, 1, 2, 3, 4), k=10, m=8, multiprobe=1)
+
+
+def _recall_report(spark, corpus, qids, k=10, m=8, multiprobe=1):
+    """Recall@k report shared by x34 (raw fixture) and x36 (planted
+    near-neighbors): per query, exact brute-force top-k vs multiprobe-
+    LSH top-k over ``corpus``, joined to count hits."""
     from functools import reduce
 
     from s2_spark.functions.similarity import cosine_topk, lsh_topk
 
-    emb = t(spark, sf_dir, "embeddings")
-    k = 10
     brutes, anns = [], []
-    for qid in (0, 1, 2, 3, 4):
+    for qid in qids:
         brutes.append(
-            cosine_topk(emb, k=k, query_id=qid)
+            cosine_topk(corpus, k=k, query_id=qid)
             .select(F.lit(qid).alias("query_id"), "vec_id")
         )
         anns.append(
-            lsh_topk(emb, k=k, query_id=qid, m=8, multiprobe=1)
+            lsh_topk(corpus, k=k, query_id=qid, m=m, multiprobe=multiprobe)
             .select(F.lit(qid).alias("query_id"), "vec_id")
         )
     brute = reduce(lambda a, b: a.unionByName(b), brutes).withColumn("_m", F.lit(1))
@@ -1141,9 +1149,7 @@ def x34(spark, sf_dir):
     # ANN side would silently drop its row (the oracle still emits
     # hits=0) — every query must always report, recall 0 included
     qframe = spark.range(1).select(
-        F.explode(F.array(*[F.lit(q).cast("long") for q in (0, 1, 2, 3, 4)])).alias(
-            "query_id"
-        )
+        F.explode(F.array(*[F.lit(q).cast("long") for q in qids])).alias("query_id")
     )
     return (
         qframe.join(F.broadcast(hits), "query_id", "left")
@@ -1154,6 +1160,52 @@ def x34(spark, sf_dir):
         )
         .orderBy("query_id")
     )
+
+
+@query(
+    "x36_ann_recall_planted",
+    oracle=planted_recall_oracle(
+        query_ids=(0, 1, 2, 3, 4), copies=12, eps=0.02, k=10, m=8, dim=64, seed=42
+    ),
+    doc=(
+        "recall@10 on a clusterable synthetic: each query vector gets 12 "
+        "planted near-neighbors (base + 0.02-length perturbations from "
+        "the same deterministic LCG unit-vector generator the LSH "
+        "hyperplanes use), so the true top-10 is genuine near-duplicates "
+        "— the regime ANN serves in a dedup/retrieval pipeline. Proves "
+        "the (m, multiprobe) dial delivers: where x34's uniform-random "
+        "fixture legitimately yields recall ~0.1 at m=8/multiprobe=1, "
+        "this corpus yields recall 1.0 at the SAME setting, and the "
+        "number is hash-verified (the oracle replays corpus synthesis, "
+        "bucketing, and both rankings). Planted vectors come from ONE "
+        "broadcast join of a 60-row literal delta frame — no per-copy "
+        "corpus rescan."
+    ),
+)
+def x36(spark, sf_dir):
+    from s2_spark.functions.similarity import _dbl
+
+    emb = t(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", _dbl("embedding").alias("embedding"))
+    structs = [
+        F.struct(
+            F.lit(pid).cast("long").alias("pid"),
+            F.lit(bid).cast("long").alias("bid"),
+            F.array(*[F.lit(x) for x in d]).alias("d"),
+        )
+        for pid, bid, d in planted_deltas(
+            query_ids=(0, 1, 2, 3, 4), copies=12, eps=0.02, dim=64
+        )
+    ]
+    deltas = spark.range(1).select(F.inline(F.array(*structs)))
+    planted = base.join(
+        F.broadcast(deltas), base["vec_id"] == deltas["bid"]
+    ).select(
+        F.col("pid").alias("vec_id"),
+        F.zip_with("embedding", "d", lambda x, y: x + y).alias("embedding"),
+    )
+    synth = base.unionByName(planted)
+    return _recall_report(spark, synth, (0, 1, 2, 3, 4), k=10, m=8, multiprobe=1)
 
 
 @query(
