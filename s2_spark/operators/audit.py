@@ -3,37 +3,53 @@ sets (A26). The reference declares ReadOps / ReadThroughput / BasinOps
 alongside the append/storage sets (``api/src/v1/metrics.rs:110-130``),
 which implies the serving layer records every read and control-plane
 operation somewhere aggregatable. Here that record is an explicit
-meta-stream owned by the store: one row per served operation, buffered
-driver-side and flushed to parquet under ``{base_dir}/_audit`` (the
-underscore prefix keeps it invisible to the records table's parquet
-listing, like ``_meta``).
+meta-stream owned by the store: one row per served operation.
+
+**The audit stream IS an S2 stream (dogfooding).** When bound to a
+:class:`~s2_spark.store.StreamStore`, :meth:`flush` appends the
+buffered rows as ordinary records (JSON bodies) to the reserved
+``s2-ops-audit/ops`` stream through ``StreamStore.append`` — so audit
+rows inherit the engine's own sequencing, durability boundary,
+retention/trim, and read surface, and :meth:`df` reads them back
+through ``store.read``. A standalone OpsAudit (no store bound) keeps
+the original parquet-directory path under ``{base_dir}/_audit``.
 
 Design constraints:
 
 - **Logging must not cost a Spark job.** ``log()`` is a dict append;
-  parquet writes happen only at the flush threshold (default 4096
-  rows) or an explicit :meth:`flush` — a follow session polling at
-  20 ms never touches the cluster for audit's sake.
+  appends happen only at the flush threshold (default 4096 rows, and
+  ≤1000-record batches per append — the unary cap) or an explicit
+  :meth:`flush` — a follow session polling at 20 ms never touches the
+  cluster for audit's sake.
+- **No self-observation.** Operations performed BY the flush (the one-
+  time basin/stream creation, the appends themselves) are never
+  logged: a thread-local suppression flag drops audit calls while a
+  flush is in flight, so the audit stream can't recurse into itself or
+  inflate BasinOps with its own bookkeeping. Appends are never logged
+  anyway (only read/control ops are client-shaped audit inputs).
 - **Aggregation is a DataFrame.** :meth:`df` returns the full audit
-  relation (flushed + buffered); the metric sets in
+  relation (stream + legacy parquet + buffer); the metric sets in
   ``operators/metrics.py`` are plain groupBys over it, sharing the
   bucketing machinery with the append sets.
-- At real scale the audit stream is itself an S2 stream (the engine
-  eating its own dog food); the parquet dir stands in for that here
-  with the same append-only discipline.
 """
 
 from __future__ import annotations
 
+import json
 import os
 import threading
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 AUDIT_SCHEMA = (
     "timestamp long, op string, basin string, stream string, "
     "records long, bytes long"
 )
+
+#: reserved audit sink (a valid basin name — 12 chars, [a-z0-9-])
+AUDIT_BASIN = "s2-ops-audit"
+AUDIT_STREAM = "ops"
 
 #: data-plane read RPCs — the ReadOps set counts these
 READ_OPS = ("read", "read_session")
@@ -48,9 +64,15 @@ BASIN_OPS = (
     "list_streams",
 )
 
+# JSON body layout of one audit record on the stream
+_BODY_SCHEMA = (
+    "ts long, op string, basin string, stream string, records long, bytes long"
+)
+
 
 class OpsAudit:
-    """Driver-buffered, parquet-backed operation log."""
+    """Driver-buffered operation log, flushed to the store's own
+    ``s2-ops-audit/ops`` stream (or a parquet dir when standalone)."""
 
     def __init__(
         self,
@@ -58,16 +80,26 @@ class OpsAudit:
         audit_dir: str,
         clock,
         flush_threshold: int = 4096,
+        store=None,
     ):
         self.spark = spark
         self.dir = audit_dir
         self._clock = clock
         self.flush_threshold = flush_threshold
+        self._store = store
         self._buf: list[tuple] = []
         self._mu = threading.Lock()
+        self._local = threading.local()
+        self._sink_ready = False
+        self._sunk_any = False
         self._flushed_any = os.path.isdir(audit_dir) and any(
             f.endswith(".parquet") for f in os.listdir(audit_dir)
         )
+
+    def bind_store(self, store) -> None:
+        """Attach the owning StreamStore: subsequent flushes append to
+        the ``s2-ops-audit/ops`` stream instead of the parquet dir."""
+        self._store = store
 
     def log(
         self,
@@ -77,6 +109,8 @@ class OpsAudit:
         records: int | None = None,
         nbytes: int | None = None,
     ) -> None:
+        if getattr(self._local, "suppress", False):
+            return  # an op performed by the flush itself — not client-shaped
         with self._mu:
             self._buf.append(
                 (self._clock(), op, basin, stream, records, nbytes)
@@ -85,23 +119,96 @@ class OpsAudit:
         if need_flush:
             self.flush()
 
+    def _ensure_sink(self) -> None:
+        """One-time creation of the reserved audit basin/stream —
+        performed lazily at first flush (so stores that never flush
+        don't grow an extra basin) and under suppression (so the
+        creation never logs itself)."""
+        if self._sink_ready:
+            return
+        from s2_spark.model import AlreadyExists
+
+        cat = self._store.catalog
+        try:
+            cat.create_basin(AUDIT_BASIN)
+        except AlreadyExists:
+            pass
+        try:
+            cat.create_stream(AUDIT_BASIN, AUDIT_STREAM)
+        except AlreadyExists:
+            pass
+        self._sink_ready = True
+
     def flush(self) -> None:
-        """Write buffered rows as one parquet append (one Spark job)."""
+        """Append buffered rows to the audit stream via the store's own
+        append path (sequencing + durable parquet commit), in ≤1000-
+        record batches (the unary append cap). Standalone fallback: one
+        parquet append under the audit dir."""
         with self._mu:
             rows, self._buf = self._buf, []
         if not rows:
             return
-        df = self.spark.createDataFrame(rows, AUDIT_SCHEMA)
-        df.coalesce(1).write.mode("append").parquet(self.dir)
-        self._flushed_any = True
+        if self._store is not None:
+            from s2_spark.model import MAX_BATCH_RECORDS, Record
+
+            self._local.suppress = True
+            try:
+                self._ensure_sink()
+                for i in range(0, len(rows), MAX_BATCH_RECORDS):
+                    chunk = rows[i : i + MAX_BATCH_RECORDS]
+                    records = [
+                        Record(
+                            timestamp=ts,
+                            body=json.dumps(
+                                {
+                                    "ts": ts,
+                                    "op": op,
+                                    "basin": basin,
+                                    "stream": stream,
+                                    "records": n,
+                                    "bytes": b,
+                                },
+                                separators=(",", ":"),
+                            ).encode("utf-8"),
+                        )
+                        for ts, op, basin, stream, n, b in chunk
+                    ]
+                    self._store.append(AUDIT_BASIN, AUDIT_STREAM, records)
+            finally:
+                self._local.suppress = False
+            self._sunk_any = True
+        else:
+            df = self.spark.createDataFrame(rows, AUDIT_SCHEMA)
+            df.coalesce(1).write.mode("append").parquet(self.dir)
+            self._flushed_any = True
+
+    def _stream_df(self) -> DataFrame:
+        """Flushed audit rows read back through the store's OWN read
+        surface — the dogfooding payoff: trim/retention/seq semantics
+        apply to the accounting path like any other stream. The
+        authoritative event timestamp is the JSON body's ``ts`` (the
+        log() clock), not the append-assigned record timestamp."""
+        rec = self._store.read(AUDIT_BASIN, AUDIT_STREAM, audit=False)
+        body = F.from_json(F.col("body").cast("string"), _BODY_SCHEMA)
+        return rec.select(
+            body["ts"].alias("timestamp"),
+            body["op"].alias("op"),
+            body["basin"].alias("basin"),
+            body["stream"].alias("stream"),
+            body["records"].alias("records"),
+            body["bytes"].alias("bytes"),
+        )
 
     def df(self) -> DataFrame:
-        """The audit relation: everything flushed plus the current
-        buffer (buffer rides as a small union — metric queries see ops
-        immediately without forcing a write)."""
+        """The audit relation: everything flushed (stream and/or legacy
+        parquet) plus the current buffer (buffer rides as a small
+        union — metric queries see ops immediately without forcing a
+        write)."""
         with self._mu:
             rows = list(self._buf)
         parts = []
+        if self._sunk_any:
+            parts.append(self._stream_df())
         if self._flushed_any:
             parts.append(self.spark.read.schema(AUDIT_SCHEMA).parquet(self.dir))
         if rows:

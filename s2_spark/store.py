@@ -215,11 +215,14 @@ class StreamStore:
         self._stale_view_prefixes: set[str] = set()
         # ops audit meta-stream: one row per served read / session /
         # control op — the input the read-side metric sets aggregate
-        # (api/src/v1/metrics.rs:110-130 ReadOps/ReadThroughput/BasinOps)
+        # (api/src/v1/metrics.rs:110-130 ReadOps/ReadThroughput/BasinOps).
+        # Bound to this store, so flushes append to the reserved
+        # s2-ops-audit/ops stream through the store's own data plane
+        # (dogfooding: audit inherits sequencing/retention/read).
         from s2_spark.operators.audit import OpsAudit
 
         self.audit = OpsAudit(
-            spark, os.path.join(base_dir, "_audit"), self._clock
+            spark, os.path.join(base_dir, "_audit"), self._clock, store=self
         )
         if self.catalog.audit is None:
             self.catalog.audit = self.audit

@@ -102,3 +102,50 @@ def test_flush_persists_and_df_unions_buffer(store):
     assert not store.audit._buf
     store.read(BASIN, "s1")  # buffered only
     assert store.audit.df().count() == n_before + 1
+
+
+def test_flush_dogfoods_audit_into_own_stream(store):
+    """The audit stream IS an S2 stream: flush appends through
+    StreamStore.append into the reserved s2-ops-audit/ops stream, and
+    the rows come back through the store's own read API with the
+    store's own sequencing — never observing the flush itself."""
+    import json
+
+    from s2_spark.operators.audit import AUDIT_BASIN, AUDIT_STREAM
+
+    store.append(BASIN, "s1", [Record(body=b"x" * 32)])
+    batches = [
+        e
+        for e in store.read_session(BASIN, "s1", limit=ReadLimit(count=1))
+        if e.kind == "batch"
+    ]
+    assert len(batches) == 1
+    store.audit.flush()
+
+    rows = store.read(AUDIT_BASIN, AUDIT_STREAM, audit=False).collect()
+    assert rows
+    # the store's own sequencing applies to the audit records
+    assert [r["seq_num"] for r in rows] == list(range(len(rows)))
+    ops = [json.loads(bytes(r["body"]).decode()) for r in rows]
+    rb = [o for o in ops if o["op"] == "read_batch"]
+    assert len(rb) == 1 and rb[0]["records"] == 1 and rb[0]["stream"] == "s1"
+    # no self-observation: nothing in the log is about the audit sink
+    assert not [o for o in ops if o["basin"] == AUDIT_BASIN]
+    # df() serves the same rows to the metric sets (via store.read)
+    assert (
+        store.audit.df().filter(F.col("op") == "read_batch").count() == 1
+    )
+
+
+def test_audit_flush_threshold_routes_through_stream(store):
+    from s2_spark.operators.audit import AUDIT_BASIN, AUDIT_STREAM
+
+    store.audit.flush_threshold = 8
+    store.append(BASIN, "s1", [Record(body=b"x")])
+    for _ in range(8):  # hits the threshold mid-loop
+        store.read(BASIN, "s1")
+    assert len(store.audit._buf) < 8
+    n = store.read(AUDIT_BASIN, AUDIT_STREAM, audit=False).count()
+    assert n >= 8
+    # total relation = flushed stream + live buffer, no loss
+    assert store.audit.df().filter(F.col("op") == "read").count() == 8
