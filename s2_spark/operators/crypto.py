@@ -56,12 +56,24 @@ def stream_aad(basin: Column | str = "basin", stream: Column | str = "stream") -
 
 
 def encrypt_bodies(
-    records: DataFrame, key: bytes, body_col: str = "body", cipher: str = AES_256_GCM
+    records: DataFrame,
+    key: bytes,
+    body_col: str = "body",
+    cipher: str = AES_256_GCM,
+    iv: bytes | None = None,
 ) -> DataFrame:
-    """AEAD-encrypt the body column, AAD = basin\\0stream."""
+    """AEAD-encrypt the body column, AAD = basin\\0stream.
+
+    ``iv`` pins the GCM nonce (12 bytes) for known-answer tests — the
+    output becomes deterministic (iv ‖ ct ‖ tag), verifiable against an
+    independent GCM implementation. Production use MUST leave it None
+    (per-record random IV): a fixed nonce across two different
+    plaintexts under one key breaks GCM entirely.
+    """
     c = cipher.lower()
     if c == AES_256_GCM:
         assert len(key) in (16, 24, 32), "AES key must be 128/192/256-bit"
+        assert iv is None or len(iv) == 12, "GCM IV must be 12 bytes"
         return records.withColumn(
             body_col,
             F.aes_encrypt(
@@ -69,7 +81,7 @@ def encrypt_bodies(
                 F.lit(key),
                 F.lit("GCM"),
                 F.lit("DEFAULT"),
-                F.lit(b""),
+                F.lit(iv if iv is not None else b""),
                 stream_aad().cast("string"),
             ),
         )

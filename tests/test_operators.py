@@ -128,6 +128,69 @@ def test_encrypt_roundtrip_and_aad_binding(spark, store):
         crypto.decrypt_bodies(moved, key).collect()
 
 
+def test_aes_gcm_spec_vectors_pin_reference_impl():
+    """The pure-Python GCM reference (tests/_gcm_ref.py — shares no
+    code with the JVM path) reproduces the GCM spec's published AES-256
+    test vectors (McGrew & Viega, 'The Galois/Counter Mode of
+    Operation', appendix B, cases 13-16)."""
+    from _gcm_ref import gcm_decrypt, gcm_encrypt
+
+    K0, IV0 = bytes(32), bytes(12)
+    assert gcm_encrypt(K0, IV0, b"", b"")[1].hex() == (
+        "530f8afbc74536b9a963b4f1c4cb738b"
+    )
+    ct, tag = gcm_encrypt(K0, IV0, bytes(16), b"")
+    assert ct.hex() == "cea7403d4d606b6e074ec5d3baf39d18"
+    assert tag.hex() == "d0d1c8a799996bf0265b98b5d48ab919"
+
+    K = bytes.fromhex(
+        "feffe9928665731c6d6a8f9467308308feffe9928665731c6d6a8f9467308308"
+    )
+    IV = bytes.fromhex("cafebabefacedbaddecaf888")
+    P = bytes.fromhex(
+        "d9313225f88406e5a55909c5aff5269a86a7a9531534f7da2e4c303d8a318a72"
+        "1c3c0c95956809532fcf0e2449a6b525b16aedf5aa0de657ba637b391aafd255"
+    )
+    ct, tag = gcm_encrypt(K, IV, P, b"")
+    assert ct.hex().endswith("bcc9f662898015ad")
+    assert tag.hex() == "b094dac5d93471bdec1a502270e3cc6c"
+    A = bytes.fromhex("feedfacedeadbeeffeedfacedeadbeefabaddad2")
+    ct16, tag16 = gcm_encrypt(K, IV, P[:60], A)
+    assert tag16.hex() == "76fc6ece0f4e1768cddf8853bb2d551b"
+    assert gcm_decrypt(K, IV, ct16, tag16, A) == P[:60]
+
+
+def test_aes_gcm_known_answer_through_encrypt_bodies(spark):
+    """The engine's AES-256-GCM path is externally anchored (the AEGIS
+    analogue of the RFC-vector pinning): encrypt_bodies with a pinned
+    IV must produce EXACTLY iv ‖ ct ‖ tag as computed by the spec-
+    vector-pinned independent reference, with the stream-identity AAD
+    (basin\\0stream) bound in — a known-answer chain equivalent to a
+    CAVP KAT but covering the engine's actual AAD derivation."""
+    from _gcm_ref import gcm_encrypt
+
+    key = bytes(range(32))
+    iv = bytes.fromhex("cafebabefacedbaddecaf888")
+    bodies = [b"", b"x", b"hello s2 records!" * 3]
+    df = spark.createDataFrame(
+        [("basin-one", "stream-a", b) for b in bodies],
+        "basin string, stream string, body binary",
+    )
+    got = {
+        bytes(r["plain"] or b""): bytes(r["body"])
+        for r in crypto.encrypt_bodies(
+            df.withColumn("plain", F.col("body")), key, iv=iv
+        ).collect()
+    }
+    aad = b"basin-one\x00stream-a"
+    for body in bodies:
+        ct, tag = gcm_encrypt(key, iv, body, aad)
+        assert got[body] == iv + ct + tag
+    # and the engine decrypts its own deterministic output
+    dec = crypto.decrypt_bodies(crypto.encrypt_bodies(df, key, iv=iv), key)
+    assert sorted(bytes(r["body"]) for r in dec.collect()) == sorted(bodies)
+
+
 def test_metering_unchanged_by_encryption(spark, store):
     from s2_spark.model import metered_size_col
 
