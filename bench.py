@@ -83,15 +83,31 @@ def _materialize(df) -> int:
     return 0
 
 
-def run_queries(spark) -> dict[str, float]:
+#: iterations per headline query — the r5 lesson: a single-iteration
+#: bench on a co-tenant machine recorded 24.8 s for code an idle re-run
+#: measured at 12.1 s; medians shrug off transient contention spikes
+BENCH_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+
+
+def run_queries(spark) -> tuple[dict, dict, dict]:
+    """(median, min, first-run) seconds per headline query over
+    BENCH_REPS iterations. Median is the noise-resistant headline; min
+    is the machine's best case; first includes plan compilation and is
+    the number comparable with rounds 1-5 (which timed one iteration)."""
     qs = all_queries()
-    out = {}
+    med, mn, first = {}, {}, {}
     for label, name in HEADLINE:
         fn = qs[name].spark
-        t0 = time.perf_counter()
-        _materialize(fn(spark, SF_DIR))
-        out[label] = round(time.perf_counter() - t0, 3)
-    return out
+        times = []
+        for _ in range(BENCH_REPS):
+            t0 = time.perf_counter()
+            _materialize(fn(spark, SF_DIR))
+            times.append(time.perf_counter() - t0)
+        first[label] = round(times[0], 3)
+        times.sort()
+        med[label] = round(times[len(times) // 2], 3)
+        mn[label] = round(times[0], 3)
+    return med, mn, first
 
 
 def s2_bench_equivalent(spark, n_records: int = 8000, record_bytes: int = 8192) -> dict:
@@ -289,6 +305,79 @@ def _latency_probe(
     return {"ack": _percentiles(ack_lat), "e2e": _percentiles(e2e_lat)}
 
 
+def skew_probe(
+    spark, n_records: int = 240_000, record_bytes: int = 2048
+) -> dict:
+    """Hot-key skew: bulk_append a batch where 90% of records hit ONE
+    stream (~420 MiB on the hot key at the defaults), chunked
+    sequencing (default) vs the one-chunk-per-stream plan (chunk_width
+    wider than the batch — the pre-chunk design, where the hot
+    stream's whole sort AND parquet write serialize on one task).
+    Turns the skew-proof claim in the bulk_append docstring into a
+    measured number. Output equality of the two plans is pinned by
+    tests/test_store.py::test_bulk_append_chunked_matches_single_chunk
+    — this probe measures, the test proves.
+
+    Both paths are JIT-warmed with a small untimed batch first, and
+    each variant reports the min of 2 runs: the quantity of interest
+    is the plan shape, not first-call compilation (measured 2.66 s →
+    1.43 s between rep 1 and rep 2 of an identical run). Below ~100
+    MiB hot-key the single-task plan actually wins on overhead — the
+    chunk decomposition is a large-batch device, which is the honest
+    claim (SEQ_CHUNK_WIDTH keeps per-chunk sorts ~32 MiB; the win
+    grows with hot-key bytes per task)."""
+    from s2_spark.catalog import Catalog
+    from s2_spark.store import StreamStore
+
+    def run_once(width, n, rb) -> float:
+        base = tempfile.mkdtemp(prefix="s2skew_")
+        try:
+            cat = Catalog(spark)
+            cat.create_basin("skew-basin")
+            for s in range(10):
+                cat.create_stream("skew-basin", f"s{s}")
+            store = StreamStore(spark, os.path.join(base, "records"), catalog=cat)
+            stream = F.when(F.col("id") % 10 != 0, F.lit("s0")).otherwise(
+                F.concat(F.lit("s"), ((F.col("id") % 90) % 9 + 1).cast("string"))
+            )
+            payload = F.encode(
+                F.concat(F.col("id").cast("string"), F.lit("x" * rb)), "utf-8"
+            )
+            src = spark.range(n).select(
+                F.lit("skew-basin").alias("basin"),
+                stream.alias("stream"),
+                F.lit(None).cast("long").alias("timestamp"),
+                F.array()
+                .cast("array<struct<name binary, value binary>>")
+                .alias("headers"),
+                payload.alias("body"),
+                F.col("id").alias("ingest_order"),
+            )
+            t0 = time.perf_counter()
+            store.bulk_append(src, chunk_width=width)
+            return time.perf_counter() - t0
+        finally:
+            shutil.rmtree(base, ignore_errors=True)
+
+    # untimed warm-up of both plan shapes
+    run_once(None, 5000, 256)
+    run_once(1 << 62, 5000, 256)
+    out: dict = {}
+    for label, width in (("chunked", None), ("single_chunk", 1 << 62)):
+        out[f"{label}_sec"] = round(
+            min(run_once(width, n_records, record_bytes) for _ in range(2)), 3
+        )
+    out.update(
+        {
+            "records": n_records,
+            "record_bytes": record_bytes,
+            "hot_fraction": 0.9,
+            "speedup": round(out["single_chunk_sec"] / out["chunked_sec"], 2),
+        }
+    )
+    return out
+
+
 def _build_x10(spark, out_dir: str) -> None:
     """Synthesize a ~10x scale directory: fact tables (lineitem, orders,
     events) become unions of 10 key-shifted copies; dimension tables are
@@ -321,14 +410,57 @@ def _build_x10(spark, out_dir: str) -> None:
         out.write.mode("overwrite").parquet(os.path.join(out_dir, f"{name}.parquet"))
 
 
-def scale_probe(spark) -> dict:
-    """Heaviest scan/agg/join entries at ~10x the bench SF; reports
-    seconds and the x10/x1 runtime ratio (ideal: ~10 for scans, less
-    with pruning; superlinear growth flags a scale bottleneck)."""
+# x100 representatives — one chunked-prefix query, one dedup head, one
+# multiway join: the second decade of the scale curve for the paths
+# whose 100-TB story matters most. Only lineitem/orders/documents are
+# physically scaled (the tables these three touch); everything else
+# symlinks.
+X100_PROBE = [
+    ("q_join_multi", "j2_multiway_join"),
+    ("q_minhash_dedup", "x29_minhash_dedup_keep"),
+    ("q_seq_packing", "x31_sequence_packing"),
+]
+
+
+def _build_x100(spark, from10: str, out_dir: str) -> None:
+    """~100x dir from the x10 dir: 10 more key-shifted copies of the
+    fact tables the X100_PROBE queries read (stride 100M clears every
+    x10 key); all other tables symlink through."""
+    shifts = {
+        "lineitem": ("l_orderkey", 100_000_000),
+        "orders": ("o_orderkey", 100_000_000),
+        "documents": ("doc_id", 100_000_000),
+    }
+    os.makedirs(out_dir, exist_ok=True)
+    for name in [
+        "region", "nation", "customer", "supplier", "part",
+        "events", "embeddings",
+    ]:
+        src = os.path.join(from10, f"{name}.parquet")
+        if os.path.exists(src):
+            os.symlink(src, os.path.join(out_dir, f"{name}.parquet"))
+    for name, (key, stride) in shifts.items():
+        base = spark.read.parquet(os.path.join(from10, f"{name}.parquet"))
+        copies = [
+            base.withColumn(key, F.col(key) + F.lit(i * stride)) for i in range(10)
+        ]
+        out = copies[0]
+        for c in copies[1:]:
+            out = out.unionByName(c)
+        out.write.mode("overwrite").parquet(os.path.join(out_dir, f"{name}.parquet"))
+
+
+def scale_probe(spark) -> tuple[dict, dict]:
+    """Heaviest scan/agg/join entries at ~10x the bench SF (seconds and
+    the x10/x1 runtime ratio: ideal ~10 for scans at fixed cores, less
+    with pruning; superlinear growth flags a scale bottleneck), plus a
+    second decade (~100x) for the three X100_PROBE representatives —
+    the curve, not just one point."""
     qs = all_queries()
-    tmp = tempfile.mkdtemp(prefix="s2scale_")
+    tmp10 = tempfile.mkdtemp(prefix="s2scale10_")
+    tmp100 = tempfile.mkdtemp(prefix="s2scale100_")
     try:
-        _build_x10(spark, tmp)
+        _build_x10(spark, tmp10)
         def best_of(fn, sf_dir, reps: int = 2) -> float:
             # min over reps: the first execution of a plan in a session
             # pays whole-stage-codegen + JIT compilation (observed 17x
@@ -345,18 +477,36 @@ def scale_probe(spark) -> dict:
         for label, name in SCALE_PROBE:
             fn = qs[name].spark
             x1 = best_of(fn, SF_DIR)
-            x10 = best_of(fn, tmp)
+            x10 = best_of(fn, tmp10)
             out[label] = {
                 "x1_warm_sec": round(x1, 3),
                 "x10_sec": round(x10, 3),
                 "ratio": round(x10 / x1, 2),
             }
-        return out
+        x100 = {}
+        if os.environ.get("SPARK_GRAFT_X100", "1") != "0":
+            _build_x100(spark, tmp10, tmp100)
+            for label, name in X100_PROBE:
+                # plans are already codegen/JIT-warm from the x1/x10
+                # runs above; one iteration at x100 (it is the
+                # expensive one)
+                t100 = best_of(qs[name].spark, tmp100, reps=1)
+                x10_sec = out[label]["x10_sec"]
+                x100[label] = {
+                    "x10_sec": x10_sec,
+                    "x100_sec": round(t100, 3),
+                    # per-decade growth at fixed cores: ~10 is ideal
+                    # linear; compare with the first decade's ratio
+                    "ratio_x100_x10": round(t100 / x10_sec, 2),
+                }
+        return out, x100
     finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(tmp100, ignore_errors=True)
+        shutil.rmtree(tmp10, ignore_errors=True)
 
 
 def main() -> None:
+    load_start = os.getloadavg()
     spark = get_spark("s2_spark_bench", cpus=CPUS, shuffle_partitions=CPUS)
     # warm the JVM + file listing so query times measure execution
     for name in ("lineitem", "orders", "events", "documents"):
@@ -364,12 +514,19 @@ def main() -> None:
         if os.path.exists(p):
             spark.read.parquet(p).count()
 
-    queries = run_queries(spark)
+    queries, queries_min, queries_first = run_queries(spark)
     bench = s2_bench_equivalent(spark)
-    queries["q_s2bench_append"] = bench["append_sec"]
-    queries["q_s2bench_read"] = bench["read_sec"]
+    for d in (queries, queries_min, queries_first):
+        d["q_s2bench_append"] = bench["append_sec"]
+        d["q_s2bench_read"] = bench["read_sec"]
+    # headline `value` = sum of per-query MEDIANS (of BENCH_REPS runs):
+    # the noise-resistant number. `value_first_run` sums each query's
+    # first iteration — the definition rounds 1-5 recorded — so the
+    # round-over-round series stays interpretable across the change.
     total = round(sum(queries.values()), 3)
-    probe = scale_probe(spark)
+    total_first = round(sum(queries_first.values()), 3)
+    skew = skew_probe(spark)
+    probe10, probe100 = scale_probe(spark)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     print(
         json.dumps(
@@ -377,12 +534,24 @@ def main() -> None:
                 "metric": "headline suite + s2-bench-equivalent (chain-verified)",
                 "value": total,
                 "unit": "sec",
+                "bench_reps": BENCH_REPS,
+                "value_first_run": total_first,
                 "queries": queries,
+                "queries_min": queries_min,
+                "queries_first": queries_first,
+                # 1/5/15-minute system load before and after: a driver
+                # machine under co-tenant pressure shows up here
+                # instead of masquerading as an engine regression
+                "loadavg_start": [round(x, 2) for x in load_start],
+                "loadavg_end": [round(x, 2) for x in os.getloadavg()],
                 "sf": float(sf),
                 "s2bench": bench,
-                # x10 trend probe — excluded from `value` so headline
-                # totals stay comparable round-over-round
-                "scale_probe_x10": probe,
+                # hot-key probe: chunked vs single-chunk bulk_append
+                "skew_probe": skew,
+                # x10 + x100 trend probes — excluded from `value` so
+                # headline totals stay comparable round-over-round
+                "scale_probe_x10": probe10,
+                "scale_probe_x100": probe100,
             }
         )
     )

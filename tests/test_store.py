@@ -342,6 +342,53 @@ _BULK_SCHEMA = (
 )
 
 
+def test_bulk_append_chunked_matches_single_chunk(spark, tmp_path):
+    """The correctness half of bench.py's skew_probe: the chunked
+    sequencing plan (default) and the one-chunk-per-stream plan
+    (chunk_width wider than the batch) assign IDENTICAL (seq_num, body)
+    sequences on a 90%-hot-key batch — the chunked re-plan is purely a
+    physical-parallelism change."""
+    from pyspark.sql import functions as F
+
+    from s2_spark.catalog import Catalog
+    from s2_spark.store import StreamStore
+
+    def run(width):
+        cat = Catalog(spark)
+        cat.create_basin("skew-eq-basin")
+        for s in range(4):
+            cat.create_stream("skew-eq-basin", f"s{s}")
+        store = StreamStore(
+            spark, str(tmp_path / f"records_{width or 'chunked'}"), catalog=cat
+        )
+        stream = F.when(F.col("id") % 10 != 0, F.lit("s0")).otherwise(
+            F.concat(F.lit("s"), (F.col("id") % 3 + 1).cast("string"))
+        )
+        src = spark.range(500).select(
+            F.lit("skew-eq-basin").alias("basin"),
+            stream.alias("stream"),
+            F.lit(None).cast("long").alias("timestamp"),
+            F.array().cast("array<struct<name binary, value binary>>").alias("headers"),
+            F.encode(F.col("id").cast("string"), "utf-8").alias("body"),
+            F.col("id").alias("ingest_order"),
+        )
+        # chunk width 64 << hot-stream count (450): many chunks per
+        # stream, exercising the offset fold across chunk boundaries
+        store.bulk_append(src, chunk_width=width)
+        return {
+            s: [
+                (r["seq_num"], bytes(r["body"]))
+                for r in store.read("skew-eq-basin", f"s{s}").collect()
+            ]
+            for s in range(4)
+        }
+
+    chunked = run(64)
+    single = run(1 << 62)
+    assert chunked == single
+    assert [seq for seq, _ in chunked[0]] == list(range(450))
+
+
 def test_bulk_append_honors_timestamping_config(store, spark):
     """bulk_append applies the same per-stream timestamping matrix as
     the unary path (streamer.rs:1121-1149): arrival override, uncapped
