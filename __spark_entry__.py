@@ -76,24 +76,29 @@ _R03_BACKLOG = frozenset({
 
 
 # Queries whose implementation changed AFTER their latest driver proof,
-# so their r4 hash-matches predate the current code and they re-enter
+# so their prior hash-matches predate the current code and they re-enter
 # the scoring prefix ahead of untouched proven entries until a fresh
-# proof lands:
-#  - chunked two-phase prefix re-plan (commit 672d356), then the
-#    single-pass chunked_running_multi fold (f6e3bf1): w*/ag10/ag13/
-#    str4/str6/j7/st8
-#  - near-dup exact-cluster collapse (commit be5435a, dedup.py): x5/x9/
-#    x10/x16
-#  - raw-RGB video pixel path (commit 2ece42d, multimodal.py): x17/x18
-_R05_RESCORE = frozenset({
+# proof lands. Round-6 changes:
+#  - chunked-prefix null-handling fix + chunked_lag contract
+#    (operators/prefix.py): every chunked_running/chunked_lag consumer
+#  - shared _band_buckets construction + CC convergence guard
+#    (functions/dedup.py): x29/x30, and x35 which composes the keep rule
+#  - exact integer division (x31/x35) and the empty-probe hits=0 anchor
+#    plus the refactored recall-oracle SQL (x34)
+#  - audit dogfooding (operators/audit.py routes flushes through
+#    StreamStore.append): rotate the read-side metric sets per the
+#    round-5 verdict even though their suite plans are unchanged
+_R06_RESCORE = frozenset({
     "w3_lag_regress", "w4_running_max", "w5_cumulative_bytes",
     "w6_ntile", "w9_range_frame", "w10_percent_rank",
     "ag10_metrics_gauge", "ag13_metrics_storage_gauge",
     "str4_watermark_survivors", "str6_command_fold",
     "j7_asof_join", "st8_combined_read_limits",
-    "x5_neardup_candidates", "x9_minhash_neardup",
-    "x10_simhash_neardup", "x16_ngram_jaccard_neardup",
-    "x17_media_features", "x18_video_frame_sample",
+    "x29_minhash_dedup_keep", "x30_neardup_clusters",
+    "x31_sequence_packing", "x34_ann_recall_report",
+    "x35_pipeline_summary",
+    "ag15_read_ops", "ag16_read_throughput", "ag17_basin_ops",
+    "ag18_active_basins", "ag19_account_ops",
 })
 
 
@@ -130,8 +135,8 @@ def _prioritized(names: list[str]) -> list[str]:
 
     backlog = [n for n in fresh if n in _R03_BACKLOG]
     newer = [n for n in fresh if n not in _R03_BACKLOG]
-    rescore = [n for n in proven if n in _R05_RESCORE]
-    stable = [n for n in proven if n not in _R05_RESCORE]
+    rescore = [n for n in proven if n in _R06_RESCORE]
+    stable = [n for n in proven if n not in _R06_RESCORE]
     return (
         failed
         + _round_robin(backlog)
