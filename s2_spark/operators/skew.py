@@ -23,7 +23,15 @@ from pyspark.sql import functions as F
 def with_salt(df: DataFrame, salt_n: int, col_name: str = "_salt") -> DataFrame:
     """Deterministic row salt (no rand() — reruns must reproduce):
     spread by a hash of the whole row's physical order surrogate; we
-    use monotonically_increasing_id, stable within one materialization."""
+    use monotonically_increasing_id, stable within one materialization.
+
+    WARNING: stability holds only WITHIN one materialization — the id
+    depends on partition layout, so a re-read or repartition can assign
+    a row a different salt. Safe for the transient agg/join spreading
+    this module does (the salt never outlives the plan); MUST NOT key
+    anything persisted — never write the salt column to storage, use it
+    as a bucketing/partition key for saved tables, or join on it across
+    independently-materialized plans."""
     return df.withColumn(
         col_name, (F.abs(F.xxhash64(F.monotonically_increasing_id())) % salt_n).cast("int")
     )

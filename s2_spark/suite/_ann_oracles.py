@@ -351,6 +351,25 @@ def planted_deltas(
     return rows
 
 
+def _planted_corpus_ctes(query_ids, copies: int, eps: float, dim: int) -> list[str]:
+    """CTEs defining the planted-near-neighbor corpus ``corpus(vec_id,
+    v DOUBLE[])``: fixture embeddings ∪ (base + literal delta) copies,
+    one addition per element — the same association as the Spark
+    side's zip_with, so the synthetic corpus is bit-identical."""
+    deltas = planted_deltas(query_ids, copies, eps, dim)
+    vals = ", ".join(
+        f"({pid}, {qid}, [{', '.join(repr(x) for x in d)}]::DOUBLE[])"
+        for pid, qid, d in deltas
+    )
+    return [
+        "base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        f"pl(pid, bid, d) AS (VALUES {vals})",
+        "corpus AS (SELECT vec_id, v FROM base UNION ALL "
+        f"SELECT pid, list_transform(range(1, {dim + 1}), i -> v[i] + d[i]) "
+        "FROM pl JOIN base ON base.vec_id = pl.bid)",
+    ]
+
+
 def planted_recall_oracle(
     query_ids=(0, 1, 2, 3, 4),
     copies: int = 12,
@@ -364,22 +383,76 @@ def planted_recall_oracle(
     query vector gets ``copies`` planted copies (base + eps·unit), so
     its true top-k is dominated by genuine near-duplicates — the
     clusterable regime ANN is built for, where the (m, multiprobe) dial
-    must deliver high recall. The planted vectors are derived IN SQL
-    from the base embeddings plus literal deltas (one addition per
-    element, same association as the Spark side's zip_with)."""
-    deltas = planted_deltas(query_ids, copies, eps, dim)
-    vals = ", ".join(
-        f"({pid}, {qid}, [{', '.join(repr(x) for x in d)}]::DOUBLE[])"
-        for pid, qid, d in deltas
-    )
-    corpus = [
-        "base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
-        f"pl(pid, bid, d) AS (VALUES {vals})",
-        "corpus AS (SELECT vec_id, v FROM base UNION ALL "
-        f"SELECT pid, list_transform(range(1, {dim + 1}), i -> v[i] + d[i]) "
-        "FROM pl JOIN base ON base.vec_id = pl.bid)",
-    ]
+    must deliver high recall."""
+    corpus = _planted_corpus_ctes(query_ids, copies, eps, dim)
     return _recall_sql(corpus, "corpus", query_ids, k, m, dim, seed)
+
+
+def ivf_planted_recall_oracle(
+    query_ids=(0, 1, 2, 3, 4),
+    copies: int = 12,
+    eps: float = 0.02,
+    k: int = 10,
+    n_cells: int = 16,
+    dim: int = 64,
+    seed: int = 7,
+    nprobe: int = 2,
+) -> str:
+    """IVF companion of :func:`planted_recall_oracle`: recall@k of the
+    fixed-centroid IVF tier (nearest-cell assignment by squared
+    euclidean, nprobe top-cosine cells probed, exact rerank within) vs
+    brute force, on the same planted corpus — the full pipeline
+    replayed with identical centroid literals, so the recall number is
+    hash-verified for BOTH ANN tiers."""
+    cents = ivf_fixed_centroids(n_cells, dim, seed)
+    cent_values = ", ".join(
+        f"({i}, [{', '.join(repr(x) for x in c)}]::DOUBLE[])"
+        for i, c in enumerate(cents)
+    )
+    sqd = " + ".join(
+        f"(v[{i + 1}] - cv[{i + 1}]) * (v[{i + 1}] - cv[{i + 1}])" for i in range(dim)
+    )
+    cell_cos = (
+        f"({_chain('cv', 'qe', dim)}) /"
+        f" (sqrt({_chain('cv', 'cv', dim)}) * sqrt({_chain('qe', 'qe', dim)}))"
+    )
+    cos = (
+        f"({_chain('v', 'qe', dim)}) /"
+        f" (sqrt({_chain('v', 'v', dim)}) * sqrt({_chain('qe', 'qe', dim)}))"
+    )
+    ctes = _planted_corpus_ctes(query_ids, copies, eps, dim)
+    ctes.append(f"cents(cell, cv) AS (VALUES {cent_values})")
+    ctes.append(
+        "assign AS (SELECT vec_id, v, (SELECT cell FROM cents "
+        f"ORDER BY ({sqd}) ASC, cell LIMIT 1) AS cell FROM corpus)"
+    )
+    rows = []
+    for qi, qid in enumerate(query_ids):
+        ctes.append(f"q{qi} AS (SELECT v AS qe FROM corpus WHERE vec_id = {qid})")
+        ctes.append(
+            f"br{qi} AS (SELECT vec_id FROM corpus e, q{qi} "
+            f"WHERE e.vec_id <> {qid} ORDER BY {cos} DESC, vec_id LIMIT {k})"
+        )
+        ctes.append(
+            f"qc{qi} AS (SELECT cell FROM cents, q{qi} "
+            f"ORDER BY ({cell_cos}) DESC, cell LIMIT {nprobe})"
+        )
+        ctes.append(
+            f"an{qi} AS (SELECT vec_id FROM assign, q{qi} "
+            f"WHERE cell IN (SELECT cell FROM qc{qi}) AND vec_id <> {qid} "
+            f"ORDER BY {cos} DESC, vec_id LIMIT {k})"
+        )
+        rows.append(
+            f"SELECT CAST({qid} AS BIGINT) AS query_id, "
+            f"(SELECT CAST(count(*) AS BIGINT) FROM an{qi} "
+            f"WHERE vec_id IN (SELECT vec_id FROM br{qi})) AS hits"
+        )
+    union = " UNION ALL ".join(rows)
+    return (
+        "WITH " + ", ".join(ctes) + " "
+        f"SELECT query_id, hits, round(hits / {k}.0, 4) AS recall "
+        f"FROM ({union}) ORDER BY query_id"
+    )
 
 
 # the funnel CASE shared by the x33 and x35 oracles (mirrors

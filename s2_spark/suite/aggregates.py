@@ -400,3 +400,63 @@ def ag19(spark, sf_dir):
     return account_ops(_synthetic_audit(spark, sf_dir), "hour").select(
         "bucket", "op", "ops"
     )
+
+
+def _synthetic_records(spark, sf_dir):
+    """Deterministic multi-basin/multi-stream records frame from the
+    events table — input for the label/active metric sets (ag20/ag21),
+    DuckDB-provable like _synthetic_audit."""
+    e = t(spark, sf_dir, "events")
+    return e.select(
+        F.concat(F.lit("b"), (F.col("user_id") % 7).cast("string")).alias("basin"),
+        F.concat(F.lit("s"), (F.col("user_id") % 3).cast("string")).alias("stream"),
+        F.col("event_id").alias("seq_num"),
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("timestamp"),
+        F.array().cast("array<struct<name binary, value binary>>").alias("headers"),
+        F.col("props").cast("binary").alias("body"),
+    )
+
+
+@query(
+    "ag20_ops_by_label",
+    oracle=(
+        "SELECT epoch_ms(date_trunc('hour', ts)) AS bucket, "
+        "'s' || CAST(user_id % 3 AS VARCHAR) AS stream, "
+        "CAST(count(*) AS BIGINT) AS ops "
+        "FROM events GROUP BY 1, 2 ORDER BY 1, 2"
+    ),
+    doc=(
+        "metrics API (A26) Label set (api/src/v1/metrics.rs:164-167): "
+        "per-stream ops breakdown per hour bucket — the labeled "
+        "timeseries shape, one scan + map-side-combined (bucket, "
+        "stream) aggregation"
+    ),
+)
+def ag20(spark, sf_dir):
+    from s2_spark.operators.metrics import ops_by_label
+
+    return ops_by_label(_synthetic_records(spark, sf_dir), "hour").select(
+        "bucket", "stream", "ops"
+    )
+
+
+@query(
+    "ag21_active_streams",
+    oracle=(
+        "SELECT epoch_ms(date_trunc('day', ts)) AS bucket, "
+        "CAST(count(DISTINCT ('b' || CAST(user_id % 7 AS VARCHAR)) || chr(0) "
+        "|| ('s' || CAST(user_id % 3 AS VARCHAR))) AS BIGINT) AS active "
+        "FROM events GROUP BY 1 ORDER BY 1"
+    ),
+    doc=(
+        "metrics API (A26) account/basin-level scalar: distinct active "
+        "(basin, stream) pairs per day bucket — the ActiveStreams "
+        "companion of ag18's ActiveBasins"
+    ),
+)
+def ag21(spark, sf_dir):
+    from s2_spark.operators.metrics import active_streams
+
+    return active_streams(_synthetic_records(spark, sf_dir), "day").select(
+        "bucket", "active"
+    )

@@ -223,6 +223,7 @@ from s2_spark.suite._ann_oracles import (  # noqa: E402
     minhash_keep_oracle,
     neardup_clusters_oracle,
     minhash_oracle,
+    ivf_planted_recall_oracle,
     planted_deltas,
     planted_recall_oracle,
     simhash_oracle,
@@ -1116,17 +1117,23 @@ def x33(spark, sf_dir):
 )
 def x34(spark, sf_dir):
     emb = t(spark, sf_dir, "embeddings")
-    return _recall_report(spark, emb, (0, 1, 2, 3, 4), k=10, m=8, multiprobe=1)
+    return _recall_report(spark, emb, (0, 1, 2, 3, 4), k=10)
 
 
-def _recall_report(spark, corpus, qids, k=10, m=8, multiprobe=1):
-    """Recall@k report shared by x34 (raw fixture) and x36 (planted
-    near-neighbors): per query, exact brute-force top-k vs multiprobe-
-    LSH top-k over ``corpus``, joined to count hits."""
+def _recall_report(spark, corpus, qids, k=10, ann_fn=None):
+    """Recall@k report shared by the ANN measurement queries (x34 raw
+    fixture, x36 planted/LSH, x37 planted/IVF): per query, exact
+    brute-force top-k vs the tier's approximate top-k over ``corpus``,
+    joined to count hits. ``ann_fn(qid)`` builds the approximate side;
+    default is multiprobe-LSH at (m=8, multiprobe=1)."""
     from functools import reduce
 
     from s2_spark.functions.similarity import cosine_topk, lsh_topk
 
+    if ann_fn is None:
+        ann_fn = lambda qid: lsh_topk(  # noqa: E731
+            corpus, k=k, query_id=qid, m=8, multiprobe=1
+        )
     brutes, anns = [], []
     for qid in qids:
         brutes.append(
@@ -1134,8 +1141,7 @@ def _recall_report(spark, corpus, qids, k=10, m=8, multiprobe=1):
             .select(F.lit(qid).alias("query_id"), "vec_id")
         )
         anns.append(
-            lsh_topk(corpus, k=k, query_id=qid, m=m, multiprobe=multiprobe)
-            .select(F.lit(qid).alias("query_id"), "vec_id")
+            ann_fn(qid).select(F.lit(qid).alias("query_id"), "vec_id")
         )
     brute = reduce(lambda a, b: a.unionByName(b), brutes).withColumn("_m", F.lit(1))
     ann = reduce(lambda a, b: a.unionByName(b), anns)
@@ -1183,6 +1189,14 @@ def _recall_report(spark, corpus, qids, k=10, m=8, multiprobe=1):
     ),
 )
 def x36(spark, sf_dir):
+    synth = _planted_corpus(spark, sf_dir)
+    return _recall_report(spark, synth, (0, 1, 2, 3, 4), k=10)
+
+
+def _planted_corpus(spark, sf_dir):
+    """Fixture embeddings ∪ planted near-neighbors (x36/x37 input):
+    one broadcast join of a 60-row literal delta frame, zip_with
+    elementwise add — bit-identical to the oracle's SQL synthesis."""
     from s2_spark.functions.similarity import _dbl
 
     emb = t(spark, sf_dir, "embeddings")
@@ -1204,8 +1218,47 @@ def x36(spark, sf_dir):
         F.col("pid").alias("vec_id"),
         F.zip_with("embedding", "d", lambda x, y: x + y).alias("embedding"),
     )
-    synth = base.unionByName(planted)
-    return _recall_report(spark, synth, (0, 1, 2, 3, 4), k=10, m=8, multiprobe=1)
+    return base.unionByName(planted)
+
+
+@query(
+    "x37_ivf_recall_planted",
+    oracle=ivf_planted_recall_oracle(
+        query_ids=(0, 1, 2, 3, 4), copies=12, eps=0.02, k=10,
+        n_cells=16, dim=64, seed=7, nprobe=2,
+    ),
+    doc=(
+        "IVF companion of x36: recall@10 of the fixed-centroid IVF tier "
+        "on the planted-near-neighbor corpus at nprobe=2 — the scan "
+        "touches 2 of 16 cells (the partition-pruned IN-filter shape) "
+        "yet recall is 1.0, because for unit vectors nearest-by-"
+        "euclidean assignment equals max-cosine, so the query's top "
+        "probe cell is exactly the cell holding its planted copies. "
+        "Hash-verified end to end: the oracle replays corpus synthesis, "
+        "centroid assignment, probe-cell ranking, and both rerankings. "
+        "Together with x36 both ANN tiers carry a recall proof on the "
+        "clusterable regime they serve."
+    ),
+)
+def x37(spark, sf_dir):
+    from s2_spark.functions.similarity import (
+        ivf_assign_fixed,
+        ivf_fixed_centroids,
+        ivf_topk,
+    )
+
+    synth = _planted_corpus(spark, sf_dir)
+    cents = ivf_fixed_centroids(n_cells=16, dim=64, seed=7)
+    assigned = ivf_assign_fixed(synth, cents)
+    return _recall_report(
+        spark,
+        synth,
+        (0, 1, 2, 3, 4),
+        k=10,
+        ann_fn=lambda qid: ivf_topk(
+            assigned, cents, k=10, query_id=qid, nprobe=2
+        ),
+    )
 
 
 @query(
