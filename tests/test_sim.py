@@ -101,17 +101,46 @@ def _random_record(rng, arrival):
     return Record(body=rng.randbytes(rng.randint(0, 12)), timestamp=ts)
 
 
-def _run_workload(store, clockbox, seed, n_ops=40, chaos=False, rebuild=None):
+def _run_workload(
+    store, clockbox, seed, n_ops=40, chaos=False, rebuild=None, crash=False
+):
     """Returns the op/result trace for determinism comparison.
 
     ``chaos`` injects hot-state loss between ops — forced dormancy
     evictions and (when ``rebuild`` is given) full store reopens over
     the same directory — so lazy per-stream recovery must reproduce the
-    shadow model from storage alone at any point."""
+    shadow model from storage alone at any point.
+
+    ``crash`` additionally injects mid-append crashes BETWEEN the
+    durable parquet write and the driver state advance (the
+    crash-consistency window of tests/test_crash_recovery.py, here
+    randomized): the shadow model treats the crashed batch as
+    committed — because it is, the write is the durability boundary —
+    and every later op on the rebuilt store must still agree."""
     rng = random.Random(seed)
     models = {s: ShadowModel() for s in STREAMS}
     trace = []
     for op_i in range(n_ops):
+        if crash and rebuild is not None and rng.random() < 0.15:
+            clockbox["ms"] += rng.randint(1, 10_000)
+            stream_c = rng.choice(STREAMS)
+            mc = models[stream_c]
+            arrival_c = clockbox["ms"]
+            recs = [
+                _random_record(rng, arrival_c) for _ in range(rng.randint(1, 3))
+            ]
+
+            def _boom():
+                raise RuntimeError("injected crash post-write pre-state")
+
+            store._invalidate_records = _boom
+            with pytest.raises(RuntimeError, match="injected crash"):
+                store.append(BASIN, stream_c, recs)
+            # the batch was durably written before the crash point: the
+            # log HAS it, so the shadow commits it too
+            mc.append(recs, arrival_c)
+            store = rebuild()
+            trace.append(("crash_append", stream_c, len(recs), mc.tail))
         if chaos and rng.random() < 0.25:
             if rebuild is not None and rng.random() < 0.5:
                 store = rebuild()
@@ -230,6 +259,30 @@ def test_sim_differential_with_dormancy_and_restart(spark, tmp_path, seed):
         return StreamStore(spark, base, catalog=cat, clock=lambda: clockbox["ms"])
 
     _run_workload(rebuild(), clockbox, seed, n_ops=30, chaos=True, rebuild=rebuild)
+
+
+@pytest.mark.parametrize("seed", [11, 777])
+def test_sim_differential_with_crash_injection(spark, tmp_path, seed):
+    """Randomized crash-consistency: appends crash between the durable
+    write and the state advance at random workload points. The shadow
+    commits every crashed batch (the parquet write is the durability
+    boundary), the store is rebuilt cold, and all subsequent appends,
+    conditional appends, fences, trims, reads, and tail probes must
+    still match the shadow exactly — recovery never loses, duplicates,
+    or reorders anything the log holds."""
+    clockbox = {"ms": 1_000_000}
+    base = str(tmp_path / "records")
+    cat = Catalog(spark, clock=lambda: clockbox["ms"])
+    cat.create_basin(BASIN)
+    for s in STREAMS:
+        cat.create_stream(BASIN, s)
+
+    def rebuild():
+        return StreamStore(spark, base, catalog=cat, clock=lambda: clockbox["ms"])
+
+    _run_workload(
+        rebuild(), clockbox, seed, n_ops=30, chaos=True, rebuild=rebuild, crash=True
+    )
 
 
 def test_sim_deterministic_rerun(spark, tmp_path):
