@@ -68,3 +68,50 @@ def enrich(stream_df: DataFrame, dim_df: DataFrame, on, how: str = "inner") -> D
     """Q-STR7 — stream-static join; the static dim is broadcast so each
     micro-batch joins without a shuffle."""
     return stream_df.join(F.broadcast(dim_df), on, how)
+
+
+def interval_join(
+    df: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    left_type: str = "view",
+    right_type: str = "purchase",
+    within: str = "30 minutes",
+    delay: str = "60 minutes",
+) -> DataFrame:
+    """Q-STR8 — stream-stream inner join with an event-time interval
+    bound (the attribution shape: each ``left_type`` event joined to
+    the same key's ``right_type`` events in the following ``within``).
+
+    Both sides carry watermarks and the join condition bounds the
+    right event time relative to the left in BOTH directions — exactly
+    what Structured Streaming requires to size and expire join state
+    (state held ≤ watermark + interval per side, so a year-long stream
+    never accumulates unbounded buffers). The same builder runs in
+    batch mode, where withWatermark is a no-op and Catalyst plans a
+    plain range-condition join — the equivalence contract.
+    """
+    left = (
+        df.filter(F.col("event_type") == left_type)
+        .select(
+            F.col(key).alias("_lk"),
+            F.col("event_id").alias("l_id"),
+            F.col(ts_col).alias("l_ts"),
+        )
+        .withWatermark("l_ts", delay)
+    )
+    right = (
+        df.filter(F.col("event_type") == right_type)
+        .select(
+            F.col(key).alias("_rk"),
+            F.col("event_id").alias("r_id"),
+            F.col(ts_col).alias("r_ts"),
+        )
+        .withWatermark("r_ts", delay)
+    )
+    return left.join(
+        right,
+        (F.col("_lk") == F.col("_rk"))
+        & (F.col("r_ts") > F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {within}")),
+    ).select(F.col("l_id").alias("view_id"), F.col("r_id").alias("purchase_id"))

@@ -193,6 +193,33 @@ def str6(spark, sf_dir):
 
 
 @query(
+    "str8_interval_join",
+    oracle=(
+        "SELECT a.event_id AS view_id, b.event_id AS purchase_id "
+        "FROM events a JOIN events b ON a.user_id = b.user_id "
+        "AND a.event_type = 'view' AND b.event_type = 'purchase' "
+        "AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE "
+        "ORDER BY view_id, purchase_id"
+    ),
+    doc=(
+        "stream-stream interval join (the attribution shape: each view "
+        "joined to the same user's purchases within the next 30 min). "
+        "The builder (streaming/ops.interval_join) watermarks BOTH "
+        "sides and bounds the right event time in both directions, so "
+        "Structured Streaming can expire join state instead of "
+        "buffering the stream forever; batch mode plans the identical "
+        "range-condition join — equivalence asserted in "
+        "tests/test_streaming.py"
+    ),
+)
+def str8(spark, sf_dir):
+    from s2_spark.streaming.ops import interval_join
+
+    e = t(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    return interval_join(e).orderBy("view_id", "purchase_id")
+
+
+@query(
     "str7_stream_static_join",
     oracle=(
         "SELECT e.event_id, c.c_mktsegment FROM events e "

@@ -285,6 +285,35 @@ def test_windowed_agg_stream_equals_batch(spark, sf_dir, tmp_path, build, reques
     assert got == want
 
 
+def test_interval_join_stream_equals_batch(spark, sf_dir, tmp_path):
+    """Q-STR8: the stream-stream interval join (both sides watermarked,
+    two-directional event-time bound) emits in streaming append mode
+    exactly the pair set the batch plan produces."""
+    import os
+    import shutil
+
+    src = str(tmp_path / "ssj_src")
+    os.makedirs(src)
+    shutil.copy(f"{sf_dir}/events.parquet", src)
+    batch, stream = _events_stream(spark, src)
+    ts_fix = lambda df: df.withColumn("ts", F.col("ts").cast("timestamp"))  # noqa: E731
+    want = sorted(map(tuple, sops.interval_join(ts_fix(batch)).collect()))
+    assert want  # non-vacuous: the fixture must contain view→purchase pairs
+    q = (
+        sops.interval_join(ts_fix(stream))
+        .writeStream.format("memory")
+        .queryName("ssj")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = sorted(map(tuple, spark.sql("SELECT * FROM ssj").collect()))
+    finally:
+        q.stop()
+    assert got == want
+
+
 def test_watermark_drops_late_rows_across_batches(spark, tmp_path):
     """Q-STR4 in actual streaming mode: a second micro-batch carrying
     rows older than (max event time − delay) is dropped from the
