@@ -137,6 +137,31 @@ def test_flush_dogfoods_audit_into_own_stream(store):
     )
 
 
+def test_concurrent_logging_and_flushes_lose_nothing(store):
+    """N threads hammer log() with a tiny flush threshold, so flushes
+    (now real appends to the audit stream) interleave with logging and
+    with each other; the per-stream writer lock serializes the appends
+    and the final relation must hold every op exactly once."""
+    import threading
+
+    store.append(BASIN, "s1", [Record(body=b"x")])
+    store.audit.flush_threshold = 16
+    n_threads, per = 4, 50
+
+    def worker():
+        for _ in range(per):
+            store.audit.log("read", BASIN, "s1")
+
+    ts = [threading.Thread(target=worker) for _ in range(n_threads)]
+    for th in ts:
+        th.start()
+    for th in ts:
+        th.join()
+    store.audit.flush()
+    got = store.audit.df().filter(F.col("op") == "read").count()
+    assert got == n_threads * per
+
+
 def test_audit_flush_threshold_routes_through_stream(store):
     from s2_spark.operators.audit import AUDIT_BASIN, AUDIT_STREAM
 

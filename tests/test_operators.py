@@ -480,6 +480,48 @@ def test_chunked_lag_rejects_null_values(spark):
         chunked_lag(df, ["k"], "v", "pv", chunk_width=25).collect()
 
 
+@pytest.mark.parametrize("seed", [3, 17, 91])
+def test_chunked_running_multi_randomized_vs_global(spark, seed):
+    """Seeded randomized differential: fused sum+max chunked prefixes
+    over gappy order keys, ~30% nulls in both value columns, random
+    chunk width, and two interleaved partition keys must equal the
+    global per-key window exactly — the whole input space of the
+    round-6 null-combine fix, not just the directed cases."""
+    import random
+
+    from pyspark.sql import Window as W
+
+    from s2_spark.operators.prefix import chunked_running_multi
+
+    rng = random.Random(seed)
+    rows, k = [], 0
+    for _ in range(rng.randint(80, 300)):
+        k += rng.randint(1, 9)
+        v = None if rng.random() < 0.3 else rng.randint(-50, 50)
+        m = None if rng.random() < 0.3 else rng.randint(-50, 50)
+        rows.append((rng.choice(["a", "b"]), k, v, m))
+    width = rng.choice([7, 32, 101])
+    df = spark.createDataFrame(rows, "g string, k long, v long, m long")
+    got = chunked_running_multi(
+        df,
+        ["k"],
+        [("v", "rs", "sum"), ("m", "rm", "max")],
+        chunk_width=width,
+        partition_by=["g"],
+    )
+    w = (
+        W.partitionBy("g")
+        .orderBy("k")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    ref = df.withColumn("rs", F.sum("v").over(w)).withColumn(
+        "rm", F.max("m").over(w)
+    )
+    assert sorted(got.select("g", "k", "rs", "rm").collect()) == sorted(
+        ref.select("g", "k", "rs", "rm").collect()
+    )
+
+
 def test_chunked_running_rejects_bad_kind(spark):
     import pytest as _pytest
 
