@@ -342,6 +342,19 @@ _BULK_SCHEMA = (
 )
 
 
+def test_bulk_append_many_chunks_offset_relation(store, spark):
+    """>256 sequencing chunks: the offset relation takes the
+    Arrow-local-relation branch of _lit_rows_df (the literal-plan
+    branch handles small row sets). Sequencing must stay contiguous
+    across all chunk boundaries."""
+    rows = [(BASIN, STREAM, None, [], f"r-{i}".encode(), i) for i in range(600)]
+    df = spark.createDataFrame(rows, _BULK_SCHEMA)
+    store.bulk_append(df, chunk_width=2)  # 300 chunks of 2 records
+    got = [r.seq_num for r in store.read(BASIN, STREAM).collect()]
+    assert got == list(range(600))
+    assert store.check_tail(BASIN, STREAM)[0] == 600
+
+
 def test_bulk_append_chunked_matches_single_chunk(spark, tmp_path):
     """The correctness half of bench.py's skew_probe: the chunked
     sequencing plan (default) and the one-chunk-per-stream plan
