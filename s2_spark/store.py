@@ -903,14 +903,25 @@ class StreamStore:
         if limit.bytes is not None:
             # metered-bytes cutoff: cumulative sum over seq order; emit
             # while cum ≤ B — empty if the first record already exceeds
-            # (read_extent.rs:18-137; lite/tests/.../read.rs:530)
-            wcum = (
-                W.partitionBy("basin", "stream")
-                .orderBy("seq_num")
-                .rowsBetween(W.unboundedPreceding, W.currentRow)
-            )
+            # (read_extent.rs:18-137; lite/tests/.../read.rs:530).
+            # Chunked two-phase prefix, NOT a per-stream window: a read
+            # targets ONE stream, so Window.partitionBy(stream) would
+            # put the entire post-filter range on a single task — fine
+            # for the 1 MiB-capped unary path, a serial bottleneck for
+            # a large direct bytes budget. The chunk decomposition
+            # spreads the running sum across seq ranges (the same
+            # re-plan the w5/st8 suite queries use).
+            from s2_spark.operators.prefix import chunked_running
+
             df = (
-                df.withColumn("_cum", F.sum(metered_size_col()).over(wcum))
+                chunked_running(
+                    df,
+                    ["seq_num"],
+                    metered_size_col(),
+                    "_cum",
+                    kind="sum",
+                    partition_by=["basin", "stream"],
+                )
                 .filter(F.col("_cum") <= limit.bytes)
                 .drop("_cum")
             )
