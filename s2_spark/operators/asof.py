@@ -11,6 +11,14 @@ join: tag both sides, sort by (key, ts, side), carry the latest right
 payload forward with ``last(..., ignorenulls)``. Cost is one shuffle on
 (key) + a per-key sort — O(n log n), partitioned by the by-key, no
 quadratic blowup. This is the standard distributed merge_asof shape.
+
+KEYLESS mode (``by=[]`` with a numeric ``on``) does NOT fall back to a
+global window: the carry-forward becomes a running max of
+struct(on, payload) over payload-bearing rows, computed with the
+chunked two-phase prefix (``operators/prefix.py``) — task-parallel
+across ``on`` ranges. A keyless as-of with a non-numeric ``on`` (no
+monotone chunk key available) keeps the window form; cast timestamps
+to epoch numbers to get the distributed plan.
 """
 
 from __future__ import annotations
@@ -50,26 +58,62 @@ def asof_join(
     rhs = rhs.select(*lhs.columns)
 
     merged = lhs.unionByName(rhs)
-    if direction == "backward":
-        # right rows sort before left at equal ts → ties count as match
-        w = (
-            W.partitionBy(*by)
-            .orderBy(F.col(on).asc(), F.col("_side").asc())
-            .rowsBetween(W.unboundedPreceding, W.currentRow)
+    if direction not in ("backward", "forward"):
+        raise ValueError(direction)
+    from pyspark.sql import types as T
+
+    on_numeric = isinstance(merged.schema[on].dataType, T.NumericType)
+    if not by and on_numeric:
+        # KEYLESS as-of: Window.partitionBy() would collapse the whole
+        # union onto one task. The last-non-null carry is equivalently
+        # a running MAX restricted to payload-bearing (right) rows —
+        # F.max skips nulls, and struct order (on, payload) picks the
+        # nearest right row — which the chunked two-phase prefix
+        # computes task-parallel across `on` ranges. Forward direction
+        # negates the key so "nearest at-or-after" is again a max under
+        # an ascending-prefix traversal.
+        from s2_spark.operators.prefix import chunked_running
+
+        sign = 1 if direction == "backward" else -1
+        key = (F.col(on) * sign).alias("_okey")
+        cand = F.when(
+            F.col("_side") == 0,
+            F.struct(key, F.col("_payload").alias("p")),
         )
-    elif direction == "forward":
-        w = (
-            W.partitionBy(*by)
-            .orderBy(F.col(on).desc(), F.col("_side").asc())
-            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        ordered = merged.withColumn("_okey", F.col(on) * sign)
+        out = (
+            chunked_running(
+                ordered,
+                # right (side 0) sorts before left at equal `on` in
+                # BOTH directions → ties count as matches
+                [F.col("_okey"), F.col("_side")],
+                cand,
+                "_cm",
+                kind="max",
+            )
+            .filter(F.col("_side") == 1)
+            .withColumn("_match", F.col("_cm")["p"])
+            .drop("_side", "_payload", "_okey", "_cm")
         )
     else:
-        raise ValueError(direction)
-    out = (
-        merged.withColumn("_match", F.last("_payload", ignorenulls=True).over(w))
-        .filter(F.col("_side") == 1)
-        .drop("_side", "_payload")
-    )
+        if direction == "backward":
+            # right rows sort before left at equal ts → ties count as match
+            w = (
+                W.partitionBy(*by)
+                .orderBy(F.col(on).asc(), F.col("_side").asc())
+                .rowsBetween(W.unboundedPreceding, W.currentRow)
+            )
+        else:
+            w = (
+                W.partitionBy(*by)
+                .orderBy(F.col(on).desc(), F.col("_side").asc())
+                .rowsBetween(W.unboundedPreceding, W.currentRow)
+            )
+        out = (
+            merged.withColumn("_match", F.last("_payload", ignorenulls=True).over(w))
+            .filter(F.col("_side") == 1)
+            .drop("_side", "_payload")
+        )
     for c in rcols:
         out = out.withColumn(f"{right_prefix}{c}", F.col("_match")[c])
     return out.drop("_match")

@@ -264,6 +264,47 @@ def test_asof_backward_and_forward(spark):
     assert fwd == {1: "r2", 2: "r3", 3: "r1", 4: "r4"}
 
 
+def test_asof_keyless_uses_chunked_prefix_and_matches_brute(spark):
+    """Keyless as-of (by=[]) must not collapse onto a global window —
+    it routes through the chunked prefix — and must agree with a brute
+    Python reference in both directions, ties and misses included. Key
+    range spans multiple 65536-wide chunks so the boundary fill is
+    actually exercised."""
+    import random
+
+    from s2_spark.operators.asof import asof_join
+
+    rng = random.Random(5)
+    lrows = [(rng.randrange(0, 200_000), i) for i in range(120)]
+    rrows = [(rng.randrange(0, 200_000), f"r{i}") for i in range(60)]
+    left = spark.createDataFrame(lrows, "t long, lid long")
+    right = spark.createDataFrame(rrows, "t long, tag string")
+
+    def brute(direction):
+        out = {}
+        for t, lid in lrows:
+            if direction == "backward":
+                cands = [(rt, tag) for rt, tag in rrows if rt <= t]
+                best = max(cands) if cands else None
+            else:
+                cands = [(-rt, tag) for rt, tag in rrows if rt >= t]
+                best = max(cands) if cands else None
+            out[lid] = best[1] if best else None
+        return out
+
+    for direction in ("backward", "forward"):
+        got_df = asof_join(left, right, on="t", direction=direction)
+        plan = got_df._jdf.queryExecution().executedPlan().toString()
+        # no unpartitioned window anywhere in the keyless plan
+        import re
+
+        for m in re.finditer(r"windowspecdefinition\(([^)]*)", plan):
+            first = m.group(1).split(",", 1)[0]
+            assert " ASC" not in first and " DESC" not in first, plan[:500]
+        got = {r.lid: r.r_tag for r in got_df.collect()}
+        assert got == brute(direction), direction
+
+
 # --- unary read caps -------------------------------------------------------------------
 
 
