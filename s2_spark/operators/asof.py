@@ -17,8 +17,9 @@ global window: the carry-forward becomes a running max of
 struct(on, payload) over payload-bearing rows, computed with the
 chunked two-phase prefix (``operators/prefix.py``) — task-parallel
 across ``on`` ranges. A keyless as-of with a non-numeric ``on`` (no
-monotone chunk key available) keeps the window form; cast timestamps
-to epoch numbers to get the distributed plan.
+monotone chunk key available) or a non-orderable payload column (a
+map — struct max needs ordering) keeps the window form; cast
+timestamps to epoch numbers to get the distributed plan.
 """
 
 from __future__ import annotations
@@ -62,8 +63,20 @@ def asof_join(
         raise ValueError(direction)
     from pyspark.sql import types as T
 
+    def _orderable(dt) -> bool:
+        # running-max over struct(on, payload) needs an orderable
+        # payload; MapType is the one non-orderable container
+        if isinstance(dt, T.MapType):
+            return False
+        if isinstance(dt, T.StructType):
+            return all(_orderable(f.dataType) for f in dt.fields)
+        if isinstance(dt, T.ArrayType):
+            return _orderable(dt.elementType)
+        return True
+
     on_numeric = isinstance(merged.schema[on].dataType, T.NumericType)
-    if not by and on_numeric:
+    payload_orderable = _orderable(merged.schema["_payload"].dataType)
+    if not by and on_numeric and payload_orderable:
         # KEYLESS as-of: Window.partitionBy() would collapse the whole
         # union onto one task. The last-non-null carry is equivalently
         # a running MAX restricted to payload-bearing (right) rows —

@@ -96,11 +96,6 @@ class OpsAudit:
             f.endswith(".parquet") for f in os.listdir(audit_dir)
         )
 
-    def bind_store(self, store) -> None:
-        """Attach the owning StreamStore: subsequent flushes append to
-        the ``s2-ops-audit/ops`` stream instead of the parquet dir."""
-        self._store = store
-
     def log(
         self,
         op: str,
@@ -143,7 +138,13 @@ class OpsAudit:
         """Append buffered rows to the audit stream via the store's own
         append path (sequencing + durable parquet commit), in ≤1000-
         record batches (the unary append cap). Standalone fallback: one
-        parquet append under the audit dir."""
+        parquet append under the audit dir.
+
+        Failure-safe: rows are popped from the buffer up front (so
+        concurrent flushes never double-send), but on ANY error the
+        not-yet-committed remainder is re-buffered before the exception
+        propagates — a transient write failure loses nothing, and a
+        later flush retries from the first uncommitted row."""
         with self._mu:
             rows, self._buf = self._buf, []
         if not rows:
@@ -152,6 +153,7 @@ class OpsAudit:
             from s2_spark.model import MAX_BATCH_RECORDS, Record
 
             self._local.suppress = True
+            done = 0
             try:
                 self._ensure_sink()
                 for i in range(0, len(rows), MAX_BATCH_RECORDS):
@@ -174,13 +176,44 @@ class OpsAudit:
                         for ts, op, basin, stream, n, b in chunk
                     ]
                     self._store.append(AUDIT_BASIN, AUDIT_STREAM, records)
+                    done = i + len(chunk)
+                    self._sunk_any = True
+            except BaseException:
+                with self._mu:
+                    self._buf = rows[done:] + self._buf
+                raise
             finally:
                 self._local.suppress = False
-            self._sunk_any = True
         else:
-            df = self.spark.createDataFrame(rows, AUDIT_SCHEMA)
-            df.coalesce(1).write.mode("append").parquet(self.dir)
+            try:
+                df = self.spark.createDataFrame(rows, AUDIT_SCHEMA)
+                df.coalesce(1).write.mode("append").parquet(self.dir)
+            except BaseException:
+                with self._mu:
+                    self._buf = rows + self._buf
+                raise
             self._flushed_any = True
+
+    def _stream_has_history(self) -> bool:
+        """True once the audit stream exists — including one created by
+        a PREVIOUS store instance over the same directory: the durable
+        catalog (``{base_dir}/_meta``) remembers the reserved stream
+        across restarts, so flushed history stays visible to df()
+        without a Spark probe. (With a purely in-memory catalog, a
+        restart forgets the stream — consistent with every other stream
+        in that configuration.)"""
+        if self._sunk_any:
+            return True
+        if self._store is None:
+            return False
+        from s2_spark.model import S2Error
+
+        try:
+            self._store.catalog.get_stream(AUDIT_BASIN, AUDIT_STREAM)
+        except S2Error:
+            return False
+        self._sunk_any = True
+        return True
 
     def _stream_df(self) -> DataFrame:
         """Flushed audit rows read back through the store's OWN read
@@ -207,7 +240,7 @@ class OpsAudit:
         with self._mu:
             rows = list(self._buf)
         parts = []
-        if self._sunk_any:
+        if self._stream_has_history():
             parts.append(self._stream_df())
         if self._flushed_any:
             parts.append(self.spark.read.schema(AUDIT_SCHEMA).parquet(self.dir))

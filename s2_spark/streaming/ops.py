@@ -114,4 +114,9 @@ def interval_join(
         (F.col("_lk") == F.col("_rk"))
         & (F.col("r_ts") > F.col("l_ts"))
         & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {within}")),
-    ).select(F.col("l_id").alias("view_id"), F.col("r_id").alias("purchase_id"))
+    ).select(
+        # output names follow the event types, so a non-default pairing
+        # (e.g. click→signup) is labeled truthfully
+        F.col("l_id").alias(f"{left_type}_id"),
+        F.col("r_id").alias(f"{right_type}_id"),
+    )

@@ -162,6 +162,60 @@ def test_concurrent_logging_and_flushes_lose_nothing(store):
     assert got == n_threads * per
 
 
+def test_flushed_audit_history_survives_store_restart(spark, tmp_path):
+    """The durable catalog remembers the reserved audit stream, so a
+    store reopened over the same directory serves the PREVIOUS
+    instance's flushed ops through df() — metric sets keep their full
+    history across restarts instead of silently restarting at zero."""
+    from s2_spark.store import StreamStore
+
+    base = str(tmp_path / "records")
+    s1 = StreamStore(spark, base)  # default durable catalog at base/_meta
+    s1.catalog.create_basin(BASIN)
+    s1.catalog.create_stream(BASIN, "s1")
+    s1.append(BASIN, "s1", [Record(body=b"x")])
+    s1.read(BASIN, "s1")
+    s1.read(BASIN, "s1")
+    s1.audit.flush()
+
+    s2 = StreamStore(spark, base)
+    assert s2.audit.df().filter(F.col("op") == "read").count() == 2
+
+
+def test_flush_failure_rebuffers_uncommitted_rows(store):
+    """A failing append mid-flush must not lose the popped rows: the
+    committed prefix stays committed, the remainder returns to the
+    buffer, and a retry lands every op exactly once."""
+    import pytest as _pytest
+
+    from s2_spark.model import MAX_BATCH_RECORDS
+
+    n = MAX_BATCH_RECORDS + 300  # two chunks
+    for _ in range(n):
+        store.audit._buf.append((store.audit._clock(), "read", BASIN, "s1", None, None))
+
+    real_append = store.append
+    calls = {"n": 0}
+
+    def flaky(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("transient write failure")
+        return real_append(*a, **kw)
+
+    store.append = flaky
+    with _pytest.raises(RuntimeError, match="transient"):
+        store.audit.flush()
+    # chunk 1 committed, chunk 2 re-buffered — nothing lost
+    assert len(store.audit._buf) == 300
+    assert store.audit.df().filter(F.col("op") == "read").count() == n
+
+    store.append = real_append
+    store.audit.flush()
+    assert not store.audit._buf
+    assert store.audit.df().filter(F.col("op") == "read").count() == n
+
+
 def test_audit_flush_threshold_routes_through_stream(store):
     from s2_spark.operators.audit import AUDIT_BASIN, AUDIT_STREAM
 

@@ -305,6 +305,22 @@ def test_asof_keyless_uses_chunked_prefix_and_matches_brute(spark):
         assert got == brute(direction), direction
 
 
+def test_asof_keyless_map_payload_falls_back_to_window(spark):
+    """A map-typed right payload is non-orderable, so the keyless path
+    keeps the window form instead of erroring in the struct max."""
+    from s2_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(10, 1), (20, 2)], "t long, lid long")
+    right = spark.createDataFrame(
+        [(8, {"a": "1"}), (15, {"b": "2"})], "t long, attrs map<string,string>"
+    )
+    got = {
+        r.lid: dict(r.r_attrs) if r.r_attrs is not None else None
+        for r in asof_join(left, right, on="t", direction="backward").collect()
+    }
+    assert got == {1: {"a": "1"}, 2: {"b": "2"}}
+
+
 # --- unary read caps -------------------------------------------------------------------
 
 
