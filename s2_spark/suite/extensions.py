@@ -850,6 +850,65 @@ def x27(spark, sf_dir):
 
 
 @query(
+    "x38_substring_dup_windows",
+    oracle=(
+        "WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents), "
+        "e AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 15), "
+        "i -> md5(array_to_string(ws[i:i+15], ' ')))) AS h FROM w), "
+        "sh AS (SELECT h, CAST(count(DISTINCT doc_id) AS BIGINT) AS nd FROM e GROUP BY h), "
+        "per AS (SELECT e.doc_id, CAST(count(*) AS BIGINT) AS nw, "
+        "CAST(sum(CASE WHEN sh.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS shared "
+        "FROM e JOIN sh USING (h) GROUP BY e.doc_id) "
+        "SELECT d.doc_id, coalesce(per.nw, 0) AS n_windows, "
+        "coalesce(per.shared, 0) AS shared_windows "
+        "FROM documents d LEFT JOIN per USING (doc_id) ORDER BY doc_id"
+    ),
+    doc=(
+        "exact SUBSTRING-level dup detection (Lee et al. 2022's exact-"
+        "substring semantic): every stride-1 sliding 16-token window is "
+        "hashed, and a doc's windows that appear verbatim in ANY other "
+        "doc are counted — catching unaligned copied spans that x27's "
+        "stride-8 aligned passages miss. Per doc: total windows and "
+        "shared windows (docs shorter than the window report 0/0). "
+        "Shuffles carry 16-byte digests only — one explode, two "
+        "digest-keyed aggregations, digest equi-join; the 100 TB cost "
+        "is O(total tokens) rows of hashes, never text or pairs."
+    ),
+)
+def x38(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    ws = F.split(F.lower("text"), " ")
+    nw = F.size(ws) - 15
+    wins = F.when(
+        nw >= 1,
+        F.transform(
+            F.sequence(F.lit(1), nw),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(ws, i, 16)).cast("binary")),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    e = d.select("doc_id", F.explode(wins).alias("h"))
+    sh = e.groupBy("h").agg(F.countDistinct("doc_id").alias("nd"))
+    per = (
+        e.join(sh, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("nw"),
+            F.sum((F.col("nd") > 1).cast("long")).alias("shared"),
+        )
+    )
+    return (
+        d.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("nw", F.lit(0)).alias("n_windows"),
+            F.coalesce("shared", F.lit(0)).alias("shared_windows"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
     "x28_incremental_ingest_dedup",
     oracle=(
         "WITH mid AS (SELECT max(doc_id) / 2 AS m FROM documents), "
