@@ -40,6 +40,35 @@ def _paged(items: list, page_size: int) -> Iterator[list]:
         yield items[i : i + page_size]
 
 
+def _append_trim_commands(store: StreamStore, targets: list[tuple[str, str, int]]) -> None:
+    """Durably advance trim points for many streams in ONE bulk append
+    of in-band trim command records. Trims must ride the log (the
+    reference's TTL task writes durable trim state, stream_trim.rs):
+    mutating only the driver's hot-state cache would silently revert on
+    dormancy eviction or restart, because recovery re-derives trim
+    points from storage commands alone."""
+    if not targets:
+        return
+    rows = [
+        (
+            basin,
+            stream,
+            None,
+            [{"name": b"", "value": b"trim"}],
+            point.to_bytes(8, "big"),
+            i,
+        )
+        for i, (basin, stream, point) in enumerate(targets)
+    ]
+    df = store.spark.createDataFrame(
+        rows,
+        "basin string, stream string, timestamp long, "
+        "headers array<struct<name binary, value binary>>, body binary, "
+        "ingest_order long",
+    )
+    store.bulk_append(df)
+
+
 def retention_sweep(
     store: StreamStore, now_ms: int | None = None, page_size: int = SWEEP_PAGE_SIZE
 ) -> int:
@@ -47,10 +76,11 @@ def retention_sweep(
     finite retention age; returns number of streams trimmed. Physical
     deletion happens at the next compaction.
 
-    One Spark job per page: the page's (stream → cutoff) table joins
-    the records once, and min(live seq)/tail come back per stream —
-    the per-stream point lookups of the naive form would be O(streams)
-    driver-side Spark jobs."""
+    One Spark job per page for the candidate scan, plus one bulk append
+    of in-band trim commands per page — the sweep's trims are DURABLE
+    log records (like the reference's TTL trims), not volatile driver
+    state, so they survive dormancy eviction and restarts and the
+    compaction rewrite honors them."""
     now_ms = now_ms or store._clock()
     candidates = []
     for (basin, stream), meta in store.catalog.streams.items():
@@ -83,12 +113,14 @@ def retention_sweep(
             .collect()
         )
         store._ensure_states([(r["basin"], r["stream"]) for r in rows])
+        targets = []
         for r in rows:
             st = store._st(r["basin"], r["stream"])
             target = r["first_live"] if r["first_live"] is not None else r["tail"]
             if target > st.trim_point:
-                st.trim_point = target
-                trimmed += 1
+                targets.append((r["basin"], r["stream"], target))
+        _append_trim_commands(store, targets)
+        trimmed += len(targets)
     return trimmed
 
 
@@ -143,19 +175,39 @@ def delete_on_empty_sweep(
 
 def deletion_purge_sweep(store: StreamStore) -> list[str]:
     """Complete pending deletions: physically drop trimmed/expired data
-    (compaction rewrite), then purge deleted basin/stream metadata so
-    the names become creatable again — the final step of the
-    reference's async deletion tasks. Until this runs, create on a
-    deleted name raises DeletionPending."""
+    AND all records of deleted streams (compaction rewrite), then purge
+    deleted basin/stream metadata so the names become creatable again —
+    the final step of the reference's async deletion tasks. Until this
+    runs, create on a deleted name raises DeletionPending.
+
+    Deleted streams' data must go WITH the metadata: purging only the
+    catalog entry would let a recreated stream of the same name recover
+    the dead stream's records and tail instead of starting fresh at
+    seq 0."""
+    doomed = [
+        (basin, stream)
+        for (basin, stream), meta in store.catalog.streams.items()
+        if meta.deleted_at is not None
+    ]
     if store._has_data():
-        store.apply_trim_and_retention()
+        store.apply_trim_and_retention(drop_streams=doomed or None)
+    # the purged streams' hot state must not outlive their data
+    with store._meta_mu:
+        for key in doomed:
+            store._state.pop(key, None)
+            store._touched_ms.pop(key, None)
+            store._evicted.discard(key)
     return store.catalog.purge_deleted()
 
 
 def basin_deletion_sweep(store: StreamStore) -> list[str]:
     """Finish async basin deletions: delete every live stream of a
     deleted basin (resumable-cursor semantics in the reference; one
-    pass here)."""
+    pass here). The trim-point advance here is volatile bookkeeping
+    only, and that is sound: the basin is already deleted, so no read
+    can reach these streams through the API regardless of trim state,
+    and :func:`deletion_purge_sweep` physically drops their records
+    (drop_streams) before the names become recreatable."""
     finished = []
     for name, meta in store.catalog.basins.items():
         if meta.deleted_at is None:

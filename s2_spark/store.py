@@ -195,6 +195,14 @@ class StreamStore:
         )
         self._clock = clock or (lambda: int(time.time() * 1000))
         self.bucket_count = bucket_count
+        # store-wide metadata lock guarding the hot-state dicts
+        # (_state/_touched_ms/_evicted) — concurrent appends to
+        # DIFFERENT streams share these dicts, and unsynchronized
+        # mutation during evict_dormant's sweep iteration is a
+        # "dictionary changed size during iteration" crash. RLock:
+        # _st runs the sweep inline. Never held across Spark actions
+        # (recovery collects happen outside, then insert-if-absent).
+        self._meta_mu = threading.RLock()
         self._state: dict[tuple[str, str], _StreamState] = {}
         # per-stream writer lock — the actor's serialization discipline
         # (lite/src/backend/core.rs:214-298): concurrent appends to one
@@ -239,18 +247,27 @@ class StreamStore:
     def _st(self, basin: str, stream: str) -> _StreamState:
         key = (basin, stream)
         now = self._clock()
-        if now - self._last_sweep_ms >= self.DORMANT_STREAM_MS:
-            self._last_sweep_ms = now
-            self.evict_dormant()
-        st = self._state.get(key)
-        if st is None:
-            if self._probe_unknown_streams or key in self._evicted:
-                st = self._recover_one(basin, stream)
+        need_recover = False
+        with self._meta_mu:
+            if now - self._last_sweep_ms >= self.DORMANT_STREAM_MS:
+                self._last_sweep_ms = now
+                self.evict_dormant()
+            st = self._state.get(key)
+            if st is None:
+                if self._probe_unknown_streams or key in self._evicted:
+                    need_recover = True  # Spark collect — not under the lock
+                else:
+                    st = _StreamState()
+                    self._state[key] = st
+            self._touched_ms[key] = now
+        if need_recover:
+            rec = self._recover_one(basin, stream)
+            with self._meta_mu:
+                # insert-if-absent: a concurrent touch may have recovered
+                # (and even advanced) this stream already — keep theirs
+                st = self._state.setdefault(key, rec)
                 self._evicted.discard(key)
-            else:
-                st = _StreamState()
-            self._state[key] = st
-        self._touched_ms[key] = now
+                self._touched_ms[key] = self._clock()
         return st
 
     def evict_dormant(self, max_age_ms: int | None = None) -> int:
@@ -261,14 +278,17 @@ class StreamStore:
         max_age = self.DORMANT_STREAM_MS if max_age_ms is None else max_age_ms
         now = self._clock()
         n = 0
-        for key in [k for k, t in self._touched_ms.items() if now - t >= max_age]:
-            lk = self._locks.get(key)
-            if lk is not None and lk.locked():
-                continue  # append in flight — not dormant
-            self._state.pop(key, None)
-            self._touched_ms.pop(key, None)
-            self._evicted.add(key)
-            n += 1
+        with self._meta_mu:
+            for key in [
+                k for k, t in list(self._touched_ms.items()) if now - t >= max_age
+            ]:
+                lk = self._locks.get(key)
+                if lk is not None and lk.locked():
+                    continue  # append in flight — not dormant
+                self._state.pop(key, None)
+                self._touched_ms.pop(key, None)
+                self._evicted.add(key)
+                n += 1
         return n
 
     def _has_data(self) -> bool:
@@ -377,23 +397,30 @@ class StreamStore:
         """Batch form of the lazy recovery in :meth:`_st`: recover every
         missing key in ONE filtered aggregation (bulk_append touches many
         streams; one Spark job, not one per stream)."""
-        missing = [
-            k
-            for k in keys
-            if k not in self._state
-            and (self._probe_unknown_streams or k in self._evicted)
-        ]
+        with self._meta_mu:
+            missing = [
+                k
+                for k in keys
+                if k not in self._state
+                and (self._probe_unknown_streams or k in self._evicted)
+            ]
         if missing:
             cond = F.concat_ws("\x00", "basin", "stream").isin(
                 [f"{b}\x00{s}" for b, s in missing]
             )
-            for r in self._state_agg(self.records_df().filter(cond)).collect():
-                self._state[(r["basin"], r["stream"])] = self._state_of(r)
-        now = self._clock()
-        for k in keys:
-            self._state.setdefault(k, _StreamState())
-            self._evicted.discard(k)
-            self._touched_ms[k] = now
+            rows = self._state_agg(self.records_df().filter(cond)).collect()
+        else:
+            rows = []
+        with self._meta_mu:
+            for r in rows:
+                # insert-if-absent: never clobber a state a concurrent
+                # append advanced while the scan ran
+                self._state.setdefault((r["basin"], r["stream"]), self._state_of(r))
+            now = self._clock()
+            for k in keys:
+                self._state.setdefault(k, _StreamState())
+                self._evicted.discard(k)
+                self._touched_ms[k] = now
 
     def recover_state(self) -> None:
         """Rebuild hot state from storage, like the reference's recovery
@@ -401,14 +428,29 @@ class StreamStore:
         One distributed pass: per-stream aggregates + last-command lookups.
 
         Eager full recovery — normally unnecessary: streams recover
-        lazily on first touch (:meth:`_st`)."""
+        lazily on first touch (:meth:`_st`).
+
+        Streams with an append IN FLIGHT (their per-stream writer lock
+        held) keep their existing state object: the holder's commit is
+        at least as new as the scan, and replacing the object would
+        detach the holder's tail advance (lost update → seq reuse)."""
         per_stream = self._state_agg(self.records_df()).collect()
-        self._state = {}
-        for r in per_stream:
-            self._state[(r["basin"], r["stream"])] = self._state_of(r)
-        # everything with data is now in _state — unknown keys are fresh
-        self._probe_unknown_streams = False
-        self._evicted.clear()
+        with self._meta_mu:
+            new_state: dict[tuple[str, str], _StreamState] = {}
+            for r in per_stream:
+                key = (r["basin"], r["stream"])
+                lk = self._locks.get(key)
+                if lk is not None and lk.locked() and key in self._state:
+                    new_state[key] = self._state[key]
+                else:
+                    new_state[key] = self._state_of(r)
+            for key, lk in self._locks.items():
+                if lk.locked() and key in self._state and key not in new_state:
+                    new_state[key] = self._state[key]
+            self._state = new_state
+            # everything with data is now in _state — unknown keys are fresh
+            self._probe_unknown_streams = False
+            self._evicted.clear()
 
     # --- append (A1-A6, A16) ---------------------------------------------
 
@@ -424,7 +466,6 @@ class StreamStore:
         serialized commit (streamer.rs:333-420, 964-1070)."""
         meta = self.catalog.ensure_stream_for(basin, stream, "append")
         cfg = self.catalog.resolve_config(meta.basin, meta.name)
-        st = self._st(basin, stream)
 
         # batch caps (common/src/stream.rs:251-268)
         if not (1 <= len(records) <= MAX_BATCH_RECORDS):
@@ -437,6 +478,10 @@ class StreamStore:
             raise BatchTooLarge(f"{metered} metered bytes")
 
         with self._locks[(basin, stream)]:
+            # state is fetched AFTER acquiring the writer lock: a
+            # concurrent recover_state skips locked keys, so the object
+            # obtained here stays the canonical one for this commit
+            st = self._st(basin, stream)
             ack = self._append_locked(
                 basin, stream, records, match_seq_num, fencing_token, cfg, st, metered
             )
@@ -999,11 +1044,20 @@ class StreamStore:
     ) -> DataFrame:
         """Unary read with the API-layer caps imposed: ≤1000 records and
         ≤1 MiB metered per response (lite/src/handlers/v1/records.rs:
-        72-84) — whatever the caller asked for is clamped down."""
+        72-84) — whatever the caller asked for is clamped down. An
+        explicit count=0 / bytes=0 is an exhausted budget (zero
+        records), matching the session path's treatment — never the
+        cap (the `or` idiom would silently turn 0 into 1000/1 MiB)."""
         limit = limit or ReadLimit()
         capped = ReadLimit(
-            count=min(limit.count or MAX_BATCH_RECORDS, MAX_BATCH_RECORDS),
-            bytes=min(limit.bytes or MAX_BATCH_METERED_BYTES, MAX_BATCH_METERED_BYTES),
+            count=min(
+                limit.count if limit.count is not None else MAX_BATCH_RECORDS,
+                MAX_BATCH_RECORDS,
+            ),
+            bytes=min(
+                limit.bytes if limit.bytes is not None else MAX_BATCH_METERED_BYTES,
+                MAX_BATCH_METERED_BYTES,
+            ),
             until=limit.until,
         )
         return self.read(basin, stream, start, capped)
@@ -1177,12 +1231,9 @@ class StreamStore:
             return max(total - done, 0)
 
         def metered(row) -> int:
-            return (
-                8
-                + 2 * len(row.headers)
-                + sum(len(h["name"]) + len(h["value"]) for h in row.headers)
-                + len(row.body)
-            )
+            from s2_spark.model import metered_size_bytes
+
+            return metered_size_bytes(row.headers, row.body)
 
         wait_deadline: float | None = None
         next_heartbeat = 0.0
@@ -1252,34 +1303,82 @@ class StreamStore:
         self._rewrite(clustered)
 
     def _rewrite(self, df: DataFrame) -> None:
+        """Swap the record data for ``df``'s output, PRESERVING the
+        store's metadata directories: ``_meta`` (the durable catalog)
+        and ``_audit`` (legacy audit parquet) live under base_dir, so a
+        whole-directory rmtree would destroy control-plane durability —
+        a compaction must never un-create every basin and stream. Only
+        non-underscore entries (the data files / bucket dirs) are
+        replaced."""
+        import shutil
+
         tmp = self.base_dir.rstrip("/") + ".compact"
         writer = df.write.mode("overwrite")
         if self.bucket_count:
             writer = writer.partitionBy("bucket")
         writer.parquet(tmp)
-        import shutil
-
-        shutil.rmtree(self.base_dir)
-        os.rename(tmp, self.base_dir)
+        for entry in os.listdir(self.base_dir):
+            if entry.startswith(("_", ".")):
+                continue  # _meta / _audit / hidden metadata survive
+            full = os.path.join(self.base_dir, entry)
+            if os.path.isdir(full):
+                shutil.rmtree(full)
+            else:
+                os.remove(full)
+        for entry in os.listdir(tmp):
+            if entry.startswith(("_", ".")):
+                continue  # the tmp write's _SUCCESS marker is not data
+            os.rename(os.path.join(tmp, entry), os.path.join(self.base_dir, entry))
+        shutil.rmtree(tmp, ignore_errors=True)
         self._invalidate_records()
 
-    def apply_trim_and_retention(self) -> None:
+    def apply_trim_and_retention(
+        self, drop_streams: list[tuple[str, str]] | None = None
+    ) -> None:
         """Physically delete trimmed/expired records — the background
         trim executor (lite/src/backend/bgtasks/stream_trim.rs:21-151)
-        and retention TTL as one compaction rewrite."""
+        and retention TTL as one compaction rewrite.
+
+        **Tail preservation**: each stream's highest-seq record survives
+        even when it sits below the trim point. The reference keeps the
+        tail in a dedicated KV row (StreamTailPosition) that trims never
+        touch; here the tail is DERIVED from storage, so deleting a
+        fully-trimmed stream's every record would reset its recovered
+        tail to 0 and re-issue already-used seq_nums. The keeper record
+        stays invisible to reads (the trim filter hides it) and, being
+        the highest-seq record, is by construction at/after the last
+        trim command — recovery re-derives both tail and trim point
+        from it.
+
+        ``drop_streams`` removes those streams' records entirely (no
+        keeper): the purge path for DELETED streams, whose names must
+        become recreatable as fresh streams starting at seq 0.
+        """
         df = self.records_df()
         # trim points come from storage, not the hot-state cache — the
         # cache only holds recently-touched streams (lazy recovery), and
         # maintenance must honor every stream's trim commands
         trims = self._state_agg(df).select(
-            "basin", "stream", F.coalesce("trim_point", F.lit(0)).alias("trim_point")
+            "basin",
+            "stream",
+            F.coalesce("trim_point", F.lit(0)).alias("trim_point"),
+            (F.col("tail_seq") - 1).alias("_last_seq"),
         )
         # no broadcast hint: one row per stream can be huge at the
         # million-stream scale — AQE picks broadcast vs shuffle join
         # from the aggregate's actual runtime size
         keep = (
             df.join(trims, ["basin", "stream"], "left")
-            .filter(F.col("seq_num") >= F.coalesce("trim_point", F.lit(0)))
-            .drop("trim_point")
+            .filter(
+                (F.col("seq_num") >= F.coalesce("trim_point", F.lit(0)))
+                | (F.col("seq_num") == F.col("_last_seq"))
+            )
+            .drop("trim_point", "_last_seq")
         )
+        if drop_streams:
+            keep = keep.filter(
+                ~F.concat_ws("\x00", "basin", "stream").isin(
+                    [f"{b}\x00{s}" for b, s in drop_streams]
+                )
+            )
         self._rewrite(keep)

@@ -158,6 +158,85 @@ def test_bulk_append_crash_between_write_and_state_then_recover(spark, tmp_path)
         assert _all_seqs(s2, f"s{i}") == list(range(50))
 
 
+def test_compaction_preserves_durable_catalog_and_audit(spark, tmp_path):
+    """compact()/apply_trim_and_retention rewrite the DATA only: the
+    durable catalog (_meta) and flushed audit history under base_dir
+    must survive the swap — a compaction must never un-create every
+    basin and stream."""
+    base = str(tmp_path / "records")
+    s1 = _fresh(spark, base)
+    s1.append(BASIN, "s", [Record(body=b"a"), Record(body=b"b")])
+    s1.read(BASIN, "s")
+    s1.audit.flush()
+    s1.compact()
+    s1.apply_trim_and_retention()
+
+    s2 = StreamStore(spark, base)
+    # catalog survived: the basin config (auto-create flag) is intact
+    assert s2.catalog.get_basin(BASIN).config.create_stream_on_append
+    # flushed audit history survived too (checked before this test's
+    # own reads add fresh ops to s2's buffer)
+    from pyspark.sql import functions as F
+
+    assert s2.audit.df().filter(F.col("op") == "read").count() == 1
+    assert s2.check_tail(BASIN, "s")[0] == 2
+    assert _all_seqs(s2, "s") == [0, 1]
+
+
+def test_full_trim_then_physical_delete_preserves_tail(spark, tmp_path):
+    """Trimming a stream to its tail and physically applying the trim
+    must NOT reset the recovered tail to 0: the highest-seq record (the
+    trim command itself) survives the rewrite as the tail keeper, reads
+    see nothing, and new appends continue past the old tail — seq_nums
+    are never reused."""
+    base = str(tmp_path / "records")
+    s1 = _fresh(spark, base)
+    s1.append(BASIN, "s", [Record(body=b"a"), Record(body=b"b"), Record(body=b"c")])
+    s1.trim(BASIN, "s", 1 << 62)  # clamps to its own position + 1 = 4
+    s1.apply_trim_and_retention()
+
+    s2 = StreamStore(spark, base)
+    s2.recover_state()
+    tail, _ = s2.check_tail(BASIN, "s")
+    assert tail == 4  # 3 records + the trim command — nothing forgotten
+    assert _all_seqs(s2, "s") == []  # fully trimmed: readers see nothing
+    ack = s2.append(BASIN, "s", [Record(body=b"d")])
+    assert ack.start_seq == 4  # no seq reuse
+    assert _all_seqs(s2, "s") == [4]
+
+
+def test_purged_stream_name_recreates_fresh(spark, tmp_path):
+    """delete_stream → purge → create the same name: the new stream
+    must start empty at seq 0, never resurrecting the dead stream's
+    records or tail."""
+    from s2_spark.operators.maintenance import deletion_purge_sweep
+
+    base = str(tmp_path / "records")
+    s1 = _fresh(spark, base)
+    s1.append(BASIN, "dead", [Record(body=b"ghost1"), Record(body=b"ghost2")])
+    s1.catalog.delete_stream(BASIN, "dead")
+    deletion_purge_sweep(s1)
+
+    s1.catalog.create_stream(BASIN, "dead")
+    assert s1.check_tail(BASIN, "dead")[0] == 0
+    assert _all_seqs(s1, "dead") == []
+    ack = s1.append(BASIN, "dead", [Record(body=b"fresh")])
+    assert ack.start_seq == 0
+    assert [
+        bytes(r["body"]) for r in s1.read(BASIN, "dead").collect()
+    ] == [b"fresh"]
+
+
+def test_read_unary_zero_limits_mean_exhausted_budget(spark, tmp_path):
+    from s2_spark.store import ReadLimit
+
+    base = str(tmp_path / "records")
+    s1 = _fresh(spark, base)
+    s1.append(BASIN, "s", [Record(body=b"a")])
+    assert s1.read_unary(BASIN, "s", limit=ReadLimit(count=0)).count() == 0
+    assert s1.read_unary(BASIN, "s", limit=ReadLimit(bytes=0)).count() == 0
+
+
 def test_bulk_append_admission_failure_writes_nothing(spark, tmp_path):
     """The other half of validate-then-commit: a batch rejected at
     admission (invalid record) must leave storage untouched — the

@@ -210,7 +210,20 @@ def test_retention_sweep_advances_trim(store):
     n = maintenance.retention_sweep(store)
     assert n == 1
     rows = store.read(BASIN, "s1").collect()
-    assert [bytes(r.body) for r in rows] == [b"new"]
+    # the sweep's trim is a durable in-band command record riding the
+    # log (like any trim); envelope records are what retention governs
+    env = [
+        bytes(r.body)
+        for r in rows
+        if not (len(r.headers) == 1 and bytes(r.headers[0]["name"]) == b"")
+    ]
+    assert env == [b"new"]
+    # durability: a cold store over the same directory re-derives the
+    # trim from the command — the expired record stays hidden
+    from s2_spark.store import StreamStore as _SS
+
+    cold = _SS(store.spark, store.base_dir, catalog=store.catalog)
+    assert cold._st(BASIN, "s1").trim_point == store._st(BASIN, "s1").trim_point
 
 
 def test_delete_on_empty_sweep(store):
