@@ -107,6 +107,24 @@ def trim_record(seq_num: int) -> Record:
     return Record(body=seq_num.to_bytes(8, "big"), headers=[(b"", b"trim")])
 
 
+def metered_size_bytes(headers, body) -> int:
+    """Metered size of one ALREADY-SEQUENCED record given its headers
+    as mappings with ``name``/``value`` (Spark Rows or plain dicts) and
+    a nullable body — the single Python-side definition of the billing
+    formula (common/src/record/mod.rs:204-212) for driver code that
+    accounts served/planned bytes (session delivery accounting, the
+    streaming source's byte-budget planner). :class:`Record` instances
+    use :meth:`Record.metered_size`; column expressions use
+    :func:`metered_size_col` — all three must stay in lockstep."""
+    hs = headers or ()
+    return (
+        8
+        + 2 * len(hs)
+        + sum(len(h["name"] or b"") + len(h["value"] or b"") for h in hs)
+        + len(body or b"")
+    )
+
+
 # --- column expressions (JVM-side equivalents) -------------------------
 
 

@@ -198,17 +198,32 @@ class S2StreamReader(DataSourceStreamReader):
         # DataSourceStreamReader contract applies offsets as reported,
         # so clamping must happen where the end offset is produced.
         tails = self._filtered(_tails(self.path, self._tails_cache, self.tails_stats))
+        # monotone guard: a concurrent compaction rewrite can leave the
+        # directory momentarily empty/partial; tails only ever grow, so
+        # serve the max ever observed per stream instead of regressing
+        # the offset log
+        seen = getattr(self, "_max_seen", {})
+        for k, v in seen.items():
+            if tails.get(k, 0) < v:
+                tails[k] = v
+        self._max_seen = dict(tails)
         if self.max_records > 0:
             cap = self.start_seq + self.max_records
             tails = {k: min(v, cap) for k, v in tails.items()}
         if self.max_bytes > 0:
             tails = {k: min(v, self._byte_capped(k, v)) for k, v in tails.items()}
         if self.max_per_trigger > 0:
-            committed = getattr(self, "_last_committed", {})
+            base = getattr(self, "_baseline", {})
             tails = {
-                k: min(v, committed.get(k, self.start_seq) + self.max_per_trigger)
+                k: min(v, base.get(k, self.start_seq) + self.max_per_trigger)
                 for k, v in tails.items()
             }
+            # After a checkpoint restart this reader is cold (_baseline
+            # empty, and initialOffset is not re-invoked), so the end
+            # reported here can fall BELOW the checkpointed start. That
+            # is repaired at partitions(): the high-water clamp never
+            # re-delivers below any start/end ever seen, and the next
+            # trigger's baseline is the true checkpointed position.
         return tails
 
     _BYTES_SCAN_WINDOW = 4096  # records per driver-side planning read
@@ -239,17 +254,14 @@ class S2StreamReader(DataSourceStreamReader):
             table = dataset.to_table(
                 filter=flt, columns=["seq_num", "headers", "body"]
             ).sort_by("seq_num")
+            from s2_spark.model import metered_size_bytes
+
             for seq, headers, body in zip(
                 table.column("seq_num").to_pylist(),
                 table.column("headers").to_pylist(),
                 table.column("body").to_pylist(),
             ):
-                m = (
-                    8
-                    + 2 * len(headers or ())
-                    + sum(len(h["name"] or b"") + len(h["value"] or b"") for h in headers or ())
-                    + len(body or b"")
-                )
+                m = metered_size_bytes(headers, body)
                 if cum + m > self.max_bytes:
                     self._bytes_cap[key] = seq  # budget exhausted — final
                     return seq
@@ -259,17 +271,30 @@ class S2StreamReader(DataSourceStreamReader):
         return tail
 
     def partitions(self, start: dict, end: dict):
-        # advance the rate-limit baseline here: partitions() sees every
-        # planned batch's end offsets even when commit() isn't invoked
-        if self.max_per_trigger > 0:
-            prev = getattr(self, "_last_committed", {})
-            self._last_committed = {**prev, **end}
+        """Plan one slice per advanced stream, clamped by the high-water
+        mark: no slice ever re-reads below ANY start/end offset this
+        reader has seen. That makes restart rate-limiting safe — on a
+        cold reader latestOffset can report an end below the
+        checkpointed start (it has no baseline yet); the engine records
+        that regressed end in its offset log and uses it as the next
+        start, and without the clamp the batch after would re-deliver
+        everything between the regressed end and the true checkpointed
+        position. The clamp also hardens against any transient
+        tails-scan regression. The baseline is advanced here (not just
+        in commit) because partitions() sees every PLANNED batch."""
+        prior = dict(getattr(self, "_baseline", None) or {})
         parts = []
         for k, e in end.items():
             s = start.get(k, self.start_seq)
+            s = max(s, prior.get(k, s))  # never re-deliver below the HWM
             if e > s:
                 b, st = k.split(SEP, 1)
                 parts.append(_StreamSlice(self.path, b, st, s, e))
+        for src in (start, end):
+            for k, v in src.items():
+                if v > prior.get(k, -1):
+                    prior[k] = v
+        self._baseline = prior
         # Spark requires ≥1 partition per batch; emit an empty slice as
         # the heartbeat (read.rs:383-391) when no stream advanced.
         if not parts:
@@ -277,9 +302,13 @@ class S2StreamReader(DataSourceStreamReader):
         return parts
 
     def commit(self, end: dict) -> None:
-        # offsets live in the checkpoint; remember the high-water mark so
-        # rate limiting advances window-by-window
-        self._last_committed = dict(end)
+        # offsets live in the checkpoint; the baseline (high-water mark)
+        # only ever advances — rate limiting moves window-by-window
+        base = dict(getattr(self, "_baseline", None) or {})
+        for k, v in end.items():
+            if v > base.get(k, -1):
+                base[k] = v
+        self._baseline = base
 
     def read(self, partition: _StreamSlice):
         if partition.end <= partition.start:

@@ -285,6 +285,48 @@ def test_windowed_agg_stream_equals_batch(spark, sf_dir, tmp_path, build, reques
     assert got == want
 
 
+def test_source_restart_rate_limit_never_redelivers(spark, store):
+    """Checkpoint-restart with maxrecordspertrigger: a cold reader has
+    no rate-limit baseline, so its first latestOffset can report an end
+    BELOW the checkpointed start; the engine records that end and uses
+    it as the next start. The partitions() high-water clamp must
+    prevent any slice from re-reading below an offset the reader has
+    seen — no record is ever delivered twice."""
+    from s2_spark.streaming.source import S2StreamReader, SEP
+
+    store.append(BASIN, "s1", _recs(60))
+    key = f"{BASIN}{SEP}s1"
+    opts = {"path": store.base_dir, "basin": BASIN, "maxrecordspertrigger": "10"}
+
+    # a prior run committed through offset 50 (checkpointed)
+    checkpointed = {key: 50}
+
+    r2 = S2StreamReader(opts)  # cold restart: no baseline
+    end1 = r2.latestOffset()
+    # regressed end is expected (baseline unknown)...
+    parts1 = r2.partitions(checkpointed, end1)
+    delivered = [(p.start, p.end) for p in parts1 if p.end > p.start]
+    # ...but nothing below the checkpointed start is ever planned
+    assert all(s >= 50 for s, _ in delivered)
+
+    # engine uses end1 as the next start (the offset-log mechanics)
+    end2 = r2.latestOffset()
+    parts2 = r2.partitions(end1, end2)
+    delivered += [(p.start, p.end) for p in parts2 if p.end > p.start]
+    end3 = r2.latestOffset()
+    parts3 = r2.partitions(end2, end3)
+    delivered += [(p.start, p.end) for p in parts3 if p.end > p.start]
+    # every planned slice stays at/above the checkpointed position and
+    # slices never overlap (exactly-once planning)
+    assert all(s >= 50 for s, _ in delivered)
+    covered = []
+    for s, e in sorted(delivered):
+        assert not covered or s >= covered[-1][1]
+        covered.append((s, e))
+    # and progress does complete to the tail under the rate limit
+    assert covered and covered[-1][1] == 60
+
+
 def test_interval_join_stream_equals_batch(spark, sf_dir, tmp_path):
     """Q-STR8: the stream-stream interval join (both sides watermarked,
     two-directional event-time bound) emits in streaming append mode
