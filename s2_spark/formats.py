@@ -32,18 +32,45 @@ def _b64_headers(headers: Column) -> Column:
     return F.transform(headers, lambda h: F.array(F.base64(h["name"]), F.base64(h["value"])))
 
 
+def _utf8_checked(col: Column, what: str) -> Column:
+    """Cast bytes → string, ERRORING on non-UTF-8 instead of silently
+    substituting U+FFFD: the reference rejects non-UTF-8 payloads in
+    raw mode (api/src/v1/stream/json.rs), and a lossy replacement would
+    corrupt the roundtrip without any signal. Detection is re-encode ==
+    original (replacement chars re-encode differently) — all JVM-side."""
+    s = col.cast("string")
+    return F.when(
+        col.isNull() | (F.encode(s, "UTF-8") == col), s
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"raw JSON encoding requires UTF-8 {what}; got 0x"),
+                F.hex(col),
+            )
+        ).cast("string")
+    )
+
+
 def _raw_headers(headers: Column) -> Column:
     return F.transform(
-        headers, lambda h: F.array(h["name"].cast("string"), h["value"].cast("string"))
+        headers,
+        lambda h: F.array(
+            _utf8_checked(h["name"], "header name"),
+            _utf8_checked(h["value"], "header value"),
+        ),
     )
 
 
 def encode_json(records: DataFrame, base64_encoding: bool = True) -> DataFrame:
     """records → (basin, stream, seq_num, json) with body/headers in the
     requested encoding. base64 is lossless for arbitrary bytes; raw
-    requires UTF-8 payloads (the reference errors otherwise — here the
-    cast yields the same contract)."""
-    enc_body = F.base64("body") if base64_encoding else F.col("body").cast("string")
+    requires UTF-8 payloads and ERRORS on anything else, matching the
+    reference's contract — never a silent lossy replacement."""
+    enc_body = (
+        F.base64("body")
+        if base64_encoding
+        else _utf8_checked(F.col("body"), "body")
+    )
     enc_hdrs = _b64_headers(F.col("headers")) if base64_encoding else _raw_headers(F.col("headers"))
     payload = F.to_json(
         F.struct(

@@ -77,8 +77,10 @@ class AccessToken:
     expires_at_ms: int | None = None
 
     def __post_init__(self):
-        if len(self.token_id.encode()) > 96:
-            raise ValueError("token id > 96 bytes")
+        # the full id contract (non-empty, not "."/"..", ≤96 bytes —
+        # access.rs:22-43), not a weaker ad-hoc subset: a directly
+        # constructed token obeys the same rules issue() enforces
+        _validate_token_id(self.token_id)
 
     def allows(self, op: str, basin: str, stream: str | None = None, now_ms: int = 0) -> bool:
         if self.expires_at_ms is not None and now_ms >= self.expires_at_ms:
@@ -213,21 +215,22 @@ class TokenStore:
 
     def list(
         self, prefix: str = "", start_after: str = "", limit: int | None = None
-    ) -> list[IssuedToken]:
+    ) -> tuple[list[IssuedToken], bool]:
         """ListAccessTokensRequest pagination — identical shape to basin
         /stream listing (A21): id prefix, lexicographic start_after,
-        limit capped at 1000."""
-        n = min(limit if limit is not None else MAX_LIST_LIMIT, MAX_LIST_LIMIT)
+        limit capped at 1000, and a has_more flag so a paginating
+        caller can tell a full page from the last page. The filter +
+        slice form (the catalog's) also makes limit=0 return zero
+        items, not one."""
+        n = max(0, min(limit if limit is not None else MAX_LIST_LIMIT, MAX_LIST_LIMIT))
         with self._mu:
             snapshot = sorted(self._tokens.items())
-        out = []
-        for i, tok in snapshot:
-            if not i.startswith(prefix) or i <= start_after:
-                continue
-            out.append(tok)
-            if len(out) >= n:
-                break
-        return out
+        matching = [
+            tok
+            for i, tok in snapshot
+            if i.startswith(prefix) and i > start_after
+        ]
+        return matching[:n], len(matching) > n
 
     def expiry_sweep(self, now_ms: int) -> list[str]:
         """Drop expired tokens (the maintenance-tick analogue of the

@@ -44,8 +44,22 @@ class Producer:
         self.basin = basin
         self.stream = stream
         self.linger_s = linger_ms / 1000.0
-        self.max_records = max_batch_records
-        self.max_bytes = max_batch_bytes
+        # batch bounds beyond the hard caps would pass every record at
+        # submit time and then fail the whole batch at commit — reject
+        # the misconfiguration up front (validate-early, like the
+        # un-acked window below)
+        if not (1 <= int(max_batch_records) <= MAX_BATCH_RECORDS):
+            raise ValueError(
+                f"max_batch_records must be in 1..{MAX_BATCH_RECORDS}, "
+                f"got {int(max_batch_records)}"
+            )
+        if not (1 <= int(max_batch_bytes) <= MAX_BATCH_METERED_BYTES):
+            raise ValueError(
+                f"max_batch_bytes must be in 1..{MAX_BATCH_METERED_BYTES}, "
+                f"got {int(max_batch_bytes)}"
+            )
+        self.max_records = int(max_batch_records)
+        self.max_bytes = int(max_batch_bytes)
         if int(max_unacked_bytes) < MIN_UNACKED_WINDOW_BYTES:
             # the SDK rejects sub-1MiB windows rather than clamping
             # (sdk/src/producer.rs with_max_unacked_bytes validation)
@@ -61,6 +75,16 @@ class Producer:
         self._unacked_cv = threading.Condition(self._lock)
         self._timer: threading.Timer | None = None
         self._closed = False
+        # commit-ordering tickets: a batch's ticket is issued at TAKE
+        # time (under the producer lock, so ticket order == submission
+        # order), and commits run strictly in ticket order — without
+        # this, a linger-timer flush racing a fill flush could win the
+        # store's per-stream writer lock first and put a later batch's
+        # records at earlier seq_nums (the SDK's ordered-pipelined-acks
+        # contract, sdk/src/producer.rs)
+        self._next_ticket = 0
+        self._turn = 0
+        self._turn_cv = threading.Condition()
 
     def submit(self, record: Record) -> Future:
         """Queue one record; returns a Future resolving to its assigned
@@ -113,46 +137,74 @@ class Producer:
                 return fut
 
     def _take_locked(self):
+        """Take the pending batch with a commit-order ticket; None when
+        nothing is pending (no ticket is burned — every issued ticket
+        MUST reach _commit or the turn sequence would stall)."""
+        if not self._pending:
+            return None
         batch = self._pending
         self._pending = []
         self._pending_bytes = 0
         if self._timer is not None:
             self._timer.cancel()
             self._timer = None
-        return batch
+        ticket = self._next_ticket
+        self._next_ticket += 1
+        return ticket, batch
 
-    def _commit(self, batch) -> None:
+    def _commit(self, taken) -> None:
+        ticket, batch = taken
+        # strict ticket order: earlier-taken batches append first, so
+        # stream order always equals submission order
+        with self._turn_cv:
+            while self._turn != ticket:
+                self._turn_cv.wait()
         records = [r for r, _ in batch]
         size = sum(r.metered_size() for r in records)
         try:
             try:
-                ack = self.store.append(self.basin, self.stream, records)
-            finally:
-                # acked OR failed: either way the bytes are no longer
-                # in flight — release blocked submitters
-                with self._unacked_cv:
-                    self._unacked_bytes -= size
-                    self._unacked_cv.notify_all()
-        except Exception as e:  # fail every future in the batch
-            for _, fut in batch:
+                try:
+                    ack = self.store.append(self.basin, self.stream, records)
+                finally:
+                    # acked OR failed: either way the bytes are no longer
+                    # in flight — release blocked submitters
+                    with self._unacked_cv:
+                        self._unacked_bytes -= size
+                        self._unacked_cv.notify_all()
+            except Exception as e:  # fail every future in the batch
+                for _, fut in batch:
+                    if not fut.done():
+                        fut.set_exception(e)
+                return
+            for i, (_, fut) in enumerate(batch):
                 if not fut.done():
-                    fut.set_exception(e)
-            return
-        for i, (_, fut) in enumerate(batch):
-            if not fut.done():
-                fut.set_result(ack.start_seq + i)
+                    fut.set_result(ack.start_seq + i)
+        finally:
+            with self._turn_cv:
+                self._turn = ticket + 1
+                self._turn_cv.notify_all()
 
     def flush(self) -> None:
         with self._lock:
-            batch = self._take_locked()
-        if batch:
-            self._commit(batch)
+            taken = self._take_locked()
+        if taken:
+            self._commit(taken)
 
     def close(self) -> None:
-        self.flush()
+        """Drain-then-close: no submit admitted after this returns, the
+        pending batch (if any) is committed, and every in-flight
+        linger-timer commit has completed — futures handed out before
+        close() are all resolved when it returns."""
         with self._unacked_cv:
-            self._closed = True
+            self._closed = True  # set BEFORE taking: no submit sneaks in
+            taken = self._take_locked()
+            drain_to = self._next_ticket
             self._unacked_cv.notify_all()  # wake blocked submitters → raise
+        if taken:
+            self._commit(taken)
+        with self._turn_cv:
+            while self._turn < drain_to:
+                self._turn_cv.wait()
 
     def __enter__(self):
         return self

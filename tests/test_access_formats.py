@@ -54,6 +54,24 @@ def test_token_expiry():
 def test_token_id_cap():
     with pytest.raises(ValueError):
         AccessToken("x" * 97)
+    # the FULL id contract applies to direct construction too, not just
+    # TokenStore.issue (access.rs:22-43 validate_str)
+    for bad in ("", ".", ".."):
+        with pytest.raises(ValueError):
+            AccessToken(bad)
+
+
+def test_token_list_zero_limit_and_has_more(tmp_path):
+    from s2_spark.operators.access import TokenStore
+
+    ts = TokenStore()
+    for i in range(3):
+        ts.issue(f"t-{i}")
+    assert ts.list(limit=0) == ([], True)
+    page, more = ts.list(limit=2)
+    assert [t.id for t in page] == ["t-0", "t-1"] and more
+    page, more = ts.list(limit=3)
+    assert len(page) == 3 and not more
 
 
 def test_token_lifecycle_issue_list_revoke(tmp_path):
@@ -75,8 +93,11 @@ def test_token_lifecycle_issue_list_revoke(tmp_path):
         ts.issue("..")
     with pytest.raises(ValueError):
         ts.issue("x" * 97)
-    assert [t.id for t in ts.list(prefix="tok-")] == [f"tok-{i}" for i in range(5)]
-    assert [t.id for t in ts.list(prefix="tok-", start_after="tok-1", limit=2)] == [
+    toks, more = ts.list(prefix="tok-")
+    assert [t.id for t in toks] == [f"tok-{i}" for i in range(5)] and not more
+    page, more = ts.list(prefix="tok-", start_after="tok-1", limit=2)
+    assert more  # tok-4 remains past this page
+    assert [t.id for t in page] == [
         "tok-2",
         "tok-3",
     ]
@@ -86,7 +107,7 @@ def test_token_lifecycle_issue_list_revoke(tmp_path):
         ts.revoke("tok-4")
     # reopen from disk: remaining tokens survive
     ts2 = TokenStore(meta_dir=str(tmp_path / "meta"))
-    assert [t.id for t in ts2.list()] == ["other-1"] + [f"tok-{i}" for i in (0, 1, 2, 3)]
+    assert [t.id for t in ts2.list()[0]] == ["other-1"] + [f"tok-{i}" for i in (0, 1, 2, 3)]
 
 
 def test_token_expiry_sweep_and_check(tmp_path):
@@ -104,7 +125,7 @@ def test_token_expiry_sweep_and_check(tmp_path):
     with pytest.raises(TokenExpired):
         ts.check("short", "read", "b", None, now_ms=1500)
     assert sorted(ts.expiry_sweep(now_ms=1500)) == ["short"]
-    assert [t.id for t in ts.list()] == ["forever", "long"]
+    assert [t.id for t in ts.list()[0]] == ["forever", "long"]
     assert ts.expiry_sweep(now_ms=1500) == []
     # scope enforcement routes through AccessToken.allows
     ts.issue(
@@ -189,6 +210,19 @@ def test_json_raw_roundtrip_utf8(store):
     row = back.orderBy("seq_num").first()
     assert bytes(row.body) == b"utf-8 text ok"
     assert [(bytes(h.name), bytes(h.value)) for h in row.headers] == [(b"h", b"v")]
+
+
+def test_json_raw_rejects_non_utf8(store):
+    """Raw mode errors on non-UTF-8 payloads like the reference
+    (api/src/v1/stream/json.rs) — never a silent U+FFFD-lossy
+    roundtrip."""
+    store.append(BASIN, "s1", [Record(body=b"\x00\xff\xfe")])
+    recs = store.records_df()
+    with pytest.raises(Exception, match="UTF-8"):
+        encode_json(recs, base64_encoding=False).collect()
+    # base64 mode carries the same bytes losslessly
+    back = decode_json(encode_json(recs, base64_encoding=True), base64_encoding=True)
+    assert bytes(back.orderBy("seq_num").first().body) == b"\x00\xff\xfe"
 
 
 # --- long-poll wait (A7) --------------------------------------------------------

@@ -123,6 +123,79 @@ def test_producer_linger_batching(store):
     assert [bytes(r.body) for r in rows] == [f"m{i}".encode() for i in range(10)]
 
 
+def test_producer_commits_preserve_submission_order(store):
+    """Racing flushes (fill flush vs explicit/timer flush) must append
+    batches in take order — the SDK's ordered-pipelined-acks contract.
+    The first batch's append is slowed so, without commit-order
+    tickets, the second batch would win the stream's writer lock and
+    steal the earlier seq_nums."""
+    import threading
+    import time
+
+    real_append = store.append
+    first = {"pending": True}
+
+    def slow_first(*a, **kw):
+        if first.pop("pending", None):
+            time.sleep(0.3)
+        return real_append(*a, **kw)
+
+    store.append = slow_first
+    try:
+        p = Producer(store, BASIN, "s1", linger_ms=60_000)
+        f0 = p.submit(Record(body=b"a"))
+        f1 = p.submit(Record(body=b"b"))
+        t = threading.Thread(target=p.flush)  # takes ticket 0, sleeps
+        t.start()
+        time.sleep(0.05)
+        f2 = p.submit(Record(body=b"c"))
+        f3 = p.submit(Record(body=b"d"))
+        p.flush()  # ticket 1 — must wait for ticket 0's append
+        t.join()
+        p.close()
+    finally:
+        store.append = real_append
+    assert [f.result(timeout=5) for f in (f0, f1, f2, f3)] == [0, 1, 2, 3]
+    rows = store.read(BASIN, "s1").collect()
+    assert [bytes(r.body) for r in rows] == [b"a", b"b", b"c", b"d"]
+
+
+def test_producer_close_drains_inflight_timer_commit(store):
+    """close() is a drain barrier: an in-flight linger-timer commit
+    completes before close() returns, so every future handed out is
+    resolved — no record left behind on a daemon thread."""
+    import time
+
+    real_append = store.append
+
+    def slow(*a, **kw):
+        time.sleep(0.3)
+        return real_append(*a, **kw)
+
+    store.append = slow
+    try:
+        p = Producer(store, BASIN, "s1", linger_ms=10)
+        fut = p.submit(Record(body=b"x"))
+        time.sleep(0.1)  # timer fired; its commit is inside append()
+        p.close()
+    finally:
+        store.append = real_append
+    assert fut.done() and fut.result() == 0
+
+
+def test_producer_rejects_oversized_batch_config(store):
+    import pytest as _pytest
+
+    from s2_spark.model import MAX_BATCH_METERED_BYTES, MAX_BATCH_RECORDS
+
+    with _pytest.raises(ValueError):
+        Producer(store, BASIN, "s1", max_batch_records=MAX_BATCH_RECORDS + 1)
+    with _pytest.raises(ValueError):
+        Producer(store, BASIN, "s1", max_batch_bytes=MAX_BATCH_METERED_BYTES + 1)
+    with _pytest.raises(ValueError):
+        Producer(store, BASIN, "s1", max_batch_records=0)
+
+
 def test_producer_count_cap_splits_batches(store):
     with Producer(store, BASIN, "s1", linger_ms=60_000, max_batch_records=4) as p:
         futs = [p.submit(Record(body=f"m{i}".encode())) for i in range(10)]

@@ -285,6 +285,41 @@ def test_windowed_agg_stream_equals_batch(spark, sf_dir, tmp_path, build, reques
     assert got == want
 
 
+def test_sink_epoch_replay_is_idempotent(spark, store):
+    """foreachBatch is at-least-once; the sink's epoch log makes it
+    exactly-once: a replayed epoch (same epoch_id) appends nothing."""
+    from s2_spark.streaming.sink import append_sink
+
+    rows = [(BASIN, "s1", None, [], f"r{i}".encode(), i) for i in range(5)]
+    df = spark.createDataFrame(
+        rows,
+        "basin string, stream string, timestamp long, "
+        "headers array<struct<name binary, value binary>>, body binary, "
+        "ingest_order long",
+    )
+    commit = append_sink(store, sink_id="q1")
+    commit(df, 7)
+    commit(df, 7)  # replay after a crash past the checkpoint
+    assert store.check_tail(BASIN, "s1")[0] == 5
+    # a crash AFTER the append but BEFORE the done marker: replay sees
+    # the intent, detects the advanced tails, and skips the re-append
+    import json
+    import os
+
+    epochs = os.path.join(store.base_dir, "_sink_epochs", "q1")
+    os.remove(os.path.join(epochs, "7.done"))
+    with open(os.path.join(epochs, "7.intent"), "w") as f:
+        json.dump({f"{BASIN}\x00s1": 0}, f)  # tails before the append
+    commit(df, 7)
+    assert store.check_tail(BASIN, "s1")[0] == 5  # still exactly once
+    # a crash BEFORE the append: intent recorded, tails unmoved — the
+    # replay must actually append
+    with open(os.path.join(epochs, "8.intent"), "w") as f:
+        json.dump({f"{BASIN}\x00s1": 5}, f)
+    commit(df, 8)
+    assert store.check_tail(BASIN, "s1")[0] == 10
+
+
 def test_source_restart_rate_limit_never_redelivers(spark, store):
     """Checkpoint-restart with maxrecordspertrigger: a cold reader has
     no rate-limit baseline, so its first latestOffset can report an end
