@@ -99,6 +99,12 @@ _R06_RESCORE = frozenset({
     "x35_pipeline_summary",
     "ag15_read_ops", "ag16_read_throughput", "ag17_basin_ops",
     "ag18_active_basins", "ag19_account_ops",
+    # late-round review fixes (tokenization normalized in lockstep with
+    # the oracles; IVF probe ranking switched to the assignment metric;
+    # fingerprint trims before splitting; banding covers remainders)
+    "x9_minhash_neardup", "x10_simhash_neardup",
+    "x16_ngram_jaccard_neardup", "x13_lsh_ann_topk",
+    "x14_ivf_ann_topk", "x15_doc_rolling_fingerprint",
 })
 
 

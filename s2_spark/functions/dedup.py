@@ -57,15 +57,31 @@ def duplicate_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
 
 
 def tokens_col(text_col: str = "text") -> Column:
-    return F.array_distinct(F.split(F.lower(F.col(text_col)), r"\s+"))
+    """Distinct word tokens of the NORMALIZED text (trim + whitespace
+    collapse + lowercase — the same canonical form :func:`normalize_text`
+    hashes for exact dedup). Splitting the raw text instead would keep
+    phantom empty tokens for leading/trailing whitespace, giving two
+    texts that collapse as exact duplicates different token sets — which
+    would break the _expand_pairs invariant that members of an exact
+    cluster have exactly their representative's similarity."""
+    return F.array_distinct(F.split(normalize_text(F.col(text_col)), " "))
 
 
 def minhash_signatures(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 32
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 32,
+    tokens: Column | None = None,
 ) -> DataFrame:
     """(id, sig: array<long>[k]) — k independent min-hashes, one explode,
-    one partial-aggregated shuffle."""
-    toks = df.select(id_col, F.explode(tokens_col(text_col)).alias("tok"))
+    one partial-aggregated shuffle. ``tokens`` swaps the unit (default
+    word tokens; pass :func:`ngram_shingles` for character shingles) —
+    one definition serves both pipelines."""
+    toks = df.select(
+        id_col,
+        F.explode(tokens if tokens is not None else tokens_col(text_col)).alias("tok"),
+    )
     aggs = [
         F.min(F.xxhash64("tok", F.lit(i))).alias(f"h{i}") for i in range(k)
     ]
@@ -78,7 +94,10 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """Band the signature and bucket-join: docs sharing any band hash
     become a candidate pair. Returns distinct (d1, d2), d1 < d2."""
-    k = bands  # rows per band derived from sig length at runtime
+    # band width = floor(k / bands); the LAST band absorbs the
+    # remainder so no trailing signature component is silently ignored
+    # when bands does not divide the signature length
+    width = (F.size("sig") / bands).cast("int")
     banded = sig_df.select(
         id_col,
         F.posexplode(
@@ -87,8 +106,10 @@ def lsh_candidate_pairs(
                 lambda b: F.xxhash64(
                     F.slice(
                         F.col("sig"),
-                        b * (F.size("sig") / bands).cast("int") + 1,
-                        (F.size("sig") / bands).cast("int"),
+                        b * width + 1,
+                        F.when(
+                            b == bands - 1, F.size("sig") - b * width
+                        ).otherwise(width),
                     ).cast("string"),
                     b,
                 ),
@@ -110,12 +131,20 @@ def lsh_candidate_pairs(
 
 
 def exact_jaccard(
-    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokens: Column | None = None,
 ) -> DataFrame:
     """Verify candidates with exact token-set Jaccard — joins the (small)
     candidate set back to the corpus twice; documents only move for
-    candidates."""
-    toks = df.select(F.col(id_col).alias("_id"), tokens_col(text_col).alias("_toks"))
+    candidates. ``tokens`` swaps the unit like in
+    :func:`minhash_signatures`."""
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        (tokens if tokens is not None else tokens_col(text_col)).alias("_toks"),
+    )
     j = (
         pairs.join(toks.withColumnRenamed("_id", "d1").withColumnRenamed("_toks", "t1"), "d1")
         .join(toks.withColumnRenamed("_id", "d2").withColumnRenamed("_toks", "t2"), "d2")
@@ -286,7 +315,7 @@ def simhash_neardup_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    max_hamming: int = 8,
+    max_hamming: int = 3,
     bands: int = 4,
     hash_fn: str = "xxhash64",
 ) -> DataFrame:
@@ -296,6 +325,16 @@ def simhash_neardup_pairs(
     guaranteed recall), then verify with full hamming distance.
     ``hash_fn='md5'`` selects the portable token hash
     (:func:`simhash_md5`) so results are replayable by any SQL engine."""
+    if max_hamming >= bands:
+        # the pigeonhole guarantee (any pair within hamming <= bands-1
+        # shares an exact chunk) is the function's recall contract; a
+        # wider hamming bound than bands-1 would silently miss
+        # qualifying pairs whose differing bits spread across bands
+        raise ValueError(
+            f"recall guarantee requires bands > max_hamming "
+            f"(got bands={bands}, max_hamming={max_hamming}); "
+            f"raise bands or lower max_hamming"
+        )
     width = 64 // bands
     mask = (1 << width) - 1
     rep_docs, members = _collapse_exact(df, id_col, text_col)
@@ -346,24 +385,13 @@ def ngram_jaccard_pairs(
     shingles instead of word tokens (and the same exact-dup collapse in
     front — identical normalized texts have identical shingle sets)."""
     rep_docs, members = _collapse_exact(df, id_col, text_col)
-    sh = rep_docs.select(id_col, F.explode(ngram_shingles(text_col, n)).alias("tok"))
-    aggs = [F.min(F.xxhash64("tok", F.lit(i))).alias(f"h{i}") for i in range(k)]
-    sig = sh.groupBy(id_col).agg(*aggs).select(
-        id_col, F.array(*[f"h{i}" for i in range(k)]).alias("sig")
+    sig = minhash_signatures(
+        rep_docs, id_col, text_col, k, tokens=ngram_shingles(text_col, n)
     )
     cands = lsh_candidate_pairs(sig, id_col, bands)
-    toks = rep_docs.select(
-        F.col(id_col).alias("_id"), ngram_shingles(text_col, n).alias("_toks")
-    )
-    j = (
-        cands.join(toks.withColumnRenamed("_id", "d1").withColumnRenamed("_toks", "t1"), "d1")
-        .join(toks.withColumnRenamed("_id", "d2").withColumnRenamed("_toks", "t2"), "d2")
-    )
-    inter = F.size(F.array_intersect("t1", "t2")).cast("double")
-    union = F.size(F.array_union("t1", "t2")).cast("double")
-    rep_pairs = j.select("d1", "d2", (inter / union).alias("jaccard")).filter(
-        F.col("jaccard") >= threshold
-    )
+    rep_pairs = exact_jaccard(
+        rep_docs, cands, id_col, text_col, tokens=ngram_shingles(text_col, n)
+    ).filter(F.col("jaccard") >= threshold)
     return _expand_pairs(rep_pairs, members, id_col, "jaccard", 1.0)
 
 
@@ -499,6 +527,8 @@ def neardup_clusters(
     chain is a reason to raise ``max_iters``, not to trust a prefix of
     the fixpoint.
     """
+    if max_iters < 1:
+        raise ValueError(f"max_iters must be >= 1, got {max_iters}")
     banded, bucket_min = _band_buckets(df, id_col, text_col, k, bands)
     edges = (
         banded.join(bucket_min, ["band", "bh"])

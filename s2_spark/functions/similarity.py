@@ -114,18 +114,25 @@ def lsh_topk(
     """ANN top-k: probe the query's bucket (and hamming-`multiprobe`
     neighbors), exact cosine within. Recall/efficiency dial = (m,
     multiprobe)."""
+    from itertools import combinations
+
     planes = _hyperplanes(dim, m, seed)
     bucketed = df.withColumn("_bkt", lsh_bucket(vec_col, planes))
     q = _query_df(df, vec_col, query, query_id, id_col).withColumn(
         "_qbkt", lsh_bucket("qe", planes)
     )
-    # probe set: query bucket + single-bit flips up to `multiprobe` bits
-    probe_cols = [F.col("_qbkt")]
-    if multiprobe >= 1:
-        probe_cols += [
-            F.col("_qbkt").bitwiseXOR(F.lit(1 << i).cast("long")) for i in range(m)
-        ]
-    probes = F.array(*probe_cols)
+    # probe set: every bucket within hamming <= multiprobe of the
+    # query's (sum over r of C(m, r) masks — all literal, folded into
+    # the plan). multiprobe=1 is the single-bit-flip set; higher values
+    # genuinely widen the probe ring rather than being a no-op.
+    masks = [0] + [
+        sum(1 << i for i in bits)
+        for r in range(1, min(multiprobe, m) + 1)
+        for bits in combinations(range(m), r)
+    ]
+    probes = F.array(
+        *[F.col("_qbkt").bitwiseXOR(F.lit(mask).cast("long")) for mask in masks]
+    )
     qx = q.select("qe", F.explode(probes).alias("_bkt"))
     base = bucketed if query is not None else bucketed.filter(F.col(id_col) != query_id)
     return (
@@ -198,20 +205,23 @@ def ivf_topk(
     written partitioned by cell). ``model`` is either a fitted MLlib
     KMeans model or a plain centroid list (:func:`ivf_fixed_centroids`)."""
     if query is None:
-        query = [
-            float(x)
-            for x in assigned.filter(F.col(id_col) == query_id).select(vec_col).first()[0]
-        ]
+        row = assigned.filter(F.col(id_col) == query_id).select(vec_col).first()
+        if row is None:
+            raise ValueError(f"ivf_topk: no vector with {id_col} == {query_id!r}")
+        query = [float(x) for x in row[0]]
     raw_centers = model if isinstance(model, list) else model.clusterCenters()
     centers = [(i, list(map(float, c))) for i, c in enumerate(raw_centers)]
 
-    def _cos(a, b):
-        d = sum(x * y for x, y in zip(a, b))
-        na = math.sqrt(sum(x * x for x in a)) or 1.0
-        nb = math.sqrt(sum(x * x for x in b)) or 1.0
-        return d / (na * nb)
+    def _sqdist(a, b):
+        # probe ranking uses the SAME metric that carved the cells
+        # (squared euclidean — ivf_assign_fixed / KMeans). Ranking by
+        # cosine instead can exclude the query's own assigned cell for
+        # unnormalized vectors, missing near-identical stored vectors.
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
 
-    probe_cells = [i for i, _ in sorted(centers, key=lambda ic: -_cos(ic[1], query))[:nprobe]]
+    probe_cells = [
+        i for i, _ in sorted(centers, key=lambda ic: (_sqdist(ic[1], query), ic[0]))[:nprobe]
+    ]
     qdf = _vec_lit_df(assigned.sparkSession, query)
     base = assigned.filter(F.col("_cell").isin(probe_cells))
     if query_id is not None:

@@ -20,8 +20,13 @@ LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
 
 
 def ws_tokens(col) -> Column:
+    """Whitespace tokens of the TRIMMED lowered text. Trimming first
+    matters: Spark's split keeps empty strings for leading/trailing
+    whitespace, which would inflate token_count, dilute
+    stopword_ratio/quality_score, and chain a phantom token into the
+    fingerprints — making 'a b' and 'a b ' fingerprint differently."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.split(F.lower(c), r"\s+")
+    return F.split(F.trim(F.lower(c)), r"\s+")
 
 
 def bpe_ish_tokens(col) -> Column:

@@ -40,6 +40,33 @@ def _col(c: Column | str) -> Column:
     return c if isinstance(c, Column) else F.col(c)
 
 
+#: chunk id for rows whose first order column is NULL — window
+#: orderBy sorts nulls FIRST, so they belong to the earliest chunk
+_NULL_CHUNK = -(1 << 62)
+
+
+def _default_chunk(order_col: Column, chunk_width: int) -> Column:
+    """floor(order/width), with NULL order keys mapped to the earliest
+    chunk: a plain Window.orderBy puts nulls first, and a NULL chunk id
+    would otherwise fall out of the equi-joins (NULL == NULL is NULL) —
+    silently dropping rows the window form would keep."""
+    return F.coalesce(
+        F.floor(order_col / F.lit(chunk_width)).cast("long"),
+        F.lit(_NULL_CHUNK).cast("long"),
+    )
+
+
+def _null_safe_on(left, right, cols: list[str]):
+    """Join condition equivalent to USING(cols) but NULL-safe: a NULL
+    partition key is a legitimate group (groupBy and Window.partitionBy
+    both treat it as one), so the join-back must not drop its rows."""
+    cond = None
+    for c in cols:
+        piece = left[c].eqNullSafe(right[c])
+        cond = piece if cond is None else cond & piece
+    return cond
+
+
 def chunked_running(
     df: DataFrame,
     order_by: list[Column | str],
@@ -104,7 +131,7 @@ def chunked_running_multi(
     order_cols = [_col(c) for c in order_by]
     pcols = list(partition_by or [])
     if chunk is None:
-        chunk = F.floor(order_cols[0] / F.lit(chunk_width)).cast("long")
+        chunk = _default_chunk(order_cols[0], chunk_width)
 
     def agg(i: int, col: Column | str) -> Column:
         return (F.sum if specs[i][2] == "sum" else F.max)(col)
@@ -129,7 +156,9 @@ def chunked_running_multi(
     tot = run.groupBy(*pcols, "_pchunk").agg(
         *[agg(i, f"_pval{i}").alias(f"_pct{i}") for i in range(len(specs))]
     )
-    same_key = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in pcols]
+    # eqNullSafe throughout: a NULL partition key is one group to
+    # groupBy/Window, and plain equality would drop its rows here
+    same_key = [F.col(f"a.{c}").eqNullSafe(F.col(f"b.{c}")) for c in pcols]
     cond = same_key + [F.col("b._pchunk") < F.col("a._pchunk")]
     offsets = (
         tot.alias("a")
@@ -140,7 +169,10 @@ def chunked_running_multi(
         )
         .agg(*[agg(i, F.col(f"b._pct{i}")).alias(f"_poff{i}") for i in range(len(specs))])
     )
-    joined = run.join(F.broadcast(offsets), [*pcols, "_pchunk"])
+    off = F.broadcast(offsets)
+    joined = run.join(
+        off, _null_safe_on(run, off, [*pcols, "_pchunk"])
+    ).drop(*[off[c] for c in [*pcols, "_pchunk"]])
     drop = ["_pchunk"]
     for i, (_, out_col, kind) in enumerate(specs):
         if kind == "sum":
@@ -183,7 +215,7 @@ def chunked_row_number(
     """
     order_cols = [_col(c) for c in order_by]
     if chunk is None:
-        chunk = F.floor(order_cols[0] / F.lit(chunk_width)).cast("long")
+        chunk = _default_chunk(order_cols[0], chunk_width)
     d = df.withColumn("_pchunk", chunk)
     win = W.partitionBy("_pchunk").orderBy(*order_cols)
     run = d.withColumn("_prn", F.row_number().over(win).cast("long"))
@@ -229,7 +261,7 @@ def chunked_lag(
     """
     order_cols = [_col(c) for c in order_by]
     if chunk is None:
-        chunk = F.floor(order_cols[0] / F.lit(chunk_width)).cast("long")
+        chunk = _default_chunk(order_cols[0], chunk_width)
     d = df.withColumn("_pchunk", chunk).withColumn("_pval", _col(value))
     win = W.partitionBy("_pchunk").orderBy(*order_cols)
     run = d.withColumn("_plag", F.lag("_pval").over(win))

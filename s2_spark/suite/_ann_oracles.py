@@ -19,8 +19,14 @@ from __future__ import annotations
 
 from s2_spark.functions.similarity import _hyperplanes, ivf_fixed_centroids
 
-# token set shared by the dedup oracles (mirrors dedup.tokens_col)
-_TOKS = "list_distinct(string_split_regex(lower(text), '\\s+'))"
+# token set shared by the dedup oracles (mirrors dedup.tokens_col:
+# distinct tokens of the NORMALIZED text — trim + whitespace collapse +
+# lowercase — so texts that collapse as exact duplicates share one
+# token set, never differing by phantom empty tokens)
+_TOKS = (
+    "list_distinct(string_split("
+    "trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))"
+)
 
 
 def minhash_oracle(threshold: float = 0.5) -> str:
@@ -122,7 +128,8 @@ def ivf_topk_oracle(
 ) -> str:
     """Full replay of the fixed-centroid IVF pipeline: identical
     centroid literals → identical nearest-cell assignment (squared
-    euclidean, first-min tie-break) → identical probe-cell ranking →
+    euclidean, first-min tie-break) → identical probe-cell ranking
+    (SAME squared-euclidean metric — the one that carved the cells) →
     exact cosine rerank within probed cells."""
     cents = ivf_fixed_centroids(n_cells, dim, seed)
     cent_values = ", ".join(
@@ -132,9 +139,9 @@ def ivf_topk_oracle(
     sqd = " + ".join(
         f"(v[{i + 1}] - cv[{i + 1}]) * (v[{i + 1}] - cv[{i + 1}])" for i in range(dim)
     )
-    cell_cos = (
-        f"({_chain('cv', 'qe', dim)}) /"
-        f" (sqrt({_chain('cv', 'cv', dim)}) * sqrt({_chain('qe', 'qe', dim)}))"
+    qsqd = " + ".join(
+        f"(cv[{i + 1}] - qe[{i + 1}]) * (cv[{i + 1}] - qe[{i + 1}])"
+        for i in range(dim)
     )
     sim = (
         f"({_chain('v', 'qe', dim)}) /"
@@ -146,7 +153,7 @@ q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = {q
 e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id <> {query_id}),
 assign AS (SELECT vec_id, v,
            (SELECT cell FROM cents ORDER BY ({sqd}) ASC, cell LIMIT 1) AS cell FROM e),
-qcells AS (SELECT cell FROM cents, q ORDER BY ({cell_cos}) DESC, cell LIMIT {nprobe}),
+qcells AS (SELECT cell FROM cents, q ORDER BY ({qsqd}) ASC, cell LIMIT {nprobe}),
 cand AS (SELECT vec_id, {sim} AS sim_raw
          FROM assign, q WHERE cell IN (SELECT cell FROM qcells))
 SELECT vec_id, round(sim_raw, 4) AS sim
@@ -158,7 +165,7 @@ def fingerprint_oracle() -> str:
     """Mirror of text.fingerprint_portable: rolling (acc·31 + md5_56(tok))
     mod 1e9+7 over in-order whitespace tokens."""
     return """
-SELECT doc_id, CAST(list_reduce(list_transform(string_split_regex(lower(text), '\\s+'),
+SELECT doc_id, CAST(list_reduce(list_transform(string_split_regex(trim(lower(text)), '\\s+'),
   tok -> list_reduce(list_transform(range(1, 15),
            i -> strpos('0123456789abcdef', substr(md5(tok), i::INTEGER, 1)) - 1),
            (a, b) -> a * 16 + b) % 1000000007),
@@ -412,9 +419,9 @@ def ivf_planted_recall_oracle(
     sqd = " + ".join(
         f"(v[{i + 1}] - cv[{i + 1}]) * (v[{i + 1}] - cv[{i + 1}])" for i in range(dim)
     )
-    cell_cos = (
-        f"({_chain('cv', 'qe', dim)}) /"
-        f" (sqrt({_chain('cv', 'cv', dim)}) * sqrt({_chain('qe', 'qe', dim)}))"
+    qsqd = " + ".join(
+        f"(cv[{i + 1}] - qe[{i + 1}]) * (cv[{i + 1}] - qe[{i + 1}])"
+        for i in range(dim)
     )
     cos = (
         f"({_chain('v', 'qe', dim)}) /"
@@ -435,7 +442,7 @@ def ivf_planted_recall_oracle(
         )
         ctes.append(
             f"qc{qi} AS (SELECT cell FROM cents, q{qi} "
-            f"ORDER BY ({cell_cos}) DESC, cell LIMIT {nprobe})"
+            f"ORDER BY ({qsqd}) ASC, cell LIMIT {nprobe})"
         )
         ctes.append(
             f"an{qi} AS (SELECT vec_id FROM assign, q{qi} "
@@ -474,7 +481,7 @@ def pipeline_summary_oracle(k: int = 16, bands: int = 4, budget: int = 512) -> s
     exact-dedup survivors) -> token total and 512-budget sequence
     count. Single summary row."""
     comps, cases, band_list = _minhash_band_sql(k, bands)
-    toks_of_text = "list_distinct(string_split_regex(lower(text), '\\s+'))"
+    toks_of_text = _TOKS
     return f"""
 WITH w AS (SELECT doc_id, text, lang, string_split(lower(text), ' ') AS ws FROM documents),
 g AS (SELECT doc_id, text, lang, len(ws) AS ntok,

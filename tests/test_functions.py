@@ -93,6 +93,91 @@ def test_simhash_identical_texts_equal_fingerprints(spark, docs):
     assert fps[0].simhash == fps[1].simhash
 
 
+def test_lsh_multiprobe_widens_to_brute_force(spark, emb):
+    """multiprobe is a real dial: at multiprobe=m the probe ring covers
+    every bucket, so LSH top-k must equal exact brute force — and the
+    candidate set must grow monotonically with multiprobe (it was
+    previously a silent no-op beyond 1)."""
+    brute = [r.vec_id for r in S.cosine_topk(emb, k=5, query_id=0).collect()]
+    full = [
+        r.vec_id
+        for r in S.lsh_topk(emb, k=5, query_id=0, m=8, multiprobe=8).collect()
+    ]
+    assert full == brute
+    n1 = S.lsh_topk(emb, k=10**9, query_id=0, m=8, multiprobe=1).count()
+    n2 = S.lsh_topk(emb, k=10**9, query_id=0, m=8, multiprobe=2).count()
+    assert n2 >= n1  # the ring genuinely widens
+
+
+def test_ivf_topk_missing_query_raises(spark, emb):
+    import pytest as _pytest
+
+    cents = S.ivf_fixed_centroids(4, 64, 7)
+    assigned = S.ivf_assign_fixed(emb, cents)
+    with _pytest.raises(ValueError, match="no vector"):
+        S.ivf_topk(assigned, cents, query_id=10**9)
+
+
+def test_ivf_probe_ranking_matches_assignment_metric(spark):
+    """Probe cells are ranked by the SAME metric that carved the cells
+    (squared euclidean): with unnormalized centroids, cosine ranking
+    could exclude the query's own assigned cell and miss an exact
+    duplicate of the query."""
+    rows = [(0, [2.0, 0.0] + [0.0] * 62), (1, [2.0, 0.0] + [0.0] * 62)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [[100.0, 0.0] + [0.0] * 62, [1.0, 0.05] + [0.0] * 62]
+    assigned = S.ivf_assign_fixed(df, cents)
+    got = S.ivf_topk(assigned, cents, k=1, query_id=0, nprobe=1).collect()
+    assert [r.vec_id for r in got] == [1]  # the exact duplicate is found
+
+
+def test_simhash_guard_rejects_recall_violating_params(spark, docs):
+    """bands must exceed max_hamming or the pigeonhole recall guarantee
+    is silently void — the function refuses instead."""
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="bands > max_hamming"):
+        D.simhash_neardup_pairs(docs, max_hamming=8, bands=4)
+
+
+def test_neardup_clusters_rejects_nonpositive_iters(spark, docs):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_iters"):
+        D.neardup_clusters(docs, max_iters=0)
+
+
+def test_tokens_consistent_with_exact_collapse(spark):
+    """Texts that collapse as exact duplicates (same normalized form)
+    must have the SAME token set — trailing whitespace cannot create a
+    phantom empty token that skews every downstream similarity."""
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "hello  world "), (3, "hello there")],
+        "doc_id long, text string",
+    )
+    toks = {r["doc_id"]: sorted(r["t"]) for r in df.select("doc_id", D.tokens_col().alias("t")).collect()}
+    assert toks[1] == toks[2] == ["hello", "world"]
+    # and the expanded pair similarity equals the uncollapsed pipeline's
+    pairs = {
+        (r.d1, r.d2): round(r.jaccard, 4)
+        for r in D.minhash_neardup_pairs(df, k=32, bands=32, threshold=0.3).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    assert pairs.get((1, 3)) == pairs.get((2, 3))  # member == representative
+
+
+def test_lsh_candidate_pairs_covers_remainder_components(spark, docs):
+    """bands that do not divide the signature length must not silently
+    ignore trailing components — the last band absorbs the remainder.
+    Smoke: k=10 with bands=4 still finds planted exact copies."""
+    base = docs.limit(3).select("doc_id", "text")
+    copies = base.withColumn("doc_id", F.col("doc_id") + 500000)
+    sig = D.minhash_signatures(base.unionByName(copies), k=10)
+    got = {(r.d1, r.d2) for r in D.lsh_candidate_pairs(sig, bands=4).collect()}
+    for r in base.collect():
+        assert (r.doc_id, r.doc_id + 500000) in got
+
+
 def test_simhash_neardup_detects_copies(spark, docs):
     base = docs.limit(2).select("doc_id", "text")
     copies = base.withColumn("doc_id", F.col("doc_id") + 400000)

@@ -592,6 +592,36 @@ def test_chunked_running_multi_randomized_vs_global(spark, seed):
     )
 
 
+def test_chunked_running_keeps_null_partition_and_order_keys(spark):
+    """NULL partition keys and NULL order keys are legitimate groups/
+    positions to a plain window (nulls sort first; NULL is one group);
+    the chunked form must keep those rows and fold them identically —
+    the equi-joins are null-safe and NULL order keys map to the
+    earliest chunk."""
+    from pyspark.sql import Window as W
+
+    from s2_spark.operators.prefix import chunked_running
+
+    rows = (
+        [(None, i, 1) for i in range(5)]  # NULL partition key group
+        + [("g", None, 10)]  # NULL order key: sorts first in its group
+        + [("g", k, 1) for k in range(100)]
+    )
+    df = spark.createDataFrame(rows, "g string, k long, v long")
+    got = chunked_running(
+        df, ["k"], "v", "run", kind="sum", chunk_width=16, partition_by=["g"]
+    )
+    w = (
+        W.partitionBy("g")
+        .orderBy("k")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    ref = df.withColumn("run", F.sum("v").over(w))
+    key = lambda r: (r["g"] or "", r["k"] if r["k"] is not None else -1)  # noqa: E731
+    assert got.count() == len(rows)  # nothing dropped
+    assert sorted(got.collect(), key=key) == sorted(ref.collect(), key=key)
+
+
 def test_chunked_running_rejects_bad_kind(spark):
     import pytest as _pytest
 
