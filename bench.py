@@ -70,6 +70,10 @@ SCALE_PROBE = [
     # production dedup emits one decision per doc (O(n*bands) rows).
     ("q_dedup_exact", "x1b_distinct_docs"),
     ("q_minhash_dedup", "x29_minhash_dedup_keep"),
+    # the iterative connected-components head: driver-paced label
+    # propagation whose scaling was architecture-argued but unmeasured
+    # past 10x until round 7 (it also joins X100_PROBE below)
+    ("q_neardup_clusters", "x30_neardup_clusters"),
     ("q_lsh_ann", "x13_lsh_ann_topk"),
     # global running token count via the chunked two-phase prefix sum —
     # the scale-safe replacement for single-partition windows
@@ -319,13 +323,15 @@ def skew_probe(
     — this probe measures, the test proves.
 
     Both paths are JIT-warmed with a small untimed batch first, and
-    each variant reports the min of 2 runs: the quantity of interest
-    is the plan shape, not first-call compilation (measured 2.66 s →
-    1.43 s between rep 1 and rep 2 of an identical run). Below ~100
-    MiB hot-key the single-task plan actually wins on overhead — the
-    chunk decomposition is a large-batch device, which is the honest
-    claim (SEQ_CHUNK_WIDTH keeps per-chunk sorts ~32 MiB; the win
-    grows with hot-key bytes per task)."""
+    each variant reports the MEDIAN of 3 runs plus the min/max spread —
+    the same treatment the headline queries got in round 6. The probe's
+    historical single-number quotes ranged 1.3x-3.75x across machines
+    and co-tenant load; the median + spread makes the instability
+    visible instead of quotable. Below ~100 MiB hot-key the single-task
+    plan actually wins on overhead — the chunk decomposition is a
+    large-batch device, which is the honest claim (SEQ_CHUNK_WIDTH
+    keeps per-chunk sorts ~32 MiB; the win grows with hot-key bytes
+    per task)."""
     from s2_spark.catalog import Catalog
     from s2_spark.store import StreamStore
 
@@ -364,9 +370,9 @@ def skew_probe(
     run_once(1 << 62, 5000, 256)
     out: dict = {}
     for label, width in (("chunked", None), ("single_chunk", 1 << 62)):
-        out[f"{label}_sec"] = round(
-            min(run_once(width, n_records, record_bytes) for _ in range(2)), 3
-        )
+        times = sorted(run_once(width, n_records, record_bytes) for _ in range(3))
+        out[f"{label}_sec"] = round(times[1], 3)  # median of 3
+        out[f"{label}_spread"] = [round(times[0], 3), round(times[-1], 3)]
     out.update(
         {
             "records": n_records,
@@ -419,6 +425,10 @@ X100_PROBE = [
     ("q_join_multi", "j2_multiway_join"),
     ("q_minhash_dedup", "x29_minhash_dedup_keep"),
     ("q_seq_packing", "x31_sequence_packing"),
+    # the one LLM head whose convergence loop is driver-paced: per-decade
+    # growth of bucket-star CC label propagation (rounds grow ~log of the
+    # largest cluster diameter, each round one shuffle over the edges)
+    ("q_neardup_clusters", "x30_neardup_clusters"),
 ]
 
 
@@ -528,6 +538,28 @@ def main() -> None:
     skew = skew_probe(spark)
     probe10, probe100 = scale_probe(spark)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
+    # Detail record FIRST (big: per-query min/first, probes, latency
+    # percentiles), compact headline record LAST: the driver artifact
+    # keeps only the final ~2000 chars of stdout and parses the last
+    # JSON line it finds — round 6's single giant line lost its own
+    # `value` field to the truncation. The summary line repeats every
+    # headline-grade field and is sized to survive the tail capture.
+    print(
+        json.dumps(
+            {
+                "detail": "full bench record (headline summary is the last line)",
+                "queries_min": queries_min,
+                "queries_first": queries_first,
+                "s2bench": bench,
+                # hot-key probe: chunked vs single-chunk bulk_append
+                "skew_probe": skew,
+                # x10 + x100 trend probes — excluded from `value` so
+                # headline totals stay comparable round-over-round
+                "scale_probe_x10": probe10,
+                "scale_probe_x100": probe100,
+            }
+        )
+    )
     print(
         json.dumps(
             {
@@ -537,21 +569,15 @@ def main() -> None:
                 "bench_reps": BENCH_REPS,
                 "value_first_run": total_first,
                 "queries": queries,
-                "queries_min": queries_min,
-                "queries_first": queries_first,
                 # 1/5/15-minute system load before and after: a driver
                 # machine under co-tenant pressure shows up here
                 # instead of masquerading as an engine regression
                 "loadavg_start": [round(x, 2) for x in load_start],
                 "loadavg_end": [round(x, 2) for x in os.getloadavg()],
                 "sf": float(sf),
-                "s2bench": bench,
-                # hot-key probe: chunked vs single-chunk bulk_append
-                "skew_probe": skew,
-                # x10 + x100 trend probes — excluded from `value` so
-                # headline totals stay comparable round-over-round
-                "scale_probe_x10": probe10,
-                "scale_probe_x100": probe100,
+                "verified": bench["verified"],
+                "live_verified": bench["live_verified"],
+                "skew_speedup": skew["speedup"],
             }
         )
     )

@@ -285,39 +285,163 @@ def test_windowed_agg_stream_equals_batch(spark, sf_dir, tmp_path, build, reques
     assert got == want
 
 
-def test_sink_epoch_replay_is_idempotent(spark, store):
-    """foreachBatch is at-least-once; the sink's epoch log makes it
-    exactly-once: a replayed epoch (same epoch_id) appends nothing."""
-    from s2_spark.streaming.sink import append_sink
-
-    rows = [(BASIN, "s1", None, [], f"r{i}".encode(), i) for i in range(5)]
-    df = spark.createDataFrame(
+def _sink_batch(spark, n, start=0, stream="s1"):
+    rows = [(BASIN, stream, None, [], f"r{start+i}".encode(), i) for i in range(n)]
+    return spark.createDataFrame(
         rows,
         "basin string, stream string, timestamp long, "
         "headers array<struct<name binary, value binary>>, body binary, "
         "ingest_order long",
     )
+
+
+def _crash_intent(spark, store, df, key_tails):
+    """Build the v2 intent a crashed attempt would have left behind:
+    recorded tails per key + the batch's per-stream count and
+    first-record digest (what the sink writes before appending)."""
+    from s2_spark.streaming.sink import _record_digest
+
+    agg = (
+        df.groupBy("basin", "stream")
+        .agg(
+            F.count("*").alias("n"),
+            F.min_by(F.struct("headers", "body"), F.col("ingest_order")).alias(
+                "first"
+            ),
+        )
+        .collect()
+    )
+    out = {"v": 2, "tails": dict(key_tails), "counts": {}, "digests": {}}
+    for r in agg:
+        k = f"{r['basin']}\x00{r['stream']}"
+        out["counts"][k] = r["n"]
+        out["digests"][k] = _record_digest(r["first"]["headers"], r["first"]["body"])
+    return out
+
+
+def test_sink_epoch_replay_is_idempotent(spark, store):
+    """foreachBatch is at-least-once; the sink's epoch log makes it
+    exactly-once: a replayed epoch (same epoch_id) appends nothing."""
+    import json
+    import os
+
+    from s2_spark.streaming.sink import EpochLog, append_sink
+
+    df = _sink_batch(spark, 5)
     commit = append_sink(store, sink_id="q1")
     commit(df, 7)
     commit(df, 7)  # replay after a crash past the checkpoint
     assert store.check_tail(BASIN, "s1")[0] == 5
     # a crash AFTER the append but BEFORE the done marker: replay sees
-    # the intent, detects the advanced tails, and skips the re-append
-    import json
-    import os
-
+    # the intent, PROBES the record at the recorded tail, finds the
+    # crashed attempt's own first record, and skips the re-append
     epochs = os.path.join(store.base_dir, "_sink_epochs", "q1")
-    os.remove(os.path.join(epochs, "7.done"))
+    log = EpochLog(epochs)
+    for p in (os.path.join(epochs, "7.done"), log._wm_path()):
+        if os.path.exists(p):
+            os.remove(p)
     with open(os.path.join(epochs, "7.intent"), "w") as f:
-        json.dump({f"{BASIN}\x00s1": 0}, f)  # tails before the append
+        json.dump(_crash_intent(spark, store, df, {f"{BASIN}\x00s1": 0}), f)
     commit(df, 7)
     assert store.check_tail(BASIN, "s1")[0] == 5  # still exactly once
     # a crash BEFORE the append: intent recorded, tails unmoved — the
     # replay must actually append
     with open(os.path.join(epochs, "8.intent"), "w") as f:
-        json.dump({f"{BASIN}\x00s1": 5}, f)
+        json.dump(_crash_intent(spark, store, df, {f"{BASIN}\x00s1": 5}), f)
     commit(df, 8)
     assert store.check_tail(BASIN, "s1")[0] == 10
+
+
+def test_sink_replay_foreign_tail_advance_still_appends(spark, store):
+    """The round-6 hole (ADVICE): between a crash and the replay, OTHER
+    appends can advance the tail — retention's in-band trim-command
+    records, or a second producer. Tail movement alone must NOT mark
+    the epoch done; the digest probe sees a foreign record at the
+    recorded tail and the replay proceeds — no silent data loss."""
+    import json
+    import os
+
+    from s2_spark.model import trim_record
+    from s2_spark.streaming.sink import append_sink
+
+    df = _sink_batch(spark, 4)
+    commit = append_sink(store, sink_id="q2")
+    commit(df, 0)
+    assert store.check_tail(BASIN, "s1")[0] == 4
+    # crashed epoch 1: intent written, append never landed
+    epochs = os.path.join(store.base_dir, "_sink_epochs", "q2")
+    df2 = _sink_batch(spark, 3, start=100)
+    with open(os.path.join(epochs, "1.intent"), "w") as f:
+        json.dump(_crash_intent(spark, store, df2, {f"{BASIN}\x00s1": 4}), f)
+    # a retention sweep appends a trim command — the tail advances to 5
+    # without any of epoch 1's records landing
+    store.append(BASIN, "s1", [trim_record(2)])
+    assert store.check_tail(BASIN, "s1")[0] == 5
+    commit(df2, 1)  # replay must detect the foreign record and append
+    tail = store.check_tail(BASIN, "s1")[0]
+    assert tail == 8  # 4 data + 1 trim cmd + 3 replayed
+    bodies = [bytes(r.body) for r in store.read(BASIN, "s1").collect()]
+    assert b"r100" in bodies and b"r102" in bodies  # records landed once
+    assert bodies.count(b"r100") == 1
+
+
+def test_sink_replay_evidence_destroyed_raises(spark, store):
+    """If compaction removed the record that would prove/disprove the
+    crashed attempt's commit, the sink refuses to guess."""
+    import json
+    import os
+
+    import pytest as _pytest
+
+    from s2_spark.streaming.sink import ExactlyOnceUnverifiable, append_sink
+
+    df = _sink_batch(spark, 3)
+    commit = append_sink(store, sink_id="q3")
+    commit(df, 0)
+    epochs = os.path.join(store.base_dir, "_sink_epochs", "q3")
+    # fabricate a crashed epoch whose recorded tail points BELOW the
+    # current tail at a seq whose record no longer exists: recorded
+    # tail 1 but probe digest differs AND... use tail advance with a
+    # hole: trim + physical delete seqs 0..1, then claim tail was 0
+    store.append(BASIN, "s1", [trim_record_at(2)])
+    store.apply_trim_and_retention_compat()
+    df2 = _sink_batch(spark, 2, start=50)
+    with open(os.path.join(epochs, "1.intent"), "w") as f:
+        json.dump(_crash_intent(spark, store, df2, {f"{BASIN}\x00s1": 0}), f)
+    with _pytest.raises(ExactlyOnceUnverifiable):
+        commit(df2, 1)
+
+
+def test_sink_epoch_log_compaction_bounds_markers(tmp_path):
+    """10k epochs leave O(1) files: the watermark folds the contiguous
+    done prefix; done-ness is preserved across the fold and a restart
+    (a fresh EpochLog over the same dir)."""
+    from s2_spark.streaming.sink import EpochLog
+
+    d = str(tmp_path / "epochs")
+    log = EpochLog(d)
+    import os
+
+    for e in range(10_000):
+        log.mark_done(e)
+    assert log.marker_count() <= 1  # contiguous prefix fully folded
+    assert log.watermark() == 9_999
+    assert all(log.is_done(e) for e in (0, 1, 5_000, 9_999))
+    assert not log.is_done(10_000)
+    # a gap: epoch 10_001 done before 10_000 — marker stays a file
+    log.mark_done(10_001)
+    assert log.is_done(10_001) and not log.is_done(10_000)
+    assert log.watermark() == 9_999
+    # restart: a fresh log over the same dir sees identical state
+    log2 = EpochLog(d)
+    assert log2.watermark() == 9_999
+    assert log2.is_done(3) and log2.is_done(10_001) and not log2.is_done(10_000)
+    # the gap closes: watermark advances over both, markers removed
+    log2.mark_done(10_000)
+    assert log2.watermark() == 10_001
+    assert log2.marker_count() == 0
+    total_files = len(os.listdir(d))
+    assert total_files <= 2  # _watermark (+ nothing else)
 
 
 def test_source_restart_rate_limit_never_redelivers(spark, store):
