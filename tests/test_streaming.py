@@ -393,18 +393,19 @@ def test_sink_replay_evidence_destroyed_raises(spark, store):
 
     import pytest as _pytest
 
+    from s2_spark.model import trim_record
     from s2_spark.streaming.sink import ExactlyOnceUnverifiable, append_sink
 
     df = _sink_batch(spark, 3)
     commit = append_sink(store, sink_id="q3")
     commit(df, 0)
     epochs = os.path.join(store.base_dir, "_sink_epochs", "q3")
-    # fabricate a crashed epoch whose recorded tail points BELOW the
-    # current tail at a seq whose record no longer exists: recorded
-    # tail 1 but probe digest differs AND... use tail advance with a
-    # hole: trim + physical delete seqs 0..1, then claim tail was 0
-    store.append(BASIN, "s1", [trim_record_at(2)])
-    store.apply_trim_and_retention_compat()
+    # fabricate a crashed epoch whose recorded tail points at a seq
+    # whose record no longer exists: trim + physically delete seqs
+    # 0..1, then claim the crashed attempt started at tail 0 — the
+    # probe can neither confirm nor refute the commit
+    store.append(BASIN, "s1", [trim_record(2)])
+    store.apply_trim_and_retention()
     df2 = _sink_batch(spark, 2, start=50)
     with open(os.path.join(epochs, "1.intent"), "w") as f:
         json.dump(_crash_intent(spark, store, df2, {f"{BASIN}\x00s1": 0}), f)
