@@ -210,6 +210,10 @@ class StreamStore:
         # parallel
         self._locks: dict[tuple[str, str], threading.Lock] = defaultdict(threading.Lock)
         os.makedirs(base_dir, exist_ok=True)
+        # a crash mid-compaction must not surface as an empty store:
+        # finish (or discard) any interrupted _rewrite swap before the
+        # first storage probe below reads base_dir
+        self._swap_recover()
         # Hot state is recovered LAZILY, per touched stream: a store
         # opened over existing data probes storage on a stream's first
         # touch (never silently restarting it at seq 0), and only
@@ -1293,6 +1297,7 @@ class StreamStore:
         Appends produce one small file per batch; compaction folds them
         into few files whose row-group (min, max) on the key columns are
         disjoint, so range reads prune precisely."""
+        self._swap_recover()  # before capturing the df's file listing
         df = self.records_df()
         n = files_per_partition_hint or max(
             1, self.spark.sparkContext.defaultParallelism // 4
@@ -1309,28 +1314,87 @@ class StreamStore:
         whole-directory rmtree would destroy control-plane durability —
         a compaction must never un-create every basin and stream. Only
         non-underscore entries (the data files / bucket dirs) are
-        replaced."""
-        import shutil
+        replaced.
 
+        **Crash atomicity.** Old entries are renamed into
+        ``<base>.trash`` (never deleted in place) and the new entries
+        renamed in only afterwards; a ``_SWAP`` marker inside
+        ``<base>.compact`` records that the trash phase completed. A
+        crash at ANY point leaves a state ``_swap_recover`` (run at
+        store open and before the next rewrite) can finish or discard:
+        no window exists where base_dir silently holds no data while
+        ``.compact`` has everything — the failure mode the old
+        delete-then-rename order allowed."""
+        self._swap_recover()  # finish/clear any interrupted prior swap
         tmp = self.base_dir.rstrip("/") + ".compact"
         writer = df.write.mode("overwrite")
         if self.bucket_count:
             writer = writer.partitionBy("bucket")
         writer.parquet(tmp)
-        for entry in os.listdir(self.base_dir):
-            if entry.startswith(("_", ".")):
-                continue  # _meta / _audit / hidden metadata survive
-            full = os.path.join(self.base_dir, entry)
-            if os.path.isdir(full):
-                shutil.rmtree(full)
-            else:
-                os.remove(full)
+        self._swap_in(tmp)
+        self._invalidate_records()
+
+    def _swap_in(self, tmp: str, resume: bool = False) -> None:
+        """Phase 2+3 of the compaction swap. Phase 2: rename every old
+        data entry into ``<base>.trash``, then touch ``_SWAP`` in the
+        compact dir (the phase boundary a recovery can observe). Phase
+        3: rename the compact entries into base_dir — safe to repeat,
+        names never collide with phase-2 leftovers because phase 2 ran
+        to completion first. Deleting the compact dir commits; the
+        trash is then garbage."""
+        import shutil
+
+        trash = self.base_dir.rstrip("/") + ".trash"
+        swap_marker = os.path.join(tmp, "_SWAP")
+        if not (resume and os.path.exists(swap_marker)):
+            os.makedirs(trash, exist_ok=True)
+            for entry in os.listdir(self.base_dir):
+                if entry.startswith(("_", ".")):
+                    continue  # _meta / _audit / hidden metadata survive
+                os.rename(
+                    os.path.join(self.base_dir, entry), os.path.join(trash, entry)
+                )
+            with open(swap_marker, "w"):
+                pass
         for entry in os.listdir(tmp):
             if entry.startswith(("_", ".")):
-                continue  # the tmp write's _SUCCESS marker is not data
+                continue  # _SUCCESS / _SWAP markers are not data
             os.rename(os.path.join(tmp, entry), os.path.join(self.base_dir, entry))
+        # trash FIRST: _SUCCESS must outlive the trash, else a crash
+        # mid-rmtree(tmp) could strand an old-data trash that a later
+        # recovery (seeing no _SUCCESS) would wrongly restore over the
+        # committed swap
+        shutil.rmtree(trash, ignore_errors=True)
         shutil.rmtree(tmp, ignore_errors=True)
-        self._invalidate_records()
+
+    def _swap_recover(self) -> None:
+        """Complete or discard an interrupted compaction swap. A
+        ``.compact`` dir with ``_SUCCESS`` holds a complete rewrite —
+        finish swapping it in (resuming past the trash phase if the
+        ``_SWAP`` marker says it already ran, so already-moved NEW
+        entries are never re-trashed). Without ``_SUCCESS`` the rewrite
+        itself died mid-write: discard it, and restore anything a
+        (structurally impossible today, but cheap to honor) orphaned
+        trash still holds."""
+        import shutil
+
+        tmp = self.base_dir.rstrip("/") + ".compact"
+        trash = self.base_dir.rstrip("/") + ".trash"
+        if os.path.isdir(tmp) and os.path.exists(os.path.join(tmp, "_SUCCESS")):
+            self._swap_in(tmp, resume=True)
+            if hasattr(self, "_records_cache"):
+                self._invalidate_records()  # file listing changed
+            return
+        shutil.rmtree(tmp, ignore_errors=True)
+        if os.path.isdir(trash):
+            # no complete compact output: the old data is authoritative
+            for entry in os.listdir(trash):
+                dst = os.path.join(self.base_dir, entry)
+                if not os.path.exists(dst):
+                    os.rename(os.path.join(trash, entry), dst)
+            shutil.rmtree(trash, ignore_errors=True)
+            if hasattr(self, "_records_cache"):
+                self._invalidate_records()
 
     def apply_trim_and_retention(
         self, drop_streams: list[tuple[str, str]] | None = None
@@ -1354,6 +1418,7 @@ class StreamStore:
         keeper): the purge path for DELETED streams, whose names must
         become recreatable as fresh streams starting at seq 0.
         """
+        self._swap_recover()  # before capturing the df's file listing
         df = self.records_df()
         # trim points come from storage, not the hot-state cache — the
         # cache only holds recently-touched streams (lazy recovery), and

@@ -271,3 +271,121 @@ def test_bulk_append_admission_failure_writes_nothing(spark, tmp_path):
     s2.recover_state()
     assert s2.check_tail(BASIN, "s")[0] == 5
     assert _all_seqs(s2, "s") == list(range(5))
+
+
+# --- compaction swap crash atomicity ---------------------------------
+
+
+def _swap_rename_bomb(monkeypatch, trigger):
+    """Crash (raise _Boom) on the first os.rename whose (src, dst)
+    matches ``trigger`` — injected into the driver-side swap only;
+    Spark's own parquet commit renames happen JVM-side and are
+    untouched."""
+    import os as _os
+
+    real = _os.rename
+    armed = {"on": True}
+
+    def fake(src, dst):
+        if armed["on"] and trigger(str(src), str(dst)):
+            armed["on"] = False
+            raise _Boom("injected crash mid-swap")
+        return real(src, dst)
+
+    monkeypatch.setattr(_os, "rename", fake)
+
+
+def _seed(spark, base):
+    s = _fresh(spark, base)
+    s.append(BASIN, "s1", [Record(body=f"r{i}".encode()) for i in range(5)])
+    s.append(BASIN, "s2", [Record(body=b"x"), Record(body=b"y")])
+    return s
+
+
+def _assert_intact(spark, base):
+    r = StreamStore(spark, base)
+    r.recover_state()
+    assert r.check_tail(BASIN, "s1")[0] == 5
+    assert r.check_tail(BASIN, "s2")[0] == 2
+    assert _all_seqs(r, "s1") == [0, 1, 2, 3, 4]
+    bodies = sorted(
+        bytes(x["body"]) for x in r.read(BASIN, "s1").collect()
+    )
+    assert bodies == sorted(f"r{i}".encode() for i in range(5))
+    return r
+
+
+def test_compaction_crash_during_trash_phase_recovers(spark, tmp_path, monkeypatch):
+    """Crash while old entries move to .trash (phase 2): base_dir holds
+    partial old data, .compact holds the complete rewrite — reopening
+    the store completes the swap and loses nothing."""
+    base = str(tmp_path / "records")
+    s = _seed(spark, base)
+    trash = base + ".trash"
+    _swap_rename_bomb(monkeypatch, lambda src, dst: dst.startswith(trash))
+    with pytest.raises(_Boom):
+        s.compact()
+    monkeypatch.undo()
+    _assert_intact(spark, base)
+
+
+def test_compaction_crash_during_swap_in_phase_recovers(spark, tmp_path, monkeypatch):
+    """Crash on the FIRST rename out of .compact (phase 3): base_dir
+    holds ZERO data entries — the exact window the old delete-then-
+    rename order left unrecoverable. Reopen must see every record and
+    tail, and a fresh append must continue at the recovered tail."""
+    base = str(tmp_path / "records")
+    s = _seed(spark, base)
+    tmp = base + ".compact"
+    _swap_rename_bomb(monkeypatch, lambda src, dst: src.startswith(tmp))
+    with pytest.raises(_Boom):
+        s.compact()
+    monkeypatch.undo()
+    # worst case on disk: no data files in base_dir at all
+    data_entries = [
+        e for e in __import__("os").listdir(base) if not e.startswith(("_", "."))
+    ]
+    assert data_entries == []
+    r = _assert_intact(spark, base)
+    ack = r.append(BASIN, "s1", [Record(body=b"after")])
+    assert ack.start_seq == 5
+
+
+def test_compaction_crash_retry_on_same_store_recovers(spark, tmp_path, monkeypatch):
+    """The caller catches the crash and retries compact() on the SAME
+    store object: _rewrite's leading _swap_recover must finish the
+    interrupted swap (and refresh the cached file listing) before the
+    retry captures its input df."""
+    base = str(tmp_path / "records")
+    s = _seed(spark, base)
+    tmp = base + ".compact"
+    _swap_rename_bomb(monkeypatch, lambda src, dst: src.startswith(tmp))
+    with pytest.raises(_Boom):
+        s.compact()
+    monkeypatch.undo()
+    s.compact()  # retry completes cleanly
+    assert s.check_tail(BASIN, "s1")[0] == 5
+    assert _all_seqs(s, "s1") == [0, 1, 2, 3, 4]
+
+
+def test_incomplete_compact_write_discarded_and_trash_restored(spark, tmp_path):
+    """A .compact dir WITHOUT _SUCCESS is a mid-write casualty: reopen
+    discards it; an orphaned .trash (belt-and-braces — unreachable
+    under the current ordering) restores rather than deletes."""
+    import os
+    import shutil
+
+    base = str(tmp_path / "records")
+    s = _seed(spark, base)
+    del s
+    tmp = base + ".compact"
+    trash = base + ".trash"
+    os.makedirs(tmp)
+    with open(os.path.join(tmp, "part-junk.parquet"), "wb") as f:
+        f.write(b"not parquet")  # no _SUCCESS: incomplete write
+    os.makedirs(trash)
+    for e in list(os.listdir(base)):
+        if not e.startswith(("_", ".")):
+            os.rename(os.path.join(base, e), os.path.join(trash, e))
+    _assert_intact(spark, base)
+    assert not os.path.exists(tmp) and not os.path.exists(trash)
