@@ -21,6 +21,16 @@ Design constraints:
   ≤1000-record batches per append — the unary cap) or an explicit
   :meth:`flush` — a follow session polling at 20 ms never touches the
   cluster for audit's sake.
+- **The threshold flush is ASYNC.** Crossing the threshold signals a
+  lazily-started daemon flusher thread; the logging thread never pays
+  the store append inline (a client op that happens to be the 4096th
+  buffered row costs the same as the 1st). Back-pressure: past
+  ``hard_cap`` buffered rows (default 64× the threshold), ``log()``
+  blocks up to ``backpressure_s`` waiting for the flusher to drain,
+  then DROPS the row and counts it in :attr:`dropped` — a wedged
+  storage backend degrades accounting, never the data plane. Explicit
+  :meth:`flush` stays synchronous and serializes with the flusher, so
+  "flush(); df()" still observes every logged row.
 - **No self-observation.** Operations performed BY the flush (the one-
   time basin/stream creation, the appends themselves) are never
   logged: a thread-local suppression flag drops audit calls while a
@@ -38,6 +48,7 @@ from __future__ import annotations
 import json
 import os
 import threading
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -81,14 +92,29 @@ class OpsAudit:
         clock,
         flush_threshold: int = 4096,
         store=None,
+        hard_cap: int | None = None,
+        backpressure_s: float = 5.0,
     ):
         self.spark = spark
         self.dir = audit_dir
         self._clock = clock
         self.flush_threshold = flush_threshold
+        self.hard_cap = hard_cap or flush_threshold * 64
+        self.backpressure_s = backpressure_s
+        #: rows dropped after back-pressure timed out (wedged backend)
+        self.dropped = 0
+        #: last exception the background flusher swallowed (telemetry;
+        #: an explicit flush() retries and raises for real)
+        self.last_flush_error: BaseException | None = None
         self._store = store
         self._buf: list[tuple] = []
         self._mu = threading.Lock()
+        self._cv = threading.Condition(self._mu)
+        # serializes whole flush passes (pop→append) between the
+        # background flusher and explicit flush() callers, so a
+        # synchronous flush() returning means no rows are in flight
+        self._flush_mu = threading.Lock()
+        self._flusher: threading.Thread | None = None
         self._local = threading.local()
         self._sink_ready = False
         self._sunk_any = False
@@ -107,12 +133,69 @@ class OpsAudit:
         if getattr(self._local, "suppress", False):
             return  # an op performed by the flush itself — not client-shaped
         with self._mu:
+            if len(self._buf) >= self.hard_cap:
+                # back-pressure: give the flusher a bounded chance to
+                # drain; a still-wedged backend costs a dropped audit
+                # row, never an unbounded buffer or a blocked client
+                self._cv.wait_for(
+                    lambda: len(self._buf) < self.hard_cap,
+                    timeout=self.backpressure_s,
+                )
+                if len(self._buf) >= self.hard_cap:
+                    self.dropped += 1
+                    return
             self._buf.append(
                 (self._clock(), op, basin, stream, records, nbytes)
             )
-            need_flush = len(self._buf) >= self.flush_threshold
-        if need_flush:
-            self.flush()
+            if len(self._buf) >= self.flush_threshold:
+                self._wake_flusher_locked()
+
+    def _wake_flusher_locked(self) -> None:
+        """Signal (lazily starting) the daemon flusher — caller holds
+        ``_mu``. The logging thread never appends to the store itself."""
+        if self._flusher is None or not self._flusher.is_alive():
+            self._flusher = threading.Thread(
+                target=self._flusher_loop, name="s2-audit-flusher", daemon=True
+            )
+            self._flusher.start()
+        self._cv.notify_all()
+
+    def _flusher_loop(self) -> None:
+        backoff = 0.05
+        while True:
+            with self._mu:
+                self._cv.wait_for(lambda: len(self._buf) >= self.flush_threshold)
+            try:
+                self.flush()
+                backoff = 0.05
+                self.last_flush_error = None
+            except BaseException as e:  # rows re-buffered by flush()
+                self.last_flush_error = e
+                time.sleep(backoff)  # don't hot-spin a failing backend
+                backoff = min(backoff * 2, 5.0)
+
+    def drain(self, timeout: float = 30.0) -> None:
+        """Block until the BACKGROUND flusher has emptied the buffer and
+        committed every in-flight row — without forcing a synchronous
+        flush (so a caller can observe that the threshold path alone
+        moved the rows). Raises TimeoutError if the flusher can't keep
+        up (or a sub-threshold remainder will never trigger it — use
+        :meth:`flush` for that)."""
+        deadline = time.monotonic() + timeout
+        while True:
+            with self._mu:
+                if not self._cv.wait_for(
+                    lambda: not self._buf,
+                    timeout=deadline - time.monotonic(),
+                ):
+                    raise TimeoutError(
+                        f"audit flusher did not drain in {timeout}s "
+                        f"(last error: {self.last_flush_error!r})"
+                    )
+            with self._flush_mu:  # wait out any in-flight append
+                with self._mu:
+                    if not self._buf:  # nothing re-buffered by a failure
+                        return
 
     def _ensure_sink(self) -> None:
         """One-time creation of the reserved audit basin/stream —
@@ -144,9 +227,17 @@ class OpsAudit:
         concurrent flushes never double-send), but on ANY error the
         not-yet-committed remainder is re-buffered before the exception
         propagates — a transient write failure loses nothing, and a
-        later flush retries from the first uncommitted row."""
+        later flush retries from the first uncommitted row.
+
+        Serialized with the background flusher (``_flush_mu``): when an
+        explicit flush() returns, no rows are in flight anywhere."""
+        with self._flush_mu:
+            self._flush_locked()
+
+    def _flush_locked(self) -> None:
         with self._mu:
             rows, self._buf = self._buf, []
+            self._cv.notify_all()  # back-pressured loggers may proceed
         if not rows:
             return
         if self._store is not None:
@@ -181,6 +272,7 @@ class OpsAudit:
             except BaseException:
                 with self._mu:
                     self._buf = rows[done:] + self._buf
+                    self._cv.notify_all()
                 raise
             finally:
                 self._local.suppress = False
@@ -191,6 +283,7 @@ class OpsAudit:
             except BaseException:
                 with self._mu:
                     self._buf = rows + self._buf
+                    self._cv.notify_all()
                 raise
             self._flushed_any = True
 

@@ -223,8 +223,119 @@ def test_audit_flush_threshold_routes_through_stream(store):
     store.append(BASIN, "s1", [Record(body=b"x")])
     for _ in range(8):  # hits the threshold mid-loop
         store.read(BASIN, "s1")
-    assert len(store.audit._buf) < 8
+    store.audit.drain()  # threshold flush is async — wait, don't force
+    assert len(store.audit._buf) == 0
     n = store.read(AUDIT_BASIN, AUDIT_STREAM, audit=False).count()
     assert n >= 8
     # total relation = flushed stream + live buffer, no loss
     assert store.audit.df().filter(F.col("op") == "read").count() == 8
+
+
+# --- async flusher ----------------------------------------------------
+
+
+class _FakeStore:
+    """Store stub whose append costs ``delay`` seconds — isolates the
+    log()-latency measurement from Spark scheduling noise."""
+
+    class _Cat:
+        def create_basin(self, *a, **k):
+            pass
+
+        def create_stream(self, *a, **k):
+            pass
+
+        def get_stream(self, *a, **k):
+            return object()
+
+    def __init__(self, delay=0.0, gate=None):
+        self.catalog = self._Cat()
+        self.appended = []
+        self.delay = delay
+        self.gate = gate  # threading.Event blocking appends when set
+
+    def append(self, basin, stream, records):
+        import time as _t
+
+        if self.gate is not None:
+            self.gate.wait()
+        if self.delay:
+            _t.sleep(self.delay)
+        self.appended.extend(records)
+
+
+def _audit_over(spark, tmp_path, fake, **kw):
+    from s2_spark.operators.audit import OpsAudit
+
+    clock = iter(range(10**9)).__next__
+    return OpsAudit(spark, str(tmp_path / "_audit"), clock, store=fake, **kw)
+
+
+def test_threshold_flush_is_async_and_lossless(spark, tmp_path):
+    """log() latency must be independent of the flush cost: with a
+    0.25 s-per-append backend and threshold 50, 500 logs cross the
+    threshold ~10 times — a synchronous flush would make those calls
+    pay ≥0.25 s each. Every row still lands exactly once."""
+    import time as _t
+
+    fake = _FakeStore(delay=0.25)
+    audit = _audit_over(spark, tmp_path, fake, flush_threshold=50)
+    worst = 0.0
+    for i in range(500):
+        t0 = _t.perf_counter()
+        audit.log("read", BASIN, f"s{i}")
+        worst = max(worst, _t.perf_counter() - t0)
+    assert worst < 0.2, f"a log() call paid the flush inline ({worst:.3f}s)"
+    audit.flush()  # drain the sub-threshold remainder synchronously
+    assert len(fake.appended) == 500
+    streams = {__import__("json").loads(bytes(r.body))["stream"] for r in fake.appended}
+    assert len(streams) == 500  # exactly once, nothing doubled
+    assert audit.dropped == 0
+
+
+def test_hard_cap_backpressure_then_counted_drop(spark, tmp_path):
+    """A wedged backend (append blocked forever) must not grow the
+    buffer unboundedly or block the client beyond the back-pressure
+    budget: past hard_cap, log() waits briefly then drops + counts."""
+    import threading as _th
+    import time as _t
+
+    gate = _th.Event()  # never set: appends hang
+    fake = _FakeStore(gate=gate)
+    audit = _audit_over(
+        spark,
+        tmp_path,
+        fake,
+        flush_threshold=4,
+        hard_cap=10,
+        backpressure_s=0.05,
+    )
+    for i in range(25):
+        audit.log("read", BASIN, f"s{i}")
+    assert audit.dropped > 0
+    with audit._mu:
+        buffered = len(audit._buf)
+    # bounded: cap + at most the batch the flusher popped before hanging
+    assert buffered <= 10
+    assert buffered + len(fake.appended) + audit.dropped <= 25
+    t0 = _t.perf_counter()
+    audit.log("read", BASIN, "late")
+    assert _t.perf_counter() - t0 < 1.0  # bounded, no unbounded block
+    gate.set()  # unwedge so the daemon thread exits its append cleanly
+    _t.sleep(0.1)
+
+
+def test_drain_waits_out_inflight_async_flush(spark, tmp_path):
+    """drain() returns only after the background flusher committed the
+    in-flight rows — df()-after-drain counts everything without an
+    explicit flush."""
+    import threading as _th
+
+    gate = _th.Event()
+    fake = _FakeStore(gate=gate)
+    audit = _audit_over(spark, tmp_path, fake, flush_threshold=5)
+    for i in range(5):
+        audit.log("read", BASIN, f"s{i}")
+    gate.set()
+    audit.drain(timeout=10)
+    assert len(fake.appended) == 5
