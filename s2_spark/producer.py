@@ -115,12 +115,36 @@ class Producer:
                         or self._pending_bytes + size > self.max_bytes
                     ):
                         batch = self._take_locked()  # full: flush, then queue
-                    self._pending.append((record, fut))
-                    self._pending_bytes += size
-                    if self._timer is None:
-                        self._timer = threading.Timer(self.linger_s, self.flush)
-                        self._timer.daemon = True
-                        self._timer.start()
+                    try:
+                        self._pending.append((record, fut))
+                        self._pending_bytes += size
+                        if self._timer is None:
+                            timer = threading.Timer(self.linger_s, self.flush)
+                            timer.daemon = True
+                            timer.start()  # can raise: thread exhaustion
+                            self._timer = timer  # only a RUNNING timer kept
+                    except BaseException:
+                        # roll back this record's admission and, if a
+                        # batch was taken above, un-issue its ticket and
+                        # restore its records — an issued ticket that
+                        # never reaches _commit stalls _turn forever, so
+                        # every later commit and close() would deadlock.
+                        # The lock is held since the take, so no other
+                        # ticket can have been issued in between.
+                        if self._pending and self._pending[-1][1] is fut:
+                            self._pending.pop()
+                            self._pending_bytes -= size
+                        self._unacked_bytes -= size
+                        if batch is not None:
+                            ticket, taken_records = batch
+                            assert self._next_ticket == ticket + 1
+                            self._next_ticket = ticket
+                            self._pending = taken_records + self._pending
+                            self._pending_bytes += sum(
+                                r.metered_size() for r, _ in taken_records
+                            )
+                        self._unacked_cv.notify_all()
+                        raise
                 elif self._pending_bytes > 0:
                     # queued-but-unflushed bytes may be the sole occupant
                     # of the window; flush them now instead of stalling up

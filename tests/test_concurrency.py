@@ -527,3 +527,53 @@ def test_durable_catalog_concurrent_creates_do_not_corrupt(spark, tmp_path):
     cat2 = Catalog(spark, meta_dir=meta_dir)
     names2, _ = cat2.list_streams(BASIN, prefix="cc-")
     assert names2 == names
+
+
+def test_producer_timer_start_failure_does_not_leak_ticket(store, monkeypatch):
+    """A Timer.start() raising ('can't start new thread') between the
+    ticket take and _commit previously orphaned the ticket: _turn never
+    advanced and every later commit + close() deadlocked. The failure
+    must roll back the submit, un-issue the ticket, keep the taken
+    batch queued, and leave the producer fully usable."""
+    import threading as _th
+
+    p = Producer(store, BASIN, "s1", linger_ms=60_000, max_batch_records=1)
+    f1 = p.submit(Record(body=b"a"))  # queued; timer running
+
+    real_timer = _th.Timer
+    armed = {"on": True}
+
+    class _BoomTimer:
+        def __init__(self, *a, **k):
+            self._t = real_timer(*a, **k)
+
+        def __setattr__(self, k, v):
+            if k == "_t":
+                object.__setattr__(self, k, v)
+            else:
+                setattr(self._t, k, v)
+
+        def start(self):
+            if armed["on"]:
+                armed["on"] = False
+                raise RuntimeError("can't start new thread")
+            self._t.start()
+
+        def cancel(self):
+            self._t.cancel()
+
+    monkeypatch.setattr(_th, "Timer", _BoomTimer)
+    # max_batch_records=1 → this submit takes [a]'s batch (ticket!),
+    # then must create a fresh linger timer, which blows up
+    with pytest.raises(RuntimeError, match="can't start new thread"):
+        p.submit(Record(body=b"b"))
+    # the producer is not wedged: a later submit and close() complete
+    f3 = p.submit(Record(body=b"c"))
+    t = _th.Thread(target=p.close)
+    t.start()
+    t.join(timeout=30)
+    assert not t.is_alive(), "close() deadlocked on the leaked ticket"
+    assert f1.result(timeout=5) == 0
+    assert f3.result(timeout=5) == 1  # b rolled back, never committed
+    rows = store.read(BASIN, "s1").collect()
+    assert [bytes(r.body) for r in rows] == [b"a", b"c"]
