@@ -24,6 +24,7 @@ Architecture (vs the reference):
 
 from __future__ import annotations
 
+import json
 import os
 import threading
 import time
@@ -1447,3 +1448,32 @@ class StreamStore:
                 )
             )
         self._rewrite(keep)
+        if drop_streams:
+            self._record_purges(drop_streams)
+
+    def _record_purges(self, drop_streams: list[tuple[str, str]]) -> None:
+        """Generation tombstones for physically purged streams, written
+        AFTER the rewrite commits (under ``{base}/_purges/``, invisible
+        to parquet listings). A running streaming source reads these to
+        drop its monotone tail guard for the dead generation — without
+        a tombstone it would pin the purged stream's old tail forever
+        and never deliver a recreated stream's records
+        (streaming/source.py latestOffset)."""
+        import hashlib
+
+        d = os.path.join(self.base_dir, "_purges")
+        os.makedirs(d, exist_ok=True)
+        for b, s in drop_streams:
+            name = hashlib.sha1(f"{b}\x00{s}".encode()).hexdigest()[:24] + ".json"
+            p = os.path.join(d, name)
+            gen = 0
+            if os.path.exists(p):
+                try:
+                    with open(p) as f:
+                        gen = int(json.load(f).get("gen", 0))
+                except (OSError, ValueError):
+                    pass
+            tmp = p + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump({"basin": b, "stream": s, "gen": gen + 1}, f)
+            os.replace(tmp, p)  # atomic: readers see old or new, never torn

@@ -65,6 +65,15 @@ from s2_spark.store import StreamStore
 _KEY_SEP = "\x00"
 
 
+def _remove_quiet(path: str) -> None:
+    """Remove a marker that a concurrent/earlier cleanup (epoch-log
+    compaction, the is_done orphan sweep) may already have deleted."""
+    try:
+        os.remove(path)
+    except FileNotFoundError:
+        pass
+
+
 class ExactlyOnceUnverifiable(RuntimeError):
     """Raised when a crashed epoch's commit status cannot be decided
     from storage evidence — replaying could double-append, skipping
@@ -74,7 +83,8 @@ class ExactlyOnceUnverifiable(RuntimeError):
 def _record_digest(headers, body) -> str:
     """Length-prefixed canonical digest of the sequencing-stable record
     fields. ``headers`` is an iterable of (name, value) byte pairs (or
-    Rows with those fields); ``body`` bytes-like or None."""
+    Rows with those fields); ``body`` bytes-like or None. MUST stay in
+    lockstep with :func:`_record_digest_col`, its JVM twin."""
     h = hashlib.sha256()
     for hdr in headers or []:
         name = bytes(hdr["name"] or b"")
@@ -87,6 +97,43 @@ def _record_digest(headers, body) -> str:
     h.update(len(b).to_bytes(8, "big"))
     h.update(b)
     return h.hexdigest()
+
+
+def _len_prefix(col, width: int):
+    """Big-endian fixed-width length prefix of a binary column —
+    ``len(x).to_bytes(width, "big")`` as a Catalyst expression
+    (hex → zero-pad → unhex)."""
+    return F.unhex(
+        F.lpad(F.hex(F.coalesce(F.length(col), F.lit(0))), width * 2, "0")
+    )
+
+
+def _record_digest_col():
+    """Per-record canonical digest as a JVM-side column (hex sha256),
+    byte-identical to :func:`_record_digest` — computed distributed at
+    intent time so the whole batch never passes through the driver."""
+    hdr = F.aggregate(
+        F.coalesce(F.col("headers"), F.array()),
+        F.lit(b""),
+        lambda acc, h: F.concat(
+            acc,
+            _len_prefix(h["name"], 4),
+            F.coalesce(h["name"], F.lit(b"")),
+            _len_prefix(h["value"], 4),
+            F.coalesce(h["value"], F.lit(b"")),
+        ),
+    )
+    body = F.coalesce(F.col("body"), F.lit(b""))
+    return F.sha2(F.concat(hdr, _len_prefix(body, 8), body), 256)
+
+
+def _range_digest(rows) -> str:
+    """Digest of a whole per-stream record range: sha256 over the
+    concatenated per-record digest hexes in seq order. The probe-side
+    twin of the intent's ``range_digests`` aggregate."""
+    return hashlib.sha256(
+        "".join(_record_digest(r["headers"], r["body"]) for r in rows).encode()
+    ).hexdigest()
 
 
 class EpochLog:
@@ -159,10 +206,16 @@ class EpochLog:
             except OSError:
                 return
             for f in entries:
-                if not f.endswith(".done"):
+                # .done markers fold into the watermark; an .intent at
+                # or below it is an orphan from a crash between
+                # mark_done and the intent removal — both are garbage
+                for suffix in (".done", ".intent"):
+                    if f.endswith(suffix):
+                        break
+                else:
                     continue
                 try:
-                    e = int(f[: -len(".done")])
+                    e = int(f[: -len(suffix)])
                 except ValueError:
                     continue
                 if e <= new:
@@ -181,60 +234,143 @@ def append_sink(
     headers, body, and ``order_col`` (per-stream arrival order within
     the batch — e.g. the source offset). ``sink_id`` namespaces the
     epoch log when several queries write into one store.
-    """
+
+    **``order_col`` MUST be unique per (basin, stream) within a
+    batch** — the source's offset satisfies this. On ties both the
+    sequencing window and the intent's first-record pick are
+    nondeterministic across attempts, so a genuinely committed crashed
+    epoch could fail the replay probe and be re-appended (duplicates).
+
+    **Residual replay alias (documented):** the probe proves a crashed
+    attempt committed by matching digests of the WHOLE recorded range
+    ``[tail, tail+count)`` per stream. A false positive therefore
+    requires a foreign producer to have landed the entire batch
+    byte-identically at exactly those seqs — e.g. a mirrored
+    at-least-once upstream racing the same payload into the same
+    stream. In that corner the epoch is skipped as already-committed
+    (the bytes ARE present once; a second copy would itself be the
+    duplicate)."""
     log = EpochLog(os.path.join(store.base_dir, "_sink_epochs", sink_id))
 
     def _committed_streams(before: dict) -> dict[str, bool]:
         """Per-stream verdict for a crashed attempt: did its append
         land? Decided by the storage probe described in the module
-        docstring, never by tail movement alone."""
+        docstring, never by tail movement alone. With a v3 intent the
+        probe covers the ENTIRE recorded range, so a false "committed"
+        requires a foreign writer to have landed every record of the
+        batch byte-identically at exactly the recorded seqs — the
+        documented residual alias, vanishingly narrower than the old
+        first-record-only check."""
         tails, counts, digests = before["tails"], before["counts"], before["digests"]
+        range_digests = before.get("range_digests", {})
         verdicts: dict[str, bool] = {}
         keys = [tuple(k.split(_KEY_SEP, 1)) for k in tails]
         store._ensure_states(keys)
         for b, s in keys:
             k = f"{b}{_KEY_SEP}{s}"
-            t0 = tails[k]
+            t0, n = tails[k], counts[k]
             tail_now = store._st(b, s).tail_seq
             if tail_now <= t0:
                 verdicts[k] = False  # nothing landed past the recorded tail
                 continue
-            row = (
+            rows = (
                 store.records_df()
                 .filter(
                     (F.col("basin") == b)
                     & (F.col("stream") == s)
-                    & (F.col("seq_num") == t0)
+                    & (F.col("seq_num") >= t0)
+                    & (F.col("seq_num") < t0 + n)
                 )
-                .select("headers", "body")
+                .select("seq_num", "headers", "body")
                 .collect()
             )
-            if not row:
+            rows.sort(key=lambda r: r["seq_num"])
+            if not rows or rows[0]["seq_num"] != t0:
                 raise ExactlyOnceUnverifiable(
                     f"epoch replay: record at seq {t0} of {b}/{s} was "
                     "compacted/trimmed away before the crashed attempt "
                     "could be verified — cannot decide committed vs not"
                 )
-            if _record_digest(row[0]["headers"], row[0]["body"]) == digests[k]:
-                if tail_now < t0 + counts[k]:
-                    raise ExactlyOnceUnverifiable(
-                        f"epoch replay: {b}/{s} shows the crashed "
-                        f"attempt's first record at seq {t0} but only "
-                        f"{tail_now - t0} of its {counts[k]} records — "
-                        "partial within-stream commit contradicts the "
-                        "sink's per-stream write atomicity"
-                    )
-                verdicts[k] = True
-            else:
+            if _record_digest(rows[0]["headers"], rows[0]["body"]) != digests[k]:
                 # a foreign record (second producer, or retention's
                 # in-band trim commands) consumed seq t0: the crashed
                 # attempt never committed for this stream
                 verdicts[k] = False
+                continue
+            if tail_now < t0 + n:
+                raise ExactlyOnceUnverifiable(
+                    f"epoch replay: {b}/{s} shows the crashed "
+                    f"attempt's first record at seq {t0} but only "
+                    f"{tail_now - t0} of its {n} records — "
+                    "partial within-stream commit contradicts the "
+                    "sink's per-stream write atomicity"
+                )
+            rd = range_digests.get(k)
+            if rd is None:
+                verdicts[k] = True  # v2 intent: first-record evidence only
+                continue
+            if len(rows) != n or rows[-1]["seq_num"] != t0 + n - 1:
+                raise ExactlyOnceUnverifiable(
+                    f"epoch replay: seqs [{t0}, {t0 + n}) of {b}/{s} are "
+                    f"no longer fully present ({len(rows)} of {n} "
+                    "records) — the evidence range was trimmed away "
+                    "before the crashed attempt could be verified"
+                )
+            # whole-range check: first record matched but the rest must
+            # too, else the range is a foreign writer's (first-record
+            # byte-alias) and our records never landed
+            verdicts[k] = _range_digest(rows) == rd
         return verdicts
+
+    def _intent_payload(batch_df: DataFrame) -> dict:
+        """One distributed pass discovers the touched keys AND every
+        piece of evidence replay needs: per-stream count, first-record
+        digest (min_by on the order column), and the whole-range chain
+        digest (per-record digests concatenated in (order, digest)
+        order — the digest tiebreak makes the INTENT deterministic even
+        on order ties; the COMMIT sequence on ties is not, which is why
+        ``order_col`` must be unique per stream, see append_sink)."""
+        d = _record_digest_col().alias("d")
+        agg = (
+            batch_df.select("basin", "stream", F.col(order_col).alias("o"), d)
+            .groupBy("basin", "stream")
+            .agg(
+                F.count("*").alias("n"),
+                F.min_by("d", F.struct("o", "d")).alias("first"),
+                F.sha2(
+                    F.concat_ws(
+                        "",
+                        F.transform(
+                            F.array_sort(F.collect_list(F.struct("o", "d"))),
+                            lambda s: s["d"],
+                        ),
+                    ),
+                    256,
+                ).alias("range"),
+            )
+            .collect()
+        )
+        keys = [(r["basin"], r["stream"]) for r in agg]
+        store._ensure_states(keys)
+        before = {"v": 3, "tails": {}, "counts": {}, "digests": {}, "range_digests": {}}
+        for r in agg:
+            k = f"{r['basin']}{_KEY_SEP}{r['stream']}"
+            before["tails"][k] = store._st(r["basin"], r["stream"]).tail_seq
+            before["counts"][k] = r["n"]
+            before["digests"][k] = r["first"]
+            before["range_digests"][k] = r["range"]
+        return before
 
     def commit(batch_df: DataFrame, epoch_id: int) -> None:
         if log.is_done(epoch_id):
-            return  # replay of a fully committed epoch
+            # replay of a fully committed epoch; a crash between
+            # mark_done and the intent removal can orphan the intent
+            # file — clean it here so such markers never accumulate
+            try:
+                os.remove(log.intent_path(epoch_id))
+            except FileNotFoundError:
+                pass
+            return
         intent = log.intent_path(epoch_id)
         batch_df = batch_df.persist()
         try:
@@ -246,7 +382,7 @@ def append_sink(
                 # crashed attempt: decide per stream from storage
                 with open(intent) as f:
                     before = json.load(f)
-                if before.get("v") != 2:
+                if before.get("v") not in (2, 3):
                     # pre-digest intent (round-6 format): tail movement
                     # is not attributable — refuse to guess
                     keys = [tuple(k.split(_KEY_SEP, 1)) for k in before]
@@ -260,46 +396,23 @@ def append_sink(
                             "tails — upgrade wrote no record digests, so "
                             "the advance cannot be attributed"
                         )
-                    # tails unmoved: the crashed attempt wrote nothing
+                    # tails unmoved: the crashed attempt wrote nothing —
+                    # but THIS replay can itself crash mid-append, so
+                    # upgrade the intent to a digest-bearing one first:
+                    # a second crash is then decidable by the probe
+                    # instead of permanently unverifiable
+                    log.write_intent(epoch_id, _intent_payload(batch_df))
                 else:
                     verdicts = _committed_streams(before)
                     if all(verdicts.values()):
                         log.mark_done(epoch_id)
-                        os.remove(intent)
+                        _remove_quiet(intent)
                         return
                     replay_only = [k for k, ok in verdicts.items() if not ok]
                     if len(replay_only) == len(verdicts):
                         replay_only = None  # nothing landed: full replay
             else:
-                # one pass discovers the keys AND the evidence the
-                # replay path needs: per-stream count and first-record
-                # digest (min_by on the order column)
-                agg = (
-                    batch_df.groupBy("basin", "stream")
-                    .agg(
-                        F.count("*").alias("n"),
-                        F.min_by(
-                            F.struct("headers", "body"), F.col(order_col)
-                        ).alias("first"),
-                    )
-                    .collect()
-                )
-                keys = [(r["basin"], r["stream"]) for r in agg]
-                store._ensure_states(keys)
-                before = {
-                    "v": 2,
-                    "tails": {},
-                    "counts": {},
-                    "digests": {},
-                }
-                for r in agg:
-                    k = f"{r['basin']}{_KEY_SEP}{r['stream']}"
-                    before["tails"][k] = store._st(r["basin"], r["stream"]).tail_seq
-                    before["counts"][k] = r["n"]
-                    before["digests"][k] = _record_digest(
-                        r["first"]["headers"], r["first"]["body"]
-                    )
-                log.write_intent(epoch_id, before)
+                log.write_intent(epoch_id, _intent_payload(batch_df))
             to_append = batch_df
             if replay_only is not None:
                 # cross-stream partial commit: re-append only the
@@ -309,7 +422,7 @@ def append_sink(
                 )
             store.bulk_append(to_append, order_col=order_col)
             log.mark_done(epoch_id)
-            os.remove(intent)
+            _remove_quiet(intent)
         finally:
             batch_df.unpersist()
 

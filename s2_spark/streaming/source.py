@@ -21,6 +21,7 @@ returns only streams whose tail advanced (heartbeat ≡ empty progress).
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql.datasource import DataSource, DataSourceStreamReader, InputPartition
@@ -142,6 +143,29 @@ def _tails(
     return tails
 
 
+def _purge_gens(path: str) -> dict[str, int]:
+    """Per-stream purge-generation tombstones written by
+    ``StreamStore._record_purges`` after a deleted stream's records are
+    physically dropped. A generation bump tells a running reader that
+    everything it knew about the stream (tail guard, high-water mark,
+    byte budget) described a DEAD stream: a recreated stream of the
+    same name is a new stream starting at seq 0."""
+    d = os.path.join(path, "_purges")
+    out: dict[str, int] = {}
+    if not os.path.isdir(d):
+        return out
+    for f in os.listdir(d):
+        if not f.endswith(".json"):
+            continue
+        try:
+            with open(os.path.join(d, f)) as fh:
+                m = json.load(fh)
+            out[f"{m['basin']}{SEP}{m['stream']}"] = int(m["gen"])
+        except (OSError, ValueError, KeyError):
+            continue  # torn/foreign file: ignore, next trigger retries
+    return out
+
+
 class S2StreamReader(DataSourceStreamReader):
     def __init__(self, options: dict):
         self.path = options["path"]
@@ -174,6 +198,16 @@ class S2StreamReader(DataSourceStreamReader):
         # only inspects files that appeared since the previous trigger
         self._tails_cache: dict[str, tuple[tuple, dict[str, int]]] = {}
         self.tails_stats: dict = {}
+        # purge-generation tracking: tombstones existing when the
+        # reader starts are history (a restarted query resumes at its
+        # checkpoint — a purge that happened while the query was DOWN
+        # is not replayed); only a bump observed while running rebases
+        self._max_seen: dict[str, int] = {}
+        self._rebased: set[str] = set()
+        # per rebased key: end offsets reported after the rebase — the
+        # only commits allowed to end that key's rebase window
+        self._newgen_ends: dict[str, set[int]] = {}
+        self._purge_gens_seen: dict[str, int] = _purge_gens(self.path)
 
     def _filtered(self, tails: dict[str, int]) -> dict[str, int]:
         out = {}
@@ -198,12 +232,24 @@ class S2StreamReader(DataSourceStreamReader):
         # DataSourceStreamReader contract applies offsets as reported,
         # so clamping must happen where the end offset is produced.
         tails = self._filtered(_tails(self.path, self._tails_cache, self.tails_stats))
+        # a purge-generation bump means the stream was deleted and its
+        # records physically dropped: the old tail/HWM/budget state
+        # describes a dead generation — forget it, and rebase delivery
+        # at the (possibly recreated) stream's own head
+        for k, g in _purge_gens(self.path).items():
+            if g > self._purge_gens_seen.get(k, 0):
+                self._purge_gens_seen[k] = g
+                self._max_seen.pop(k, None)
+                self._rebased.add(k)
+                if getattr(self, "_baseline", None):
+                    self._baseline.pop(k, None)
+                self._bytes_scan.pop(k, None)
+                self._bytes_cap.pop(k, None)
         # monotone guard: a concurrent compaction rewrite can leave the
-        # directory momentarily empty/partial; tails only ever grow, so
-        # serve the max ever observed per stream instead of regressing
-        # the offset log
-        seen = getattr(self, "_max_seen", {})
-        for k, v in seen.items():
+        # directory momentarily empty/partial; tails only ever grow
+        # WITHIN a stream generation, so serve the max ever observed
+        # per stream instead of regressing the offset log
+        for k, v in self._max_seen.items():
             if tails.get(k, 0) < v:
                 tails[k] = v
         self._max_seen = dict(tails)
@@ -224,6 +270,9 @@ class S2StreamReader(DataSourceStreamReader):
             # is repaired at partitions(): the high-water clamp never
             # re-delivers below any start/end ever seen, and the next
             # trigger's baseline is the true checkpointed position.
+        for k in self._rebased:
+            if k in tails:  # a post-rebase end: commit may honor it
+                self._newgen_ends.setdefault(k, set()).add(tails[k])
         return tails
 
     _BYTES_SCAN_WINDOW = 4096  # records per driver-side planning read
@@ -283,15 +332,22 @@ class S2StreamReader(DataSourceStreamReader):
         tails-scan regression. The baseline is advanced here (not just
         in commit) because partitions() sees every PLANNED batch."""
         prior = dict(getattr(self, "_baseline", None) or {})
+        rebased = getattr(self, "_rebased", set())
         parts = []
         for k, e in end.items():
             s = start.get(k, self.start_seq)
             s = max(s, prior.get(k, s))  # never re-deliver below the HWM
+            if k in rebased:
+                # dead generation: the checkpointed start describes the
+                # purged stream — deliver the new stream from its head
+                s = self.start_seq
             if e > s:
                 b, st = k.split(SEP, 1)
                 parts.append(_StreamSlice(self.path, b, st, s, e))
         for src in (start, end):
             for k, v in src.items():
+                if src is start and k in rebased:
+                    continue  # a dead generation's start must not re-pin
                 if v > prior.get(k, -1):
                     prior[k] = v
         self._baseline = prior
@@ -305,7 +361,20 @@ class S2StreamReader(DataSourceStreamReader):
         # offsets live in the checkpoint; the baseline (high-water mark)
         # only ever advances — rate limiting moves window-by-window
         base = dict(getattr(self, "_baseline", None) or {})
+        rebased = getattr(self, "_rebased", set())
         for k, v in end.items():
+            if k in rebased:
+                # Spark commits batch N only when batch N+1 starts, so
+                # the commit arriving right after a rebase usually
+                # belongs to the DEAD generation (its end is the purged
+                # stream's old tail). Only an end this reader reported
+                # POST-rebase ends the rebase window; a dead-generation
+                # end must neither clear the flag nor re-pin the HWM.
+                if v in self._newgen_ends.get(k, ()):
+                    rebased.discard(k)
+                    self._newgen_ends.pop(k, None)
+                else:
+                    continue
             if v > base.get(k, -1):
                 base[k] = v
         self._baseline = base

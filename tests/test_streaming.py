@@ -1077,3 +1077,220 @@ def test_heartbeat_cadence_randomized_5_to_15s(spark, store):
     # periodic heartbeats land on the first poll tick >= each drawn gap
     assert hb_times[1] == math.ceil(expect_gaps[0])
     assert mono.t == 25.0  # randomized cadence never extends the budget
+
+
+def test_purged_and_recreated_stream_delivers_under_running_query(spark, store):
+    """delete_stream → purge → recreate under a RUNNING query: without
+    the purge-generation tombstone the reader's monotone tail guard
+    pins the dead stream's tail forever and the recreated stream's
+    records (restarting at seq 0) are never delivered."""
+    from s2_spark.operators.maintenance import deletion_purge_sweep
+
+    store.catalog.create_stream(BASIN, "dead")
+    store.append(BASIN, "dead", _recs(4))
+    q = _start_tail_query(spark, store, "regen1")
+    try:
+        q.processAllAvailable()
+        assert spark.sql("SELECT count(*) c FROM regen1").first().c == 4
+        store.catalog.delete_stream(BASIN, "dead")
+        deletion_purge_sweep(store)
+        store.catalog.create_stream(BASIN, "dead")
+        ack = store.append(
+            BASIN, "dead", [Record(body=b"fresh-0"), Record(body=b"fresh-1")]
+        )
+        assert ack.start_seq == 0  # genuinely a new generation
+        q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT seq_num, CAST(body AS STRING) AS b FROM regen1 ORDER BY seq_num"
+        ).collect()
+        fresh = [(r.seq_num, r.b) for r in rows if r.b.startswith("fresh")]
+        assert fresh == [(0, "fresh-0"), (1, "fresh-1")]
+        # and the new generation tails live like any other stream
+        store.append(BASIN, "dead", [Record(body=b"fresh-2")])
+        q.processAllAvailable()
+        n = spark.sql(
+            "SELECT count(*) c FROM regen1 WHERE CAST(body AS STRING) LIKE 'fresh%'"
+        ).first().c
+        assert n == 3
+    finally:
+        q.stop()
+
+
+def test_jvm_and_python_record_digests_agree(spark):
+    """The intent's distributed digest column must be byte-identical to
+    the probe's Python recomputation — empty/None headers and bodies,
+    multi-header records, binary payloads."""
+    from s2_spark.streaming.sink import _record_digest, _record_digest_col
+
+    rows = [
+        (BASIN, "s1", None, [], b"plain", 0),
+        (BASIN, "s1", None, None, None, 1),
+        (BASIN, "s1", None, [(b"", b"")], b"", 2),
+        (BASIN, "s1", None, [(b"k", b"v"), (b"", b"fence")], bytes(range(256)), 3),
+        (BASIN, "s1", None, [(None, b"x"), (b"y", None)], b"\x00\x01", 4),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "basin string, stream string, timestamp long, "
+        "headers array<struct<name binary, value binary>>, body binary, "
+        "ingest_order long",
+    )
+    got = {
+        r["ingest_order"]: r["d"]
+        for r in df.select(
+            "ingest_order", _record_digest_col().alias("d")
+        ).collect()
+    }
+    for _, _, _, headers, body, i in rows:
+        hdrs = (
+            [{"name": n, "value": v} for n, v in headers] if headers else headers
+        )
+        assert got[i] == _record_digest(hdrs, body), f"row {i} digest diverged"
+
+
+def test_sink_replay_first_record_alias_detected_by_range_probe(spark, store):
+    """A foreign producer landing a byte-identical FIRST record (but
+    different subsequent records) at the recorded tail fooled the old
+    first-record-only probe into 'committed' — silently dropping the
+    epoch. The v3 whole-range digest detects the foreign range and
+    re-appends."""
+    import json
+    import os
+
+    from s2_spark.streaming.sink import append_sink
+
+    df = _sink_batch(spark, 2)  # will land at seqs 0..1 when replayed
+    commit = append_sink(store, sink_id="q-alias")
+    # run once for real to capture a genuine v3 intent, then roll the
+    # store back by rebuilding the scenario in a sibling stream
+    epochs = os.path.join(store.base_dir, "_sink_epochs", "q-alias")
+    os.makedirs(epochs, exist_ok=True)
+    # craft the v3 intent the crashed attempt would have written
+    payload_probe = append_sink(store, sink_id="q-scratch")
+    payload_probe(df, 0)  # writes + commits epoch 0 under q-scratch
+    with open(os.path.join(store.base_dir, "_sink_epochs", "q-scratch", "_watermark")) as f:
+        assert int(f.read()) >= 0
+    # the actual crashed intent: recorded tail 2 (post-scratch append)
+    from s2_spark.streaming.sink import _record_digest, _range_digest
+
+    t0 = store.check_tail(BASIN, "s1")[0]
+    rows = [{"headers": [], "body": f"r{i}".encode()} for i in range(2)]
+    intent = {
+        "v": 3,
+        "tails": {f"{BASIN}\x00s1": t0},
+        "counts": {f"{BASIN}\x00s1": 2},
+        "digests": {f"{BASIN}\x00s1": _record_digest([], b"r0")},
+        "range_digests": {f"{BASIN}\x00s1": _range_digest(rows)},
+    }
+    with open(os.path.join(epochs, "7.intent"), "w") as f:
+        json.dump(intent, f)
+    # foreign writer: first record byte-identical to ours, second NOT
+    store.append(BASIN, "s1", [Record(body=b"r0"), Record(body=b"FOREIGN")])
+    commit(df, 7)  # replay: range mismatch → our records re-appended
+    bodies = [bytes(r.body) for r in store.read(BASIN, "s1").collect()]
+    # scratch epoch (r0 r1) + foreign (r0 FOREIGN) + replayed (r0 r1)
+    assert bodies.count(b"r0") == 3 and bodies.count(b"r1") == 2
+    assert bodies.count(b"FOREIGN") == 1
+    assert store.check_tail(BASIN, "s1")[0] == 6
+
+
+def test_sink_replay_range_probe_confirms_genuine_commit(spark, store):
+    """The inverse: when the crashed attempt's append genuinely landed,
+    the whole-range probe confirms it and the replay appends nothing."""
+    import json
+    import os
+
+    from s2_spark.streaming.sink import _record_digest, _range_digest, append_sink
+
+    commit = append_sink(store, sink_id="q-genuine")
+    epochs = os.path.join(store.base_dir, "_sink_epochs", "q-genuine")
+    df = _sink_batch(spark, 3)
+    commit(df, 0)  # epoch 0 commits records 0..2
+    # simulate: epoch 0's done marker lost, only the intent remains
+    # (crash after append, before mark_done)
+    rows = [{"headers": [], "body": f"r{i}".encode()} for i in range(3)]
+    intent = {
+        "v": 3,
+        "tails": {f"{BASIN}\x00s1": 0},
+        "counts": {f"{BASIN}\x00s1": 3},
+        "digests": {f"{BASIN}\x00s1": _record_digest([], b"r0")},
+        "range_digests": {f"{BASIN}\x00s1": _range_digest(rows)},
+    }
+    os.makedirs(epochs, exist_ok=True)
+    with open(os.path.join(epochs, "1.intent"), "w") as f:
+        json.dump(intent, f)
+    commit(df, 1)  # probe proves committed → skip, no duplicates
+    bodies = [bytes(r.body) for r in store.read(BASIN, "s1").collect()]
+    assert bodies == [b"r0", b"r1", b"r2"]
+    assert store.check_tail(BASIN, "s1")[0] == 3
+
+
+def test_sink_v1_intent_upgraded_before_replay_append(spark, store, monkeypatch):
+    """The v1 (round-6) replay path with unmoved tails must upgrade the
+    intent to a digest-bearing v3 BEFORE appending, so a crash during
+    THIS replay is decidable next time instead of permanently
+    ExactlyOnceUnverifiable."""
+    import json
+    import os
+
+    from s2_spark.streaming.sink import append_sink
+
+    df = _sink_batch(spark, 3)
+    epochs = os.path.join(store.base_dir, "_sink_epochs", "q-v1")
+    os.makedirs(epochs, exist_ok=True)
+    with open(os.path.join(epochs, "0.intent"), "w") as f:
+        json.dump({f"{BASIN}\x00s1": 0}, f)  # v1: bare key->tail map
+    commit = append_sink(store, sink_id="q-v1")
+
+    real_bulk = store.bulk_append
+    crashed = {"on": True}
+
+    def crashing_bulk(*a, **kw):
+        if crashed["on"]:
+            crashed["on"] = False
+            raise RuntimeError("crash mid-replay-append")
+        return real_bulk(*a, **kw)
+
+    monkeypatch.setattr(store, "bulk_append", crashing_bulk)
+    with pytest.raises(RuntimeError, match="crash mid-replay-append"):
+        commit(df, 0)
+    # the intent on disk is now v3 with digests — decidable evidence
+    with open(os.path.join(epochs, "0.intent")) as f:
+        upgraded = json.load(f)
+    assert upgraded["v"] == 3 and upgraded["range_digests"]
+    # second replay (no crash) completes exactly-once
+    commit(df, 0)
+    assert store.check_tail(BASIN, "s1")[0] == 3
+    assert [bytes(r.body) for r in store.read(BASIN, "s1").collect()] == [
+        b"r0",
+        b"r1",
+        b"r2",
+    ]
+
+
+def test_sink_orphan_intents_are_cleaned(spark, store):
+    """A crash between mark_done and the intent removal must not leak
+    .intent files forever: the is_done early-return and the epoch-log
+    compaction both reap orphans."""
+    import os
+
+    from s2_spark.streaming.sink import EpochLog, append_sink
+
+    commit = append_sink(store, sink_id="q-orphan")
+    epochs = os.path.join(store.base_dir, "_sink_epochs", "q-orphan")
+    log = EpochLog(epochs)
+    # orphan BELOW the watermark: reaped by compaction on next mark_done
+    os.makedirs(epochs, exist_ok=True)
+    for e in range(3):
+        with open(log.intent_path(e), "w") as f:
+            f.write("{}")
+        log.mark_done(e)
+    assert not [f for f in os.listdir(epochs) if f.endswith(".intent")]
+    # orphan ABOVE the watermark with a done marker: reaped by the
+    # is_done early return on replay
+    with open(log.intent_path(7), "w") as f:
+        f.write("{}")
+    log._write_atomic(log.done_path(7), "")
+    commit(_sink_batch(spark, 1), 7)  # replay of a done epoch
+    assert not os.path.exists(log.intent_path(7))
+    assert store.check_tail(BASIN, "s1")[0] == 0  # nothing appended
