@@ -2,16 +2,18 @@
 typed metadata, plus the Spark-side plumbing (schema, partitioning,
 Arrow batch shape) for decode / feature-extract / resize / frame-sample.
 
-Image and audio decode are REAL: PIL when importable, else a built-in
-pure numpy+zlib PNG decoder (8-bit, non-interlaced — gray / RGB /
-palette / alpha) for images, and the stdlib ``wave`` module + numpy FFT
-for WAV/PCM audio — feature-extraction and resize run honestly
-end-to-end with zero extra dependencies. Video codecs are not in this
-container, so frame decode stays STUBBED: each operator takes a
-``decoder`` callable, and ``fake=True`` installs a deterministic fake
-(byte-hash features) used as the oracle path for the distributed
-plumbing — mapInPandas over Arrow batches, schema contracts, metadata
-propagation.
+Image and audio decode are REAL: PIL when importable, else built-in
+pure numpy decoders — PNG (zlib inflate; 8-bit non-interlaced gray /
+RGB / palette / alpha) and baseline JPEG (ITU-T T.81 Huffman + IDCT,
+:mod:`s2_spark.functions.jpeg`) for images, the stdlib ``wave`` module
++ numpy FFT for WAV/PCM audio — feature-extraction and resize run
+honestly end-to-end with zero extra dependencies. Video frame decode
+is real for uncompressed 'raw ' RGB24 MP4 tracks AND motion-JPEG
+('jpeg'/'mjpa') tracks; inter-frame codecs (H.264 etc.) stay STUBBED:
+each operator takes a ``decoder`` callable, and ``fake=True`` installs
+a deterministic fake (byte-hash features) used as the oracle path for
+the distributed plumbing — mapInPandas over Arrow batches, schema
+contracts, metadata propagation.
 
 Scale notes: media bytes never hit the driver; operators are
 ``mapInPandas`` over the binary column with spill-friendly batch sizes.
@@ -145,8 +147,9 @@ def encode_png(arr: np.ndarray) -> bytes:
 
 def decode_image_rgb(payload: bytes) -> np.ndarray:
     """payload → (H, W, 3) uint8 RGB: PIL for any format it knows,
-    else the built-in PNG path, else NotImplementedError (the honest
-    stub for codecs absent from this container)."""
+    else the built-in PNG or baseline-JPEG path, else
+    NotImplementedError (the honest stub for codecs absent from this
+    container)."""
     try:
         import io
 
@@ -157,6 +160,10 @@ def decode_image_rgb(payload: bytes) -> np.ndarray:
         pass
     if payload[:8] == _PNG_MAGIC:
         return decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        from s2_spark.functions.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     _not_implemented_decoder(payload)
 
 
@@ -310,6 +317,18 @@ def _full(btype: bytes, *payloads: bytes) -> bytes:
     return _box(btype, b"\x00\x00\x00\x00", *payloads)
 
 
+def _video_sample_entry(fourcc: bytes, width: int, height: int) -> bytes:
+    return (
+        struct.pack(">I", 86) + fourcc + b"\x00" * 6 + struct.pack(">H", 1)
+        + b"\x00" * 16
+        + struct.pack(">HH", width, height)
+        + struct.pack(">II", 0x480000, 0x480000)  # 72 dpi
+        + b"\x00" * 4 + struct.pack(">H", 1)  # frame_count
+        + b"\x00" * 32  # compressorname
+        + struct.pack(">Hh", 24, -1)  # depth, pre_defined
+    )
+
+
 def build_raw_mp4(
     frames: list, width: int, height: int, fps: int = 10, timescale: int = 1000
 ) -> bytes:
@@ -322,24 +341,49 @@ def build_raw_mp4(
     fsize = width * height * 3
     if any(len(r) != fsize for r in raw):
         raise ValueError("frame size != width*height*3")
+    stsz = _full(b"stsz", struct.pack(">II", fsize, len(raw)))
+    return _build_video_mp4(
+        raw, _video_sample_entry(b"raw ", width, height), stsz, fps, timescale
+    )
+
+
+def build_mjpeg_mp4(
+    frames: list, fps: int = 10, timescale: int = 1000
+) -> bytes:
+    """Minimal real MP4 holding a motion-JPEG ('jpeg') video track:
+    each sample is a standalone baseline JPEG (encoded with the numpy
+    codec in :mod:`s2_spark.functions.jpeg`), one chunk, per-sample
+    sizes. ``frames`` are (H, W, 3) uint8 arrays or pre-encoded JPEG
+    bytes."""
+    from s2_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    raw = [
+        bytes(f) if isinstance(f, (bytes, bytearray)) else encode_jpeg(f)
+        for f in frames
+    ]
+    h0, w0 = decode_jpeg(raw[0]).shape[:2]
+    stsz = _full(
+        b"stsz",
+        struct.pack(">II", 0, len(raw))
+        + b"".join(struct.pack(">I", len(r)) for r in raw),
+    )
+    return _build_video_mp4(
+        raw, _video_sample_entry(b"jpeg", w0, h0), stsz, fps, timescale
+    )
+
+
+def _build_video_mp4(
+    raw: list[bytes], sample_entry: bytes, stsz: bytes, fps: int, timescale: int
+) -> bytes:
     n = len(raw)
     delta = timescale // fps
     duration = n * delta
+    width, height = struct.unpack(">HH", sample_entry[32:36])
     matrix = struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
 
-    sample_entry = (
-        struct.pack(">I", 86) + b"raw " + b"\x00" * 6 + struct.pack(">H", 1)
-        + b"\x00" * 16
-        + struct.pack(">HH", width, height)
-        + struct.pack(">II", 0x480000, 0x480000)  # 72 dpi
-        + b"\x00" * 4 + struct.pack(">H", 1)  # frame_count
-        + b"\x00" * 32  # compressorname
-        + struct.pack(">Hh", 24, -1)  # depth, pre_defined
-    )
     stsd = _full(b"stsd", struct.pack(">I", 1), sample_entry)
     stts = _full(b"stts", struct.pack(">III", 1, n, delta))
     stsc = _full(b"stsc", struct.pack(">IIII", 1, 1, n, 1))
-    stsz = _full(b"stsz", struct.pack(">II", fsize, n))
     stco_placeholder = _full(b"stco", struct.pack(">II", 1, 0))
     ftyp = _box(b"ftyp", b"isom", struct.pack(">I", 0x200), b"isom")
 
@@ -407,12 +451,15 @@ def _first(buf: bytes, btype: bytes) -> bytes | None:
 
 
 def decode_raw_mp4_frame(payload: bytes, ts_ms: int = 0):
-    """Decode the raw-RGB frame covering ``ts_ms`` from an
-    uncompressed-track MP4 → (H, W, 3) uint8. Walks moov → the 'vide'
-    trak → stbl; maps time to a sample via the (uniform) stts delta,
-    and the sample to mdat bytes via stsz/stco. Raises
-    NotImplementedError for compressed sample entries — the honest
-    codec boundary stays explicit."""
+    """Decode the frame covering ``ts_ms`` from an MP4 → (H, W, 3)
+    uint8. Walks moov → the 'vide' trak → stbl; maps time to a sample
+    via the (uniform) stts delta, and the sample to mdat bytes via
+    stsz/stco (uniform or per-sample sizes). Decodes uncompressed
+    'raw ' RGB24 tracks and motion-JPEG ('jpeg'/'mjpa') tracks — each
+    MJPEG sample is a standalone baseline JPEG, decoded by the numpy
+    codec in :mod:`s2_spark.functions.jpeg`. Raises
+    NotImplementedError for inter-frame codecs (H.264 etc.) — the
+    honest codec boundary stays explicit."""
     moov = _first(payload, b"moov")
     if moov is None:
         raise ValueError("no moov box")
@@ -433,10 +480,11 @@ def decode_raw_mp4_frame(payload: bytes, ts_ms: int = 0):
         stsd = _first(stbl, b"stsd")
         entry = stsd[8:]  # past version/flags + entry_count
         fourcc = entry[4:8]
-        if fourcc != b"raw ":
+        if fourcc not in (b"raw ", b"jpeg", b"mjpa"):
             raise NotImplementedError(
                 f"video codec {fourcc!r} needs a codec library; only "
-                "uncompressed 'raw ' tracks decode in this container"
+                "uncompressed 'raw ' and motion-JPEG tracks decode in "
+                "this container"
             )
         width, height = struct.unpack(">HH", entry[32:36])
         stts = _first(stbl, b"stts")
@@ -445,16 +493,24 @@ def decode_raw_mp4_frame(payload: bytes, ts_ms: int = 0):
             raise NotImplementedError("non-uniform stts not supported")
         stsz = _first(stbl, b"stsz")
         sample_size, n_samples = struct.unpack(">II", stsz[4:12])
-        if sample_size == 0:
-            raise NotImplementedError("variable sample sizes not supported")
         stco = _first(stbl, b"stco")
         (chunk_off,) = struct.unpack(">I", stco[8:12])
         idx = min(int(ts_ms * timescale / 1000) // (delta or 1), n_samples - 1)
-        start = chunk_off + idx * sample_size
-        frame = payload[start : start + sample_size]
-        if len(frame) != sample_size:
+        if sample_size:
+            start, size = chunk_off + idx * sample_size, sample_size
+        else:  # per-sample size table (MJPEG: every frame differs)
+            sizes = struct.unpack(
+                f">{n_samples}I", stsz[12 : 12 + 4 * n_samples]
+            )
+            start, size = chunk_off + sum(sizes[:idx]), sizes[idx]
+        frame = payload[start : start + size]
+        if len(frame) != size:
             raise ValueError("sample range outside mdat")
-        return np.frombuffer(frame, dtype=np.uint8).reshape(height, width, 3)
+        if fourcc == b"raw ":
+            return np.frombuffer(frame, dtype=np.uint8).reshape(height, width, 3)
+        from s2_spark.functions.jpeg import decode_jpeg
+
+        return decode_jpeg(frame)
     raise ValueError("no video track")
 
 
