@@ -88,23 +88,21 @@ _R03_BACKLOG = frozenset({
 #  - audit dogfooding (operators/audit.py routes flushes through
 #    StreamStore.append): rotate the read-side metric sets per the
 #    round-5 verdict even though their suite plans are unchanged
-_R06_RESCORE = frozenset({
-    "w3_lag_regress", "w4_running_max", "w5_cumulative_bytes",
-    "w6_ntile", "w9_range_frame", "w10_percent_rank",
-    "ag10_metrics_gauge", "ag13_metrics_storage_gauge",
-    "str4_watermark_survivors", "str6_command_fold",
-    "j7_asof_join", "st8_combined_read_limits",
-    "x29_minhash_dedup_keep", "x30_neardup_clusters",
-    "x31_sequence_packing", "x34_ann_recall_report",
-    "x35_pipeline_summary",
+_R08_RESCORE = frozenset({
+    # round 8 touched: audit flush went async (the metrics family reads
+    # the audit relation), store compaction swap + purge tombstones
+    # (stream-semantics family), multimodal module refactor (x17/x18),
+    # and the streaming str-family shares the touched ops surface
+    "ag9_metrics_rollup", "ag10_metrics_gauge", "ag11_metrics_minute_ops",
+    "ag12_metrics_day_throughput", "ag13_metrics_storage_gauge",
     "ag15_read_ops", "ag16_read_throughput", "ag17_basin_ops",
-    "ag18_active_basins", "ag19_account_ops",
-    # late-round review fixes (tokenization normalized in lockstep with
-    # the oracles; IVF probe ranking switched to the assignment metric;
-    # fingerprint trims before splitting; banding covers remainders)
-    "x9_minhash_neardup", "x10_simhash_neardup",
-    "x16_ngram_jaccard_neardup", "x13_lsh_ann_topk",
-    "x14_ivf_ann_topk", "x15_doc_rolling_fingerprint",
+    "ag18_active_basins", "ag19_account_ops", "ag20_ops_by_label",
+    "ag21_active_streams",
+    "st1_check_tail", "st2_list_paginated", "st3_tail_offset",
+    "st4_clamp", "st5_trim_visibility", "st6_retention_cutoff",
+    "st7_append_ack", "st8_combined_read_limits",
+    "str5_stateful_dedup", "str6_command_fold",
+    "x17_media_features", "x18_video_frame_sample",
 })
 
 
@@ -141,8 +139,8 @@ def _prioritized(names: list[str]) -> list[str]:
 
     backlog = [n for n in fresh if n in _R03_BACKLOG]
     newer = [n for n in fresh if n not in _R03_BACKLOG]
-    rescore = [n for n in proven if n in _R06_RESCORE]
-    stable = [n for n in proven if n not in _R06_RESCORE]
+    rescore = [n for n in proven if n in _R08_RESCORE]
+    stable = [n for n in proven if n not in _R08_RESCORE]
     return (
         failed
         + _round_robin(backlog)

@@ -544,22 +544,28 @@ def main() -> None:
     # JSON line it finds — round 6's single giant line lost its own
     # `value` field to the truncation. The summary line repeats every
     # headline-grade field and is sized to survive the tail capture.
-    print(
-        json.dumps(
-            {
-                "detail": "full bench record (headline summary is the last line)",
-                "queries_min": queries_min,
-                "queries_first": queries_first,
-                "s2bench": bench,
-                # hot-key probe: chunked vs single-chunk bulk_append
-                "skew_probe": skew,
-                # x10 + x100 trend probes — excluded from `value` so
-                # headline totals stay comparable round-over-round
-                "scale_probe_x10": probe10,
-                "scale_probe_x100": probe100,
-            }
-        )
-    )
+    detail = {
+        "detail": "full bench record (headline summary is the last line)",
+        "queries_min": queries_min,
+        "queries_first": queries_first,
+        "s2bench": bench,
+        # hot-key probe: chunked vs single-chunk bulk_append
+        "skew_probe": skew,
+        # x10 + x100 trend probes — excluded from `value` so
+        # headline totals stay comparable round-over-round
+        "scale_probe_x10": probe10,
+        "scale_probe_x100": probe100,
+    }
+    print(json.dumps(detail))
+    # the driver keeps only the tail of stdout, so the detail record is
+    # the truncation victim — persist it to a file too (s2bench latency
+    # percentiles and skew spread stay inspectable every round)
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json"), "w") as f:
+            json.dump(detail, f, indent=1)
+    except OSError:
+        pass  # read-only checkout: stdout copy still exists
     print(
         json.dumps(
             {
