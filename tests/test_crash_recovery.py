@@ -389,3 +389,27 @@ def test_incomplete_compact_write_discarded_and_trash_restored(spark, tmp_path):
             os.rename(os.path.join(base, e), os.path.join(trash, e))
     _assert_intact(spark, base)
     assert not os.path.exists(tmp) and not os.path.exists(trash)
+
+
+def test_compaction_crash_bucketed_layout_recovers(spark, tmp_path, monkeypatch):
+    """Same zero-data-files crash window, bucketed layout: the swap
+    moves whole bucket=N directories (names COLLIDE between old and new
+    data, unlike part files) — the trash-first ordering is what makes
+    the swap safe, and recovery must restore every bucket."""
+    base = str(tmp_path / "records")
+    s = StreamStore(spark, base, bucket_count=4)
+    s.catalog.create_basin(
+        BASIN, BasinConfig(create_stream_on_append=True, create_stream_on_read=True)
+    )
+    s.append(BASIN, "s1", [Record(body=f"r{i}".encode()) for i in range(5)])
+    s.append(BASIN, "s2", [Record(body=b"x"), Record(body=b"y")])
+    tmp = base + ".compact"
+    _swap_rename_bomb(monkeypatch, lambda src, dst: src.startswith(tmp))
+    with pytest.raises(_Boom):
+        s.compact()
+    monkeypatch.undo()
+    r = StreamStore(spark, base, bucket_count=4)
+    r.recover_state()
+    assert r.check_tail(BASIN, "s1")[0] == 5
+    assert r.check_tail(BASIN, "s2")[0] == 2
+    assert _all_seqs(r, "s1") == [0, 1, 2, 3, 4]
