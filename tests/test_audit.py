@@ -273,19 +273,21 @@ def _audit_over(spark, tmp_path, fake, **kw):
 
 def test_threshold_flush_is_async_and_lossless(spark, tmp_path):
     """log() latency must be independent of the flush cost: with a
-    0.25 s-per-append backend and threshold 50, 500 logs cross the
+    0.5 s-per-append backend and threshold 50, 500 logs cross the
     threshold ~10 times — a synchronous flush would make those calls
-    pay ≥0.25 s each. Every row still lands exactly once."""
+    pay ≥0.5 s each. Every row still lands exactly once. (The bound
+    leaves 2x headroom for co-tenant scheduler noise: a list append
+    under a lock taking 0.25 s would be noise of a different order.)"""
     import time as _t
 
-    fake = _FakeStore(delay=0.25)
+    fake = _FakeStore(delay=0.5)
     audit = _audit_over(spark, tmp_path, fake, flush_threshold=50)
     worst = 0.0
     for i in range(500):
         t0 = _t.perf_counter()
         audit.log("read", BASIN, f"s{i}")
         worst = max(worst, _t.perf_counter() - t0)
-    assert worst < 0.2, f"a log() call paid the flush inline ({worst:.3f}s)"
+    assert worst < 0.25, f"a log() call paid the flush inline ({worst:.3f}s)"
     audit.flush()  # drain the sub-threshold remainder synchronously
     assert len(fake.appended) == 500
     streams = {__import__("json").loads(bytes(r.body))["stream"] for r in fake.appended}
