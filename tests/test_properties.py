@@ -134,3 +134,60 @@ def test_timestamping_fold_monotone_and_capped(client_ts, arrival, start_last):
     assert all(a <= b for a, b in zip(out, out[1:]))
     assert all(t >= start_last for t in out)
     assert all(t <= max(arrival, start_last) for t in out)
+
+
+# --- round 8: JPEG codec + sink digest properties ---------------------
+
+_img_st = st.tuples(
+    st.integers(min_value=1, max_value=3),  # height blocks-ish
+    st.integers(min_value=1, max_value=3),
+    st.integers(min_value=0, max_value=2**32 - 1),
+    st.booleans(),
+    st.sampled_from([0, 2, 3]),  # restart interval
+)
+
+
+@settings(max_examples=30, deadline=None)
+@given(p=_img_st)
+def test_jpeg_decode_matches_entropy_free_oracle(p):
+    """For ANY 8-bit image, decode(encode(img)) must equal the
+    quant/dequant round-trip computed without the entropy layer — the
+    bitstream/Huffman code adds no error of its own (the reference's
+    codec-proptest discipline applied to the MJPEG path)."""
+    import numpy as np
+
+    from s2_spark.functions.jpeg import decode_jpeg, encode_jpeg, expected_decode
+
+    hb, wb, seed, gray, rst = p
+    rng = np.random.default_rng(seed)
+    h = int(rng.integers(1, hb * 8 + 1))
+    w = int(rng.integers(1, wb * 8 + 1))
+    img = rng.integers(0, 256, (h, w) if gray else (h, w, 3)).astype("uint8")
+    enc = encode_jpeg(img, gray=gray, restart_interval=rst)
+    got = decode_jpeg(enc)
+    want = expected_decode(img, gray=gray)
+    assert got.shape == want.shape == (h, w, 3)
+    assert (got == want).all()
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    headers=st.one_of(st.none(), headers_st),
+    body=st.one_of(st.none(), st.binary(max_size=128)),
+)
+def test_record_digest_is_injective_on_framing(headers, body):
+    """The sink's canonical digest must distinguish framing: moving a
+    byte between a header name/value and the body, or merging headers,
+    must change the digest (length prefixes do the work). Checked by
+    perturbation rather than global injectivity."""
+    from s2_spark.streaming.sink import _record_digest
+
+    hdrs = [{"name": n, "value": v} for n, v in headers] if headers else headers
+    d = _record_digest(hdrs, body)
+    # appending one byte to the body changes it
+    assert _record_digest(hdrs, (body or b"") + b"\x00") != d
+    # adding an empty header changes it
+    hdrs2 = (list(hdrs) if hdrs else []) + [{"name": b"", "value": b""}]
+    assert _record_digest(hdrs2, body) != d
+    # stable across equivalent null/empty spellings
+    assert _record_digest(hdrs, body or b"") == d
