@@ -1361,3 +1361,93 @@ def x35(spark, sf_dir):
         F.expr("(total_tokens + 511) div 512").alias("n_sequences"),
     )
     return s1.crossJoin(s2).crossJoin(s3).crossJoin(s4)
+
+
+@query(
+    "x39_unigram_surprisal",
+    oracle=(
+        "WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tk "
+        "FROM documents), tok2 AS (SELECT doc_id, tk FROM tok WHERE tk <> ''), "
+        "freq AS (SELECT tk, count(*) AS c FROM tok2 GROUP BY tk), "
+        "tot AS (SELECT sum(c) AS t FROM freq) "
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, "
+        "round(avg(-ln(c * 1.0 / t)), 4) AS avg_surprisal "
+        "FROM tok2 JOIN freq USING (tk) CROSS JOIN tot "
+        "GROUP BY doc_id ORDER BY doc_id"
+    ),
+    doc=(
+        "unigram log-prob quality score (the CCNet/Gopher perplexity "
+        "proxy): fit the corpus unigram distribution, then score each "
+        "document by its tokens' mean surprisal -ln p(tok) — low = "
+        "boilerplate/common, high = noise/rare-gibberish; both tails get "
+        "filtered before training. Two hash aggregations plus one "
+        "equi-join on the token (AQE picks broadcast when the vocab is "
+        "small, shuffle when it's web-scale); the join carries "
+        "(token, count) pairs, never documents. No Python, no window."
+    ),
+)
+def x39(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tk")
+    ).filter(F.col("tk") != "")
+    freq = tok.groupBy("tk").agg(F.count("*").alias("c"))
+    total = freq.agg(F.sum("c").alias("t"))
+    scored = tok.join(freq, "tk").crossJoin(F.broadcast(total))
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            r4(F.avg(-F.log(F.col("c") / F.col("t")))).alias("avg_surprisal"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "x40_doc_chunking",
+    oracle=(
+        "WITH g AS (SELECT doc_id, text, n_chars, "
+        "unnest(generate_series(0, CAST(greatest(n_chars - 1, 0) // 400 AS BIGINT))) AS chunk_idx "
+        "FROM documents) "
+        "SELECT doc_id, chunk_idx, chunk_idx * 400 AS chunk_start, "
+        "substr(text, chunk_idx * 400 + 1, 500) AS chunk_text "
+        "FROM g WHERE chunk_idx * 400 < n_chars OR n_chars = 0 AND chunk_idx = 0 "
+        "ORDER BY doc_id, chunk_idx"
+    ),
+    doc=(
+        "sliding-window document chunking for embedding/indexing: "
+        "500-char windows at stride 400 (100-char overlap so no boundary "
+        "sentence is lost), emitted as (doc_id, chunk_idx, chunk_start, "
+        "chunk_text). The window grid is computed JVM-side with "
+        "sequence+posexplode INSIDE the row — each document is read "
+        "once and fans out executor-side, the exact shape frame_sample "
+        "uses for video. At 100 TB chunking is a map-only pass: no "
+        "shuffle at all until someone aggregates the chunks."
+    ),
+)
+def x40(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    n_windows = (F.greatest(F.col("n_chars") - 1, F.lit(0)) / 400).cast("long")
+    grid = F.sequence(F.lit(0).cast("long"), n_windows)
+    return (
+        d.select(
+            "doc_id",
+            "text",
+            "n_chars",
+            F.posexplode(grid).alias("chunk_idx", "_i"),
+        )
+        .filter(
+            ((F.col("chunk_idx") * 400) < F.col("n_chars"))
+            | ((F.col("n_chars") == 0) & (F.col("chunk_idx") == 0))
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            (F.col("chunk_idx") * 400).cast("long").alias("chunk_start"),
+            F.substring(F.col("text"), (F.col("chunk_idx") * 400 + 1).cast("int"), 500).alias(
+                "chunk_text"
+            ),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
