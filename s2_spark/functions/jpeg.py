@@ -163,18 +163,6 @@ class _BitReader:
         self.bit = 0
         self.marker: int | None = None
 
-    def _byte(self) -> int | None:
-        b = self.buf[self.pos]
-        if b == 0xFF:
-            nxt = self.buf[self.pos + 1]
-            if nxt == 0x00:
-                self.pos += 2
-                return b
-            self.marker = nxt
-            return None  # a real marker terminates the segment
-        self.pos += 1
-        return b
-
     def read_bit(self) -> int:
         b = self.buf[self.pos]
         if b == 0xFF and self.buf[self.pos + 1] != 0x00:

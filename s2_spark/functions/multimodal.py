@@ -348,13 +348,17 @@ def build_raw_mp4(
 
 
 def build_mjpeg_mp4(
-    frames: list, fps: int = 10, timescale: int = 1000
+    frames: list,
+    fps: int = 10,
+    timescale: int = 1000,
+    samples_per_chunk: int | None = None,
 ) -> bytes:
     """Minimal real MP4 holding a motion-JPEG ('jpeg') video track:
     each sample is a standalone baseline JPEG (encoded with the numpy
-    codec in :mod:`s2_spark.functions.jpeg`), one chunk, per-sample
-    sizes. ``frames`` are (H, W, 3) uint8 arrays or pre-encoded JPEG
-    bytes."""
+    codec in :mod:`s2_spark.functions.jpeg`), per-sample sizes.
+    ``frames`` are (H, W, 3) uint8 arrays or pre-encoded JPEG bytes;
+    ``samples_per_chunk`` spreads them over multiple chunks (the
+    common muxer layout the decoder's stsc walk must handle)."""
     from s2_spark.functions.jpeg import decode_jpeg, encode_jpeg
 
     raw = [
@@ -368,12 +372,22 @@ def build_mjpeg_mp4(
         + b"".join(struct.pack(">I", len(r)) for r in raw),
     )
     return _build_video_mp4(
-        raw, _video_sample_entry(b"jpeg", w0, h0), stsz, fps, timescale
+        raw,
+        _video_sample_entry(b"jpeg", w0, h0),
+        stsz,
+        fps,
+        timescale,
+        samples_per_chunk,
     )
 
 
 def _build_video_mp4(
-    raw: list[bytes], sample_entry: bytes, stsz: bytes, fps: int, timescale: int
+    raw: list[bytes],
+    sample_entry: bytes,
+    stsz: bytes,
+    fps: int,
+    timescale: int,
+    samples_per_chunk: int | None = None,
 ) -> bytes:
     n = len(raw)
     delta = timescale // fps
@@ -383,8 +397,22 @@ def _build_video_mp4(
 
     stsd = _full(b"stsd", struct.pack(">I", 1), sample_entry)
     stts = _full(b"stts", struct.pack(">III", 1, n, delta))
-    stsc = _full(b"stsc", struct.pack(">IIII", 1, 1, n, 1))
-    stco_placeholder = _full(b"stco", struct.pack(">II", 1, 0))
+    spc = samples_per_chunk or n
+    full, rem = divmod(n, spc)
+    n_chunks = full + (1 if rem else 0)
+    sc_entries = [(1, spc, 1)]
+    if rem and full:
+        sc_entries.append((full + 1, rem, 1))
+    elif rem:
+        sc_entries = [(1, rem, 1)]
+    stsc = _full(
+        b"stsc",
+        struct.pack(">I", len(sc_entries))
+        + b"".join(struct.pack(">III", *e) for e in sc_entries),
+    )
+    stco_placeholder = _full(
+        b"stco", struct.pack(">I", n_chunks) + b"\x00" * 4 * n_chunks
+    )
     ftyp = _box(b"ftyp", b"isom", struct.pack(">I", 0x200), b"isom")
 
     def moov_with(stco: bytes) -> bytes:
@@ -422,7 +450,21 @@ def _build_video_mp4(
 
     moov_size = len(moov_with(stco_placeholder))
     data_off = len(ftyp) + moov_size + 8  # first frame byte inside mdat
-    moov = moov_with(_full(b"stco", struct.pack(">II", 1, data_off)))
+    # chunk offsets: frames are contiguous in mdat; chunk c starts at
+    # the cumulative size of the samples before it
+    offs, pos, i = [], data_off, 0
+    while i < n:
+        offs.append(pos)
+        take = min(spc, n - i)
+        pos += sum(len(r) for r in raw[i : i + take])
+        i += take
+    moov = moov_with(
+        _full(
+            b"stco",
+            struct.pack(">I", n_chunks)
+            + b"".join(struct.pack(">I", o) for o in offs),
+        )
+    )
     assert len(moov) == moov_size
     return ftyp + moov + _box(b"mdat", *raw)
 
@@ -494,15 +536,42 @@ def decode_raw_mp4_frame(payload: bytes, ts_ms: int = 0):
         stsz = _first(stbl, b"stsz")
         sample_size, n_samples = struct.unpack(">II", stsz[4:12])
         stco = _first(stbl, b"stco")
-        (chunk_off,) = struct.unpack(">I", stco[8:12])
+        (n_chunks,) = struct.unpack(">I", stco[4:8])
+        chunk_offs = struct.unpack(f">{n_chunks}I", stco[8 : 8 + 4 * n_chunks])
         idx = min(int(ts_ms * timescale / 1000) // (delta or 1), n_samples - 1)
+        # sample → chunk via stsc runs (each entry: first_chunk,
+        # samples_per_chunk, desc; a run extends to the next entry's
+        # first_chunk) — real-world muxers spread samples over many
+        # chunks, and assuming one chunk silently reads wrong bytes
+        stsc = _first(stbl, b"stsc")
+        (n_sc,) = struct.unpack(">I", stsc[4:8])
+        runs = [
+            struct.unpack(">III", stsc[8 + 12 * i : 20 + 12 * i])
+            for i in range(n_sc)
+        ]
+        chunk_idx, in_chunk, remaining = 0, idx, idx
+        for ri, (first, per, _desc) in enumerate(runs):
+            last = (
+                runs[ri + 1][0] - 1 if ri + 1 < len(runs) else n_chunks
+            )  # 1-based inclusive
+            run_chunks = last - first + 1
+            if remaining < run_chunks * per:
+                chunk_idx = (first - 1) + remaining // per
+                in_chunk = remaining % per
+                first_in_chunk = idx - in_chunk
+                break
+            remaining -= run_chunks * per
+        else:
+            raise ValueError("sample index outside stsc mapping")
         if sample_size:
-            start, size = chunk_off + idx * sample_size, sample_size
+            start = chunk_offs[chunk_idx] + in_chunk * sample_size
+            size = sample_size
         else:  # per-sample size table (MJPEG: every frame differs)
             sizes = struct.unpack(
                 f">{n_samples}I", stsz[12 : 12 + 4 * n_samples]
             )
-            start, size = chunk_off + sum(sizes[:idx]), sizes[idx]
+            start = chunk_offs[chunk_idx] + sum(sizes[first_in_chunk:idx])
+            size = sizes[idx]
         frame = payload[start : start + size]
         if len(frame) != size:
             raise ValueError("sample range outside mdat")

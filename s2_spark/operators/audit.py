@@ -100,6 +100,14 @@ class OpsAudit:
         self._clock = clock
         self.flush_threshold = flush_threshold
         self.hard_cap = hard_cap or flush_threshold * 64
+        if self.hard_cap < flush_threshold:
+            # a cap below the threshold would back-pressure on a
+            # flusher whose wake condition can never become true —
+            # every log() past the cap would block then drop, forever
+            raise ValueError(
+                f"hard_cap ({self.hard_cap}) must be >= flush_threshold "
+                f"({flush_threshold})"
+            )
         self.backpressure_s = backpressure_s
         #: rows dropped after back-pressure timed out (wedged backend)
         self.dropped = 0

@@ -143,6 +143,21 @@ class Producer:
                             self._pending_bytes += sum(
                                 r.metered_size() for r, _ in taken_records
                             )
+                        if self._pending and self._timer is None:
+                            # best-effort: re-arm the linger so the
+                            # restored records' futures don't stall
+                            # until an unrelated submit/flush/close —
+                            # if thread creation is still failing
+                            # there's nothing more to arm with
+                            try:
+                                timer = threading.Timer(
+                                    self.linger_s, self.flush
+                                )
+                                timer.daemon = True
+                                timer.start()
+                                self._timer = timer
+                            except Exception:
+                                pass
                         self._unacked_cv.notify_all()
                         raise
                 elif self._pending_bytes > 0:

@@ -143,17 +143,31 @@ def _tails(
     return tails
 
 
-def _purge_gens(path: str) -> dict[str, int]:
+def _purges_dir(path: str) -> str:
+    return os.path.join(path, "_purges")
+
+
+def _purge_gens(
+    path: str, cache: dict | None = None
+) -> dict[str, int]:
     """Per-stream purge-generation tombstones written by
     ``StreamStore._record_purges`` after a deleted stream's records are
     physically dropped. A generation bump tells a running reader that
     everything it knew about the stream (tail guard, high-water mark,
     byte budget) described a DEAD stream: a recreated stream of the
-    same name is a new stream starting at seq 0."""
-    d = os.path.join(path, "_purges")
+    same name is a new stream starting at seq 0.
+
+    ``cache`` (a one-entry dict the caller owns) keys the parse on the
+    directory's mtime, so the per-trigger hot path costs one stat —
+    not N file opens — once the store has ever purged anything."""
+    d = _purges_dir(path)
+    try:
+        key = os.stat(d).st_mtime_ns
+    except OSError:
+        return {}
+    if cache is not None and cache.get("key") == key:
+        return cache["gens"]
     out: dict[str, int] = {}
-    if not os.path.isdir(d):
-        return out
     for f in os.listdir(d):
         if not f.endswith(".json"):
             continue
@@ -163,6 +177,38 @@ def _purge_gens(path: str) -> dict[str, int]:
             out[f"{m['basin']}{SEP}{m['stream']}"] = int(m["gen"])
         except (OSError, ValueError, KeyError):
             continue  # torn/foreign file: ignore, next trigger retries
+    if cache is not None:
+        cache["key"] = key
+        cache["gens"] = out
+    return out
+
+
+def _rebase_marker_path(path: str, k: str) -> str:
+    import hashlib
+
+    return os.path.join(
+        _purges_dir(path), hashlib.sha1(k.encode()).hexdigest()[:24] + ".rebase"
+    )
+
+
+def _read_rebase_markers(path: str) -> dict[str, int]:
+    """Planned-rebase markers: partitions() wrote one when it planned a
+    dead-generation batch from the new stream's head, commit() removes
+    it. A fresh reader replaying that exact batch after a crash uses it
+    to reproduce the rebase instead of silently planning nothing."""
+    d = _purges_dir(path)
+    out: dict[str, int] = {}
+    if not os.path.isdir(d):
+        return out
+    for f in os.listdir(d):
+        if not f.endswith(".rebase"):
+            continue
+        try:
+            with open(os.path.join(d, f)) as fh:
+                m = json.load(fh)
+            out[m["key"]] = int(m["end"])
+        except (OSError, ValueError, KeyError):
+            continue
     return out
 
 
@@ -204,10 +250,21 @@ class S2StreamReader(DataSourceStreamReader):
         # is not replayed); only a bump observed while running rebases
         self._max_seen: dict[str, int] = {}
         self._rebased: set[str] = set()
-        # per rebased key: end offsets reported after the rebase — the
-        # only commits allowed to end that key's rebase window
-        self._newgen_ends: dict[str, set[int]] = {}
-        self._purge_gens_seen: dict[str, int] = _purge_gens(self.path)
+        # per rebased key: end offsets partitions() actually PLANNED
+        # with the rebase — the only commits allowed to end that key's
+        # rebase window (a dead-generation commit can carry any value,
+        # including one numerically equal to a reported new-gen tail,
+        # so value membership of reported ends is not attribution)
+        self._planned_ends: dict[str, set[int]] = {}
+        self._purge_cache: dict = {}
+        self._purge_gens_seen: dict[str, int] = _purge_gens(
+            self.path, self._purge_cache
+        )
+        # a crash between the offset-log write and the batch commit of
+        # a REBASED batch leaves its marker on disk: the replay of that
+        # exact (key, end) must rebase again or the new generation's
+        # head is silently skipped
+        self._pending_rebase: dict[str, int] = _read_rebase_markers(self.path)
 
     def _filtered(self, tails: dict[str, int]) -> dict[str, int]:
         out = {}
@@ -236,7 +293,7 @@ class S2StreamReader(DataSourceStreamReader):
         # records physically dropped: the old tail/HWM/budget state
         # describes a dead generation — forget it, and rebase delivery
         # at the (possibly recreated) stream's own head
-        for k, g in _purge_gens(self.path).items():
+        for k, g in _purge_gens(self.path, self._purge_cache).items():
             if g > self._purge_gens_seen.get(k, 0):
                 self._purge_gens_seen[k] = g
                 self._max_seen.pop(k, None)
@@ -270,9 +327,6 @@ class S2StreamReader(DataSourceStreamReader):
             # is repaired at partitions(): the high-water clamp never
             # re-delivers below any start/end ever seen, and the next
             # trigger's baseline is the true checkpointed position.
-        for k in self._rebased:
-            if k in tails:  # a post-rebase end: commit may honor it
-                self._newgen_ends.setdefault(k, set()).add(tails[k])
         return tails
 
     _BYTES_SCAN_WINDOW = 4096  # records per driver-side planning read
@@ -333,14 +387,31 @@ class S2StreamReader(DataSourceStreamReader):
         in commit) because partitions() sees every PLANNED batch."""
         prior = dict(getattr(self, "_baseline", None) or {})
         rebased = getattr(self, "_rebased", set())
+        pending = getattr(self, "_pending_rebase", {})
         parts = []
         for k, e in end.items():
             s = start.get(k, self.start_seq)
+            # a fresh reader replaying a crashed REBASED batch: the
+            # marker records exactly (key, end); the start!=end guard
+            # keeps a coincidentally-equal later end from re-triggering
+            if (
+                k not in rebased
+                and pending.get(k) == e
+                and start.get(k) != e
+            ):
+                rebased.add(k)
+                self._max_seen.pop(k, None)
+                prior.pop(k, None)
             s = max(s, prior.get(k, s))  # never re-deliver below the HWM
             if k in rebased:
                 # dead generation: the checkpointed start describes the
-                # purged stream — deliver the new stream from its head
+                # purged stream — deliver the new stream from its head,
+                # and record the exact planned end: the ONLY commit that
+                # may end the rebase window, durably (marker survives a
+                # crash until that commit arrives)
                 s = self.start_seq
+                self._planned_ends.setdefault(k, set()).add(e)
+                self._write_rebase_marker(k, e)
             if e > s:
                 b, st = k.split(SEP, 1)
                 parts.append(_StreamSlice(self.path, b, st, s, e))
@@ -362,22 +433,48 @@ class S2StreamReader(DataSourceStreamReader):
         # only ever advances — rate limiting moves window-by-window
         base = dict(getattr(self, "_baseline", None) or {})
         rebased = getattr(self, "_rebased", set())
+        pending = getattr(self, "_pending_rebase", {})
         for k, v in end.items():
+            # any commit for k consumes a leftover replay marker: the
+            # batch sequence has moved past it either way
+            if k in pending:
+                pending.pop(k, None)
+                self._remove_rebase_marker(k)
             if k in rebased:
                 # Spark commits batch N only when batch N+1 starts, so
                 # the commit arriving right after a rebase usually
                 # belongs to the DEAD generation (its end is the purged
-                # stream's old tail). Only an end this reader reported
-                # POST-rebase ends the rebase window; a dead-generation
-                # end must neither clear the flag nor re-pin the HWM.
-                if v in self._newgen_ends.get(k, ()):
+                # stream's old tail — and can even NUMERICALLY equal the
+                # new generation's tail). Only an end partitions()
+                # actually PLANNED with the rebase ends the window; a
+                # dead-generation end must neither clear the flag nor
+                # re-pin the HWM.
+                if v in self._planned_ends.get(k, ()):
                     rebased.discard(k)
-                    self._newgen_ends.pop(k, None)
+                    self._planned_ends.pop(k, None)
+                    self._remove_rebase_marker(k)
                 else:
                     continue
             if v > base.get(k, -1):
                 base[k] = v
         self._baseline = base
+
+    def _write_rebase_marker(self, k: str, e: int) -> None:
+        try:
+            d = _purges_dir(self.path)
+            os.makedirs(d, exist_ok=True)
+            p = _rebase_marker_path(self.path, k)
+            with open(p + ".tmp", "w") as f:
+                json.dump({"key": k, "end": e}, f)
+            os.replace(p + ".tmp", p)
+        except OSError:
+            pass  # best-effort: without it only the crash-replay edge widens
+
+    def _remove_rebase_marker(self, k: str) -> None:
+        try:
+            os.remove(_rebase_marker_path(self.path, k))
+        except OSError:
+            pass
 
     def read(self, partition: _StreamSlice):
         if partition.end <= partition.start:

@@ -1435,7 +1435,7 @@ def x40(spark, sf_dir):
             "doc_id",
             "text",
             "n_chars",
-            F.posexplode(grid).alias("chunk_idx", "_i"),
+            F.explode(grid).alias("chunk_idx"),
         )
         .filter(
             ((F.col("chunk_idx") * 400) < F.col("n_chars"))

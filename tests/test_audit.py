@@ -341,3 +341,12 @@ def test_drain_waits_out_inflight_async_flush(spark, tmp_path):
     gate.set()
     audit.drain(timeout=10)
     assert len(fake.appended) == 5
+
+
+def test_hard_cap_below_threshold_rejected(spark, tmp_path):
+    """hard_cap < flush_threshold would back-pressure on a flusher that
+    can never wake — reject the misconfiguration up front."""
+    with pytest.raises(ValueError, match="hard_cap"):
+        _audit_over(
+            spark, tmp_path, _FakeStore(), flush_threshold=100, hard_cap=10
+        )

@@ -1294,3 +1294,127 @@ def test_sink_orphan_intents_are_cleaned(spark, store):
     commit(_sink_batch(spark, 1), 7)  # replay of a done epoch
     assert not os.path.exists(log.intent_path(7))
     assert store.check_tail(BASIN, "s1")[0] == 0  # nothing appended
+
+
+def _reader(store):
+    from s2_spark.streaming.source import S2StreamReader
+
+    return S2StreamReader({"path": store.base_dir, "basin": BASIN})
+
+
+def _purge_recreate(store, stream, n):
+    from s2_spark.operators.maintenance import deletion_purge_sweep
+
+    store.catalog.delete_stream(BASIN, stream)
+    deletion_purge_sweep(store)
+    store.catalog.create_stream(BASIN, stream)
+    ack = store.append(BASIN, stream, _recs(n))
+    assert ack.start_seq == 0
+    return ack
+
+
+def test_rebase_survives_equal_tail_dead_generation_commit(spark, store):
+    """The dead generation's late commit can carry an end NUMERICALLY
+    equal to the new generation's tail (purge + recreate with the same
+    record count). Ending the rebase window on value membership would
+    clear the flag prematurely and permanently skip the new head; only
+    an end partitions() PLANNED with the rebase may end it."""
+    k = f"{BASIN}\x00dead"
+    store.catalog.create_stream(BASIN, "dead")
+    store.append(BASIN, "dead", _recs(4))
+    r = _reader(store)
+    o1 = r.latestOffset()
+    assert o1 == {k: 4}
+    r.partitions({}, o1)
+    r.commit(o1)
+    _purge_recreate(store, "dead", 4)  # new generation, SAME tail 4
+    o2 = r.latestOffset()  # rebase fires; reported tail == dead tail
+    assert o2 == {k: 4}
+    # the dead generation's commit arrives AFTER the rebase (Spark
+    # commits batch N only when batch N+1 starts) — must not end it
+    r.commit({k: 4})
+    assert k in r._rebased
+    store.append(BASIN, "dead", [Record(body=b"fifth")])
+    o3 = r.latestOffset()
+    assert o3 == {k: 5}
+    parts = [
+        (p.stream, p.start, p.end) for p in r.partitions(o2, o3) if p.stream
+    ]
+    assert parts == [("dead", 0, 5)]  # the WHOLE new generation delivers
+    r.commit(o3)
+    assert k not in r._rebased  # planned end committed: window closed
+    # subsequent batches are plain monotone again
+    store.append(BASIN, "dead", [Record(body=b"sixth")])
+    o4 = r.latestOffset()
+    parts = [
+        (p.stream, p.start, p.end) for p in r.partitions(o3, o4) if p.stream
+    ]
+    assert parts == [("dead", 5, 6)]
+
+
+def test_rebase_marker_survives_reader_restart(spark, store):
+    """Crash between the offset-log write and the rebased batch's
+    commit: the fresh reader replays exactly (start=dead-gen end,
+    end=new-gen end). The durable marker reproduces the rebase, so the
+    new generation's head is delivered instead of silently skipped."""
+    import os as _os
+
+    k = f"{BASIN}\x00dead"
+    store.catalog.create_stream(BASIN, "dead")
+    store.append(BASIN, "dead", _recs(4))
+    r = _reader(store)
+    o1 = r.latestOffset()
+    r.partitions({}, o1)
+    r.commit(o1)
+    _purge_recreate(store, "dead", 2)  # new generation, tail 2
+    o2 = r.latestOffset()
+    assert o2 == {k: 2}
+    r.partitions(o1, o2)  # plans the rebase → durable marker
+    # CRASH here (before commit). A fresh reader replays the batch:
+    r2 = _reader(store)
+    assert r2._pending_rebase == {k: 2}
+    parts = [
+        (p.stream, p.start, p.end) for p in r2.partitions(o1, o2) if p.stream
+    ]
+    assert parts == [("dead", 0, 2)]  # rebase reproduced from the marker
+    r2.commit(o2)
+    from s2_spark.streaming.source import _rebase_marker_path
+
+    assert not _os.path.exists(_rebase_marker_path(store.base_dir, k))
+    # and a third reader sees nothing pending
+    assert _reader(store)._pending_rebase == {}
+
+
+def test_stale_rebase_marker_never_causes_redelivery(spark, store):
+    """If the rebased batch COMMITTED before the crash, the leftover
+    marker must not make a fresh reader re-deliver from seq 0: the
+    marker only fires on the exact (start != end == recorded) replay
+    shape, and any commit for the key consumes it."""
+    k = f"{BASIN}\x00dead"
+    store.catalog.create_stream(BASIN, "dead")
+    store.append(BASIN, "dead", _recs(4))
+    r = _reader(store)
+    o1 = r.latestOffset()
+    r.partitions({}, o1)
+    r.commit(o1)
+    _purge_recreate(store, "dead", 2)
+    o2 = r.latestOffset()
+    r.partitions(o1, o2)  # marker written
+    r.commit(o2)  # batch committed — but say the marker removal raced
+    from s2_spark.streaming.source import _rebase_marker_path
+    import json as _json
+
+    with open(_rebase_marker_path(store.base_dir, k), "w") as f:
+        _json.dump({"key": k, "end": 2}, f)  # resurrect a stale marker
+    store.append(BASIN, "dead", [Record(body=b"third")])
+    r2 = _reader(store)
+    o3 = r2.latestOffset()
+    assert o3 == {k: 3}
+    parts = [
+        (p.stream, p.start, p.end) for p in r2.partitions(o2, o3) if p.stream
+    ]
+    assert parts == [("dead", 2, 3)]  # NOT from 0 — no re-delivery
+    r2.commit(o3)  # consumes the stale marker
+    import os as _os
+
+    assert not _os.path.exists(_rebase_marker_path(store.base_dir, k))
