@@ -1418,3 +1418,40 @@ def test_stale_rebase_marker_never_causes_redelivery(spark, store):
     import os as _os
 
     assert not _os.path.exists(_rebase_marker_path(store.base_dir, k))
+
+
+def test_rebase_with_rate_limit_delivers_new_generation_windowed(spark, store):
+    """Purge rebase composes with maxrecordspertrigger: the recreated
+    stream's records deliver window-by-window from seq 0, and the
+    windows never skip or repeat."""
+    from s2_spark.streaming.source import S2StreamReader
+
+    k = f"{BASIN}\x00dead"
+    store.catalog.create_stream(BASIN, "dead")
+    store.append(BASIN, "dead", _recs(4))
+    r = S2StreamReader(
+        {"path": store.base_dir, "basin": BASIN, "maxrecordspertrigger": 2}
+    )
+    o = r.initialOffset()
+    o1 = r.latestOffset()
+    r.partitions(o, o1)
+    r.commit(o1)
+    o2 = r.latestOffset()
+    r.partitions(o1, o2)
+    r.commit(o2)
+    assert o2 == {k: 4}
+    _purge_recreate(store, "dead", 5)  # new generation, tail 5
+    delivered = []
+    prev = o2
+    for _ in range(6):  # enough triggers to drain 5 records at <=2/batch
+        o = r.latestOffset()
+        for p in r.partitions(prev, o):
+            if p.stream:
+                delivered.append((p.start, p.end))
+        r.commit(o)
+        prev = o
+    # windows cover exactly [0,5) in order without gaps or repeats
+    covered = []
+    for s, e in delivered:
+        covered.extend(range(s, e))
+    assert covered == list(range(5)), delivered
