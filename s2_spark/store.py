@@ -1430,16 +1430,44 @@ class StreamStore:
             F.coalesce("trim_point", F.lit(0)).alias("trim_point"),
             (F.col("tail_seq") - 1).alias("_last_seq"),
         )
+        # COMMAND keepers: recovery derives the fencing token and trim
+        # point from command records, so physically deleting a stream's
+        # latest fence/trim command (it can sit below its own trim
+        # point) would silently regress recovered state — the reference
+        # keeps both in dedicated KV rows that trims never touch
+        # (kv/mod.rs:55-95). Like the tail keeper, kept commands stay
+        # invisible to reads (the trim filter hides them).
+        hdr_cmd = F.when(
+            (F.size("headers") == 1)
+            & (F.length(F.col("headers")[0]["name"]) == 0),
+            F.col("headers")[0]["value"].cast("string"),
+        )
+        cmd_keeps = (
+            df.withColumn("_cmd", hdr_cmd)
+            .filter(F.col("_cmd").isin("fence", "trim"))
+            .groupBy("basin", "stream")
+            .agg(
+                F.max(
+                    F.when(F.col("_cmd") == "fence", F.col("seq_num"))
+                ).alias("_last_fence_seq"),
+                F.max(
+                    F.when(F.col("_cmd") == "trim", F.col("seq_num"))
+                ).alias("_last_trim_seq"),
+            )
+        )
         # no broadcast hint: one row per stream can be huge at the
         # million-stream scale — AQE picks broadcast vs shuffle join
         # from the aggregate's actual runtime size
         keep = (
             df.join(trims, ["basin", "stream"], "left")
+            .join(cmd_keeps, ["basin", "stream"], "left")
             .filter(
                 (F.col("seq_num") >= F.coalesce("trim_point", F.lit(0)))
                 | (F.col("seq_num") == F.col("_last_seq"))
+                | (F.col("seq_num") == F.col("_last_fence_seq"))
+                | (F.col("seq_num") == F.col("_last_trim_seq"))
             )
-            .drop("trim_point", "_last_seq")
+            .drop("trim_point", "_last_seq", "_last_fence_seq", "_last_trim_seq")
         )
         if drop_streams:
             keep = keep.filter(

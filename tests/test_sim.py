@@ -102,7 +102,14 @@ def _random_record(rng, arrival):
 
 
 def _run_workload(
-    store, clockbox, seed, n_ops=40, chaos=False, rebuild=None, crash=False
+    store,
+    clockbox,
+    seed,
+    n_ops=40,
+    chaos=False,
+    rebuild=None,
+    crash=False,
+    compaction=False,
 ):
     """Returns the op/result trace for determinism comparison.
 
@@ -121,6 +128,51 @@ def _run_workload(
     models = {s: ShadowModel() for s in STREAMS}
     trace = []
     for op_i in range(n_ops):
+        if compaction and rebuild is not None and rng.random() < 0.2:
+            # physical trim/retention compaction at a random point —
+            # sometimes crashing mid-swap at a random rename. Either
+            # way, after (recovery +) rebuild every stream's visible
+            # rows and recovered state must still equal the shadow:
+            # the rewrite changes the physical layout, never semantics
+            import os as _os
+
+            crashed = False
+            if rng.random() < 0.6:
+                real_rename = _os.rename
+                tmpdir = store.base_dir.rstrip("/") + ".compact"
+                trashdir = store.base_dir.rstrip("/") + ".trash"
+                calls = {"n": 0, "limit": rng.randint(1, 3)}
+
+                def bomb(src, dst):
+                    if str(src).startswith(tmpdir) or str(dst).startswith(
+                        trashdir
+                    ):
+                        calls["n"] += 1
+                        if calls["n"] >= calls["limit"]:
+                            raise RuntimeError("injected swap crash")
+                    return real_rename(src, dst)
+
+                _os.rename = bomb
+                try:
+                    store.apply_trim_and_retention()
+                except RuntimeError as e:
+                    if "injected swap crash" not in str(e):
+                        raise
+                    crashed = True
+                finally:
+                    _os.rename = real_rename
+            else:
+                store.apply_trim_and_retention()
+            store = rebuild()  # recovery completes/discards the swap
+            for s_c, m_c in models.items():
+                got_c = [
+                    (r.seq_num, r.timestamp, bytes(r.body))
+                    for r in store.read(BASIN, s_c).collect()
+                ]
+                assert got_c == m_c.visible(), (
+                    f"compaction divergence op {op_i} (crashed={crashed})"
+                )
+            trace.append(("compaction", op_i, crashed))
         if crash and rebuild is not None and rng.random() < 0.15:
             clockbox["ms"] += rng.randint(1, 10_000)
             stream_c = rng.choice(STREAMS)
@@ -303,3 +355,33 @@ def test_sim_deterministic_rerun(spark, tmp_path):
         )
         traces.append(_run_workload(store, clockbox, seed=99, n_ops=25))
     assert traces[0] == traces[1]
+
+
+@pytest.mark.parametrize("seed", [31, 909])
+def test_sim_differential_with_compaction_crashes(spark, tmp_path, seed):
+    """Randomized compaction chaos on top of the full workload mix:
+    apply_trim_and_retention runs at random points and CRASHES mid-swap
+    at a random rename (phase 2 trash moves or phase 3 swap-ins) 60% of
+    the time. After cold recovery every stream's visible rows, tails,
+    fence tokens, and trim points must still equal the shadow model —
+    the crash-atomic swap never loses, resurrects, or reorders records
+    regardless of where it died."""
+    clockbox = {"ms": 1_000_000}
+    base = str(tmp_path / "records")
+    cat = Catalog(spark, clock=lambda: clockbox["ms"])
+    cat.create_basin(BASIN)
+    for s in STREAMS:
+        cat.create_stream(BASIN, s)
+
+    def rebuild():
+        return StreamStore(spark, base, catalog=cat, clock=lambda: clockbox["ms"])
+
+    _run_workload(
+        rebuild(),
+        clockbox,
+        seed,
+        n_ops=25,
+        chaos=True,
+        rebuild=rebuild,
+        compaction=True,
+    )
