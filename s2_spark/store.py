@@ -329,14 +329,19 @@ class StreamStore:
         skip a full directory re-listing per call."""
         if self._records_cache is not None:
             return self._records_cache
-        if not self._has_data():
-            return self.spark.createDataFrame([], RECORD_SCHEMA)
         if self.bucket_count:
             from pyspark.sql import types as T
 
             schema = T.StructType(
                 RECORD_SCHEMA.fields + [T.StructField("bucket", T.IntegerType(), True)]
             )
+        else:
+            schema = RECORD_SCHEMA
+        if not self._has_data():
+            # schema includes the bucket column in bucketed layout, so
+            # an empty-store maintenance rewrite can still partitionBy
+            return self.spark.createDataFrame([], schema)
+        if self.bucket_count:
             df = self.spark.read.schema(schema).parquet(self.base_dir)
         else:
             df = self.spark.read.schema(RECORD_SCHEMA).parquet(self.base_dir)

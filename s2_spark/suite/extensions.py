@@ -1451,3 +1451,79 @@ def x40(spark, sf_dir):
         )
         .orderBy("doc_id", "chunk_idx")
     )
+
+
+@query(
+    "x41_span_dedup_c4",
+    oracle=(
+        "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), "
+        "s AS (SELECT doc_id, i AS span_idx, "
+        "array_to_string(ws[(i*8+1):((i+1)*8)], ' ') AS span "
+        "FROM w, unnest(generate_series(0, CAST(greatest(len(ws) - 1, 0) // 8 AS BIGINT))) AS t(i) "
+        "WHERE i * 8 < len(ws)), "
+        "r AS (SELECT *, row_number() OVER (PARTITION BY span ORDER BY doc_id, span_idx) AS rn FROM s) "
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans, "
+        "CAST(count(*) FILTER (rn = 1) AS BIGINT) AS n_kept, "
+        "coalesce(string_agg(span, ' ' ORDER BY span_idx) FILTER (rn = 1), '') AS cleaned_text "
+        "FROM r GROUP BY doc_id ORDER BY doc_id"
+    ),
+    doc=(
+        "C4-style cross-document span dedup ('we removed all but one of "
+        "any three-sentence span occurring more than once' — adapted to "
+        "8-word spans since the fixture has no sentence breaks): spans "
+        "fan out in-executor, a window keyed on the SPAN TEXT keeps the "
+        "first occurrence corpus-wide, and each document reassembles "
+        "from its surviving spans. The shuffle key is the span (high "
+        "cardinality, skew-free); documents never ride the shuffle "
+        "twice — the reassembly groups by doc_id carrying only kept "
+        "spans. The canonical boilerplate-removal pass for web corpora."
+    ),
+)
+def x41(spark, sf_dir):
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    grid = F.sequence(
+        F.lit(0).cast("long"),
+        (F.greatest(F.size(ws) - 1, F.lit(0)) / 8).cast("long"),
+    )
+    spans = (
+        d.select("doc_id", ws.alias("ws"), F.explode(grid).alias("span_idx"))
+        .filter((F.col("span_idx") * 8) < F.size("ws"))
+        .select(
+            "doc_id",
+            "span_idx",
+            F.array_join(
+                F.slice(F.col("ws"), (F.col("span_idx") * 8 + 1).cast("int"), 8),
+                " ",
+            ).alias("span"),
+        )
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("span").orderBy("doc_id", "span_idx")
+    )
+    r = spans.withColumn("rn", rn)
+    kept_struct = F.when(
+        F.col("rn") == 1, F.struct("span_idx", "span")
+    )
+    return (
+        r.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.count(F.when(F.col("rn") == 1, 1)).alias("n_kept"),
+            F.coalesce(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(kept_struct)
+                        ),
+                        lambda s: s["span"],
+                    ),
+                    " ",
+                ),
+                F.lit(""),
+            ).alias("cleaned_text"),
+        )
+        .orderBy("doc_id")
+    )

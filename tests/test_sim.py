@@ -385,3 +385,36 @@ def test_sim_differential_with_compaction_crashes(spark, tmp_path, seed):
         rebuild=rebuild,
         compaction=True,
     )
+
+
+@pytest.mark.parametrize("seed", [55])
+def test_sim_differential_compaction_crashes_bucketed(spark, tmp_path, seed):
+    """Same compaction-crash chaos over the bucketed physical layout,
+    where the swap renames whole bucket=N directories whose names
+    collide between old and new data — the layout must be semantically
+    invisible under crashes too."""
+    clockbox = {"ms": 1_000_000}
+    base = str(tmp_path / "records")
+    cat = Catalog(spark, clock=lambda: clockbox["ms"])
+    cat.create_basin(BASIN)
+    for s in STREAMS:
+        cat.create_stream(BASIN, s)
+
+    def rebuild():
+        return StreamStore(
+            spark,
+            base,
+            catalog=cat,
+            clock=lambda: clockbox["ms"],
+            bucket_count=8,
+        )
+
+    _run_workload(
+        rebuild(),
+        clockbox,
+        seed,
+        n_ops=20,
+        chaos=True,
+        rebuild=rebuild,
+        compaction=True,
+    )
