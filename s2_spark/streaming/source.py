@@ -3,10 +3,18 @@
 Re-expresses the reference's read-session / live-tail machinery
 (``lite/src/backend/read.rs:183-240``) in Structured Streaming terms:
 
-- **offsets** = ``{ "basin\\0stream": next_seq_num }`` — exactly the
-  per-stream positions the reference encodes in SSE ``Last-Event-Id``
-  (``api/src/v1/stream/sse.rs:10-73``); Spark checkpoints them, so a
-  restarted query resumes where it left off (A14/A28).
+- **offsets** = ``{ "__v": 2, "basin\\0stream": [purge_gen, next_seq] }``
+  — the per-stream positions the reference encodes in SSE
+  ``Last-Event-Id`` (``api/src/v1/stream/sse.rs:10-73``), paired with
+  the stream's purge generation; Spark checkpoints them, so a
+  restarted query resumes where it left off (A14/A28), and a stream
+  deleted+recreated while the query was DOWN is detected at restart
+  (generation in the checkpoint < generation on disk) and re-delivered
+  from seq 0 — matching the reference's recreate-restarts-at-0
+  semantics (``lite/src/backend/streams.rs:82-397``). v1 (plain-int)
+  checkpoint values are accepted and upgraded in place; their
+  generation is unknowable, so purges predating the upgrade are not
+  replayed (disclosed migration boundary).
 - **latestOffset** = the tails scan (``check_tail``, A15).
 - **partitions** = one input split per stream per micro-batch — the
   per-stream single-reader discipline; N streams read in parallel
@@ -152,25 +160,35 @@ def _purge_gens(
 ) -> dict[str, int]:
     """Per-stream purge-generation tombstones written by
     ``StreamStore._record_purges`` after a deleted stream's records are
-    physically dropped. A generation bump tells a running reader that
+    physically dropped. A generation bump tells a reader that
     everything it knew about the stream (tail guard, high-water mark,
     byte budget) described a DEAD stream: a recreated stream of the
     same name is a new stream starting at seq 0.
 
     ``cache`` (a one-entry dict the caller owns) keys the parse on the
-    directory's mtime, so the per-trigger hot path costs one stat —
-    not N file opens — once the store has ever purged anything."""
+    tombstone files' ``(name, inode, mtime_ns, size)`` tuples, so the
+    per-trigger hot path costs one readdir + a stat per tombstone —
+    not N file opens. Inode membership makes the key tick-proof: every
+    tombstone rewrite is tmp+rename, which always lands a fresh inode,
+    so a generation bump within one coarse filesystem-timestamp tick
+    (where mtime alone would serve stale) still misses the cache."""
     d = _purges_dir(path)
     try:
-        key = os.stat(d).st_mtime_ns
+        names = [f for f in os.listdir(d) if f.endswith(".json")]
     except OSError:
         return {}
+    key = []
+    for f in sorted(names):
+        try:
+            st = os.stat(os.path.join(d, f))
+        except OSError:
+            continue
+        key.append((f, st.st_ino, st.st_mtime_ns, st.st_size))
+    key = tuple(key)
     if cache is not None and cache.get("key") == key:
         return cache["gens"]
     out: dict[str, int] = {}
-    for f in os.listdir(d):
-        if not f.endswith(".json"):
-            continue
+    for f in names:
         try:
             with open(os.path.join(d, f)) as fh:
                 m = json.load(fh)
@@ -180,35 +198,6 @@ def _purge_gens(
     if cache is not None:
         cache["key"] = key
         cache["gens"] = out
-    return out
-
-
-def _rebase_marker_path(path: str, k: str) -> str:
-    import hashlib
-
-    return os.path.join(
-        _purges_dir(path), hashlib.sha1(k.encode()).hexdigest()[:24] + ".rebase"
-    )
-
-
-def _read_rebase_markers(path: str) -> dict[str, int]:
-    """Planned-rebase markers: partitions() wrote one when it planned a
-    dead-generation batch from the new stream's head, commit() removes
-    it. A fresh reader replaying that exact batch after a crash uses it
-    to reproduce the rebase instead of silently planning nothing."""
-    d = _purges_dir(path)
-    out: dict[str, int] = {}
-    if not os.path.isdir(d):
-        return out
-    for f in os.listdir(d):
-        if not f.endswith(".rebase"):
-            continue
-        try:
-            with open(os.path.join(d, f)) as fh:
-                m = json.load(fh)
-            out[m["key"]] = int(m["end"])
-        except (OSError, ValueError, KeyError):
-            continue
     return out
 
 
@@ -244,27 +233,50 @@ class S2StreamReader(DataSourceStreamReader):
         # only inspects files that appeared since the previous trigger
         self._tails_cache: dict[str, tuple[tuple, dict[str, int]]] = {}
         self.tails_stats: dict = {}
-        # purge-generation tracking: tombstones existing when the
-        # reader starts are history (a restarted query resumes at its
-        # checkpoint — a purge that happened while the query was DOWN
-        # is not replayed); only a bump observed while running rebases
+        # per-stream max tail observed WITHIN the current generation
+        # (the monotone guard against transient tails-scan regressions)
         self._max_seen: dict[str, int] = {}
-        self._rebased: set[str] = set()
-        # per rebased key: end offsets partitions() actually PLANNED
-        # with the rebase — the only commits allowed to end that key's
-        # rebase window (a dead-generation commit can carry any value,
-        # including one numerically equal to a reported new-gen tail,
-        # so value membership of reported ends is not attribution)
-        self._planned_ends: dict[str, set[int]] = {}
+        # purge-generation tracking. Offsets carry the generation (the
+        # v2 ``[gen, seq]`` format, see OFFSET_VERSION), so the rebase
+        # decision is a pure function of the checkpointed (start, end)
+        # pair: a purge+recreate is replayed identically whether it
+        # happened under a running query, across a crash replay, or
+        # while the query was DOWN (the checkpoint remembers the start
+        # generation; latestOffset reports the current one).
         self._purge_cache: dict = {}
-        self._purge_gens_seen: dict[str, int] = _purge_gens(
-            self.path, self._purge_cache
-        )
-        # a crash between the offset-log write and the batch commit of
-        # a REBASED batch leaves its marker on disk: the replay of that
-        # exact (key, end) must rebase again or the new generation's
-        # head is silently skipped
-        self._pending_rebase: dict[str, int] = _read_rebase_markers(self.path)
+        # generations on disk when THIS reader constructed — used (a)
+        # as the generation latestOffset stamps into fresh offsets and
+        # (b) to normalize v1 (pre-generation, plain-int) checkpoint
+        # values: a v1 offset cannot know its generation, so it is
+        # pinned to the generation current at restart — exactly the
+        # old semantics (pre-existing tombstones are history) for
+        # checkpoints that predate the v2 format.
+        self._gen_seen: dict[str, int] = _purge_gens(self.path, self._purge_cache)
+        self._init_gens: dict[str, int] = dict(self._gen_seen)
+        # high-water mark: per key the max (gen, seq) ever planned or
+        # committed — generation-aware, so a dead generation's late
+        # commit (Spark delivers commit(N) only when batch N+1 starts)
+        # can never re-pin a rebased stream
+        self._baseline: dict[str, tuple[int, int]] = {}
+
+    #: offset format version stamped into every emitted offset dict
+    #: under the ``__v`` key. v1 (round-8) offsets were plain
+    #: ``{key: seq}``; v2 values are ``[gen, seq]``. Readers accept
+    #: both — see ``_norm`` — so an r8 checkpoint restarts cleanly.
+    OFFSET_VERSION = 2
+    _VKEY = "__v"
+
+    def _norm(self, k: str, v, default_gen: int | None = None) -> tuple[int, int]:
+        """(gen, seq) from an offset value of either format. A v1
+        plain-int value is stamped with ``default_gen`` (or the
+        generation current at reader construction): purges that
+        happened before the checkpoint upgraded to v2 are not
+        replayed — the disclosed migration boundary."""
+        if isinstance(v, (list, tuple)):
+            return int(v[0]), int(v[1])
+        if default_gen is None:
+            default_gen = self._init_gens.get(k, 0)
+        return default_gen, int(v)
 
     def _filtered(self, tails: dict[str, int]) -> dict[str, int]:
         out = {}
@@ -281,7 +293,10 @@ class S2StreamReader(DataSourceStreamReader):
         # start of the log (or a requested seq) for every known stream;
         # streams discovered later start at 0 via partitions()
         tails = _tails(self.path, self._tails_cache, self.tails_stats)
-        return {k: self.start_seq for k in self._filtered(tails)}
+        out = {self._VKEY: self.OFFSET_VERSION}
+        for k in self._filtered(tails):
+            out[k] = [self._gen_seen.get(k, 0), self.start_seq]
+        return out
 
     def latestOffset(self) -> dict:
         # Note: with rate limiting we still report true tails here and
@@ -291,15 +306,16 @@ class S2StreamReader(DataSourceStreamReader):
         tails = self._filtered(_tails(self.path, self._tails_cache, self.tails_stats))
         # a purge-generation bump means the stream was deleted and its
         # records physically dropped: the old tail/HWM/budget state
-        # describes a dead generation — forget it, and rebase delivery
-        # at the (possibly recreated) stream's own head
+        # describes a dead generation — forget it. The bump itself
+        # rides in the offset (the reported generation changes even
+        # when the recreated tail is numerically equal to the dead
+        # one), so the engine plans a batch and partitions() rebases
+        # from the (start_gen < end_gen) comparison alone.
         for k, g in _purge_gens(self.path, self._purge_cache).items():
-            if g > self._purge_gens_seen.get(k, 0):
-                self._purge_gens_seen[k] = g
+            if g > self._gen_seen.get(k, 0):
+                self._gen_seen[k] = g
                 self._max_seen.pop(k, None)
-                self._rebased.add(k)
-                if getattr(self, "_baseline", None):
-                    self._baseline.pop(k, None)
+                self._baseline.pop(k, None)
                 self._bytes_scan.pop(k, None)
                 self._bytes_cap.pop(k, None)
         # monotone guard: a concurrent compaction rewrite can leave the
@@ -316,9 +332,8 @@ class S2StreamReader(DataSourceStreamReader):
         if self.max_bytes > 0:
             tails = {k: min(v, self._byte_capped(k, v)) for k, v in tails.items()}
         if self.max_per_trigger > 0:
-            base = getattr(self, "_baseline", {})
             tails = {
-                k: min(v, base.get(k, self.start_seq) + self.max_per_trigger)
+                k: min(v, self._base_seq(k) + self.max_per_trigger)
                 for k, v in tails.items()
             }
             # After a checkpoint restart this reader is cold (_baseline
@@ -327,7 +342,28 @@ class S2StreamReader(DataSourceStreamReader):
             # is repaired at partitions(): the high-water clamp never
             # re-delivers below any start/end ever seen, and the next
             # trigger's baseline is the true checkpointed position.
-        return tails
+        out = {self._VKEY: self.OFFSET_VERSION}
+        for k, v in tails.items():
+            out[k] = [self._gen_seen.get(k, 0), v]
+        return out
+
+    def _base_seq(self, k: str) -> int:
+        """Rate-limit window base: the HWM seq if it belongs to the
+        stream's CURRENT generation, else start_seq (a rebased stream's
+        window restarts at the new generation's head)."""
+        b = self._baseline.get(k)
+        if b is not None and b[0] == self._gen_seen.get(k, 0):
+            return b[1]
+        return self.start_seq
+
+    def _bump(self, k: str, gen: int, seq: int) -> None:
+        """Advance the HWM by (gen, seq) lexicographic order: a higher
+        generation replaces outright; within a generation only forward.
+        Values from a dead (lower) generation are ignored — that is the
+        whole attribution story for late dead-generation commits."""
+        b = self._baseline.get(k)
+        if b is None or gen > b[0] or (gen == b[0] and seq > b[1]):
+            self._baseline[k] = (gen, seq)
 
     _BYTES_SCAN_WINDOW = 4096  # records per driver-side planning read
 
@@ -376,52 +412,53 @@ class S2StreamReader(DataSourceStreamReader):
     def partitions(self, start: dict, end: dict):
         """Plan one slice per advanced stream, clamped by the high-water
         mark: no slice ever re-reads below ANY start/end offset this
-        reader has seen. That makes restart rate-limiting safe — on a
-        cold reader latestOffset can report an end below the
-        checkpointed start (it has no baseline yet); the engine records
-        that regressed end in its offset log and uses it as the next
-        start, and without the clamp the batch after would re-deliver
-        everything between the regressed end and the true checkpointed
-        position. The clamp also hardens against any transient
-        tails-scan regression. The baseline is advanced here (not just
-        in commit) because partitions() sees every PLANNED batch."""
-        prior = dict(getattr(self, "_baseline", None) or {})
-        rebased = getattr(self, "_rebased", set())
-        pending = getattr(self, "_pending_rebase", {})
+        reader has seen within the stream's current generation. That
+        makes restart rate-limiting safe — on a cold reader
+        latestOffset can report an end below the checkpointed start (it
+        has no baseline yet); the engine records that regressed end in
+        its offset log and uses it as the next start, and without the
+        clamp the batch after would re-deliver everything between the
+        regressed end and the true checkpointed position.
+
+        **Purge rebase is structural**: a batch whose end generation
+        exceeds its start generation delivers the recreated stream from
+        its head (``start_seq``), because the checkpointed start seq
+        describes the PURGED stream's dead records. The decision is a
+        pure function of (start, end), so a crash replay of the exact
+        batch reproduces the rebase from the offset log alone — no
+        side-channel markers — and a query restarted from a checkpoint
+        written BEFORE a purge (query down the whole time) rebases the
+        same way. The baseline is advanced here (not just in commit)
+        because partitions() sees every PLANNED batch."""
         parts = []
         for k, e in end.items():
-            s = start.get(k, self.start_seq)
-            # a fresh reader replaying a crashed REBASED batch: the
-            # marker records exactly (key, end); the start!=end guard
-            # keeps a coincidentally-equal later end from re-triggering
-            if (
-                k not in rebased
-                and pending.get(k) == e
-                and start.get(k) != e
-            ):
-                rebased.add(k)
+            if k == self._VKEY:
+                continue
+            eg, es = self._norm(k, e)
+            sv = start.get(k)
+            sg, ss = (eg, self.start_seq) if sv is None else self._norm(k, sv)
+            if sg < eg:
+                # dead generation: the start offset (whether written by
+                # a running query, a crashed one, or one stopped across
+                # the purge) counts records that no longer exist —
+                # deliver the new generation from its own head
+                ss = self.start_seq
                 self._max_seen.pop(k, None)
-                prior.pop(k, None)
-            s = max(s, prior.get(k, s))  # never re-deliver below the HWM
-            if k in rebased:
-                # dead generation: the checkpointed start describes the
-                # purged stream — deliver the new stream from its head,
-                # and record the exact planned end: the ONLY commit that
-                # may end the rebase window, durably (marker survives a
-                # crash until that commit arrives)
-                s = self.start_seq
-                self._planned_ends.setdefault(k, set()).add(e)
-                self._write_rebase_marker(k, e)
-            if e > s:
-                b, st = k.split(SEP, 1)
-                parts.append(_StreamSlice(self.path, b, st, s, e))
-        for src in (start, end):
-            for k, v in src.items():
-                if src is start and k in rebased:
-                    continue  # a dead generation's start must not re-pin
-                if v > prior.get(k, -1):
-                    prior[k] = v
-        self._baseline = prior
+                if self._baseline.get(k, (eg,))[0] < eg:
+                    self._baseline.pop(k, None)
+            b = self._baseline.get(k)
+            if b is not None and b[0] == eg:
+                ss = max(ss, b[1])  # never re-deliver below the HWM
+            if es > ss:
+                bn, st = k.split(SEP, 1)
+                parts.append(_StreamSlice(self.path, bn, st, ss, es))
+            if sv is not None:
+                self._bump(k, sg, self._norm(k, sv)[1])
+            self._bump(k, eg, es)
+        for k, v in start.items():
+            if k == self._VKEY or k in end:
+                continue
+            self._bump(k, *self._norm(k, v))
         # Spark requires ≥1 partition per batch; emit an empty slice as
         # the heartbeat (read.rs:383-391) when no stream advanced.
         if not parts:
@@ -430,51 +467,16 @@ class S2StreamReader(DataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         # offsets live in the checkpoint; the baseline (high-water mark)
-        # only ever advances — rate limiting moves window-by-window
-        base = dict(getattr(self, "_baseline", None) or {})
-        rebased = getattr(self, "_rebased", set())
-        pending = getattr(self, "_pending_rebase", {})
+        # only ever advances within a generation — rate limiting moves
+        # window-by-window. Spark delivers commit(batch N) only when
+        # batch N+1 starts, so a commit arriving right after a rebase
+        # usually belongs to the DEAD generation; the generation-aware
+        # bump ignores it structurally (even when its seq NUMERICALLY
+        # equals the new generation's tail).
         for k, v in end.items():
-            # any commit for k consumes a leftover replay marker: the
-            # batch sequence has moved past it either way
-            if k in pending:
-                pending.pop(k, None)
-                self._remove_rebase_marker(k)
-            if k in rebased:
-                # Spark commits batch N only when batch N+1 starts, so
-                # the commit arriving right after a rebase usually
-                # belongs to the DEAD generation (its end is the purged
-                # stream's old tail — and can even NUMERICALLY equal the
-                # new generation's tail). Only an end partitions()
-                # actually PLANNED with the rebase ends the window; a
-                # dead-generation end must neither clear the flag nor
-                # re-pin the HWM.
-                if v in self._planned_ends.get(k, ()):
-                    rebased.discard(k)
-                    self._planned_ends.pop(k, None)
-                    self._remove_rebase_marker(k)
-                else:
-                    continue
-            if v > base.get(k, -1):
-                base[k] = v
-        self._baseline = base
-
-    def _write_rebase_marker(self, k: str, e: int) -> None:
-        try:
-            d = _purges_dir(self.path)
-            os.makedirs(d, exist_ok=True)
-            p = _rebase_marker_path(self.path, k)
-            with open(p + ".tmp", "w") as f:
-                json.dump({"key": k, "end": e}, f)
-            os.replace(p + ".tmp", p)
-        except OSError:
-            pass  # best-effort: without it only the crash-replay edge widens
-
-    def _remove_rebase_marker(self, k: str) -> None:
-        try:
-            os.remove(_rebase_marker_path(self.path, k))
-        except OSError:
-            pass
+            if k == self._VKEY:
+                continue
+            self._bump(k, *self._norm(k, v))
 
     def read(self, partition: _StreamSlice):
         if partition.end <= partition.start:

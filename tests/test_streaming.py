@@ -1116,6 +1116,72 @@ def test_purged_and_recreated_stream_delivers_under_running_query(spark, store):
         q.stop()
 
 
+def test_purge_while_query_down_delivers_on_restart(spark, store, tmp_path):
+    """End-to-end restart-across-purge: run a checkpointed query, STOP
+    it, delete+purge+recreate the stream while it is down, restart from
+    the same checkpoint. The recreated stream's records (restarting at
+    seq 0, the reference's recreate semantics —
+    lite/src/backend/streams.rs:82-397) must be delivered exactly once;
+    without the generation in the checkpointed offset the restart would
+    pin the dead generation's tail and silently deliver nothing."""
+    from s2_spark.operators.maintenance import deletion_purge_sweep
+
+    cp = str(tmp_path / "cp")
+    out = str(tmp_path / "out")
+
+    def start():
+        register(spark)
+        sdf = (
+            spark.readStream.format("s2")
+            .option("path", store.base_dir)
+            .option("basin", BASIN)
+            .load()
+        )
+        return (
+            sdf.selectExpr("stream", "seq_num", "CAST(body AS STRING) AS b")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", cp)
+            .outputMode("append")
+            .start()
+        )
+
+    store.catalog.create_stream(BASIN, "dead")
+    store.append(BASIN, "dead", [Record(body=b"old-0"), Record(body=b"old-1")])
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # the query is DOWN for the whole delete → purge → recreate cycle
+    store.catalog.delete_stream(BASIN, "dead")
+    deletion_purge_sweep(store)
+    store.catalog.create_stream(BASIN, "dead")
+    ack = store.append(
+        BASIN, "dead", [Record(body=b"new-0"), Record(body=b"new-1")]
+    )
+    assert ack.start_seq == 0  # genuinely a new generation
+    q = start()  # restart from the SAME checkpoint
+    try:
+        q.processAllAvailable()
+        # live tailing of the new generation keeps working post-rebase
+        store.append(BASIN, "dead", [Record(body=b"new-2")])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = sorted(
+        (r.seq_num, r.b)
+        for r in spark.read.parquet(out).filter("stream = 'dead'").collect()
+    )
+    assert rows == [
+        (0, "new-0"),
+        (0, "old-0"),
+        (1, "new-1"),
+        (1, "old-1"),
+        (2, "new-2"),
+    ]  # both generations, each exactly once
+
+
 def test_jvm_and_python_record_digests_agree(spark):
     """The intent's distributed digest column must be byte-identical to
     the probe's Python recomputation — empty/None headers and bodies,
@@ -1313,52 +1379,55 @@ def _purge_recreate(store, stream, n):
     return ack
 
 
+def _seqs(offset: dict) -> dict:
+    """Offset dict → {key: seq}, dropping the version stamp."""
+    return {k: v[1] for k, v in offset.items() if k != "__v"}
+
+
 def test_rebase_survives_equal_tail_dead_generation_commit(spark, store):
     """The dead generation's late commit can carry an end NUMERICALLY
     equal to the new generation's tail (purge + recreate with the same
-    record count). Ending the rebase window on value membership would
-    clear the flag prematurely and permanently skip the new head; only
-    an end partitions() PLANNED with the rebase may end it."""
+    record count). With generations riding in the offsets the two ends
+    are structurally different values — the equal-tail batch plans a
+    full rebase immediately (no waiting for a tail-breaking append),
+    and the dead generation's commit cannot re-pin the baseline."""
     k = f"{BASIN}\x00dead"
     store.catalog.create_stream(BASIN, "dead")
     store.append(BASIN, "dead", _recs(4))
     r = _reader(store)
     o1 = r.latestOffset()
-    assert o1 == {k: 4}
+    assert o1 == {"__v": 2, k: [0, 4]}
     r.partitions({}, o1)
     r.commit(o1)
     _purge_recreate(store, "dead", 4)  # new generation, SAME tail 4
-    o2 = r.latestOffset()  # rebase fires; reported tail == dead tail
-    assert o2 == {k: 4}
+    o2 = r.latestOffset()  # same seq, bumped generation
+    assert o2 == {"__v": 2, k: [1, 4]}
+    # offsets differ (gen bump), so the engine plans the batch at once:
+    # the whole new generation delivers without an extra append
+    parts = [
+        (p.stream, p.start, p.end) for p in r.partitions(o1, o2) if p.stream
+    ]
+    assert parts == [("dead", 0, 4)]
     # the dead generation's commit arrives AFTER the rebase (Spark
-    # commits batch N only when batch N+1 starts) — must not end it
-    r.commit({k: 4})
-    assert k in r._rebased
+    # commits batch N only when batch N+1 starts) — generation-aware
+    # baseline ignores it even though its seq equals the new tail
+    r.commit(o1)
+    r.commit(o2)
     store.append(BASIN, "dead", [Record(body=b"fifth")])
     o3 = r.latestOffset()
-    assert o3 == {k: 5}
+    assert o3 == {"__v": 2, k: [1, 5]}
     parts = [
         (p.stream, p.start, p.end) for p in r.partitions(o2, o3) if p.stream
     ]
-    assert parts == [("dead", 0, 5)]  # the WHOLE new generation delivers
-    r.commit(o3)
-    assert k not in r._rebased  # planned end committed: window closed
-    # subsequent batches are plain monotone again
-    store.append(BASIN, "dead", [Record(body=b"sixth")])
-    o4 = r.latestOffset()
-    parts = [
-        (p.stream, p.start, p.end) for p in r.partitions(o3, o4) if p.stream
-    ]
-    assert parts == [("dead", 5, 6)]
+    assert parts == [("dead", 4, 5)]  # plain monotone again — no re-delivery
 
 
-def test_rebase_marker_survives_reader_restart(spark, store):
+def test_rebase_replay_reproduced_from_offsets_after_crash(spark, store):
     """Crash between the offset-log write and the rebased batch's
-    commit: the fresh reader replays exactly (start=dead-gen end,
-    end=new-gen end). The durable marker reproduces the rebase, so the
-    new generation's head is delivered instead of silently skipped."""
-    import os as _os
-
+    commit: the fresh reader replays exactly (start=dead-gen offset,
+    end=new-gen offset). The rebase decision is a pure function of
+    that pair — the generation comparison reproduces it from the
+    offset log alone, with no side-channel state."""
     k = f"{BASIN}\x00dead"
     store.catalog.create_stream(BASIN, "dead")
     store.append(BASIN, "dead", _recs(4))
@@ -1368,28 +1437,33 @@ def test_rebase_marker_survives_reader_restart(spark, store):
     r.commit(o1)
     _purge_recreate(store, "dead", 2)  # new generation, tail 2
     o2 = r.latestOffset()
-    assert o2 == {k: 2}
-    r.partitions(o1, o2)  # plans the rebase → durable marker
+    assert o2 == {"__v": 2, k: [1, 2]}
+    r.partitions(o1, o2)  # plans the rebase
     # CRASH here (before commit). A fresh reader replays the batch:
     r2 = _reader(store)
-    assert r2._pending_rebase == {k: 2}
     parts = [
         (p.stream, p.start, p.end) for p in r2.partitions(o1, o2) if p.stream
     ]
-    assert parts == [("dead", 0, 2)]  # rebase reproduced from the marker
+    assert parts == [("dead", 0, 2)]  # rebase reproduced from offsets
     r2.commit(o2)
-    from s2_spark.streaming.source import _rebase_marker_path
+    # the next trigger continues monotone — nothing re-delivers
+    parts = [
+        (p.stream, p.start, p.end)
+        for p in r2.partitions(o2, r2.latestOffset())
+        if p.stream
+    ]
+    assert parts == []
 
-    assert not _os.path.exists(_rebase_marker_path(store.base_dir, k))
-    # and a third reader sees nothing pending
-    assert _reader(store)._pending_rebase == {}
 
+def test_legacy_rebase_marker_file_ignored(spark, store):
+    """Round-8 readers persisted planned-rebase ``.rebase`` markers
+    under ``_purges/``; the offset-carried generations make them
+    obsolete. A leftover marker from an upgraded store must be inert:
+    no re-delivery, no parse error."""
+    import hashlib
+    import json as _json
+    import os
 
-def test_stale_rebase_marker_never_causes_redelivery(spark, store):
-    """If the rebased batch COMMITTED before the crash, the leftover
-    marker must not make a fresh reader re-deliver from seq 0: the
-    marker only fires on the exact (start != end == recorded) replay
-    shape, and any commit for the key consumes it."""
     k = f"{BASIN}\x00dead"
     store.catalog.create_stream(BASIN, "dead")
     store.append(BASIN, "dead", _recs(4))
@@ -1397,27 +1471,103 @@ def test_stale_rebase_marker_never_causes_redelivery(spark, store):
     o1 = r.latestOffset()
     r.partitions({}, o1)
     r.commit(o1)
-    _purge_recreate(store, "dead", 2)
-    o2 = r.latestOffset()
-    r.partitions(o1, o2)  # marker written
-    r.commit(o2)  # batch committed — but say the marker removal raced
-    from s2_spark.streaming.source import _rebase_marker_path
-    import json as _json
-
-    with open(_rebase_marker_path(store.base_dir, k), "w") as f:
-        _json.dump({"key": k, "end": 2}, f)  # resurrect a stale marker
-    store.append(BASIN, "dead", [Record(body=b"third")])
+    # resurrect an r8-style marker claiming a pending rebase to end=2
+    d = os.path.join(store.base_dir, "_purges")
+    os.makedirs(d, exist_ok=True)
+    marker = os.path.join(
+        d, hashlib.sha1(k.encode()).hexdigest()[:24] + ".rebase"
+    )
+    with open(marker, "w") as f:
+        _json.dump({"key": k, "end": 2}, f)
+    store.append(BASIN, "dead", [Record(body=b"fifth")])
     r2 = _reader(store)
-    o3 = r2.latestOffset()
-    assert o3 == {k: 3}
+    o2 = r2.latestOffset()
+    assert o2 == {"__v": 2, k: [0, 5]}  # marker never parsed as a tombstone
     parts = [
-        (p.stream, p.start, p.end) for p in r2.partitions(o2, o3) if p.stream
+        (p.stream, p.start, p.end) for p in r2.partitions(o1, o2) if p.stream
     ]
-    assert parts == [("dead", 2, 3)]  # NOT from 0 — no re-delivery
-    r2.commit(o3)  # consumes the stale marker
-    import os as _os
+    assert parts == [("dead", 4, 5)]  # NOT from 0 — no re-delivery
 
-    assert not _os.path.exists(_rebase_marker_path(store.base_dir, k))
+
+def test_purge_while_reader_down_rebases_from_checkpoint(spark, store):
+    """THE restart gap: query stops, stream is purged + recreated while
+    it is DOWN, query restarts from the checkpoint. The checkpointed
+    offset carries the dead generation; the fresh reader's latestOffset
+    reports the live one — the mismatch rebases delivery to the
+    recreated stream's head, exactly once."""
+    k = f"{BASIN}\x00dead"
+    store.catalog.create_stream(BASIN, "dead")
+    store.append(BASIN, "dead", _recs(4))
+    r = _reader(store)
+    o1 = r.latestOffset()
+    r.partitions({}, o1)
+    r.commit(o1)
+    # query stops here; purge + recreate with the reader GONE
+    _purge_recreate(store, "dead", 2)
+    r2 = _reader(store)  # restart: only the checkpoint (o1) survives
+    o2 = r2.latestOffset()
+    assert o2 == {"__v": 2, k: [1, 2]}
+    parts = [
+        (p.stream, p.start, p.end) for p in r2.partitions(o1, o2) if p.stream
+    ]
+    assert parts == [("dead", 0, 2)]  # new generation delivered from seq 0
+    r2.commit(o2)
+    parts = [
+        (p.stream, p.start, p.end)
+        for p in r2.partitions(o2, r2.latestOffset())
+        if p.stream
+    ]
+    assert parts == []  # and exactly once
+
+
+def test_v1_checkpoint_offsets_accepted_and_upgraded(spark, store):
+    """An r8 checkpoint holds plain-int offsets. The v2 reader must
+    resume them in place — no spurious rebase, no re-delivery — and
+    emit v2 offsets from the first trigger on."""
+    k = f"{BASIN}\x00s1"
+    store.append(BASIN, "s1", _recs(6))
+    r = _reader(store)
+    start_v1 = {k: 4}  # r8-format checkpointed offset
+    o = r.latestOffset()
+    assert o == {"__v": 2, k: [0, 6]}  # upgraded format from trigger one
+    parts = [
+        (p.stream, p.start, p.end) for p in r.partitions(start_v1, o) if p.stream
+    ]
+    assert parts == [("s1", 4, 6)]  # resumes exactly where v1 stopped
+    r.commit({k: 6})  # v1-format commit value also accepted
+    parts = [
+        (p.stream, p.start, p.end)
+        for p in r.partitions(o, r.latestOffset())
+        if p.stream
+    ]
+    assert parts == []
+
+
+def test_v1_checkpoint_purge_before_restart_keeps_r8_semantics(spark, store):
+    """Disclosed migration boundary: a purge that happened while the
+    query was down and BEFORE its checkpoint upgraded to v2 cannot be
+    detected (the v1 offset carries no generation), so the v1 value is
+    pinned to the restart-time generation — r8's exact behavior. New
+    records past the pinned position still deliver."""
+    k = f"{BASIN}\x00dead"
+    store.catalog.create_stream(BASIN, "dead")
+    store.append(BASIN, "dead", _recs(4))
+    # r8 code checkpointed {k: 4}; while down: purge + recreate(tail 2)
+    _purge_recreate(store, "dead", 2)
+    r = _reader(store)  # restart with the v2 reader
+    o = r.latestOffset()
+    assert o == {"__v": 2, k: [1, 2]}
+    parts = [
+        (p.stream, p.start, p.end) for p in r.partitions({k: 4}, o) if p.stream
+    ]
+    assert parts == []  # v1 start pins the position: not replayed (r8 parity)
+    r.commit(o)
+    store.append(BASIN, "dead", _recs(3, start=100))  # tail 2 → 5
+    o2 = r.latestOffset()
+    parts = [
+        (p.stream, p.start, p.end) for p in r.partitions(o, o2) if p.stream
+    ]
+    assert parts == [("dead", 4, 5)]  # past the pinned v1 position
 
 
 def test_rebase_with_rate_limit_delivers_new_generation_windowed(spark, store):
@@ -1439,7 +1589,7 @@ def test_rebase_with_rate_limit_delivers_new_generation_windowed(spark, store):
     o2 = r.latestOffset()
     r.partitions(o1, o2)
     r.commit(o2)
-    assert o2 == {k: 4}
+    assert _seqs(o2) == {k: 4}
     _purge_recreate(store, "dead", 5)  # new generation, tail 5
     delivered = []
     prev = o2
