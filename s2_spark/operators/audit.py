@@ -109,8 +109,23 @@ class OpsAudit:
                 f"({flush_threshold})"
             )
         self.backpressure_s = backpressure_s
-        #: rows dropped after back-pressure timed out (wedged backend)
+        #: monotonic count of rows dropped after back-pressure timed
+        #: out (wedged backend). The OLDEST buffered row is evicted,
+        #: not the incoming one — the freshest operations (usually the
+        #: ones being debugged) survive a wedged backend.
         self.dropped = 0
+        #: (ts, count) drop events, coalesced per clock tick and
+        #: bounded (oldest pair folds together past the cap), so the
+        #: loss is itself reportable: :meth:`df` surfaces them as
+        #: ``op='audit_drop'`` rows and label-metric queries
+        #: (ops_by_label et al.) report the audit stream's own loss.
+        self._drop_events: list[list[int]] = []
+        self._DROP_EVENTS_CAP = 4096
+        # a failed flush re-buffered rows that may sit below the flush
+        # threshold; the flusher must retry while ANY rows remain, not
+        # wait for the threshold to be re-crossed (a transient backend
+        # error on a quiescent client would stall durability forever)
+        self._retry_pending = False
         #: last exception the background flusher swallowed (telemetry;
         #: an explicit flush() retries and raises for real)
         self.last_flush_error: BaseException | None = None
@@ -150,13 +165,34 @@ class OpsAudit:
                     timeout=self.backpressure_s,
                 )
                 if len(self._buf) >= self.hard_cap:
-                    self.dropped += 1
-                    return
+                    # evict the OLDEST buffered row to admit the new
+                    # one: last-in-loses would discard exactly the
+                    # operations someone is debugging right now
+                    self._buf.pop(0)
+                    self._record_drop_locked()
             self._buf.append(
                 (self._clock(), op, basin, stream, records, nbytes)
             )
             if len(self._buf) >= self.flush_threshold:
                 self._wake_flusher_locked()
+
+    def _record_drop_locked(self, n: int = 1) -> None:
+        """Account a back-pressure drop — caller holds ``_mu``. The
+        monotonic counter never loses a drop; the bounded per-tick
+        event list keeps WHEN the losses happened reportable."""
+        self.dropped += n
+        ts = self._clock()
+        ev = self._drop_events
+        if ev and ev[-1][0] == ts:
+            ev[-1][1] += n
+        else:
+            ev.append([ts, n])
+            if len(ev) > self._DROP_EVENTS_CAP:
+                # fold the two oldest events (older ts wins): the total
+                # stays exact, only ancient timing granularity degrades
+                ev[1][1] += ev[0][1]
+                ev[1][0] = ev[0][0]
+                del ev[0]
 
     def _wake_flusher_locked(self) -> None:
         """Signal (lazily starting) the daemon flusher — caller holds
@@ -172,7 +208,14 @@ class OpsAudit:
         backoff = 0.05
         while True:
             with self._mu:
-                self._cv.wait_for(lambda: len(self._buf) >= self.flush_threshold)
+                # threshold is the NORMAL wake; a failed flush leaves
+                # retry_pending set so an under-threshold re-buffered
+                # remainder is retried instead of sitting in memory
+                # until new traffic happens to re-cross the threshold
+                self._cv.wait_for(
+                    lambda: len(self._buf) >= self.flush_threshold
+                    or (self._retry_pending and self._buf)
+                )
             try:
                 self.flush()
                 backoff = 0.05
@@ -280,7 +323,8 @@ class OpsAudit:
             except BaseException:
                 with self._mu:
                     self._buf = rows[done:] + self._buf
-                    self._cv.notify_all()
+                    self._retry_pending = True
+                    self._wake_flusher_locked()  # retry w/o new traffic
                 raise
             finally:
                 self._local.suppress = False
@@ -291,9 +335,12 @@ class OpsAudit:
             except BaseException:
                 with self._mu:
                     self._buf = rows + self._buf
-                    self._cv.notify_all()
+                    self._retry_pending = True
+                    self._wake_flusher_locked()
                 raise
             self._flushed_any = True
+        with self._mu:
+            self._retry_pending = False
 
     def _stream_has_history(self) -> bool:
         """True once the audit stream exists — including one created by
@@ -337,9 +384,20 @@ class OpsAudit:
         """The audit relation: everything flushed (stream and/or legacy
         parquet) plus the current buffer (buffer rides as a small
         union — metric queries see ops immediately without forcing a
-        write)."""
+        write), plus one ``op='audit_drop'`` row per back-pressure drop
+        tick (``records`` = rows lost) — so label-metric queries
+        (ops_by_label et al.) report the accounting path's OWN loss
+        instead of silently under-counting. Caveat: the audit relation
+        is at-most-once under a wedged backend; ``audit_drop`` rows
+        quantify exactly how far short it runs, but the dropped
+        operations' identities are gone."""
         with self._mu:
             rows = list(self._buf)
+            drops = [tuple(e) for e in self._drop_events]
+        rows += [
+            (ts, "audit_drop", AUDIT_BASIN, AUDIT_STREAM, n, None)
+            for ts, n in drops
+        ]
         parts = []
         if self._stream_has_history():
             parts.append(self._stream_df())

@@ -1337,6 +1337,16 @@ class StreamStore:
         if self.bucket_count:
             writer = writer.partitionBy("bucket")
         writer.parquet(tmp)
+        # the store's OWN completion marker. Spark's _SUCCESS is
+        # committer-controlled (mapreduce.fileoutputcommitter.
+        # marksuccessfuljobs=false is a common cluster tuning that
+        # suppresses it), so recovery must not key on it: a completed
+        # rewrite without _SUCCESS would be misread as died-mid-write
+        # and discarded WHILE phase-3 renames already moved new entries
+        # in — mixed old+new data. _COMPLETE is written by us, after
+        # the write returns, unconditionally.
+        with open(os.path.join(tmp, "_COMPLETE"), "w"):
+            pass
         self._swap_in(tmp)
         self._invalidate_records()
 
@@ -1364,29 +1374,39 @@ class StreamStore:
                 pass
         for entry in os.listdir(tmp):
             if entry.startswith(("_", ".")):
-                continue  # _SUCCESS / _SWAP markers are not data
+                continue  # _COMPLETE / _SUCCESS / _SWAP markers are not data
             os.rename(os.path.join(tmp, entry), os.path.join(self.base_dir, entry))
-        # trash FIRST: _SUCCESS must outlive the trash, else a crash
-        # mid-rmtree(tmp) could strand an old-data trash that a later
-        # recovery (seeing no _SUCCESS) would wrongly restore over the
-        # committed swap
+        # trash FIRST: the completion markers must outlive the trash,
+        # else a crash mid-rmtree(tmp) could strand an old-data trash
+        # that a later recovery (seeing no marker) would wrongly
+        # restore over the committed swap
         shutil.rmtree(trash, ignore_errors=True)
         shutil.rmtree(tmp, ignore_errors=True)
 
     def _swap_recover(self) -> None:
         """Complete or discard an interrupted compaction swap. A
-        ``.compact`` dir with ``_SUCCESS`` holds a complete rewrite —
-        finish swapping it in (resuming past the trash phase if the
-        ``_SWAP`` marker says it already ran, so already-moved NEW
-        entries are never re-trashed). Without ``_SUCCESS`` the rewrite
-        itself died mid-write: discard it, and restore anything a
-        (structurally impossible today, but cheap to honor) orphaned
-        trash still holds."""
+        ``.compact`` dir with the store's own ``_COMPLETE`` marker
+        holds a complete rewrite — finish swapping it in (resuming past
+        the trash phase if the ``_SWAP`` marker says it already ran, so
+        already-moved NEW entries are never re-trashed). ``_SWAP``
+        alone also proves completeness (the trash phase only ever runs
+        after the write returned) — that is the legacy path for a
+        round-8 store that crashed mid-swap before ``_COMPLETE``
+        existed. Spark's ``_SUCCESS`` is deliberately NOT consulted:
+        it is committer-controlled and can be suppressed cluster-wide,
+        and keying completeness on it would discard-and-restore over a
+        half-swapped-in rewrite (mixed old+new data). Without either
+        marker the rewrite died mid-write: discard it, and restore
+        anything a (structurally impossible today, but cheap to honor)
+        orphaned trash still holds."""
         import shutil
 
         tmp = self.base_dir.rstrip("/") + ".compact"
         trash = self.base_dir.rstrip("/") + ".trash"
-        if os.path.isdir(tmp) and os.path.exists(os.path.join(tmp, "_SUCCESS")):
+        if os.path.isdir(tmp) and (
+            os.path.exists(os.path.join(tmp, "_COMPLETE"))
+            or os.path.exists(os.path.join(tmp, "_SWAP"))
+        ):
             self._swap_in(tmp, resume=True)
             if hasattr(self, "_records_cache"):
                 self._invalidate_records()  # file listing changed

@@ -80,6 +80,17 @@ class ExactlyOnceUnverifiable(RuntimeError):
     could lose data. Loud beats silent either-way-wrong."""
 
 
+class NonUniqueOrderColumn(ValueError):
+    """Raised before ANY append when a batch carries duplicate
+    ``order_col`` values within one (basin, stream): on ties the commit
+    sequencing across attempts is nondeterministic, so a genuinely
+    committed crashed epoch could fail the replay probe and be
+    re-appended as duplicates. Enforced at intent time (zero extra
+    passes — the uniqueness check rides the existing intent aggregate),
+    so a miswired pipeline fails loudly on its first batch instead of
+    corrupting exactly-once silently."""
+
+
 def _record_digest(headers, body) -> str:
     """Length-prefixed canonical digest of the sequencing-stable record
     fields. ``headers`` is an iterable of (name, value) byte pairs (or
@@ -240,6 +251,10 @@ def append_sink(
     sequencing window and the intent's first-record pick are
     nondeterministic across attempts, so a genuinely committed crashed
     epoch could fail the replay probe and be re-appended (duplicates).
+    ENFORCED at intent time: a violating batch raises
+    :class:`NonUniqueOrderColumn` before any record is appended (the
+    check rides the existing intent aggregate — zero extra passes).
+    NULL order values count as violations (they cannot order anything).
 
     **Residual replay alias (documented):** the probe proves a crashed
     attempt committed by matching digests of the WHOLE recorded range
@@ -336,6 +351,7 @@ def append_sink(
             .groupBy("basin", "stream")
             .agg(
                 F.count("*").alias("n"),
+                F.countDistinct("o").alias("n_order"),
                 F.min_by("d", F.struct("o", "d")).alias("first"),
                 F.sha2(
                     F.concat_ws(
@@ -350,6 +366,19 @@ def append_sink(
             )
             .collect()
         )
+        dupes = [
+            f"{r['basin']}/{r['stream']} ({r['n'] - r['n_order']} duplicate"
+            f" {order_col!r} values over {r['n']} rows)"
+            for r in agg
+            if r["n_order"] != r["n"]
+        ]
+        if dupes:
+            raise NonUniqueOrderColumn(
+                f"append sink requires {order_col!r} to be unique per "
+                "(basin, stream) within a batch — exactly-once replay "
+                "verification is nondeterministic on ties. Violations: "
+                + "; ".join(dupes)
+            )
         keys = [(r["basin"], r["stream"]) for r in agg]
         store._ensure_states(keys)
         before = {"v": 3, "tails": {}, "counts": {}, "digests": {}, "range_digests": {}}

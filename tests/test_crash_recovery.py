@@ -391,6 +391,48 @@ def test_incomplete_compact_write_discarded_and_trash_restored(spark, tmp_path):
     assert not os.path.exists(tmp) and not os.path.exists(trash)
 
 
+def test_swap_recovery_does_not_key_on_sparks_success_marker(
+    spark, tmp_path, monkeypatch
+):
+    """Clusters commonly set mapreduce.fileoutputcommitter.
+    marksuccessfuljobs=false, which suppresses _SUCCESS. Recovery keyed
+    on _SUCCESS would misread a COMPLETE rewrite crashed during phase 3
+    as died-mid-write: discard the remaining .compact entries, keep the
+    already-renamed new ones, and restore the trash beside them —
+    mixed old+new data with duplicate seqs. The store's own _COMPLETE
+    marker (written after the write returns, committer-independent)
+    must carry the recovery alone."""
+    import os
+
+    base = str(tmp_path / "records")
+    s = _seed(spark, base)
+    tmp = base + ".compact"
+    # crash on the SECOND rename out of .compact: some new entries are
+    # already in base_dir, some still in .compact — the mixed window
+    seen = {"n": 0}
+
+    def second_out(src, dst):
+        if str(src).startswith(tmp):
+            seen["n"] += 1
+            return seen["n"] == 2
+        return False
+
+    _swap_rename_bomb(monkeypatch, second_out)
+    with pytest.raises(_Boom):
+        s.compact()
+    monkeypatch.undo()
+    # simulate the committer tuning: no _SUCCESS was ever written
+    success = os.path.join(tmp, "_SUCCESS")
+    if os.path.exists(success):
+        os.remove(success)
+    assert os.path.exists(os.path.join(tmp, "_COMPLETE"))
+    r = _assert_intact(spark, base)  # recovery completes the swap
+    # exactly one copy of every record: no old+new duplicates
+    assert not os.path.exists(tmp) and not os.path.exists(base + ".trash")
+    ack = r.append(BASIN, "s1", [Record(body=b"after")])
+    assert ack.start_seq == 5
+
+
 def test_compaction_crash_bucketed_layout_recovers(spark, tmp_path, monkeypatch):
     """Same zero-data-files crash window, bucketed layout: the swap
     moves whole bucket=N directories (names COLLIDE between old and new

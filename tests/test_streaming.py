@@ -352,6 +352,48 @@ def test_sink_epoch_replay_is_idempotent(spark, store):
     assert store.check_tail(BASIN, "s1")[0] == 10
 
 
+def test_sink_rejects_duplicate_order_col(spark, store):
+    """A batch carrying duplicate (or NULL) order_col values within one
+    stream raises NonUniqueOrderColumn BEFORE any record is appended
+    and before the intent is written: nondeterministic commit
+    sequencing on ties would silently break exactly-once replay."""
+    import os
+
+    from s2_spark.streaming.sink import NonUniqueOrderColumn, append_sink
+
+    schema = (
+        "basin string, stream string, timestamp long, "
+        "headers array<struct<name binary, value binary>>, body binary, "
+        "ingest_order long"
+    )
+    commit = append_sink(store, sink_id="dup")
+    dup = spark.createDataFrame(
+        [
+            (BASIN, "s1", None, [], b"a", 0),
+            (BASIN, "s1", None, [], b"b", 0),  # tie within s1
+            (BASIN, "s1", None, [], b"c", 1),
+        ],
+        schema,
+    )
+    with pytest.raises(NonUniqueOrderColumn, match="s1"):
+        commit(dup, 0)
+    assert store.check_tail(BASIN, "s1")[0] == 0  # nothing appended
+    epochs = os.path.join(store.base_dir, "_sink_epochs", "dup")
+    assert not os.path.isdir(epochs) or not any(
+        f.endswith((".intent", ".done")) for f in os.listdir(epochs)
+    )  # the raise precedes the intent write — the epoch can be retried
+    # NULL order values cannot order anything: equally rejected
+    nulls = spark.createDataFrame(
+        [(BASIN, "s1", None, [], b"a", None), (BASIN, "s1", None, [], b"b", 2)],
+        schema,
+    )
+    with pytest.raises(NonUniqueOrderColumn):
+        commit(nulls, 0)
+    # a corrected batch for the same epoch then commits normally
+    commit(_sink_batch(spark, 3), 0)
+    assert store.check_tail(BASIN, "s1")[0] == 3
+
+
 def test_sink_replay_foreign_tail_advance_still_appends(spark, store):
     """The round-6 hole (ADVICE): between a crash and the replay, OTHER
     appends can advance the tail — retention's in-band trim-command
