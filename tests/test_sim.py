@@ -387,6 +387,123 @@ def test_sim_differential_with_compaction_crashes(spark, tmp_path, seed):
     )
 
 
+@pytest.mark.parametrize("seed", [13, 4040])
+def test_sim_sink_replay_with_purges_and_trims(spark, tmp_path, seed):
+    """Seeded chaos over the foreachBatch sink composed with the purge
+    and trim machinery: sink epochs randomly crash at BOTH exactly-once
+    crash points (post-intent/pre-append and post-append/pre-done) and
+    are replayed; between epochs, streams are trimmed in-band and
+    sometimes deleted + physically purged + recreated (fresh generation
+    restarting at seq 0). After every op each stream's visible rows
+    (seq, ts, body), tail, and last_ts must equal the shadow model —
+    exactly-once survives the interleavings: a crashed-then-replayed
+    epoch lands exactly once, a purge drops everything, and a recreated
+    stream's sink appends start over at 0. The clock is frozen across
+    each crash/replay pair so the shadow's single append is the
+    arrival-time ground truth for whichever attempt actually wrote."""
+    from s2_spark.operators.maintenance import deletion_purge_sweep
+    from s2_spark.streaming.sink import EpochLog, append_sink
+
+    clockbox = {"ms": 1_000_000}
+    cat = Catalog(spark, clock=lambda: clockbox["ms"])
+    cat.create_basin(BASIN)
+    for s in STREAMS:
+        cat.create_stream(BASIN, s)
+    store = StreamStore(
+        spark, str(tmp_path / "records"), catalog=cat, clock=lambda: clockbox["ms"]
+    )
+    rng = random.Random(seed)
+    models = {s: ShadowModel() for s in STREAMS}
+    commit = append_sink(store, sink_id="sim")
+    schema = (
+        "basin string, stream string, timestamp long, "
+        "headers array<struct<name binary, value binary>>, body binary, "
+        "ingest_order long"
+    )
+    epoch = 0
+    for op_i in range(14):
+        clockbox["ms"] += rng.randint(1, 10_000)
+        roll = rng.random()
+        if roll < 0.55:  # sink epoch (clean, or crashed then replayed)
+            tstreams = rng.sample(STREAMS, rng.randint(1, 2))
+            per, rows = {}, []
+            for s in tstreams:
+                recs = [
+                    _random_record(rng, clockbox["ms"])
+                    for _ in range(rng.randint(1, 3))
+                ]
+                per[s] = recs
+                rows += [
+                    (BASIN, s, r.timestamp, [], bytes(r.body), i)
+                    for i, r in enumerate(recs)
+                ]
+            df = spark.createDataFrame(rows, schema)
+            arrival = clockbox["ms"]
+            crash = rng.random()
+            if crash < 0.3:
+                # post-intent/pre-append: the crashed attempt wrote
+                # nothing — the replay must append the batch (once)
+                real = store.bulk_append
+
+                def _boom(*a, **k):
+                    raise RuntimeError("injected sink crash pre-append")
+
+                store.bulk_append = _boom
+                try:
+                    with pytest.raises(RuntimeError, match="pre-append"):
+                        commit(df, epoch)
+                finally:
+                    store.bulk_append = real
+                commit(df, epoch)
+            elif crash < 0.6:
+                # post-append/pre-done: the records landed — the replay
+                # must prove it from storage and append NOTHING
+                real_done = EpochLog.mark_done
+
+                def _boom_done(self, e):
+                    raise RuntimeError("injected sink crash post-append")
+
+                EpochLog.mark_done = _boom_done
+                try:
+                    with pytest.raises(RuntimeError, match="post-append"):
+                        commit(df, epoch)
+                finally:
+                    EpochLog.mark_done = real_done
+                commit(df, epoch)
+            else:
+                commit(df, epoch)
+            for s in tstreams:
+                models[s].append(per[s], arrival)  # exactly once
+            epoch += 1
+        elif roll < 0.75:  # in-band trim (past, present, or beyond)
+            s = rng.choice(STREAMS)
+            m = models[s]
+            point = rng.randint(0, m.tail + 5)
+            store.append(BASIN, s, [trim_record(point)])
+            m.append([trim_record(point)], clockbox["ms"])
+        elif epoch > 0:  # delete + physical purge + recreate at seq 0
+            s = rng.choice(STREAMS)
+            cat.delete_stream(BASIN, s)
+            deletion_purge_sweep(store)
+            cat.create_stream(BASIN, s)
+            models[s] = ShadowModel()
+        for s, m in models.items():
+            got = [
+                (r.seq_num, r.timestamp, bytes(r.body))
+                for r in store.read(BASIN, s).collect()
+            ]
+            assert got == m.visible(), f"sink-sim divergence op {op_i} {s}"
+            tail, last_ts = store.check_tail(BASIN, s)
+            assert (tail, last_ts) == (m.tail, m.last_ts)
+    # no evidence leaks: every crashed epoch's intent was consumed by
+    # its replay, and done markers fold into the watermark
+    epochs_dir = store.base_dir + "/_sink_epochs/sim"
+    import os as _os
+
+    leftovers = [f for f in _os.listdir(epochs_dir) if f.endswith(".intent")]
+    assert leftovers == []
+
+
 @pytest.mark.parametrize("seed", [55])
 def test_sim_differential_compaction_crashes_bucketed(spark, tmp_path, seed):
     """Same compaction-crash chaos over the bucketed physical layout,
