@@ -88,11 +88,14 @@ _R03_BACKLOG = frozenset({
 #  - audit dogfooding (operators/audit.py routes flushes through
 #    StreamStore.append): rotate the read-side metric sets per the
 #    round-5 verdict even though their suite plans are unchanged
-_R08_RESCORE = frozenset({
-    # round 8 touched: audit flush went async (the metrics family reads
-    # the audit relation), store compaction swap + purge tombstones
-    # (stream-semantics family), multimodal module refactor (x17/x18),
-    # and the streaming str-family shares the touched ops surface
+_R09_RESCORE = frozenset({
+    # round 9 touched: gen-carrying v2 streaming offsets + rebase
+    # rewrite (source.py) and order_col enforcement in the intent
+    # aggregate (sink.py) — the str and st families share that surface;
+    # the audit flusher gained drop-oldest + retry + audit_drop rows
+    # (the whole metrics family reads the audit relation); store
+    # compaction swap now keys on its own _COMPLETE marker
+    # (stream-semantics family exercises the store paths)
     "ag9_metrics_rollup", "ag10_metrics_gauge", "ag11_metrics_minute_ops",
     "ag12_metrics_day_throughput", "ag13_metrics_storage_gauge",
     "ag15_read_ops", "ag16_read_throughput", "ag17_basin_ops",
@@ -102,7 +105,6 @@ _R08_RESCORE = frozenset({
     "st4_clamp", "st5_trim_visibility", "st6_retention_cutoff",
     "st7_append_ack", "st8_combined_read_limits",
     "str5_stateful_dedup", "str6_command_fold",
-    "x17_media_features", "x18_video_frame_sample",
 })
 
 
@@ -139,8 +141,8 @@ def _prioritized(names: list[str]) -> list[str]:
 
     backlog = [n for n in fresh if n in _R03_BACKLOG]
     newer = [n for n in fresh if n not in _R03_BACKLOG]
-    rescore = [n for n in proven if n in _R08_RESCORE]
-    stable = [n for n in proven if n not in _R08_RESCORE]
+    rescore = [n for n in proven if n in _R09_RESCORE]
+    stable = [n for n in proven if n not in _R09_RESCORE]
     return (
         failed
         + _round_robin(backlog)
