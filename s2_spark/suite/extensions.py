@@ -1527,3 +1527,255 @@ def x41(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+def _clean_tokens(col):
+    """Non-empty lowercase whitespace tokens as an in-row array."""
+    return F.filter(_tokens(col), lambda x: x != "")
+
+
+@query(
+    "x42_bigram_surprisal",
+    oracle=(
+        "WITH w AS (SELECT doc_id, "
+        "list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws "
+        "FROM documents), "
+        "bg AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2 "
+        "FROM w, unnest(generate_series(1, len(ws) - 1)) AS t(i)), "
+        "big AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY w1, w2), "
+        "ctx AS (SELECT w1, count(*) AS n FROM bg GROUP BY w1) "
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, "
+        "round(avg(-ln(c * 1.0 / n)), 4) AS avg_surprisal "
+        "FROM bg JOIN big USING (w1, w2) JOIN ctx USING (w1) "
+        "GROUP BY doc_id ORDER BY doc_id"
+    ),
+    doc=(
+        "bigram-LM quality score — the next step up from x39's unigram "
+        "surprisal and the cheap stand-in for KenLM perplexity filtering "
+        "(CCNet): fit corpus bigram conditionals p(w2|w1) = "
+        "c(w1 w2)/c(w1 ·), score each document by its bigrams' mean "
+        "surprisal. Bigrams fan out IN-ROW (sequence+element_at — no "
+        "self-join to pair adjacent tokens, no window), then two hash "
+        "aggregations build the LM and two equi-joins score; the joins "
+        "carry (bigram, count) pairs whose cardinality scales with the "
+        "LM vocabulary, never with corpus bytes. Docs under 2 tokens "
+        "drop out structurally on both sides."
+    ),
+)
+def x42(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    ws = _clean_tokens(F.col("text"))
+    grid = F.when(
+        F.size(ws) >= 2, F.sequence(F.lit(1), F.size(ws) - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    bg = d.select(
+        "doc_id", ws.alias("ws"), F.explode(grid).alias("i")
+    ).select(
+        "doc_id",
+        F.element_at("ws", F.col("i")).alias("w1"),
+        F.element_at("ws", F.col("i") + 1).alias("w2"),
+    )
+    big = bg.groupBy("w1", "w2").agg(F.count("*").alias("c"))
+    ctx = bg.groupBy("w1").agg(F.count("*").alias("n"))
+    return (
+        bg.join(big, ["w1", "w2"])
+        .join(ctx, ["w1"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            r4(F.avg(-F.log(F.col("c") / F.col("n")))).alias("avg_surprisal"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "x43_source_rollup",
+    oracle=(
+        "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique_texts, "
+        "CAST(sum(len(list_filter(string_split(lower(text), ' '), "
+        "x -> x <> ''))) AS BIGINT) AS total_tokens, "
+        "round(avg(n_chars), 4) AS avg_chars "
+        "FROM documents GROUP BY source ORDER BY source"
+    ),
+    doc=(
+        "per-source (domain) corpus accounting — the rollup behind "
+        "domain-level curation decisions (block, cap, or upsample a "
+        "crawl source): doc count, exact-unique count via text digest, "
+        "token volume, mean length. Token counts are computed IN-ROW "
+        "(size of the filtered split — the document never explodes), so "
+        "the single shuffle carries one pre-aggregated row per "
+        "(partition, source); distinct-count groups on a 16-byte digest, "
+        "never the text. At 100 TB this is one partial-agg pass over "
+        "the scan."
+    ),
+)
+def x43(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "source",
+            "n_chars",
+            F.md5("text").alias("h"),
+            F.size(_clean_tokens(F.col("text"))).alias("ntok"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("h").alias("n_unique_texts"),
+            F.sum("ntok").cast("long").alias("total_tokens"),
+            r4(F.avg("n_chars")).alias("avg_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "x44_repetition_filter",
+    oracle=(
+        "WITH w AS (SELECT doc_id, "
+        "list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws "
+        "FROM documents), "
+        "g AS (SELECT doc_id, ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS gram "
+        "FROM w, unnest(generate_series(1, len(ws) - 2)) AS t(i)), "
+        "pc AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY doc_id, gram), "
+        "agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams, "
+        "count(*) AS n_distinct, max(c) AS top_c FROM pc GROUP BY doc_id) "
+        "SELECT doc_id, n_grams, "
+        "round((n_grams - n_distinct) * 1.0 / n_grams, 4) AS dup_frac, "
+        "round(top_c * 1.0 / n_grams, 4) AS top_frac, "
+        "round((n_grams - n_distinct) * 1.0 / n_grams, 4) > 0.05 AS repetitive "
+        "FROM agg ORDER BY doc_id"
+    ),
+    doc=(
+        "Gopher-style repetition filter: per document, the fraction of "
+        "3-gram occurrences that are repeats and the most-frequent "
+        "3-gram's share — the two rules that catch boilerplate loops and "
+        "keyword-stuffed spam. Grams fan out in-row; the only shuffle is "
+        "keyed (doc_id, gram) — high-cardinality, skew-free, and carries "
+        "3-gram strings bounded by document length, never whole "
+        "documents. The flag compares the ROUNDED fraction so the "
+        "threshold decision is reproducible across engines. Docs under "
+        "3 tokens drop out structurally on both sides."
+    ),
+)
+def x44(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    ws = _clean_tokens(F.col("text"))
+    grid = F.when(
+        F.size(ws) >= 3, F.sequence(F.lit(1), F.size(ws) - 2)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = d.select(
+        "doc_id", ws.alias("ws"), F.explode(grid).alias("i")
+    ).select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.element_at("ws", F.col("i")),
+            F.element_at("ws", F.col("i") + 1),
+            F.element_at("ws", F.col("i") + 2),
+        ).alias("gram"),
+    )
+    pc = grams.groupBy("doc_id", "gram").agg(F.count("*").alias("c"))
+    dup_frac = r4(
+        (F.col("n_grams") - F.col("n_distinct")) / F.col("n_grams")
+    )
+    return (
+        pc.groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_grams"),
+            F.count("*").alias("n_distinct"),
+            F.max("c").alias("top_c"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            dup_frac.alias("dup_frac"),
+            r4(F.col("top_c") / F.col("n_grams")).alias("top_frac"),
+            (dup_frac > 0.05).alias("repetitive"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "x45_source_frequency_cap",
+    oracle=(
+        "SELECT doc_id, source, cap_rank FROM "
+        "(SELECT doc_id, source, CAST(row_number() OVER "
+        "(PARTITION BY source ORDER BY doc_id) AS BIGINT) AS cap_rank "
+        "FROM documents) WHERE cap_rank <= 15 ORDER BY doc_id"
+    ),
+    doc=(
+        "per-source frequency capping (the CommonCrawl-pipeline 'at most "
+        "N pages per host' quota): keep the first 15 documents of every "
+        "source in deterministic doc_id order. One partitioned window "
+        "(PARTITION BY source — the unit of parallelism; no global "
+        "sort), and the cap predicate cuts the tail before anything "
+        "downstream reads it. At 100 TB a hot host skews the window "
+        "partition, but the window carries only (doc_id, source) pairs —"
+        " the cap runs BEFORE documents are fetched into the kept set."
+    ),
+)
+def x45(spark, sf_dir):
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    rn = F.row_number().over(Window.partitionBy("source").orderBy("doc_id"))
+    return (
+        d.select("doc_id", "source", rn.cast("long").alias("cap_rank"))
+        .filter(F.col("cap_rank") <= 15)
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "x46_mixture_weights",
+    oracle=(
+        "WITH s AS (SELECT source, "
+        "CAST(sum(len(list_filter(string_split(lower(text), ' '), "
+        "x -> x <> ''))) AS BIGINT) AS total_tokens FROM documents "
+        "GROUP BY source), "
+        "tot AS (SELECT sum(total_tokens) AS t, "
+        "sum(sqrt(total_tokens)) AS ta FROM s) "
+        "SELECT source, total_tokens, "
+        "round(total_tokens * 1.0 / t, 4) AS raw_share, "
+        "round(sqrt(total_tokens) / ta, 4) AS alpha_share "
+        "FROM s CROSS JOIN tot ORDER BY source"
+    ),
+    doc=(
+        "temperature-scaled sampling weights for data mixing (the "
+        "multilingual-LM alpha-sampling rule, alpha = 0.5): per-source "
+        "token share, raw and after sqrt temperature scaling — the "
+        "knob that keeps a dominant crawl source from drowning the "
+        "mixture. Token counting is in-row, the per-source rollup is "
+        "one partial-agg pass, and the normalizer is a broadcast "
+        "1-row cross join — the same shape as x39's corpus total. "
+        "Output cardinality = number of sources, independent of corpus "
+        "size."
+    ),
+)
+def x46(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    s = (
+        d.select(
+            "source", F.size(_clean_tokens(F.col("text"))).alias("ntok")
+        )
+        .groupBy("source")
+        .agg(F.sum("ntok").cast("long").alias("total_tokens"))
+    )
+    tot = s.agg(
+        F.sum("total_tokens").alias("t"),
+        F.sum(F.sqrt("total_tokens")).alias("ta"),
+    )
+    return (
+        s.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "total_tokens",
+            r4(F.col("total_tokens") / F.col("t")).alias("raw_share"),
+            r4(F.sqrt("total_tokens") / F.col("ta")).alias("alpha_share"),
+        )
+        .orderBy("source")
+    )
