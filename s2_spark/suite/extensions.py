@@ -1779,3 +1779,110 @@ def x46(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@query(
+    "x47_bpe_merge_pairs",
+    oracle=(
+        "WITH w AS (SELECT unnest(list_filter(string_split(lower(text), ' '), "
+        "x -> x <> '')) AS w FROM documents), "
+        "v AS (SELECT w, count(*) AS f FROM w GROUP BY w), "
+        "p AS (SELECT substr(w, CAST(i AS INTEGER), 2) AS pair, f "
+        "FROM v, unnest(generate_series(1, len(w) - 1)) AS t(i)) "
+        "SELECT pair, CAST(sum(f) AS BIGINT) AS merge_count FROM p "
+        "GROUP BY pair ORDER BY merge_count DESC, pair LIMIT 20"
+    ),
+    doc=(
+        "tokenizer induction, step one of BPE training: the top adjacent "
+        "symbol-pair counts over the corpus (the next merge is the "
+        "argmax). Counted the way real BPE trainers do it — aggregate "
+        "the WORD-FREQUENCY table first, then fan pairs out over the "
+        "distinct vocabulary weighted by frequency: pair counting costs "
+        "O(vocabulary), not O(corpus), and every pass after the word "
+        "count is corpus-size-independent. The top-20 boundary "
+        "tie-breaks on the pair string so the cut reproduces across "
+        "engines."
+    ),
+)
+def x47(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    words = d.select(F.explode(_clean_tokens(F.col("text"))).alias("w"))
+    vocab = words.groupBy("w").agg(F.count("*").alias("f"))
+    grid = F.when(
+        F.length("w") >= 2, F.sequence(F.lit(1), F.length("w") - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    pairs = vocab.select("w", "f", F.explode(grid).alias("i")).select(
+        F.substring(F.col("w"), F.col("i").cast("int"), 2).alias("pair"), "f"
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("f").cast("long").alias("merge_count"))
+        .orderBy(F.desc("merge_count"), "pair")
+        .limit(20)
+    )
+
+
+@query(
+    "x48_winnowing_fingerprints",
+    oracle=(
+        "WITH w AS (SELECT doc_id, "
+        "list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws "
+        "FROM documents), "
+        "g AS (SELECT doc_id, i, md5(ws[i] || ' ' || ws[i + 1] || ' ' || "
+        "ws[i + 2] || ' ' || ws[i + 3]) AS h "
+        "FROM w, unnest(generate_series(1, len(ws) - 3)) AS t(i)), "
+        "m AS (SELECT doc_id, min(h) OVER (PARTITION BY doc_id ORDER BY i "
+        "ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp FROM g), "
+        "d AS (SELECT DISTINCT doc_id, fp FROM m) "
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fingerprints, "
+        "min(fp) AS min_fp FROM d GROUP BY doc_id ORDER BY doc_id"
+    ),
+    doc=(
+        "winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the "
+        "MOSS algorithm): hash word 4-grams, slide a window of 4 hashes, "
+        "keep each window's minimum — guaranteeing any shared run of ~7 "
+        "words between two documents shares a fingerprint, at a fixed "
+        "~2/(w+1) sampling density. Grams and hashes are computed "
+        "in-row; the min-in-window is a doc_id-PARTITIONED window (the "
+        "document is the unit of parallelism — no global sort); the "
+        "distinct fingerprint set per doc is what an index or a "
+        "cross-doc overlap join would consume. Docs under 4 tokens drop "
+        "out structurally on both sides."
+    ),
+)
+def x48(spark, sf_dir):
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    ws = _clean_tokens(F.col("text"))
+    grid = F.when(
+        F.size(ws) >= 4, F.sequence(F.lit(1), F.size(ws) - 3)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = d.select(
+        "doc_id", ws.alias("ws"), F.explode(grid).alias("i")
+    ).select(
+        "doc_id",
+        "i",
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.element_at("ws", F.col("i")),
+                F.element_at("ws", F.col("i") + 1),
+                F.element_at("ws", F.col("i") + 2),
+                F.element_at("ws", F.col("i") + 3),
+            )
+        ).alias("h"),
+    )
+    win = (
+        Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, 3)
+    )
+    return (
+        grams.select("doc_id", F.min("h").over(win).alias("fp"))
+        .distinct()
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_fingerprints"),
+            F.min("fp").alias("min_fp"),
+        )
+        .orderBy("doc_id")
+    )
