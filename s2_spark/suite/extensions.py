@@ -1565,15 +1565,20 @@ def _clean_tokens(col):
 def x42(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
     ws = _clean_tokens(F.col("text"))
-    grid = F.when(
-        F.size(ws) >= 2, F.sequence(F.lit(1), F.size(ws) - 1)
-    ).otherwise(F.array().cast("array<int>"))
-    bg = d.select(
-        "doc_id", ws.alias("ws"), F.explode(grid).alias("i")
-    ).select(
+    # build the bigram array in ONE zip_with evaluated once per doc,
+    # then explode the materialized array: an element_at-per-exploded-
+    # row formulation re-tokenizes the document for every bigram
+    # (O(tokens^2) per doc — measured 8x slower at sf0.1)
+    n1 = F.greatest(F.size(ws) - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(ws, F.lit(1), n1),
+        F.slice(ws, F.lit(2), n1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    bg = d.select("doc_id", F.explode(bigrams).alias("p")).select(
         "doc_id",
-        F.element_at("ws", F.col("i")).alias("w1"),
-        F.element_at("ws", F.col("i") + 1).alias("w2"),
+        F.col("p.w1").alias("w1"),
+        F.col("p.w2").alias("w2"),
     )
     big = bg.groupBy("w1", "w2").agg(F.count("*").alias("c"))
     ctx = bg.groupBy("w1").agg(F.count("*").alias("n"))
@@ -1663,20 +1668,20 @@ def x43(spark, sf_dir):
 def x44(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
     ws = _clean_tokens(F.col("text"))
-    grid = F.when(
-        F.size(ws) >= 3, F.sequence(F.lit(1), F.size(ws) - 2)
-    ).otherwise(F.array().cast("array<int>"))
-    grams = d.select(
-        "doc_id", ws.alias("ws"), F.explode(grid).alias("i")
-    ).select(
-        "doc_id",
-        F.concat_ws(
-            " ",
-            F.element_at("ws", F.col("i")),
-            F.element_at("ws", F.col("i") + 1),
-            F.element_at("ws", F.col("i") + 2),
-        ).alias("gram"),
+    # gram array built by chained zip_with, ONE expression per doc —
+    # see x42 for why element_at-per-exploded-row is quadratic
+    n3 = F.greatest(F.size(ws) - 2, F.lit(0))
+    g12 = F.zip_with(
+        F.slice(ws, F.lit(1), n3),
+        F.slice(ws, F.lit(2), n3),
+        lambda a, b: F.concat(a, F.lit(" "), b),
     )
+    gram_arr = F.zip_with(
+        g12,
+        F.slice(ws, F.lit(3), n3),
+        lambda ab, c: F.concat(ab, F.lit(" "), c),
+    )
+    grams = d.select("doc_id", F.explode(gram_arr).alias("gram"))
     pc = grams.groupBy("doc_id", "gram").agg(F.count("*").alias("c"))
     dup_frac = r4(
         (F.col("n_grams") - F.col("n_distinct")) / F.col("n_grams")
@@ -1855,23 +1860,31 @@ def x48(spark, sf_dir):
 
     d = t(spark, sf_dir, "documents")
     ws = _clean_tokens(F.col("text"))
-    grid = F.when(
-        F.size(ws) >= 4, F.sequence(F.lit(1), F.size(ws) - 3)
-    ).otherwise(F.array().cast("array<int>"))
+    # gram array via chained zip_with (one expression per doc — see
+    # x42); posexplode carries the position the winnowing window needs,
+    # and the md5 runs on the exploded COLUMN, never re-tokenizing
+    n4 = F.greatest(F.size(ws) - 3, F.lit(0))
+    g12 = F.zip_with(
+        F.slice(ws, F.lit(1), n4),
+        F.slice(ws, F.lit(2), n4),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    g123 = F.zip_with(
+        g12,
+        F.slice(ws, F.lit(3), n4),
+        lambda ab, c: F.concat(ab, F.lit(" "), c),
+    )
+    gram_arr = F.zip_with(
+        g123,
+        F.slice(ws, F.lit(4), n4),
+        lambda abc, e: F.concat(abc, F.lit(" "), e),
+    )
     grams = d.select(
-        "doc_id", ws.alias("ws"), F.explode(grid).alias("i")
+        "doc_id", F.posexplode(gram_arr).alias("i0", "gram")
     ).select(
         "doc_id",
-        "i",
-        F.md5(
-            F.concat_ws(
-                " ",
-                F.element_at("ws", F.col("i")),
-                F.element_at("ws", F.col("i") + 1),
-                F.element_at("ws", F.col("i") + 2),
-                F.element_at("ws", F.col("i") + 3),
-            )
-        ).alias("h"),
+        (F.col("i0") + 1).alias("i"),
+        F.md5("gram").alias("h"),
     )
     win = (
         Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, 3)
