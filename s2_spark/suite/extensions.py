@@ -877,7 +877,13 @@ def x27(spark, sf_dir):
 )
 def x38(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
-    ws = F.split(F.lower("text"), " ")
+    # materialize the token array as a COLUMN below the transform: a
+    # lambda referencing the raw split(lower(text)) expression re-splits
+    # the document once per window element (O(tokens^2) per doc; the
+    # aliased column keeps it one split per doc — Catalyst preserves
+    # the projection because the alias is referenced multiple times)
+    base = d.select("doc_id", F.split(F.lower("text"), " ").alias("ws"))
+    ws = F.col("ws")
     nw = F.size(ws) - 15
     wins = F.when(
         nw >= 1,
@@ -886,7 +892,7 @@ def x38(spark, sf_dir):
             lambda i: F.md5(F.concat_ws(" ", F.slice(ws, i, 16)).cast("binary")),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    e = d.select("doc_id", F.explode(wins).alias("h"))
+    e = base.select("doc_id", F.explode(wins).alias("h"))
     sh = e.groupBy("h").agg(F.countDistinct("doc_id").alias("nd"))
     per = (
         e.join(sh, "h")
