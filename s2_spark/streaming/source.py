@@ -303,7 +303,27 @@ class S2StreamReader(DataSourceStreamReader):
         # clamp in latestOffset-vs-start at partition planning; Spark's
         # DataSourceStreamReader contract applies offsets as reported,
         # so clamping must happen where the end offset is produced.
-        tails = self._filtered(_tails(self.path, self._tails_cache, self.tails_stats))
+        #
+        # The tails scan and the tombstone read must be mutually
+        # CONSISTENT: a purge+recreate completing between them would
+        # stamp the dead generation's tail with the new generation
+        # ([new_gen, dead_tail] pins the recreated stream's HWM above
+        # its true tail — later appends below it silently skipped), or
+        # conversely deliver new-generation records under the old
+        # generation and duplicate them after the rebase. Tombstones
+        # are written AFTER the purge rewrite commits, so if the
+        # generations read before and after the tails scan agree, no
+        # purge overlapped the scan — retry (purges are rare) until
+        # stable.
+        gens = _purge_gens(self.path, self._purge_cache)
+        while True:
+            tails = self._filtered(
+                _tails(self.path, self._tails_cache, self.tails_stats)
+            )
+            gens2 = _purge_gens(self.path, self._purge_cache)
+            if gens2 == gens:
+                break
+            gens = gens2
         # a purge-generation bump means the stream was deleted and its
         # records physically dropped: the old tail/HWM/budget state
         # describes a dead generation — forget it. The bump itself
@@ -311,7 +331,7 @@ class S2StreamReader(DataSourceStreamReader):
         # when the recreated tail is numerically equal to the dead
         # one), so the engine plans a batch and partitions() rebases
         # from the (start_gen < end_gen) comparison alone.
-        for k, g in _purge_gens(self.path, self._purge_cache).items():
+        for k, g in gens.items():
             if g > self._gen_seen.get(k, 0):
                 self._gen_seen[k] = g
                 self._max_seen.pop(k, None)

@@ -1647,3 +1647,53 @@ def test_rebase_with_rate_limit_delivers_new_generation_windowed(spark, store):
     for s, e in delivered:
         covered.extend(range(s, e))
     assert covered == list(range(5)), delivered
+
+
+def test_latest_offset_purge_racing_tails_scan_rescans(spark, store, monkeypatch):
+    """A purge+recreate completing BETWEEN latestOffset's tails scan and
+    its tombstone read must not stamp the dead generation's tail with
+    the new generation: [new_gen, dead_tail] would pin the recreated
+    stream's high-water mark above its true tail, silently skipping
+    every record appended below it. latestOffset re-reads the
+    generations after the scan and rescans until they are stable."""
+    import s2_spark.streaming.source as src
+
+    k = f"{BASIN}\x00dead"
+    store.catalog.create_stream(BASIN, "dead")
+    store.append(BASIN, "dead", _recs(6))
+    r = _reader(store)
+    o1 = r.latestOffset()
+    assert o1 == {"__v": 2, k: [0, 6]}
+    r.partitions({}, o1)
+    r.commit(o1)
+    real = src._tails
+    fired = {"n": 0}
+
+    def racing(path, cache=None, stats=None):
+        out = real(path, cache, stats)
+        if fired["n"] == 0:
+            fired["n"] = 1
+            # the purge lands AFTER the scan read the old files but
+            # BEFORE the tombstone read — the exact race window
+            _purge_recreate(store, "dead", 3)
+        return out
+
+    monkeypatch.setattr(src, "_tails", racing)
+    o2 = r.latestOffset()
+    # the stable snapshot pairs the NEW generation with the NEW tail —
+    # the racing interleaving would have produced [1, 6]
+    assert o2 == {"__v": 2, k: [1, 3]}
+    parts = [
+        (p.stream, p.start, p.end) for p in r.partitions(o1, o2) if p.stream
+    ]
+    assert parts == [("dead", 0, 3)]
+    r.commit(o2)
+    # appends below the dead generation's tail still deliver (the
+    # broken interleaving pinned the HWM at 6 and lost these)
+    store.append(BASIN, "dead", _recs(2))
+    o3 = r.latestOffset()
+    assert o3 == {"__v": 2, k: [1, 5]}
+    parts = [
+        (p.stream, p.start, p.end) for p in r.partitions(o2, o3) if p.stream
+    ]
+    assert parts == [("dead", 3, 5)]
