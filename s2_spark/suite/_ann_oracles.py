@@ -462,6 +462,55 @@ def ivf_planted_recall_oracle(
     )
 
 
+def semdedup_oracle(
+    query_ids=(0, 1, 2, 3, 4),
+    copies: int = 12,
+    eps: float = 0.02,
+    n_cells: int = 16,
+    dim: int = 64,
+    seed: int = 7,
+    tau: float = 0.99,
+) -> str:
+    """Full replay of the SemDeDup pass (x49): identical planted-corpus
+    synthesis → identical fixed-centroid cell assignment → within-cell
+    pairs only → exact cosine against ``tau`` on the RAW double (both
+    engines compute the identical left-associated fold, so the
+    threshold set matches bit-for-bit) → per dropped vector the lowest
+    surviving anchor and the similarity to it."""
+    cents = ivf_fixed_centroids(n_cells, dim, seed)
+    cent_values = ", ".join(
+        f"({i}, [{', '.join(repr(x) for x in c)}]::DOUBLE[])"
+        for i, c in enumerate(cents)
+    )
+    sqd = " + ".join(
+        f"(v[{i + 1}] - cv[{i + 1}]) * (v[{i + 1}] - cv[{i + 1}])" for i in range(dim)
+    )
+    cos = (
+        f"({_chain('a.v', 'b.v', dim)}) /"
+        f" (sqrt({_chain('a.v', 'a.v', dim)}) * sqrt({_chain('b.v', 'b.v', dim)}))"
+    )
+    ctes = _planted_corpus_ctes(query_ids, copies, eps, dim)
+    ctes.append(f"cents(cell, cv) AS (VALUES {cent_values})")
+    ctes.append(
+        "assign AS (SELECT vec_id, v, (SELECT cell FROM cents "
+        f"ORDER BY ({sqd}) ASC, cell LIMIT 1) AS cell FROM corpus)"
+    )
+    ctes.append(
+        f"pairs AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, {cos} AS s "
+        "FROM assign a JOIN assign b "
+        "ON a.cell = b.cell AND a.vec_id < b.vec_id)"
+    )
+    ctes.append(
+        "hit AS (SELECT b_id, min(a_id) AS anchor, arg_min(s, a_id) AS sa "
+        f"FROM pairs WHERE s >= {tau!r} GROUP BY b_id)"
+    )
+    return (
+        "WITH " + ", ".join(ctes) + " "
+        "SELECT b_id AS vec_id, anchor, round(sa, 4) AS anchor_sim "
+        "FROM hit ORDER BY vec_id"
+    )
+
+
 # the funnel CASE shared by the x33 and x35 oracles (mirrors
 # extensions._funnel_verdict; integer-only thresholds)
 _FUNNEL_CASE = (

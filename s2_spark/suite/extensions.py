@@ -1905,3 +1905,65 @@ def x48(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+from s2_spark.suite._ann_oracles import semdedup_oracle  # noqa: E402
+
+
+@query(
+    "x49_semdedup",
+    oracle=semdedup_oracle(
+        query_ids=(0, 1, 2, 3, 4), copies=12, eps=0.02,
+        n_cells=16, dim=64, seed=7, tau=0.99,
+    ),
+    doc=(
+        "SemDeDup (semantic dedup over embeddings, Abbas et al. 2023): "
+        "cluster the corpus, then inside each cluster drop every vector "
+        "whose cosine to a LOWER-id clustermate exceeds tau, reporting "
+        "the anchor it duplicates and the similarity. Run on the "
+        "planted-near-neighbor corpus (x36/x37's synthesis) so the "
+        "dropped set is a known ground truth: every planted copy falls "
+        "to its base vector. The quadratic is confined WITHIN cells — "
+        "the join key is the cell id, and at 100 TB n_cells grows with "
+        "the corpus so cell size (and the per-cell pair count) stays "
+        "bounded; nothing ever compares across cells, which is the "
+        "entire point of the clustering step. Oracle replays corpus "
+        "synthesis, assignment, pairing, and the threshold decision on "
+        "identical IEEE doubles."
+    ),
+)
+def x49(spark, sf_dir):
+    from s2_spark.functions.similarity import (
+        cosine,
+        ivf_assign_fixed,
+        ivf_fixed_centroids,
+    )
+
+    synth = _planted_corpus(spark, sf_dir)
+    cents = ivf_fixed_centroids(n_cells=16, dim=64, seed=7)
+    a = ivf_assign_fixed(synth, cents)
+    left = a.select(
+        F.col("vec_id").alias("a_id"), F.col("embedding").alias("va"), "_cell"
+    )
+    right = a.select(
+        F.col("vec_id").alias("b_id"), F.col("embedding").alias("vb"), "_cell"
+    )
+    pairs = (
+        left.join(right, "_cell")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", cosine("va", "vb").alias("s"))
+    )
+    return (
+        pairs.filter(F.col("s") >= 0.99)
+        .groupBy("b_id")
+        .agg(
+            F.min("a_id").alias("anchor"),
+            F.min_by("s", "a_id").alias("sa"),
+        )
+        .select(
+            F.col("b_id").alias("vec_id"),
+            "anchor",
+            r4(F.col("sa")).alias("anchor_sim"),
+        )
+        .orderBy("vec_id")
+    )
