@@ -1924,12 +1924,16 @@ from s2_spark.suite._ann_oracles import semdedup_oracle  # noqa: E402
         "planted-near-neighbor corpus (x36/x37's synthesis) so the "
         "dropped set is a known ground truth: every planted copy falls "
         "to its base vector. The quadratic is confined WITHIN cells — "
-        "the join key is the cell id, and at 100 TB n_cells grows with "
-        "the corpus so cell size (and the per-cell pair count) stays "
-        "bounded; nothing ever compares across cells, which is the "
-        "entire point of the clustering step. Oracle replays corpus "
-        "synthesis, assignment, pairing, and the threshold decision on "
-        "identical IEEE doubles."
+        "the join key is the cell id and nothing compares across cells. "
+        "Scaling the cell COUNT with the corpus keeps per-cell pairs "
+        "bounded but makes the flat centroid assignment O(n x cells); "
+        "at 100 TB swap the coarse step for the LSH sign-bucket tier "
+        "(x11/x13 machinery, O(n log buckets) assignment — measured "
+        "2.26x/decade at constant bucket size vs 4.8x for flat "
+        "centroids, SCALE.md round 9) or hierarchical KMeans; the "
+        "within-cell pruning shape is identical either way. Oracle "
+        "replays corpus synthesis, assignment, pairing, and the "
+        "threshold decision on identical IEEE doubles."
     ),
 )
 def x49(spark, sf_dir):
