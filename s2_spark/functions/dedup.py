@@ -366,10 +366,29 @@ def simhash_neardup_pairs(
 
 
 def ngram_shingles(text_col: str, n: int = 5) -> Column:
-    """Character n-gram shingle set (for Jaccard on short/noisy text)."""
+    """Character n-gram shingle set (for Jaccard on short/noisy text).
+
+    Built as a zip_with chain over slices of the char array rather than
+    substr-per-index: a lambda referencing the normalized-text
+    EXPRESSION re-runs the whole normalize chain once per shingle
+    (O(chars^2) per doc); the chain evaluates it a constant ~n+3 times
+    per row. Strings shorter than ``n`` yield their whole self (the
+    trailing zip_with pads are null → coalesced empty), matching the
+    substr semantics, and the empty string yields [""] explicitly
+    (split of "" is [] while substr gave [""])."""
     s = normalize_text(F.col(text_col))
-    idx = F.sequence(F.lit(1), F.greatest(F.length(s) - n + 1, F.lit(1)))
-    return F.array_distinct(F.transform(idx, lambda i: s.substr(i, F.lit(n))))
+    chars = F.split(s, "")
+    width = F.greatest(F.length(s) - n + 1, F.lit(1))
+    acc = F.slice(chars, F.lit(1), width)
+    for j in range(1, n):
+        acc = F.zip_with(
+            acc,
+            F.slice(chars, F.lit(j + 1), width),
+            lambda a, b: F.concat(a, F.coalesce(b, F.lit(""))),
+        )
+    return F.array_distinct(
+        F.when(F.length(s) == 0, F.array(F.lit(""))).otherwise(acc)
+    )
 
 
 def ngram_jaccard_pairs(

@@ -754,15 +754,25 @@ def x25(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
     ws = F.split(F.lower("text"), " ")
     n = F.size(ws)
-    gs = F.transform(
-        F.sequence(F.lit(0), n - 2),
-        lambda i: F.concat_ws(" ", F.element_at(ws, i + 1), F.element_at(ws, i + 2)),
+    # zip_with over slices, not element_at over a sequence: the lambda
+    # form re-evaluates split(lower(text)) once per bigram (O(tokens^2)
+    # per doc — this was the registry's slowest query at 21.7 s warm,
+    # sf0.1). One expression per doc; gs materialized as a column so
+    # the distinct/total pair reads it twice without recomputing.
+    nb = F.greatest(n - 1, F.lit(0))
+    gs = F.zip_with(
+        F.slice(ws, F.lit(1), nb),
+        F.slice(ws, F.lit(2), nb),
+        lambda a, b: F.concat(a, F.lit(" "), b),
     )
-    n_bigrams = F.when(n < 2, F.lit(0)).otherwise(n - 1).cast("long")
-    dup_frac = F.when(
-        n < 2, F.lit(0.0)
-    ).otherwise(1.0 - F.size(F.array_distinct(gs)).cast("double") / F.size(gs))
-    return d.select(
+    base = d.select("doc_id", n.alias("n"), gs.alias("gs"))
+    n_bigrams = F.when(F.col("n") < 2, F.lit(0)).otherwise(
+        F.col("n") - 1
+    ).cast("long")
+    dup_frac = F.when(F.col("n") < 2, F.lit(0.0)).otherwise(
+        1.0 - F.size(F.array_distinct("gs")).cast("double") / F.size("gs")
+    )
+    return base.select(
         "doc_id",
         n_bigrams.alias("n_bigrams"),
         r4(dup_frac).alias("dup_bigram_frac"),
@@ -1093,13 +1103,18 @@ def x32(spark, sf_dir):
 
 def _funnel_verdict():
     """First-failing-rule verdict column for the C4/Gopher-style quality
-    cascade — shared by x33 (per-stage report) and x35 (e2e pipeline)."""
+    cascade — shared by x33 (per-stage report) and x35 (e2e pipeline).
+    Bigrams via zip_with over slices (one expression per doc) — the
+    element_at-over-sequence form re-tokenizes the document per bigram
+    (O(tokens^2); x35 measured 16.5 s warm at sf0.1 before the fix)."""
     ws = F.split(F.lower("text"), " ")
     ntok = F.size(ws)
     stop = F.size(F.filter(ws, lambda x: x.isin(*_STOPWORDS))).cast("long")
-    gs = F.transform(
-        F.sequence(F.lit(0), ntok - 2),
-        lambda i: F.concat_ws(" ", F.element_at(ws, i + 1), F.element_at(ws, i + 2)),
+    nb = F.greatest(ntok - 1, F.lit(0))
+    gs = F.zip_with(
+        F.slice(ws, F.lit(1), nb),
+        F.slice(ws, F.lit(2), nb),
+        lambda a, b: F.concat(a, F.lit(" "), b),
     )
     n_bi = F.size(gs)
     dup = n_bi - F.size(F.array_distinct(gs))
