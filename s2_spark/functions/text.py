@@ -116,10 +116,13 @@ def fingerprint_portable(col) -> Column:
     higher-order functions, no UDF)."""
 
     def tok_hash(tk: Column) -> Column:
+        # transform INPUT is evaluated once — splitting the digest into
+        # chars hashes the token a single time, where the old
+        # substr-per-index form recomputed md5(tk) for all 14 digits
         mh14 = F.substring(F.md5(tk.cast("binary")), 1, 14)
         hexv = F.transform(
-            F.sequence(F.lit(1), F.lit(14)),
-            lambda i: F.conv(mh14.substr(i, F.lit(1)), 16, 10).cast("long"),
+            F.split(mh14, ""),
+            lambda ch: F.conv(ch, 16, 10).cast("long"),
         )
         return F.aggregate(hexv, F.lit(0).cast("long"), lambda a, b: a * 16 + b) % FP_MOD
 

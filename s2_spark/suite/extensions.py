@@ -580,17 +580,20 @@ def x19(spark, sf_dir):
 def x20(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
     w = F.split(F.col("text"), " ")
-    idx = F.when(F.size(w) >= 3, F.sequence(F.lit(1), F.size(w) - 2)).otherwise(
-        F.array().cast("array<int>")
+    # zip_with chain, one expression per doc — the slice-per-index
+    # lambda re-splits the document per emitted gram (O(tokens^2))
+    n3 = F.greatest(F.size(w) - 2, F.lit(0))
+    g12 = F.zip_with(
+        F.slice(w, F.lit(1), n3),
+        F.slice(w, F.lit(2), n3),
+        lambda a, b: F.concat(a, F.lit(" "), b),
     )
-    grams = d.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                idx, lambda i: F.md5(F.concat_ws(" ", F.slice(w, i, 3)).cast("binary"))
-            )
-        ).alias("g"),
+    gram_arr = F.zip_with(
+        g12,
+        F.slice(w, F.lit(3), n3),
+        lambda ab, c: F.md5(F.concat(ab, F.lit(" "), c).cast("binary")),
     )
+    grams = d.select("doc_id", F.explode(gram_arr).alias("g"))
     bench = grams.filter(F.col("doc_id") % 97 == 0).select("g").distinct()
     return (
         grams.filter(F.col("doc_id") % 97 != 0)
