@@ -105,6 +105,13 @@ _R09_RESCORE = frozenset({
     "st4_clamp", "st5_trim_visibility", "st6_retention_cutoff",
     "st7_append_ack", "st8_combined_read_limits",
     "str5_stateful_dedup", "str6_command_fold",
+    # gram/shingle quadratic fixes (zip_with rewrites) changed these
+    # implementations after their latest proofs — re-prove on the new
+    # plans even though every one re-matched its oracle locally
+    "x15_doc_rolling_fingerprint", "x16_ngram_jaccard_neardup",
+    "x20_benchmark_contamination", "x25_repetition_signals",
+    "x33_quality_funnel", "x35_pipeline_summary",
+    "x38_substring_dup_windows",
 })
 
 
