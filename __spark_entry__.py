@@ -110,8 +110,8 @@ _R09_RESCORE = frozenset({
     # plans even though every one re-matched its oracle locally
     "x15_doc_rolling_fingerprint", "x16_ngram_jaccard_neardup",
     "x20_benchmark_contamination", "x25_repetition_signals",
-    "x33_quality_funnel", "x35_pipeline_summary",
-    "x38_substring_dup_windows",
+    "x27_passage_dedup", "x33_quality_funnel", "x35_pipeline_summary",
+    "x38_substring_dup_windows", "x41_span_dedup_c4",
 })
 
 

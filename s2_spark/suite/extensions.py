@@ -838,7 +838,11 @@ def x26(spark, sf_dir):
 )
 def x27(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
-    ws = F.split(F.lower("text"), " ")
+    # token array materialized BELOW the transform (multiply-referenced
+    # alias survives CollapseProject) — a lambda slicing the raw split
+    # expression re-splits the document once per passage
+    base = d.select("doc_id", F.split(F.lower("text"), " ").alias("ws"))
+    ws = F.col("ws")
     npass = F.size(ws) / F.lit(8)
     passages = F.transform(
         F.sequence(F.lit(1), F.floor(npass).cast("int")),
@@ -846,7 +850,7 @@ def x27(spark, sf_dir):
             F.concat_ws(" ", F.slice(ws, (i - 1) * 8 + 1, 8)).cast("binary")
         ),
     )
-    p = d.select("doc_id", F.explode(passages).alias("ph"))
+    p = base.select("doc_id", F.explode(passages).alias("ph"))
     shared = (
         p.groupBy("ph")
         .agg(
@@ -1507,13 +1511,16 @@ def x41(spark, sf_dir):
     from pyspark.sql import Window
 
     d = t(spark, sf_dir, "documents")
-    ws = F.split("text", " ")
+    # token array materialized BELOW the explode: the same-select form
+    # put the ws projection ABOVE the Generate, re-splitting the
+    # document once per emitted span
+    base = d.select("doc_id", F.split("text", " ").alias("ws"))
     grid = F.sequence(
         F.lit(0).cast("long"),
-        (F.greatest(F.size(ws) - 1, F.lit(0)) / 8).cast("long"),
+        (F.greatest(F.size("ws") - 1, F.lit(0)) / 8).cast("long"),
     )
     spans = (
-        d.select("doc_id", ws.alias("ws"), F.explode(grid).alias("span_idx"))
+        base.select("doc_id", "ws", F.explode(grid).alias("span_idx"))
         .filter((F.col("span_idx") * 8) < F.size("ws"))
         .select(
             "doc_id",
