@@ -70,6 +70,12 @@ SCALE_PROBE = [
     # production dedup emits one decision per doc (O(n*bands) rows).
     ("q_dedup_exact", "x1b_distinct_docs"),
     ("q_minhash_dedup", "x29_minhash_dedup_keep"),
+    # the gram-fan-out heads: round 9 fixed an O(tokens^2)-per-doc
+    # re-tokenization in this shape (x25 was 21.7 s warm at sf0.1);
+    # a probed ratio per round pins the zip_with form against
+    # regression back to element_at-over-sequence
+    ("q_repetition", "x25_repetition_signals"),
+    ("q_bigram_lm", "x42_bigram_surprisal"),
     # the iterative connected-components head: driver-paced label
     # propagation whose scaling was architecture-argued but unmeasured
     # past 10x until round 7 (it also joins X100_PROBE below)
