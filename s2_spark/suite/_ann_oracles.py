@@ -462,6 +462,44 @@ def ivf_planted_recall_oracle(
     )
 
 
+def planted_dedup_recall_oracle(
+    k: int = 16, bands: int = 4, n_base: int = 40
+) -> str:
+    """Full replay of the planted-duplicate recall report (x50): the
+    fixture corpus gains one planted copy per base doc (doc_id <
+    ``n_base``) — byte-exact for even ids, one-appended-token near-dups
+    for odd ids, planted ids offset by 20M so fixture keep decisions
+    cannot change (bucket minima only ever see LARGER new ids). The
+    md5-rotation keep pipeline then runs over the synthesized corpus
+    and each planted copy reports whether it was deduped away."""
+    comps, cases, band_list = _minhash_band_sql(k, bands)
+    return f"""
+WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < {n_base}),
+pl AS (
+  SELECT doc_id + 20000000 AS doc_id, text, 'exact' AS kind
+  FROM base WHERE doc_id % 2 = 0
+  UNION ALL
+  SELECT doc_id + 20000000, text || ' zqzduplicatemarker', 'near'
+  FROM base WHERE doc_id % 2 = 1
+),
+corpus AS (SELECT doc_id, text FROM documents
+           UNION ALL SELECT doc_id, text FROM pl),
+toks AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM corpus),
+sig AS (SELECT doc_id, {comps} FROM toks GROUP BY doc_id),
+banded AS (
+  SELECT doc_id, band, CASE band {cases} END AS bh
+  FROM sig CROSS JOIN (SELECT unnest([{band_list}]) AS band)
+),
+bmin AS (SELECT band, bh, min(doc_id) AS bm FROM banded GROUP BY band, bh),
+dmin AS (SELECT banded.doc_id AS doc_id, min(bm) AS dm
+         FROM banded JOIN bmin USING (band, bh) GROUP BY banded.doc_id),
+kept AS (SELECT doc_id FROM dmin WHERE doc_id = dm)
+SELECT pl.doc_id AS planted_id, kind,
+       pl.doc_id NOT IN (SELECT doc_id FROM kept) AS deduped
+FROM pl ORDER BY planted_id
+"""
+
+
 def semdedup_oracle(
     query_ids=(0, 1, 2, 3, 4),
     copies: int = 12,

@@ -1996,3 +1996,56 @@ def x49(spark, sf_dir):
         )
         .orderBy("vec_id")
     )
+
+
+from s2_spark.suite._ann_oracles import planted_dedup_recall_oracle  # noqa: E402
+
+
+@query(
+    "x50_planted_dedup_recall",
+    oracle=planted_dedup_recall_oracle(k=16, bands=4, n_base=40),
+    doc=(
+        "planted-duplicate recall proof for the production dedup tier "
+        "(the dedup-family analogue of x36/x37's ANN recall proofs): "
+        "the corpus gains one planted copy per base doc — byte-exact "
+        "for even ids (must be caught: identical signature, identical "
+        "buckets) and one-appended-token near-dups for odd ids (the "
+        "honest minhash test: token-set Jaccard n/(n+1)). Planted ids "
+        "sit 20M above the fixture's so existing keep decisions cannot "
+        "change — bucket minima only ever see larger new ids. Each "
+        "planted copy reports whether the keep rule deduped it; the "
+        "oracle replays synthesis, signatures, banding, and the keep "
+        "decision. Same O(n x bands) pipeline shape as x29 — recall "
+        "measurement costs one extra union, not a second algorithm."
+    ),
+)
+def x50(spark, sf_dir):
+    from s2_spark.functions.dedup import minhash_dedup_keep
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    base = d.filter(F.col("doc_id") < 40)
+    exact = base.filter(F.col("doc_id") % 2 == 0).select(
+        (F.col("doc_id") + 20_000_000).alias("doc_id"),
+        "text",
+        F.lit("exact").alias("kind"),
+    )
+    near = base.filter(F.col("doc_id") % 2 == 1).select(
+        (F.col("doc_id") + 20_000_000).alias("doc_id"),
+        F.concat("text", F.lit(" zqzduplicatemarker")).alias("text"),
+        F.lit("near").alias("kind"),
+    )
+    planted = exact.unionByName(near)
+    corpus = d.unionByName(planted.select("doc_id", "text"))
+    kept = minhash_dedup_keep(corpus, k=16, bands=4).withColumn(
+        "_k", F.lit(1)
+    )
+    return (
+        planted.select("doc_id", "kind")
+        .join(kept, "doc_id", "left")
+        .select(
+            F.col("doc_id").alias("planted_id"),
+            "kind",
+            F.col("_k").isNull().alias("deduped"),
+        )
+        .orderBy("planted_id")
+    )
