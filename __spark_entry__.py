@@ -78,16 +78,7 @@ _R03_BACKLOG = frozenset({
 # Queries whose implementation changed AFTER their latest driver proof,
 # so their prior hash-matches predate the current code and they re-enter
 # the scoring prefix ahead of untouched proven entries until a fresh
-# proof lands. Round-6 changes:
-#  - chunked-prefix null-handling fix + chunked_lag contract
-#    (operators/prefix.py): every chunked_running/chunked_lag consumer
-#  - shared _band_buckets construction + CC convergence guard
-#    (functions/dedup.py): x29/x30, and x35 which composes the keep rule
-#  - exact integer division (x31/x35) and the empty-probe hits=0 anchor
-#    plus the refactored recall-oracle SQL (x34)
-#  - audit dogfooding (operators/audit.py routes flushes through
-#    StreamStore.append): rotate the read-side metric sets per the
-#    round-5 verdict even though their suite plans are unchanged
+# proof lands.
 _R09_RESCORE = frozenset({
     # round 9 touched: gen-carrying v2 streaming offsets + rebase
     # rewrite (source.py) and order_col enforcement in the intent
