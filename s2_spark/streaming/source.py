@@ -3,18 +3,22 @@
 Re-expresses the reference's read-session / live-tail machinery
 (``lite/src/backend/read.rs:183-240``) in Structured Streaming terms:
 
-- **offsets** = ``{ "__v": 2, "basin\\0stream": [purge_gen, next_seq] }``
-  — the per-stream positions the reference encodes in SSE
+- **offsets** = ``{ "__v": 2, "basin\\0stream": [purge_gen, next_seq,
+  hwm?] }`` — the per-stream positions the reference encodes in SSE
   ``Last-Event-Id`` (``api/src/v1/stream/sse.rs:10-73``), paired with
   the stream's purge generation; Spark checkpoints them, so a
   restarted query resumes where it left off (A14/A28), and a stream
   deleted+recreated while the query was DOWN is detected at restart
   (generation in the checkpoint < generation on disk) and re-delivered
   from seq 0 — matching the reference's recreate-restarts-at-0
-  semantics (``lite/src/backend/streams.rs:82-397``). v1 (plain-int)
-  checkpoint values are accepted and upgraded in place; their
-  generation is unknowable, so purges predating the upgrade are not
-  replayed (disclosed migration boundary).
+  semantics (``lite/src/backend/streams.rs:82-397``). The optional
+  third element carries the reader's high-water mark at emission, so a
+  rate-limited batch replayed after a crash recomputes its true start
+  from the offset pair alone (a cold reader's regressed end is
+  harmless). v1 (plain-int) checkpoint values are accepted and
+  upgraded in place; their generation is unknowable, so purges
+  predating the upgrade are not replayed (disclosed migration
+  boundary).
 - **latestOffset** = the tails scan (``check_tail``, A15).
 - **partitions** = one input split per stream per micro-batch — the
   per-stream single-reader discipline; N streams read in parallel
@@ -357,14 +361,26 @@ class S2StreamReader(DataSourceStreamReader):
                 for k, v in tails.items()
             }
             # After a checkpoint restart this reader is cold (_baseline
-            # empty, and initialOffset is not re-invoked), so the end
-            # reported here can fall BELOW the checkpointed start. That
-            # is repaired at partitions(): the high-water clamp never
-            # re-delivers below any start/end ever seen, and the next
-            # trigger's baseline is the true checkpointed position.
+            # empty, initialOffset not re-invoked — and latestOffset
+            # takes no start in the Python DataSourceStreamReader API),
+            # so the end reported here can fall BELOW the checkpointed
+            # start. That regressed entry is HARMLESS because every
+            # emitted offset carries the reader's high-water mark (the
+            # third value element): a crash replay of any batch — on
+            # this reader or a future cold one — recomputes its true
+            # start from the offset pair alone, see partitions().
         out = {self._VKEY: self.OFFSET_VERSION}
         for k, v in tails.items():
-            out[k] = [self._gen_seen.get(k, 0), v]
+            g = self._gen_seen.get(k, 0)
+            b = self._baseline.get(k)
+            if b is not None and b[0] == g:
+                # [gen, seq, hwm]: hwm = everything planned/committed
+                # before this batch was planned — the durable twin of
+                # the in-memory baseline, so replay clamps identically
+                # after the in-memory state is lost
+                out[k] = [g, v, b[1]]
+            else:
+                out[k] = [g, v]
         return out
 
     def _base_seq(self, k: str) -> int:
@@ -455,6 +471,21 @@ class S2StreamReader(DataSourceStreamReader):
             if k == self._VKEY:
                 continue
             eg, es = self._norm(k, e)
+            # the end offset's carried high-water mark (3rd element,
+            # emitted only within the end's own generation): the
+            # DURABLE twin of the in-memory baseline. Rate limiting can
+            # legally record a regressed end (a cold reader doesn't
+            # know the checkpointed position), and the batch AFTER a
+            # regression starts from the regressed value — without the
+            # carried hwm, replaying that batch on a future cold reader
+            # would re-deliver everything between the regressed start
+            # and the true position (measured duplicate: [2,6) replayed
+            # for a batch that originally delivered [4,6)).
+            ehw = (
+                int(e[2])
+                if isinstance(e, (list, tuple)) and len(e) > 2
+                else None
+            )
             sv = start.get(k)
             sg, ss = (eg, self.start_seq) if sv is None else self._norm(k, sv)
             if sg < eg:
@@ -466,6 +497,8 @@ class S2StreamReader(DataSourceStreamReader):
                 self._max_seen.pop(k, None)
                 if self._baseline.get(k, (eg,))[0] < eg:
                     self._baseline.pop(k, None)
+            if ehw is not None:
+                ss = max(ss, ehw)  # replay-durable HWM clamp
             b = self._baseline.get(k)
             if b is not None and b[0] == eg:
                 ss = max(ss, b[1])  # never re-deliver below the HWM

@@ -491,9 +491,9 @@ def test_source_restart_rate_limit_never_redelivers(spark, store):
     """Checkpoint-restart with maxrecordspertrigger: a cold reader has
     no rate-limit baseline, so its first latestOffset can report an end
     BELOW the checkpointed start; the engine records that end and uses
-    it as the next start. The partitions() high-water clamp must
-    prevent any slice from re-reading below an offset the reader has
-    seen — no record is ever delivered twice."""
+    it as the next start. Every subsequently emitted offset carries the
+    reader's high-water mark, so no slice is ever planned below the
+    checkpointed position — no record is delivered twice."""
     from s2_spark.streaming.source import S2StreamReader, SEP
 
     store.append(BASIN, "s1", _recs(60))
@@ -511,8 +511,10 @@ def test_source_restart_rate_limit_never_redelivers(spark, store):
     # ...but nothing below the checkpointed start is ever planned
     assert all(s >= 50 for s, _ in delivered)
 
-    # engine uses end1 as the next start (the offset-log mechanics)
+    # engine uses end1 as the next start (the offset-log mechanics);
+    # the NEXT end carries the high-water mark revealed by parts1
     end2 = r2.latestOffset()
+    assert end2[key] == [0, 60, 50]
     parts2 = r2.partitions(end1, end2)
     delivered += [(p.start, p.end) for p in parts2 if p.end > p.start]
     end3 = r2.latestOffset()
@@ -527,6 +529,55 @@ def test_source_restart_rate_limit_never_redelivers(spark, store):
         covered.append((s, e))
     # and progress does complete to the tail under the rate limit
     assert covered and covered[-1][1] == 60
+
+
+def test_source_rate_limit_double_restart_crash_replay_no_duplicates(spark, store):
+    """The bug this pins: rate limiting legally records a REGRESSED end
+    (a cold restarted reader cannot know the checkpointed position —
+    latestOffset takes no start), and the batch AFTER the regression
+    starts from the regressed value. Its original run delivered from
+    the in-memory high-water mark, but a crash replay of that batch on
+    a SECOND cold reader had no such memory and re-delivered everything
+    between the regressed start and the true position ([2,6) for a
+    batch that originally delivered [4,6)). The emitted offsets now
+    carry the high-water mark, so the replay recomputes its true start
+    from the offset pair alone."""
+    from s2_spark.streaming.source import S2StreamReader, SEP
+
+    store.append(BASIN, "s1", _recs(6))
+    k = f"{BASIN}{SEP}s1"
+    mk = lambda: S2StreamReader(  # noqa: E731
+        {"path": store.base_dir, "basin": BASIN, "maxrecordspertrigger": 2}
+    )
+    r = mk()
+    o0 = r.initialOffset()
+    o1 = r.latestOffset()
+    assert o1[k] == [0, 2]  # fresh query: rate cap applies from start
+    r.partitions(o0, o1)
+    r.commit(o1)
+    o2 = r.latestOffset()
+    assert o2[k] == [0, 4, 2]  # hwm rides in the offset
+    assert [
+        (p.start, p.end) for p in r.partitions(o1, o2) if p.stream
+    ] == [(2, 4)]
+    r.commit(o2)
+    # restart 1 (clean): the cold first window regresses — harmless
+    r = mk()
+    o3 = r.latestOffset()
+    assert o3[k] == [0, 2]
+    assert [(p.start, p.end) for p in r.partitions(o2, o3) if p.stream] == []
+    r.commit(o3)
+    o4 = r.latestOffset()
+    assert o4[k] == [0, 6, 4]  # carries the hwm revealed by (o2, o3)
+    assert [
+        (p.start, p.end) for p in r.partitions(o3, o4) if p.stream
+    ] == [(4, 6)]
+    # crash BEFORE commit; restart 2 replays (o3, o4) on a cold reader:
+    # the replay must reproduce [4, 6) exactly — never [2, 6)
+    r = mk()
+    assert [
+        (p.start, p.end) for p in r.partitions(o3, o4) if p.stream
+    ] == [(4, 6)]
 
 
 def test_interval_join_stream_equals_batch(spark, sf_dir, tmp_path):
@@ -1457,7 +1508,7 @@ def test_rebase_survives_equal_tail_dead_generation_commit(spark, store):
     r.commit(o2)
     store.append(BASIN, "dead", [Record(body=b"fifth")])
     o3 = r.latestOffset()
-    assert o3 == {"__v": 2, k: [1, 5]}
+    assert o3 == {"__v": 2, k: [1, 5, 4]}  # hwm rides along
     parts = [
         (p.stream, p.start, p.end) for p in r.partitions(o2, o3) if p.stream
     ]
@@ -1692,7 +1743,7 @@ def test_latest_offset_purge_racing_tails_scan_rescans(spark, store, monkeypatch
     # broken interleaving pinned the HWM at 6 and lost these)
     store.append(BASIN, "dead", _recs(2))
     o3 = r.latestOffset()
-    assert o3 == {"__v": 2, k: [1, 5]}
+    assert o3 == {"__v": 2, k: [1, 5, 3]}  # hwm rides along
     parts = [
         (p.stream, p.start, p.end) for p in r.partitions(o2, o3) if p.stream
     ]
