@@ -535,3 +535,138 @@ def test_sim_differential_compaction_crashes_bucketed(spark, tmp_path, seed):
         rebuild=rebuild,
         compaction=True,
     )
+
+
+@pytest.mark.parametrize("seed", [23, 6060])
+def test_sim_source_exactly_once_with_purges_restarts_rate_limits(
+    spark, tmp_path, seed
+):
+    """Seeded chaos over the streaming SOURCE: random appends, stream
+    purge+recreates, cold reader restarts, rate limits, and
+    crash-replays of planned batches on fresh readers — checked against
+    a shadow log per (stream, generation). Exactly-once invariants:
+
+    - every delivered slice's records match the shadow log exactly
+      (seqs and bodies, in order);
+    - per generation, slices tile contiguously from seq 0 with no gaps
+      and no overlaps (no duplicate, no skip);
+    - a batch replayed on a COLD reader (in-memory state lost) plans
+      byte-identical slices — the offset pair alone carries the rebase
+      decision AND the rate-limit high-water mark;
+    - after draining, the live generation is fully delivered; dead
+      (purged) generations are delivered up to a contiguous prefix
+      (records appended after the last trigger before the purge are
+      destroyed by design).
+
+    Trims are deliberately out of scope: the source delivers raw log
+    slices, and logical-trim visibility is a read-path contract
+    (st5/st6), not a delivery one."""
+    from s2_spark.operators.maintenance import deletion_purge_sweep
+    from s2_spark.streaming.source import S2StreamReader, SEP
+
+    clockbox = {"ms": 1_000_000}
+    cat = Catalog(spark, clock=lambda: clockbox["ms"])
+    cat.create_basin(BASIN)
+    for s in STREAMS:
+        cat.create_stream(BASIN, s)
+    store = StreamStore(
+        spark, str(tmp_path / "records"), catalog=cat, clock=lambda: clockbox["ms"]
+    )
+    rng = random.Random(seed)
+    maxpt = rng.choice([0, 2, 3])
+
+    def mk():
+        opts = {"path": store.base_dir, "basin": BASIN}
+        if maxpt:
+            opts["maxrecordspertrigger"] = str(maxpt)
+        return S2StreamReader(opts)
+
+    reader = mk()
+    ckpt = reader.initialOffset()
+    gen = {s: 0 for s in STREAMS}
+    applog = {s: {0: []} for s in STREAMS}  # stream -> gen -> [bodies]
+    delivered = {s: {} for s in STREAMS}  # stream -> gen -> [(st, en, rows)]
+    n_appended = {s: 0 for s in STREAMS}
+
+    def trigger():
+        nonlocal reader, ckpt
+        o = reader.latestOffset()
+        parts = [p for p in reader.partitions(ckpt, o) if p.stream]
+        shape = [(p.stream, p.start, p.end) for p in parts]
+        if rng.random() < 0.3:
+            # crash before the batch completes: Spark replays the SAME
+            # offset pair on a fresh reader — the plan must reproduce
+            reader = mk()
+            parts = [p for p in reader.partitions(ckpt, o) if p.stream]
+            assert [(p.stream, p.start, p.end) for p in parts] == shape, (
+                f"cold replay planned different slices (seed {seed})"
+            )
+        for p in parts:
+            rows = []
+            for batch in reader.read(p):
+                d = batch.to_pydict()
+                rows += list(zip(d["seq_num"], [bytes(b) for b in d["body"]]))
+            rows.sort()
+            k = f"{BASIN}{SEP}{p.stream}"
+            eg = o[k][0]
+            delivered[p.stream].setdefault(eg, []).append(
+                (p.start, p.end, rows)
+            )
+        reader.commit(o)
+        ckpt = o
+        return bool(parts)
+
+    for op_i in range(22):
+        clockbox["ms"] += rng.randint(1, 5_000)
+        roll = rng.random()
+        s = rng.choice(STREAMS)
+        if roll < 0.4:  # append
+            n = rng.randint(1, 4)
+            bodies = [
+                f"{s}/g{gen[s]}/#{n_appended[s] + i}".encode() for i in range(n)
+            ]
+            n_appended[s] += n
+            store.append(BASIN, s, [Record(body=b) for b in bodies])
+            applog[s][gen[s]] += bodies
+        elif roll < 0.55:  # purge + recreate: a fresh generation
+            cat.delete_stream(BASIN, s)
+            deletion_purge_sweep(store)
+            cat.create_stream(BASIN, s)
+            gen[s] += 1
+            applog[s][gen[s]] = []
+        elif roll < 0.7:  # cold reader restart (checkpoint persists)
+            reader = mk()
+        else:
+            trigger()
+    # drain: live generations must deliver completely
+    idle = 0
+    for _ in range(30):
+        if not trigger():
+            idle += 1
+            if idle >= 3:
+                break
+        else:
+            idle = 0
+    for s in STREAMS:
+        for g, slices in sorted(delivered[s].items()):
+            slices.sort(key=lambda t: t[0])
+            pos = 0
+            for st, en, rows in slices:
+                assert st == pos, (
+                    f"{s} gen {g}: slice starts at {st}, expected {pos} "
+                    f"(gap or overlap; seed {seed})"
+                )
+                want = applog[s][g][st:en]
+                assert [b for _, b in rows] == want, (
+                    f"{s} gen {g} [{st},{en}): bodies diverge (seed {seed})"
+                )
+                assert [q for q, _ in rows] == list(range(st, en))
+                pos = en
+            if g < gen[s]:  # dead generation: contiguous prefix only
+                assert pos <= len(applog[s][g])
+        live_slices = delivered[s].get(gen[s], [])
+        got = sum(en - st for st, en, _ in live_slices)
+        assert got == len(applog[s][gen[s]]), (
+            f"{s}: live generation under-delivered {got}/"
+            f"{len(applog[s][gen[s]])} (seed {seed}, maxpt {maxpt})"
+        )
