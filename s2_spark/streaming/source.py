@@ -14,11 +14,15 @@ Re-expresses the reference's read-session / live-tail machinery
   semantics (``lite/src/backend/streams.rs:82-397``). The optional
   third element carries the reader's high-water mark at emission, so a
   rate-limited batch replayed after a crash recomputes its true start
-  from the offset pair alone (a cold reader's regressed end is
-  harmless). v1 (plain-int) checkpoint values are accepted and
-  upgraded in place; their generation is unknowable, so purges
-  predating the upgrade are not replayed (disclosed migration
-  boundary).
+  from the offset pair alone. Emitted ends never regress: rate caps
+  apply only from a known same-generation baseline, so the first
+  micro-batch per (stream, reader incarnation) is unthrottled —
+  admission control is best-effort across restarts (the Python
+  DataSourceStreamReader API gives latestOffset no start to cap
+  against), never at the cost of exactly-once. v1 (plain-int)
+  checkpoint values are accepted and upgraded in place; their
+  generation is unknowable, so purges predating the upgrade are not
+  replayed (disclosed migration boundary).
 - **latestOffset** = the tails scan (``check_tail``, A15).
 - **partitions** = one input split per stream per micro-batch — the
   per-stream single-reader discipline; N streams read in parallel
@@ -35,6 +39,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 
 from pyspark.sql.datasource import DataSource, DataSourceStreamReader, InputPartition
 
@@ -125,6 +130,18 @@ def _tails(
     cost is O(new files), independent of total store size."""
     if not os.path.isdir(path):
         return {}
+    # a compaction swap in progress (old entries parked in `.trash`,
+    # new ones not yet renamed in) can make a listing transiently MISS
+    # records: a warm reader's monotone guard absorbs that, but a COLD
+    # reader would emit the regressed tail into the offset log. The
+    # trash dir exists exactly for the swap window (store._swap_in),
+    # so wait it out — bounded, because a crashed swap is recovered by
+    # the next store open, not by this reader
+    trash = path.rstrip("/") + ".trash"
+    for _ in range(40):
+        if not os.path.isdir(trash):
+            break
+        time.sleep(0.05)
     tails: dict[str, int] = {}
     listed = _parquet_files(path)
     if cache is not None:
@@ -356,19 +373,29 @@ class S2StreamReader(DataSourceStreamReader):
         if self.max_bytes > 0:
             tails = {k: min(v, self._byte_capped(k, v)) for k, v in tails.items()}
         if self.max_per_trigger > 0:
-            tails = {
-                k: min(v, self._base_seq(k) + self.max_per_trigger)
-                for k, v in tails.items()
-            }
-            # After a checkpoint restart this reader is cold (_baseline
-            # empty, initialOffset not re-invoked — and latestOffset
-            # takes no start in the Python DataSourceStreamReader API),
-            # so the end reported here can fall BELOW the checkpointed
-            # start. That regressed entry is HARMLESS because every
-            # emitted offset carries the reader's high-water mark (the
-            # third value element): a crash replay of any batch — on
-            # this reader or a future cold one — recomputes its true
-            # start from the offset pair alone, see partitions().
+            # Cap ONLY from a same-generation baseline. A reader with
+            # no baseline for a key (cold after a checkpoint restart,
+            # or the key's first window — latestOffset takes no start
+            # in the Python DataSourceStreamReader API) must report the
+            # UNCAPPED tail: capping from a guessed base can emit an
+            # end BELOW the checkpointed position, and once that
+            # regressed entry is the offset log's latest, a second
+            # restart loses the true position entirely — the log's
+            # only copy of it was the entry the regression replaced
+            # (soak-caught: gen-1 records [2,4) delivered twice after
+            # restart → regressed end → restart). Admission control is
+            # therefore best-effort: the first micro-batch per
+            # (stream, reader incarnation) is unthrottled; caps apply
+            # from the second batch on. Tails only grow within a
+            # generation, so an uncapped end never regresses.
+            capped = {}
+            for k, v in tails.items():
+                b = self._baseline.get(k)
+                if b is not None and b[0] == self._gen_seen.get(k, 0):
+                    capped[k] = min(v, b[1] + self.max_per_trigger)
+                else:
+                    capped[k] = v
+            tails = capped
         out = {self._VKEY: self.OFFSET_VERSION}
         for k, v in tails.items():
             g = self._gen_seen.get(k, 0)
@@ -376,21 +403,16 @@ class S2StreamReader(DataSourceStreamReader):
             if b is not None and b[0] == g:
                 # [gen, seq, hwm]: hwm = everything planned/committed
                 # before this batch was planned — the durable twin of
-                # the in-memory baseline, so replay clamps identically
-                # after the in-memory state is lost
+                # the in-memory baseline, so a replay on a cold reader
+                # clamps identically after the in-memory state is lost.
+                # With non-regressing ends the hwm normally EQUALS the
+                # batch's start; it is kept as defense in depth for any
+                # pairing where it does not (e.g. a transient tails-
+                # scan regression slipping into the offset log).
                 out[k] = [g, v, b[1]]
             else:
                 out[k] = [g, v]
         return out
-
-    def _base_seq(self, k: str) -> int:
-        """Rate-limit window base: the HWM seq if it belongs to the
-        stream's CURRENT generation, else start_seq (a rebased stream's
-        window restarts at the new generation's head)."""
-        b = self._baseline.get(k)
-        if b is not None and b[0] == self._gen_seen.get(k, 0):
-            return b[1]
-        return self.start_seq
 
     def _bump(self, k: str, gen: int, seq: int) -> None:
         """Advance the HWM by (gen, seq) lexicographic order: a higher

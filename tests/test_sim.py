@@ -537,7 +537,7 @@ def test_sim_differential_compaction_crashes_bucketed(spark, tmp_path, seed):
     )
 
 
-@pytest.mark.parametrize("seed", [23, 6060])
+@pytest.mark.parametrize("seed", [23, 3001, 6060])  # 3001 caught the regressed-end duplicate
 def test_sim_source_exactly_once_with_purges_restarts_rate_limits(
     spark, tmp_path, seed
 ):

@@ -121,9 +121,15 @@ def test_sink_sequences_per_stream(spark, store, tmp_path):
 
 def test_source_rate_limiting_backpressure(spark, store):
     """maxrecordspertrigger caps per-batch admission (the in-flight
-    semaphore analogue) without losing or duplicating records."""
+    semaphore analogue) without losing or duplicating records. The cap
+    applies from a KNOWN same-generation baseline — the first window
+    per (stream, reader incarnation) is unthrottled by design (the
+    Python DataSource API gives latestOffset no start to cap against,
+    and capping from a guess emits regressed ends that break
+    exactly-once across restarts) — so seed the baseline with a batch
+    at/below the cap, then throttle the rest."""
     register(spark)
-    store.append(BASIN, "s1", _recs(10))
+    store.append(BASIN, "s1", _recs(3))  # first window: 3 ≤ cap anyway
     q = (
         spark.readStream.format("s2")
         .option("path", store.base_dir)
@@ -137,6 +143,8 @@ def test_source_rate_limiting_backpressure(spark, store):
     )
     try:
         q.processAllAvailable()
+        store.append(BASIN, "s1", _recs(9, start=3))  # throttled: ≤3/batch
+        q.processAllAvailable()
         got = [r.seq_num for r in spark.sql("SELECT seq_num FROM rl ORDER BY seq_num").collect()]
         batches = [
             p["numInputRows"]
@@ -145,9 +153,9 @@ def test_source_rate_limiting_backpressure(spark, store):
         ]
     finally:
         q.stop()
-    assert got == list(range(10))  # complete, exactly once
+    assert got == list(range(12))  # complete, exactly once
     assert batches and max(batches) <= 3  # admission respected
-    assert len(batches) >= 4  # 10 records at ≤3/batch
+    assert len(batches) >= 4  # 3 + 9 records at ≤3/batch
 
 
 def _command_fixture(store):
@@ -489,11 +497,10 @@ def test_sink_epoch_log_compaction_bounds_markers(tmp_path):
 
 def test_source_restart_rate_limit_never_redelivers(spark, store):
     """Checkpoint-restart with maxrecordspertrigger: a cold reader has
-    no rate-limit baseline, so its first latestOffset can report an end
-    BELOW the checkpointed start; the engine records that end and uses
-    it as the next start. Every subsequently emitted offset carries the
-    reader's high-water mark, so no slice is ever planned below the
-    checkpointed position — no record is delivered twice."""
+    no rate-limit baseline, so it must NOT cap from a guessed base —
+    it reports the uncapped tail (the first window after a restart is
+    unthrottled by design), so the offset log never regresses and no
+    record is ever planned below the checkpointed position."""
     from s2_spark.streaming.source import S2StreamReader, SEP
 
     store.append(BASIN, "s1", _recs(60))
@@ -505,16 +512,16 @@ def test_source_restart_rate_limit_never_redelivers(spark, store):
 
     r2 = S2StreamReader(opts)  # cold restart: no baseline
     end1 = r2.latestOffset()
-    # regressed end is expected (baseline unknown)...
+    # the cold end never regresses: uncapped tail, not start_seq + cap
+    assert end1[key] == [0, 60]
     parts1 = r2.partitions(checkpointed, end1)
     delivered = [(p.start, p.end) for p in parts1 if p.end > p.start]
-    # ...but nothing below the checkpointed start is ever planned
-    assert all(s >= 50 for s, _ in delivered)
-
-    # engine uses end1 as the next start (the offset-log mechanics);
-    # the NEXT end carries the high-water mark revealed by parts1
+    assert delivered == [(50, 60)]  # resumes exactly, unthrottled once
+    r2.commit(end1)
+    store.append(BASIN, "s1", _recs(25))
+    # throttling applies from the now-known baseline
     end2 = r2.latestOffset()
-    assert end2[key] == [0, 60, 50]
+    assert end2[key] == [0, 70, 60]  # 60 + cap, hwm rides along
     parts2 = r2.partitions(end1, end2)
     delivered += [(p.start, p.end) for p in parts2 if p.end > p.start]
     end3 = r2.latestOffset()
@@ -527,24 +534,23 @@ def test_source_restart_rate_limit_never_redelivers(spark, store):
     for s, e in sorted(delivered):
         assert not covered or s >= covered[-1][1]
         covered.append((s, e))
-    # and progress does complete to the tail under the rate limit
-    assert covered and covered[-1][1] == 60
+    # and progress completes under the rate limit
+    assert covered and covered[-1][1] == 80
 
 
 def test_source_rate_limit_double_restart_crash_replay_no_duplicates(spark, store):
-    """The bug this pins: rate limiting legally records a REGRESSED end
-    (a cold restarted reader cannot know the checkpointed position —
-    latestOffset takes no start), and the batch AFTER the regression
-    starts from the regressed value. Its original run delivered from
-    the in-memory high-water mark, but a crash replay of that batch on
-    a SECOND cold reader had no such memory and re-delivered everything
-    between the regressed start and the true position ([2,6) for a
-    batch that originally delivered [4,6)). The emitted offsets now
-    carry the high-water mark, so the replay recomputes its true start
-    from the offset pair alone."""
+    """The bug this pins (soak-caught, seed 3001): capping a cold
+    reader's end from a guessed base wrote a REGRESSED end (below the
+    checkpointed position) into the offset log; after a SECOND restart
+    nothing — not even the offset-carried high-water mark, which the
+    cold emitter did not know — remembered the true position, and the
+    following batch re-delivered records below it ([2,4) delivered
+    twice). Ends now never regress (unknown base → uncapped tail), and
+    capped batches replay deterministically on cold readers via the
+    carried hwm."""
     from s2_spark.streaming.source import S2StreamReader, SEP
 
-    store.append(BASIN, "s1", _recs(6))
+    store.append(BASIN, "s1", _recs(2))
     k = f"{BASIN}{SEP}s1"
     mk = lambda: S2StreamReader(  # noqa: E731
         {"path": store.base_dir, "basin": BASIN, "maxrecordspertrigger": 2}
@@ -552,32 +558,39 @@ def test_source_rate_limit_double_restart_crash_replay_no_duplicates(spark, stor
     r = mk()
     o0 = r.initialOffset()
     o1 = r.latestOffset()
-    assert o1[k] == [0, 2]  # fresh query: rate cap applies from start
+    assert o1[k] == [0, 2]  # first window: uncapped tail (≤ cap here)
     r.partitions(o0, o1)
     r.commit(o1)
+    store.append(BASIN, "s1", _recs(4))  # tail 6
     o2 = r.latestOffset()
-    assert o2[k] == [0, 4, 2]  # hwm rides in the offset
+    assert o2[k] == [0, 4, 2]  # capped from baseline 2; hwm rides
     assert [
         (p.start, p.end) for p in r.partitions(o1, o2) if p.stream
     ] == [(2, 4)]
     r.commit(o2)
-    # restart 1 (clean): the cold first window regresses — harmless
+    # restart 1 (clean): the cold end reports the tail — NO regression
     r = mk()
     o3 = r.latestOffset()
-    assert o3[k] == [0, 2]
-    assert [(p.start, p.end) for p in r.partitions(o2, o3) if p.stream] == []
-    r.commit(o3)
-    o4 = r.latestOffset()
-    assert o4[k] == [0, 6, 4]  # carries the hwm revealed by (o2, o3)
+    assert o3[k] == [0, 6]
     assert [
-        (p.start, p.end) for p in r.partitions(o3, o4) if p.stream
+        (p.start, p.end) for p in r.partitions(o2, o3) if p.stream
     ] == [(4, 6)]
-    # crash BEFORE commit; restart 2 replays (o3, o4) on a cold reader:
-    # the replay must reproduce [4, 6) exactly — never [2, 6)
+    # crash BEFORE commit; restart 2 replays (o2, o3) on a cold reader:
+    # byte-identical plan from the offset pair alone
     r = mk()
     assert [
-        (p.start, p.end) for p in r.partitions(o3, o4) if p.stream
+        (p.start, p.end) for p in r.partitions(o2, o3) if p.stream
     ] == [(4, 6)]
+    r.commit(o3)
+    # and restart 3 with a THIRD cold reader planning forward from o3:
+    # nothing below 6 is ever planned again
+    store.append(BASIN, "s1", _recs(1))
+    r = mk()
+    o4 = r.latestOffset()
+    assert o4[k] == [0, 7]
+    assert [
+        (p.start, p.end) for p in r.partitions(o3, o4) if p.stream
+    ] == [(6, 7)]
 
 
 def test_interval_join_stream_equals_batch(spark, sf_dir, tmp_path):
