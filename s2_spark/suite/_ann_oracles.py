@@ -549,6 +549,60 @@ def semdedup_oracle(
     )
 
 
+def semdedup_bucketed_oracle(
+    query_ids=(0, 1, 2, 3, 4),
+    copies: int = 12,
+    eps: float = 0.02,
+    m: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    tau: float = 0.99,
+) -> str:
+    """Full replay of the bucketed SemDeDup pass (x51): identical
+    planted-corpus synthesis → identical hyperplane sign buckets
+    (the x11/x13 LSH machinery — assignment is O(n·m·dim), never a
+    per-centroid scan) → each vector probes its own bucket plus every
+    1-bit flip, joined against exact buckets, so a pair is compared
+    iff their sign keys differ in ≤ 1 bit (each such pair exactly
+    once: the probe set per vector is m+1 DISTINCT keys and only the
+    ``a_id < b_id`` orientation survives) → exact cosine against
+    ``tau`` on the RAW double → per dropped vector the lowest
+    surviving anchor and the similarity to it."""
+    planes = _hyperplanes(dim, m, seed)
+
+    def bkt(vec: str) -> str:
+        return " + ".join(
+            f"CASE WHEN ({_dot_lit(vec, p)}) >= 0 THEN {1 << i} ELSE 0 END"
+            for i, p in enumerate(planes)
+        )
+
+    flips = ", ".join(f"({1 << i})" for i in range(m))
+    cos = (
+        f"({_chain('pr.va', 'b.v', dim)}) /"
+        f" (sqrt({_chain('pr.va', 'pr.va', dim)}) * sqrt({_chain('b.v', 'b.v', dim)}))"
+    )
+    ctes = _planted_corpus_ctes(query_ids, copies, eps, dim)
+    ctes.append(f"b AS (SELECT vec_id, v, ({bkt('v')}) AS bkt FROM corpus)")
+    ctes.append(
+        "pr AS (SELECT vec_id AS a_id, v AS va, bkt AS p FROM b "
+        "UNION ALL SELECT vec_id, v, xor(bkt, f) "
+        f"FROM b, (VALUES {flips}) AS fl(f))"
+    )
+    ctes.append(
+        f"pairs AS (SELECT pr.a_id, b.vec_id AS b_id, {cos} AS s "
+        "FROM pr JOIN b ON pr.p = b.bkt AND pr.a_id < b.vec_id)"
+    )
+    ctes.append(
+        "hit AS (SELECT b_id, min(a_id) AS anchor, arg_min(s, a_id) AS sa "
+        f"FROM pairs WHERE s >= {tau!r} GROUP BY b_id)"
+    )
+    return (
+        "WITH " + ", ".join(ctes) + " "
+        "SELECT b_id AS vec_id, anchor, round(sa, 4) AS anchor_sim "
+        "FROM hit ORDER BY vec_id"
+    )
+
+
 # the funnel CASE shared by the x33 and x35 oracles (mirrors
 # extensions._funnel_verdict; integer-only thresholds)
 _FUNNEL_CASE = (

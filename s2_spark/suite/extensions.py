@@ -1955,7 +1955,9 @@ from s2_spark.suite._ann_oracles import semdedup_oracle  # noqa: E402
         "at 100 TB swap the coarse step for the LSH sign-bucket tier "
         "(x11/x13 machinery, O(n log buckets) assignment — measured "
         "2.26x/decade at constant bucket size vs 4.8x for flat "
-        "centroids, SCALE.md round 9) or hierarchical KMeans; the "
+        "centroids, SCALE.md round 9) or hierarchical KMeans — x51 "
+        "registers exactly that bucketed tier as the production shape; "
+        "this entry is the literal-paper-shape demo. The "
         "within-cell pruning shape is identical either way. Oracle "
         "replays corpus synthesis, assignment, pairing, and the "
         "threshold decision on identical IEEE doubles."
@@ -2048,4 +2050,79 @@ def x50(spark, sf_dir):
             F.col("_k").isNull().alias("deduped"),
         )
         .orderBy("planted_id")
+    )
+
+
+from s2_spark.suite._ann_oracles import semdedup_bucketed_oracle  # noqa: E402
+
+
+@query(
+    "x51_semdedup_bucketed",
+    oracle=semdedup_bucketed_oracle(
+        query_ids=(0, 1, 2, 3, 4), copies=12, eps=0.02,
+        m=8, dim=64, seed=42, tau=0.99,
+    ),
+    doc=(
+        "SemDeDup, production coarse tier (the 100 TB shape x49's demo "
+        "points at): the coarse quantizer is the x11/x13 LSH "
+        "sign-bucket machinery — m hyperplane sign bits make the "
+        "bucket key, so assignment is O(n*m*dim) with no per-centroid "
+        "scan, and growing 2^m with the corpus keeps per-bucket pairs "
+        "bounded (measured 2.26x/decade vs 4.8x for flat centroids, "
+        "SCALE.md round 9). Each vector probes its own bucket plus "
+        "every 1-bit flip against exact buckets, so near-identical "
+        "vectors that straddle one hyperplane still meet; a pair is "
+        "compared iff sign keys differ in <= 1 bit, exactly once (the "
+        "m+1 probe keys per vector are distinct and only the a<b "
+        "orientation survives the join filter). Run on the planted-"
+        "near-neighbor corpus (x36/x37's synthesis) so the dropped set "
+        "is a known ground truth. Oracle replays corpus synthesis, "
+        "hyperplane literals, sign buckets, the probe ring, and the "
+        "threshold decision on identical left-associated IEEE doubles."
+    ),
+)
+def x51(spark, sf_dir):
+    from s2_spark.functions.similarity import (
+        _hyperplanes,
+        cosine,
+        lsh_bucket,
+    )
+
+    m = 8
+    synth = _planted_corpus(spark, sf_dir)
+    planes = _hyperplanes(dim=64, m=m, seed=42)
+    a = synth.withColumn("_bkt", lsh_bucket("embedding", planes))
+    probes = F.array(
+        F.col("_bkt"),
+        *[
+            F.col("_bkt").bitwiseXOR(F.lit(1 << i).cast("long"))
+            for i in range(m)
+        ],
+    )
+    left = a.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("va"),
+        F.explode(probes).alias("_bkt"),
+    )
+    right = a.select(
+        F.col("vec_id").alias("b_id"), F.col("embedding").alias("vb"), "_bkt"
+    )
+    pairs = (
+        left.join(right, "_bkt")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", cosine("va", "vb").alias("s"))
+    )
+    return (
+        pairs.filter(F.col("s") >= 0.99)
+        .groupBy("b_id")
+        .agg(
+            F.min("a_id").alias("anchor"),
+            F.min_by("s", "a_id").alias("sa"),
+        )
+        .select(
+            F.col("b_id").alias("vec_id"),
+            "anchor",
+            r4(F.col("sa")).alias("anchor_sim"),
+        )
+        .orderBy("vec_id")
     )
