@@ -81,6 +81,10 @@ SCALE_PROBE = [
     # past 10x until round 7 (it also joins X100_PROBE below)
     ("q_neardup_clusters", "x30_neardup_clusters"),
     ("q_lsh_ann", "x13_lsh_ann_topk"),
+    # the adaptive-bucket SemDeDup tier: 2^m tracks the corpus, so the
+    # probed ratio pins the per-bucket-occupancy-stays-constant claim
+    # (embeddings scale 10x in the probe dir -> m steps 11 -> 14)
+    ("q_semdedup_bucketed", "x51_semdedup_bucketed"),
     # global running token count via the chunked two-phase prefix sum —
     # the scale-safe replacement for single-partition windows
     ("q_seq_packing", "x31_sequence_packing"),

@@ -549,11 +549,26 @@ def semdedup_oracle(
     )
 
 
+#: adaptive bucket-count dial shared by x51's Spark plan and its
+#: oracle: m = 8 + #{j in [9..16] : n > 2^j}, i.e. 2^m tracks n/2 so
+#: expected per-bucket occupancy stays ~constant as the corpus grows —
+#: the "2^m ∝ n" regime SCALE.md measured at 2.26×/decade (flat
+#: centroids: 4.8×). Pure integer threshold comparisons so both
+#: engines agree exactly (no ceil(log2(·)) libm edge).
+SEMDEDUP_MIN_M = 8
+SEMDEDUP_MAX_M = 16
+
+
+def semdedup_adaptive_m(n: int) -> int:
+    return SEMDEDUP_MIN_M + sum(
+        1 for j in range(SEMDEDUP_MIN_M + 1, SEMDEDUP_MAX_M + 1) if n > (1 << j)
+    )
+
+
 def semdedup_bucketed_oracle(
     query_ids=(0, 1, 2, 3, 4),
     copies: int = 12,
     eps: float = 0.02,
-    m: int = 8,
     dim: int = 64,
     seed: int = 42,
     tau: float = 0.99,
@@ -567,26 +582,46 @@ def semdedup_bucketed_oracle(
     once: the probe set per vector is m+1 DISTINCT keys and only the
     ``a_id < b_id`` orientation survives) → exact cosine against
     ``tau`` on the RAW double → per dropped vector the lowest
-    surviving anchor and the similarity to it."""
-    planes = _hyperplanes(dim, m, seed)
+    surviving anchor and the similarity to it.
+
+    The bucket count is ADAPTIVE (``semdedup_adaptive_m``): plane i
+    contributes its sign bit, and flip i probes, only when i < m, with
+    m derived from COUNT(*) over the corpus by the same integer
+    thresholds the Spark side uses — so the oracle stays valid at every
+    scale factor, not just the one it was generated for."""
+    planes = _hyperplanes(dim, SEMDEDUP_MAX_M, seed)
+    m_expr = f"{SEMDEDUP_MIN_M} + " + " + ".join(
+        f"(CASE WHEN cnt > {1 << j} THEN 1 ELSE 0 END)"
+        for j in range(SEMDEDUP_MIN_M + 1, SEMDEDUP_MAX_M + 1)
+    )
 
     def bkt(vec: str) -> str:
-        return " + ".join(
-            f"CASE WHEN ({_dot_lit(vec, p)}) >= 0 THEN {1 << i} ELSE 0 END"
-            for i, p in enumerate(planes)
-        )
+        terms = []
+        for i, p in enumerate(planes):
+            gate = "" if i < SEMDEDUP_MIN_M else f"{i} < mm.m AND "
+            terms.append(
+                f"CASE WHEN {gate}({_dot_lit(vec, p)}) >= 0 "
+                f"THEN {1 << i} ELSE 0 END"
+            )
+        return " + ".join(terms)
 
-    flips = ", ".join(f"({1 << i})" for i in range(m))
+    flips = ", ".join(f"({i}, {1 << i})" for i in range(SEMDEDUP_MAX_M))
     cos = (
         f"({_chain('pr.va', 'b.v', dim)}) /"
         f" (sqrt({_chain('pr.va', 'pr.va', dim)}) * sqrt({_chain('b.v', 'b.v', dim)}))"
     )
     ctes = _planted_corpus_ctes(query_ids, copies, eps, dim)
-    ctes.append(f"b AS (SELECT vec_id, v, ({bkt('v')}) AS bkt FROM corpus)")
+    ctes.append(
+        f"mm AS (SELECT ({m_expr}) AS m "
+        "FROM (SELECT count(*) AS cnt FROM corpus))"
+    )
+    ctes.append(
+        f"b AS (SELECT vec_id, v, ({bkt('v')}) AS bkt FROM corpus, mm)"
+    )
     ctes.append(
         "pr AS (SELECT vec_id AS a_id, v AS va, bkt AS p FROM b "
         "UNION ALL SELECT vec_id, v, xor(bkt, f) "
-        f"FROM b, (VALUES {flips}) AS fl(f))"
+        f"FROM b, (VALUES {flips}) AS fl(i, f), mm WHERE fl.i < mm.m)"
     )
     ctes.append(
         f"pairs AS (SELECT pr.a_id, b.vec_id AS b_id, {cos} AS s "

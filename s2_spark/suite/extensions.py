@@ -1879,21 +1879,23 @@ def x47(spark, sf_dir):
         "keep each window's minimum — guaranteeing any shared run of ~7 "
         "words between two documents shares a fingerprint, at a fixed "
         "~2/(w+1) sampling density. Grams and hashes are computed "
-        "in-row; the min-in-window is a doc_id-PARTITIONED window (the "
-        "document is the unit of parallelism — no global sort); the "
-        "distinct fingerprint set per doc is what an index or a "
-        "cross-doc overlap join would consume. Docs under 4 tokens drop "
-        "out structurally on both sides."
+        "in-row; so is the min-in-window — winnowing never leaves the "
+        "document, so the WHOLE pass is one shuffle-free projection "
+        "(round 10: replaced a doc_id window + distinct + groupBy, "
+        "three shuffles carrying every gram hash, with per-row "
+        "array_min/array_distinct — the distinct fingerprint set per "
+        "doc is what an index or a cross-doc overlap join would "
+        "consume). Docs under 4 tokens drop out structurally on both "
+        "sides."
     ),
 )
 def x48(spark, sf_dir):
-    from pyspark.sql import Window
-
     d = t(spark, sf_dir, "documents")
     ws = _clean_tokens(F.col("text"))
     # gram array via chained zip_with (one expression per doc — see
-    # x42); posexplode carries the position the winnowing window needs,
-    # and the md5 runs on the exploded COLUMN, never re-tokenizing
+    # x42); each derived array is ALIASED below its consumer so
+    # CollapseProject keeps it one evaluation per document (the
+    # round-9 gram-quadratic rule)
     n4 = F.greatest(F.size(ws) - 3, F.lit(0))
     g12 = F.zip_with(
         F.slice(ws, F.lit(1), n4),
@@ -1910,26 +1912,36 @@ def x48(spark, sf_dir):
         F.slice(ws, F.lit(4), n4),
         lambda abc, e: F.concat(abc, F.lit(" "), e),
     )
-    grams = d.select(
-        "doc_id", F.posexplode(gram_arr).alias("i0", "gram")
-    ).select(
+    # the under-4-tokens guard sits on the SCAN (one extra tokenize
+    # for the predicate), never above the md5 alias — a filter above
+    # `hs` would be pushed down with the whole hash chain substituted
+    # into the predicate and evaluated twice per document
+    hs = d.filter(F.size(ws) >= 4).select(
+        "doc_id", F.transform(gram_arr, F.md5).alias("hs")
+    )
+    # fp_i = min(h[i .. i+3]) (slice clamps at the end — the same
+    # trailing-partial-window semantics as ROWS BETWEEN CURRENT ROW
+    # AND 3 FOLLOWING); `hs` is a bound column here, so the slice per
+    # position reads the attribute, never re-hashing
+    # position list 1..size(hs), empty-safe (sequence(1, 0) would be
+    # the DESCENDING [1, 0]): sequence to at least 1, then slice to
+    # the true size
+    pos = F.slice(
+        F.sequence(F.lit(1), F.greatest(F.size("hs"), F.lit(1))),
+        F.lit(1),
+        F.size("hs"),
+    )
+    fps = hs.select(
         "doc_id",
-        (F.col("i0") + 1).alias("i"),
-        F.md5("gram").alias("h"),
+        F.transform(
+            pos, lambda i: F.array_min(F.slice("hs", i, F.lit(4)))
+        ).alias("fps"),
     )
-    win = (
-        Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, 3)
-    )
-    return (
-        grams.select("doc_id", F.min("h").over(win).alias("fp"))
-        .distinct()
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_fingerprints"),
-            F.min("fp").alias("min_fp"),
-        )
-        .orderBy("doc_id")
-    )
+    return fps.select(
+        "doc_id",
+        F.size(F.array_distinct("fps")).cast("long").alias("n_fingerprints"),
+        F.array_min("fps").alias("min_fp"),
+    ).orderBy("doc_id")
 
 
 from s2_spark.suite._ann_oracles import semdedup_oracle  # noqa: E402
@@ -2053,32 +2065,39 @@ def x50(spark, sf_dir):
     )
 
 
-from s2_spark.suite._ann_oracles import semdedup_bucketed_oracle  # noqa: E402
+from s2_spark.suite._ann_oracles import (  # noqa: E402
+    semdedup_adaptive_m,
+    semdedup_bucketed_oracle,
+)
 
 
 @query(
     "x51_semdedup_bucketed",
     oracle=semdedup_bucketed_oracle(
         query_ids=(0, 1, 2, 3, 4), copies=12, eps=0.02,
-        m=8, dim=64, seed=42, tau=0.99,
+        dim=64, seed=42, tau=0.99,
     ),
     doc=(
         "SemDeDup, production coarse tier (the 100 TB shape x49's demo "
         "points at): the coarse quantizer is the x11/x13 LSH "
         "sign-bucket machinery — m hyperplane sign bits make the "
         "bucket key, so assignment is O(n*m*dim) with no per-centroid "
-        "scan, and growing 2^m with the corpus keeps per-bucket pairs "
-        "bounded (measured 2.26x/decade vs 4.8x for flat centroids, "
-        "SCALE.md round 9). Each vector probes its own bucket plus "
-        "every 1-bit flip against exact buckets, so near-identical "
-        "vectors that straddle one hyperplane still meet; a pair is "
-        "compared iff sign keys differ in <= 1 bit, exactly once (the "
-        "m+1 probe keys per vector are distinct and only the a<b "
-        "orientation survives the join filter). Run on the planted-"
-        "near-neighbor corpus (x36/x37's synthesis) so the dropped set "
-        "is a known ground truth. Oracle replays corpus synthesis, "
-        "hyperplane literals, sign buckets, the probe ring, and the "
-        "threshold decision on identical left-associated IEEE doubles."
+        "scan, and m ADAPTS to the corpus (semdedup_adaptive_m: "
+        "2^m tracks n/2 via exact integer thresholds, the one "
+        "driver-side count this query pays) so per-bucket occupancy — "
+        "and with it within-bucket pair count — stays bounded as the "
+        "corpus grows (measured 2.26x/decade vs 4.8x for flat "
+        "centroids, SCALE.md round 9). Each vector probes its own "
+        "bucket plus every 1-bit flip against exact buckets, so "
+        "near-identical vectors that straddle one hyperplane still "
+        "meet; a pair is compared iff sign keys differ in <= 1 bit, "
+        "exactly once (the m+1 probe keys per vector are distinct and "
+        "only the a<b orientation survives the join filter). Run on "
+        "the planted-near-neighbor corpus (x36/x37's synthesis) so the "
+        "dropped set is a known ground truth. Oracle replays corpus "
+        "synthesis, the m decision, hyperplane literals, sign buckets, "
+        "the probe ring, and the threshold decision on identical "
+        "left-associated IEEE doubles — valid at every scale factor."
     ),
 )
 def x51(spark, sf_dir):
@@ -2088,9 +2107,12 @@ def x51(spark, sf_dir):
         lsh_bucket,
     )
 
-    m = 8
     synth = _planted_corpus(spark, sf_dir)
-    planes = _hyperplanes(dim=64, m=m, seed=42)
+    # one cheap count-star picks the bucket-count dial; _hyperplanes is
+    # prefix-stable (sequential LCG), so slicing the max-m table yields
+    # exactly the planes the oracle gates on i < m
+    m = semdedup_adaptive_m(synth.count())
+    planes = _hyperplanes(dim=64, m=16, seed=42)[:m]
     a = synth.withColumn("_bkt", lsh_bucket("embedding", planes))
     probes = F.array(
         F.col("_bkt"),
