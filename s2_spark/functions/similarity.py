@@ -133,11 +133,22 @@ def lsh_topk(
     probes = F.array(
         *[F.col("_qbkt").bitwiseXOR(F.lit(mask).cast("long")) for mask in masks]
     )
-    qx = q.select("qe", F.explode(probes).alias("_bkt"))
+    # query norm folded ONCE on the (1-row) query side below the probe
+    # explode, not per candidate row after the join — value-identical
+    # (same fold, same IEEE doubles), so oracles are unaffected. The
+    # withColumn keeps the fold in its own projection BELOW the
+    # Generate (a select alongside explode would split with the
+    # non-generator outputs placed above it).
+    qx = q.withColumn("_qn", norm("qe")).select(
+        "qe", "_qn", F.explode(probes).alias("_bkt")
+    )
     base = bucketed if query is not None else bucketed.filter(F.col(id_col) != query_id)
     return (
         base.join(F.broadcast(qx), "_bkt")
-        .select(id_col, cosine(vec_col, "qe").alias("sim"))
+        .select(
+            id_col,
+            (dot(vec_col, "qe") / (norm(vec_col) * F.col("_qn"))).alias("sim"),
+        )
         .orderBy(F.desc("sim"), id_col)
         .limit(k)
     )

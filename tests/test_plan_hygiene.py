@@ -18,6 +18,16 @@ build FAILS if a scale-killer re-appears —
   cross join; 1-row broadcast query vectors plan as
   `BroadcastNestedLoopJoin`, which is fine. Only the explicit
   cross-join query (j8) may produce one, and even it broadcasts.
+- **gram-array quadratic** (the round-9 defect class, fixed in 9
+  queries): an expensive derived-array expression — a chain of
+  split/filter/zip_with/transform/aggregate calls — appearing more
+  than once in the per-row code of a plan that explodes. Catalyst
+  re-evaluates such an expression once per EXPLODED row (the
+  null-check filter and each projection that references it), turning
+  a per-document tokenize into O(tokens²) per document. The rule:
+  alias the array as a column BELOW the explode so CollapseProject
+  (which refuses to inline non-cheap multiply-referenced aliases)
+  keeps it one evaluation per row.
 
 Plans are built at sf0.001 (analysis + optimization only — the checks
 read the initial physical plan, no job runs for the plan itself; a few
@@ -59,6 +69,114 @@ def _unpartitioned_window_specs(plan: str) -> list[str]:
     return bad
 
 
+# array-building / array-walking calls whose re-evaluation per row is
+# what the gram-quadratic rule forbids (lowercase = expression syntax;
+# the `Filter (`/`Generate` NODE names are capitalized and never match)
+_COSTLY_CALLS = re.compile(r"(?<![A-Za-z_])(split|zip_with|transform|aggregate|filter|array_repeat|sequence)\(")
+
+
+def _balanced(s: str, start: int) -> str | None:
+    """The full call expression beginning at ``start`` (which must
+    point at the function name whose '(' opens the span)."""
+    i = s.index("(", start)
+    depth = 0
+    for j in range(i, len(s)):
+        if s[j] == "(":
+            depth += 1
+        elif s[j] == ")":
+            depth -= 1
+            if depth == 0:
+                return s[start : j + 1]
+    return None  # line truncated mid-expression — skip
+
+
+def _expensive_exprs(line: str) -> list[str]:
+    """Raw costly-call expressions in one plan line. Expensive = the
+    chain nests at least two costly calls (e.g. filter(split(…)),
+    transform(filter(…)) — but not zip_with(slice(…)): slice is
+    cheap) or is a long single call. Nested matches are returned
+    individually; the caller only cares whether ANY qualifies."""
+    out = []
+    for m in _COSTLY_CALLS.finditer(line):
+        expr = _balanced(line, m.start())
+        if expr is None:
+            continue
+        inner = len(_COSTLY_CALLS.findall(expr))
+        if inner >= 2 or len(expr) >= 150:
+            out.append(expr)
+    return out
+
+
+_LAMBDA_ID = re.compile(r"lambda [A-Za-z0-9_]+#(\d+)")
+_ATTR_ID = re.compile(r"#(\d+)")
+
+
+def _expr_refs(expr: str) -> set[str]:
+    """Attribute ids an expression references, excluding its own
+    lambda-bound variables."""
+    return set(_ATTR_ID.findall(expr)) - set(_LAMBDA_ID.findall(expr))
+
+
+def _gram_quadratic_exprs(plan: str) -> list[str]:
+    """Expensive derived-array expressions that run once per EXPLODED
+    row although they only depend on pre-explode columns — the
+    round-9 quadratic (a per-document tokenize inside per-gram code).
+
+    Mechanics: parse the printed operator tree (marker column =
+    depth), and flag an expensive chain appearing in an operator that
+    is an ANCESTOR of a Generate when every attribute it references is
+    produced below that Generate and none is a generator output — i.e.
+    Catalyst could have evaluated it once per input row below the
+    explode, but will instead evaluate it per generated row. Exprs ON
+    the Generate line itself (generator arguments) run once per input
+    row and are fine; same-operator textual duplication is left to
+    codegen subexpression elimination (linear, not the quadratic)."""
+    lines = plan.splitlines()
+    nodes = []  # (depth, line)
+    for line in lines:
+        m = re.search(r"[+:]- ", line)
+        nodes.append((m.start() if m else -1, line))
+
+    def subtree(i: int) -> range:
+        d = nodes[i][0]
+        j = i + 1
+        while j < len(nodes) and nodes[j][0] > d:
+            j += 1
+        return range(i + 1, j)
+
+    gens = [i for i, (_, l) in enumerate(nodes) if "Generate " in l]
+    if not gens:
+        return []
+    # per Generate: ids visible below it, and its generator outputs
+    # (the last bracket group on the Generate line)
+    below_ids: dict[int, set[str]] = {}
+    out_ids: dict[int, set[str]] = {}
+    for g in gens:
+        below_ids[g] = set()
+        for j in subtree(g):
+            below_ids[g] |= set(_ATTR_ID.findall(nodes[j][1]))
+        last_bracket = re.findall(r"\[([^\[\]]*)\]", nodes[g][1])
+        out_ids[g] = (
+            set(_ATTR_ID.findall(last_bracket[-1])) if last_bracket else set()
+        )
+    bad = []
+    for i, (_, line) in enumerate(nodes):
+        if "Generate " in line:
+            continue
+        descendant_gens = [g for g in gens if g in subtree(i)]
+        if not descendant_gens:
+            continue
+        for expr in _expensive_exprs(line):
+            refs = _expr_refs(expr)
+            if not refs:
+                continue
+            for g in descendant_gens:
+                if refs <= below_ids[g] and not (refs & out_ids[g]):
+                    bad.append(re.sub(r"#\d+", "#", expr)[:160])
+                    break
+    return sorted(set(bad))
+
+
 def test_detectors_fire_on_known_bad_plans(spark):
     """Negative control: the guard must actually catch the patterns it
     claims to (a vacuously-green detector is worse than none)."""
@@ -74,6 +192,58 @@ def test_detectors_fire_on_known_bad_plans(spark):
     assert not _unpartitioned_window_specs(_physical_plan(good))
     rowudf = udf(lambda x: x + 1, "long")
     assert "BatchEvalPython" in _physical_plan(spark.range(10).select(rowudf("id")))
+
+
+def test_gram_quadratic_detector_fires_on_prefix_x42_shape(spark):
+    """Fixture of the round-9 defect exactly as it shipped pre-fix:
+    grams built by element_at on an expression-aliased token array,
+    referenced from per-exploded-row code — Catalyst inlines the
+    tokenize chain into the Generate's sequence AND each element_at,
+    re-tokenizing the document once per exploded row."""
+    from pyspark.sql import functions as F
+
+    base = spark.range(20).select(
+        "id",
+        F.concat(
+            F.lit("alpha beta gamma delta epsilon zeta "),
+            F.col("id").cast("string"),
+        ).alias("text"),
+    )
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), " "), lambda x: x != F.lit("")
+    )
+    exploded = base.select(
+        "id",
+        "text",
+        F.posexplode(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(1)))
+        ).alias("p", "junk"),
+    )
+    bad = exploded.select(
+        "id",
+        F.concat(
+            F.element_at(toks, F.col("p")),
+            F.lit(" "),
+            F.element_at(toks, F.col("p") + 1),
+        ).alias("gram"),
+    )
+    assert _gram_quadratic_exprs(_physical_plan(bad))
+
+    # the fixed shape — the array aliased as a column below the
+    # explode — must NOT fire
+    hs = base.select("id", toks.alias("toks"))
+    good = hs.select(
+        "id", F.posexplode("toks").alias("p", "tok")
+    ).select("id", "p", F.md5("tok").alias("h"))
+    assert not _gram_quadratic_exprs(_physical_plan(good))
+
+    # benign 2x-per-SCAN-row duplication with no explode anywhere
+    # (x48's guard filter) must not fire either: the detector targets
+    # per-exploded-row re-evaluation, not a linear 2x
+    flat = base.filter(F.size(toks) >= 4).select(
+        "id", F.transform(toks, F.md5).alias("hs")
+    )
+    assert not _gram_quadratic_exprs(_physical_plan(flat))
 
 
 @pytest.mark.parametrize("name", _QUERIES)
@@ -93,3 +263,9 @@ def test_plan_hygiene(name, spark):
         assert "CartesianProduct" not in plan, (
             f"{name}: non-broadcast cartesian product"
         )
+    quad = _gram_quadratic_exprs(plan)
+    assert not quad, (
+        f"{name}: expensive derived-array expression evaluated more "
+        f"than once per row (gram-quadratic rule, SCALE.md round 9) — "
+        f"alias it as a column below the explode: {quad}"
+    )
