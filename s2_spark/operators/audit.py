@@ -288,6 +288,17 @@ class OpsAudit:
     def _flush_locked(self) -> None:
         with self._mu:
             rows, self._buf = self._buf, []
+            # drop accounting flushes as ORDINARY rows, so a process
+            # restart cannot erase the loss record while keeping the
+            # under-counted ops data it annotates (the accounting is
+            # as durable as the stream): drained here, re-buffered on
+            # failure like any other row; df() surfaces only the
+            # not-yet-flushed remainder live
+            rows += [
+                (ts, "audit_drop", AUDIT_BASIN, AUDIT_STREAM, n, None)
+                for ts, n in self._drop_events
+            ]
+            self._drop_events = []
             self._cv.notify_all()  # back-pressured loggers may proceed
         if not rows:
             return

@@ -430,7 +430,39 @@ def test_backpressure_drops_oldest_and_reports_drop_rows(spark, tmp_path):
     assert sum(r["records"] for r in drops) == audit.dropped
     assert all(r["basin"] == "s2-ops-audit" for r in drops)
     # unwedge: the hung flush completes and the flusher drains the
-    # buffer — accounting identity: landed + dropped = logged
+    # buffer — accounting identity: landed ops + dropped = logged, and
+    # the drop accounting itself flushed as ordinary audit_drop ROWS
+    # (durable with the stream it annotates — a restart cannot erase
+    # the loss record while keeping the under-counted ops data)
     gate.set()
     audit.drain(timeout=10)
-    assert len(fake.appended) + audit.dropped == 25
+    import json as _json
+
+    bodies = [_json.loads(bytes(r.body)) for r in fake.appended]
+    landed_ops = [b for b in bodies if b["op"] != "audit_drop"]
+    landed_drops = [b for b in bodies if b["op"] == "audit_drop"]
+    assert len(landed_ops) + audit.dropped == 25
+    assert sum(b["records"] for b in landed_drops) == audit.dropped
+    # once flushed, the in-memory event list is empty: df() must not
+    # double-count (stream rows + live remainder would each report)
+    assert audit._drop_events == []
+
+
+def test_drop_accounting_survives_restart(spark, tmp_path):
+    """ADVICE r9: the loss accounting must be as durable as the stream
+    it annotates — a process restart after a flushed drop still shows
+    the op='audit_drop' rows through a FRESH store over the same
+    directory, so post-restart metric queries do not silently
+    under-report."""
+    base = str(tmp_path / "records")
+    s1 = StreamStore(spark, base)
+    s1.catalog.create_basin(BASIN)
+    s1.catalog.create_stream(BASIN, "s1")
+    with s1.audit._mu:
+        s1.audit._record_drop_locked(3)
+    s1.audit.log("read", BASIN, "s1")
+    s1.audit.flush()
+    # the restarted process has no memory of the drop events
+    s2 = StreamStore(spark, base)
+    drops = s2.audit.df().filter(F.col("op") == "audit_drop").collect()
+    assert sum(r["records"] for r in drops) == 3
