@@ -352,6 +352,7 @@ def append_sink(
             .agg(
                 F.count("*").alias("n"),
                 F.countDistinct("o").alias("n_order"),
+                F.count("o").alias("n_nonnull"),
                 F.min_by("d", F.struct("o", "d")).alias("first"),
                 F.sha2(
                     F.concat_ws(
@@ -366,12 +367,24 @@ def append_sink(
             )
             .collect()
         )
-        dupes = [
-            f"{r['basin']}/{r['stream']} ({r['n'] - r['n_order']} duplicate"
-            f" {order_col!r} values over {r['n']} rows)"
-            for r in agg
-            if r["n_order"] != r["n"]
-        ]
+        # countDistinct skips NULLs, so distinguish NULL order values
+        # from genuine duplicates in the violation message — they call
+        # for different fixes in the producing pipeline
+        dupes = []
+        for r in agg:
+            if r["n_order"] == r["n"]:
+                continue
+            parts = []
+            n_null = r["n"] - r["n_nonnull"]
+            n_dup = r["n_nonnull"] - r["n_order"]
+            if n_null:
+                parts.append(f"{n_null} NULL {order_col!r} values")
+            if n_dup:
+                parts.append(f"{n_dup} duplicate {order_col!r} values")
+            dupes.append(
+                f"{r['basin']}/{r['stream']} ({' and '.join(parts)} over "
+                f"{r['n']} rows)"
+            )
         if dupes:
             raise NonUniqueOrderColumn(
                 f"append sink requires {order_col!r} to be unique per "

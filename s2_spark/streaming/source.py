@@ -15,11 +15,15 @@ Re-expresses the reference's read-session / live-tail machinery
   third element carries the reader's high-water mark at emission, so a
   rate-limited batch replayed after a crash recomputes its true start
   from the offset pair alone. Emitted ends never regress: rate caps
-  apply only from a known same-generation baseline, so the first
-  micro-batch per (stream, reader incarnation) is unthrottled —
-  admission control is best-effort across restarts (the Python
-  DataSourceStreamReader API gives latestOffset no start to cap
-  against), never at the cost of exactly-once. v1 (plain-int)
+  apply only from a KNOWN same-generation baseline — in-memory for a
+  warm reader, recovered from the durable reader-HWM files
+  (``{path}/_reader_hwm/``, monotone max of every emitted end,
+  persisted before each emission returns) for a cold one — so
+  admission control survives restarts (a restart against a deep
+  backlog is throttled from the first micro-batch, the reference's
+  streamer.rs:815-838 contract) and is still never bought at the cost
+  of exactly-once: with no durable file (caps newly enabled, non-POSIX
+  filesystem) the first window falls back to uncapped. v1 (plain-int)
   checkpoint values are accepted and upgraded in place; their
   generation is unknowable, so purges predating the upgrade are not
   replayed (disclosed migration boundary).
@@ -122,26 +126,39 @@ def _tails(
     path: str,
     cache: dict[str, tuple[tuple, dict[str, int]]] | None = None,
     stats: dict | None = None,
-) -> dict[str, int]:
+) -> dict[str, int] | None:
     """Per-stream next_seq for the whole store — footer statistics only
     (no data pages for single-stream row groups), incremental via
     ``cache``: parquet files are immutable once written, so each trigger
     pays only for files that appeared since the last one. Per-trigger
-    cost is O(new files), independent of total store size."""
+    cost is O(new files), independent of total store size.
+
+    Returns ``None`` when the directory is mid-compaction-swap and
+    stayed that way past the wait budget: the listing would be
+    inconsistent (old entries parked in trash, new ones not yet
+    renamed in), so the caller must reuse its previous tails for this
+    trigger rather than scan — a COLD reader checkpointing a regressed
+    tail from a mid-swap listing was exactly the hole the wait was
+    added to cover, and proceeding after the timeout re-opened it."""
     if not os.path.isdir(path):
         return {}
-    # a compaction swap in progress (old entries parked in `.trash`,
-    # new ones not yet renamed in) can make a listing transiently MISS
+    # a compaction swap in progress can make a listing transiently MISS
     # records: a warm reader's monotone guard absorbs that, but a COLD
     # reader would emit the regressed tail into the offset log. The
     # trash dir exists exactly for the swap window (store._swap_in),
-    # so wait it out — bounded, because a crashed swap is recovered by
-    # the next store open, not by this reader
+    # so wait it out. A trash dir stranded by a CRASHED swap outlives
+    # the wait (only the next store open recovers it) — skipping the
+    # trigger is the non-destructive answer: racing the store's own
+    # swap recovery from a reader could fight a live compactor.
     trash = path.rstrip("/") + ".trash"
     for _ in range(40):
         if not os.path.isdir(trash):
             break
         time.sleep(0.05)
+    else:
+        if stats is not None:
+            stats["trash_timeouts"] = stats.get("trash_timeouts", 0) + 1
+        return None
     tails: dict[str, int] = {}
     listed = _parquet_files(path)
     if cache is not None:
@@ -222,6 +239,61 @@ def _purge_gens(
     return out
 
 
+def _reader_hwm_dir(path: str) -> str:
+    return os.path.join(path, "_reader_hwm")
+
+
+def _reader_hwm_file(path: str, key: str) -> str:
+    import hashlib
+
+    name = hashlib.sha1(key.encode()).hexdigest()[:24] + ".json"
+    return os.path.join(_reader_hwm_dir(path), name)
+
+
+def _reader_hwm_read(path: str, key: str) -> tuple[int, int] | None:
+    """Durable admission baseline for ``key``: the max (gen, end) any
+    reader of this store has ever emitted. Written tmp+rename, so a
+    read sees old or new, never torn."""
+    try:
+        with open(_reader_hwm_file(path, key)) as f:
+            m = json.load(f)
+        return int(m["gen"]), int(m["end"])
+    except (OSError, ValueError, KeyError):
+        return None
+
+
+def _reader_hwm_write_max(path: str, key: str, gen: int, end: int) -> None:
+    """Monotone (gen, end) lexicographic max-merge under an exclusive
+    file lock — concurrent readers of one store never lose each
+    other's maximum (a lost max could let a later cold reader cap its
+    end BELOW another query's checkpointed position: the offset-log
+    regression the never-regress invariant forbids). Same durable-
+    marker pattern as the purge tombstones (store._record_purges).
+
+    Best-effort on filesystems without ``fcntl``: failure to persist
+    only costs admission on the next cold start (fall back to the
+    uncapped first window), never correctness."""
+    try:
+        import fcntl
+    except ImportError:  # non-POSIX: durability degrades, caps stay safe
+        return
+    d = _reader_hwm_dir(path)
+    p = _reader_hwm_file(path, key)
+    try:
+        os.makedirs(d, exist_ok=True)
+        with open(p + ".lock", "w") as lf:
+            fcntl.flock(lf, fcntl.LOCK_EX)
+            cur = _reader_hwm_read(path, key)
+            if cur is not None and cur >= (gen, end):
+                return
+            tmp = p + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump({"key": key, "gen": gen, "end": end}, f)
+            os.replace(tmp, p)
+    except OSError:
+        return
+
+
 class S2StreamReader(DataSourceStreamReader):
     def __init__(self, options: dict):
         self.path = options["path"]
@@ -279,6 +351,10 @@ class S2StreamReader(DataSourceStreamReader):
         # commit (Spark delivers commit(N) only when batch N+1 starts)
         # can never re-pin a rebased stream
         self._baseline: dict[str, tuple[int, int]] = {}
+        # last (gen, end) this incarnation persisted to the durable
+        # reader-HWM file per key — skips the merge write on triggers
+        # where the emitted end did not move
+        self._hwm_written: dict[str, tuple[int, int]] = {}
 
     #: offset format version stamped into every emitted offset dict
     #: under the ``__v`` key. v1 (round-8) offsets were plain
@@ -312,10 +388,13 @@ class S2StreamReader(DataSourceStreamReader):
 
     def initialOffset(self) -> dict:
         # start of the log (or a requested seq) for every known stream;
-        # streams discovered later start at 0 via partitions()
+        # streams discovered later start at 0 via partitions().
+        # A mid-swap directory (None) is safe to treat as empty here:
+        # every stream it hides is discovered by the first clean scan
+        # and still starts at start_seq.
         tails = _tails(self.path, self._tails_cache, self.tails_stats)
         out = {self._VKEY: self.OFFSET_VERSION}
-        for k in self._filtered(tails):
+        for k in self._filtered(tails or {}):
             out[k] = [self._gen_seen.get(k, 0), self.start_seq]
         return out
 
@@ -335,16 +414,33 @@ class S2StreamReader(DataSourceStreamReader):
         # are written AFTER the purge rewrite commits, so if the
         # generations read before and after the tails scan agree, no
         # purge overlapped the scan — retry (purges are rare) until
-        # stable.
+        # stable, BOUNDED: sustained purge churn (or anything that
+        # keeps perturbing tombstone stat keys) must stall this
+        # trigger loudly, not wedge the driver forever with no
+        # diagnostic.
         gens = _purge_gens(self.path, self._purge_cache)
-        while True:
-            tails = self._filtered(
-                _tails(self.path, self._tails_cache, self.tails_stats)
-            )
+        for attempt in range(32):
+            scanned = _tails(self.path, self._tails_cache, self.tails_stats)
+            if scanned is None:
+                # mid-compaction-swap past the wait budget: the listing
+                # is inconsistent — reuse the previous tails for this
+                # trigger (monotone by construction; a cold reader just
+                # plans an empty batch and retries next trigger)
+                tails = dict(self._max_seen)
+                break
+            tails = self._filtered(scanned)
             gens2 = _purge_gens(self.path, self._purge_cache)
             if gens2 == gens:
                 break
             gens = gens2
+        else:
+            raise RuntimeError(
+                "latestOffset could not get a purge-stable tails scan "
+                f"after 32 attempts over {self.path!r}: purge "
+                "generations kept changing between scans (sustained "
+                "purge churn?) — refusing to stamp tails with "
+                "generations they may not belong to"
+            )
         # a purge-generation bump means the stream was deleted and its
         # records physically dropped: the old tail/HWM/budget state
         # describes a dead generation — forget it. The bump itself
@@ -356,7 +452,19 @@ class S2StreamReader(DataSourceStreamReader):
             if g > self._gen_seen.get(k, 0):
                 self._gen_seen[k] = g
                 self._max_seen.pop(k, None)
-                self._baseline.pop(k, None)
+                # the rebase position is STRUCTURAL (partitions()
+                # restarts the recreated stream at start_seq), so for a
+                # rate-capped reader the new generation's baseline is
+                # KNOWN, not guessed — seeding it keeps even the first
+                # post-rebase window capped, and it cannot regress this
+                # query's offset log: no same-generation entry can
+                # precede the generation's first sighting. Uncapped
+                # readers keep the pop (their baselines re-seed from
+                # partitions/commit without touching emitted shapes).
+                if self.max_per_trigger > 0:
+                    self._baseline[k] = (g, self.start_seq)
+                else:
+                    self._baseline.pop(k, None)
                 self._bytes_scan.pop(k, None)
                 self._bytes_cap.pop(k, None)
         # monotone guard: a concurrent compaction rewrite can leave the
@@ -373,29 +481,47 @@ class S2StreamReader(DataSourceStreamReader):
         if self.max_bytes > 0:
             tails = {k: min(v, self._byte_capped(k, v)) for k, v in tails.items()}
         if self.max_per_trigger > 0:
-            # Cap ONLY from a same-generation baseline. A reader with
-            # no baseline for a key (cold after a checkpoint restart,
-            # or the key's first window — latestOffset takes no start
-            # in the Python DataSourceStreamReader API) must report the
-            # UNCAPPED tail: capping from a guessed base can emit an
-            # end BELOW the checkpointed position, and once that
-            # regressed entry is the offset log's latest, a second
-            # restart loses the true position entirely — the log's
-            # only copy of it was the entry the regression replaced
-            # (soak-caught: gen-1 records [2,4) delivered twice after
-            # restart → regressed end → restart). Admission control is
-            # therefore best-effort: the first micro-batch per
-            # (stream, reader incarnation) is unthrottled; caps apply
-            # from the second batch on. Tails only grow within a
-            # generation, so an uncapped end never regresses.
+            # Cap ONLY from a KNOWN same-generation baseline — never a
+            # guessed one: capping from a guess can emit an end BELOW
+            # the checkpointed position, and once that regressed entry
+            # is the offset log's latest, a second restart loses the
+            # true position entirely (soak-caught: gen-1 records [2,4)
+            # delivered twice after restart → regressed end → restart).
+            # A cold reader (latestOffset takes no start in the Python
+            # DataSourceStreamReader API) recovers its baseline from
+            # the DURABLE reader HWM: the monotone max (gen, end) any
+            # reader ever emitted for the key, persisted BEFORE each
+            # emission returns — so durable-base ≥ every end Spark's
+            # offset log can hold, and min(tail, durable + cap) never
+            # regresses below a checkpointed position. The reference's
+            # admission contract (in-flight semaphore,
+            # streamer.rs:815-838) therefore survives restarts: a cold
+            # start against a deep backlog is throttled from the first
+            # micro-batch. Residual best-effort cases, README-disclosed:
+            # no durable file yet (caps newly enabled over an old
+            # checkpoint, or a non-POSIX filesystem) → the first window
+            # is uncapped, exactly the pre-round-10 behavior.
             capped = {}
             for k, v in tails.items():
+                g = self._gen_seen.get(k, 0)
                 b = self._baseline.get(k)
-                if b is not None and b[0] == self._gen_seen.get(k, 0):
+                if b is None or b[0] != g:
+                    db = _reader_hwm_read(self.path, k)
+                    if db is not None and db[0] == g:
+                        b = db
+                if b is not None and b[0] == g:
                     capped[k] = min(v, b[1] + self.max_per_trigger)
                 else:
                     capped[k] = v
             tails = capped
+            # persist the emitted ends before they can reach Spark's
+            # offset log (the ordering the never-regress argument
+            # needs); unchanged ends skip the write
+            for k, v in tails.items():
+                g = self._gen_seen.get(k, 0)
+                if self._hwm_written.get(k) != (g, v):
+                    _reader_hwm_write_max(self.path, k, g, v)
+                    self._hwm_written[k] = (g, v)
         out = {self._VKEY: self.OFFSET_VERSION}
         for k, v in tails.items():
             g = self._gen_seen.get(k, 0)

@@ -587,6 +587,7 @@ def test_sim_source_exactly_once_with_purges_restarts_rate_limits(
     applog = {s: {0: []} for s in STREAMS}  # stream -> gen -> [bodies]
     delivered = {s: {} for s in STREAMS}  # stream -> gen -> [(st, en, rows)]
     n_appended = {s: 0 for s in STREAMS}
+    ever_data = [False]  # store-level _has_data(): sticky False->True
 
     def trigger():
         nonlocal reader, ckpt
@@ -602,6 +603,18 @@ def test_sim_source_exactly_once_with_purges_restarts_rate_limits(
                 f"cold replay planned different slices (seed {seed})"
             )
         for p in parts:
+            if maxpt:
+                # round-10 admission durability: once a stream has any
+                # emission history (in-memory, durable reader-HWM, or
+                # the structural rebase position), every window obeys
+                # the cap — including the FIRST window after a cold
+                # restart against a backlog. The only uncapped window
+                # is a generation's first (start == 0: no baseline of
+                # any kind can exist before the generation is sighted).
+                assert p.end - p.start <= maxpt or p.start == 0, (
+                    f"admission violated: {p.stream} [{p.start},{p.end})"
+                    f" exceeds cap {maxpt} with history (seed {seed})"
+                )
             rows = []
             for batch in reader.read(p):
                 d = batch.to_pydict()
@@ -628,19 +641,32 @@ def test_sim_source_exactly_once_with_purges_restarts_rate_limits(
             n_appended[s] += n
             store.append(BASIN, s, [Record(body=b) for b in bodies])
             applog[s][gen[s]] += bodies
+            ever_data[0] = True
         elif roll < 0.55:  # purge + recreate: a fresh generation
             cat.delete_stream(BASIN, s)
             deletion_purge_sweep(store)
             cat.create_stream(BASIN, s)
-            gen[s] += 1
-            applog[s][gen[s]] = []
+            # the generation tombstone is written only when the sweep
+            # runs a rewrite, gated on store._has_data() — a STICKY
+            # flag (False->True once, never back): a purge before any
+            # record ever existed bumps nothing. That skip is safe —
+            # a generation that never held records is indistinguishable
+            # recreated-at-0 either way — and every later purge bumps,
+            # data or not. The shadow model mirrors the flag exactly
+            # (round-10 fresh-seed soak caught the model bumping
+            # unconditionally and mislabeling generations).
+            if ever_data[0]:
+                gen[s] += 1
+                applog[s][gen[s]] = []
         elif roll < 0.7:  # cold reader restart (checkpoint persists)
             reader = mk()
         else:
             trigger()
-    # drain: live generations must deliver completely
+    # drain: live generations must deliver completely (60 triggers:
+    # durable admission now caps post-restart and post-rebase windows
+    # too, so catch-up takes genuinely more, smaller batches)
     idle = 0
-    for _ in range(30):
+    for _ in range(60):
         if not trigger():
             idle += 1
             if idle >= 3:

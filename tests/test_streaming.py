@@ -122,12 +122,12 @@ def test_sink_sequences_per_stream(spark, store, tmp_path):
 def test_source_rate_limiting_backpressure(spark, store):
     """maxrecordspertrigger caps per-batch admission (the in-flight
     semaphore analogue) without losing or duplicating records. The cap
-    applies from a KNOWN same-generation baseline — the first window
-    per (stream, reader incarnation) is unthrottled by design (the
-    Python DataSource API gives latestOffset no start to cap against,
-    and capping from a guess emits regressed ends that break
-    exactly-once across restarts) — so seed the baseline with a batch
-    at/below the cap, then throttle the rest."""
+    applies from a KNOWN same-generation baseline — in-memory when
+    warm, the durable reader HWM when cold; only a key with NO durable
+    state yet (this test's very first window) is unthrottled, because
+    capping from a guess emits regressed ends that break exactly-once
+    across restarts — so seed the baseline with a batch at/below the
+    cap, then throttle the rest."""
     register(spark)
     store.append(BASIN, "s1", _recs(3))  # first window: 3 ≤ cap anyway
     q = (
@@ -383,20 +383,38 @@ def test_sink_rejects_duplicate_order_col(spark, store):
         ],
         schema,
     )
-    with pytest.raises(NonUniqueOrderColumn, match="s1"):
+    with pytest.raises(NonUniqueOrderColumn, match="1 duplicate"):
         commit(dup, 0)
     assert store.check_tail(BASIN, "s1")[0] == 0  # nothing appended
     epochs = os.path.join(store.base_dir, "_sink_epochs", "dup")
     assert not os.path.isdir(epochs) or not any(
         f.endswith((".intent", ".done")) for f in os.listdir(epochs)
     )  # the raise precedes the intent write — the epoch can be retried
-    # NULL order values cannot order anything: equally rejected
+    # NULL order values cannot order anything: equally rejected, and
+    # the message says NULL — countDistinct excludes NULLs, so a batch
+    # of unique non-null values plus NULLs must not be misreported as
+    # having duplicates (the operator debugging a miswired pipeline
+    # needs to know which defect to chase)
     nulls = spark.createDataFrame(
         [(BASIN, "s1", None, [], b"a", None), (BASIN, "s1", None, [], b"b", 2)],
         schema,
     )
-    with pytest.raises(NonUniqueOrderColumn):
+    with pytest.raises(NonUniqueOrderColumn, match="1 NULL") as exc:
         commit(nulls, 0)
+    assert "duplicate" not in str(exc.value)
+    # both defects at once: each is counted separately
+    both = spark.createDataFrame(
+        [
+            (BASIN, "s1", None, [], b"a", None),
+            (BASIN, "s1", None, [], b"b", 2),
+            (BASIN, "s1", None, [], b"c", 2),
+        ],
+        schema,
+    )
+    with pytest.raises(
+        NonUniqueOrderColumn, match="1 NULL .* and 1 duplicate"
+    ):
+        commit(both, 0)
     # a corrected batch for the same epoch then commits normally
     commit(_sink_batch(spark, 3), 0)
     assert store.check_tail(BASIN, "s1")[0] == 3
@@ -496,11 +514,12 @@ def test_sink_epoch_log_compaction_bounds_markers(tmp_path):
 
 
 def test_source_restart_rate_limit_never_redelivers(spark, store):
-    """Checkpoint-restart with maxrecordspertrigger: a cold reader has
-    no rate-limit baseline, so it must NOT cap from a guessed base —
-    it reports the uncapped tail (the first window after a restart is
-    unthrottled by design), so the offset log never regresses and no
-    record is ever planned below the checkpointed position."""
+    """Checkpoint-restart with maxrecordspertrigger and NO durable
+    reader-HWM state (this synthetic checkpoint never emitted): a cold
+    reader must NOT cap from a guessed base — it reports the uncapped
+    tail, so the offset log never regresses and no record is ever
+    planned below the checkpointed position. (With durable state the
+    first window IS capped — test_source_restart_admission_durable.)"""
     from s2_spark.streaming.source import S2StreamReader, SEP
 
     store.append(BASIN, "s1", _recs(60))
@@ -1761,3 +1780,129 @@ def test_latest_offset_purge_racing_tails_scan_rescans(spark, store, monkeypatch
         (p.stream, p.start, p.end) for p in r.partitions(o2, o3) if p.stream
     ]
     assert parts == [("dead", 3, 5)]
+
+
+def test_tails_scan_skips_trigger_on_stranded_trash(spark, store, monkeypatch):
+    """ADVICE r9: a `.trash` dir stranded by a crashed compaction swap
+    outlives the tails scan's wait budget — the scan must NOT proceed
+    on the possibly mid-swap (mixed/partial) listing it was waiting
+    out. `_tails` reports the timeout and latestOffset reuses the
+    previous tails for the trigger: a warm reader keeps its position,
+    a cold reader plans an empty batch and retries — neither can
+    checkpoint a regressed tail."""
+    import os
+
+    import s2_spark.streaming.source as src
+
+    k = f"{BASIN}\x00s1"
+    store.append(BASIN, "s1", _recs(4))
+    r = _reader(store)
+    o1 = r.latestOffset()
+    assert o1 == {"__v": 2, k: [0, 4]}
+    # strand a trash dir (crashed swap: no .compact markers, only the
+    # parked old entries) and shrink the wait budget so the test does
+    # not sleep the full 2 s
+    monkeypatch.setattr(src.time, "sleep", lambda s: None)
+    trash = store.base_dir.rstrip("/") + ".trash"
+    os.makedirs(trash)
+    stats = r.tails_stats
+    assert src._tails(store.base_dir, None, stats) is None
+    assert stats["trash_timeouts"] >= 1
+    # warm reader: previous tails reused — offsets never regress, and
+    # appends hidden behind the swap window are not falsely consumed
+    o2 = r.latestOffset()
+    assert {kk: v[:2] for kk, v in o2.items() if kk != "__v"} == {k: [0, 4]}
+    # cold reader over the same (still-stranded) store: empty batch,
+    # no regressed checkpoint entry
+    r2 = _reader(store)
+    o_cold = r2.latestOffset()
+    assert [kk for kk in o_cold if kk != "__v"] == []
+    # swap window over: the next trigger sees the true tails again
+    os.rmdir(trash)
+    o3 = r2.latestOffset()
+    assert {kk: v[:2] for kk, v in o3.items() if kk != "__v"} == {k: [0, 4]}
+
+
+def test_latest_offset_purge_churn_bounded_retry_raises(spark, store, monkeypatch):
+    """ADVICE r9: the tails/tombstone consistency loop must not wedge
+    the driver's trigger forever under sustained purge churn — bounded
+    retries, then a descriptive error instead of a silent stall."""
+    import s2_spark.streaming.source as src
+
+    store.append(BASIN, "s1", _recs(2))
+    r = _reader(store)
+    tick = {"n": 0}
+
+    def churning(path, cache=None):
+        tick["n"] += 1
+        return {f"{BASIN}\x00s1": tick["n"]}  # never stable
+
+    monkeypatch.setattr(src, "_purge_gens", churning)
+    with pytest.raises(RuntimeError, match="purge-stable"):
+        r.latestOffset()
+
+
+def test_source_restart_admission_durable(spark, store):
+    """Admission control survives restarts (the reference's in-flight
+    semaphore contract, streamer.rs:815-838): every emission persists
+    the end to the durable reader HWM (`{path}/_reader_hwm/`, monotone
+    max, written BEFORE the emission can reach Spark's offset log), so
+    a COLD reader facing a deep backlog caps its FIRST window at
+    min(tail, durable + cap) — which, durable being >= every logged
+    end, never regresses below any checkpointed position."""
+    from s2_spark.streaming.source import S2StreamReader
+
+    k = f"{BASIN}\x00s1"
+    store.append(BASIN, "s1", _recs(4))
+    mk = lambda: S2StreamReader(  # noqa: E731
+        {"path": store.base_dir, "basin": BASIN, "maxrecordspertrigger": 2}
+    )
+    r = mk()
+    o0 = r.initialOffset()
+    o1 = r.latestOffset()
+    assert o1[k] == [0, 4]  # no durable state yet: uncapped fallback
+    r.partitions(o0, o1)
+    r.commit(o1)
+    # a deep backlog lands while the query is down
+    store.append(BASIN, "s1", _recs(20))  # tail 24
+    r2 = mk()  # cold restart
+    o2 = r2.latestOffset()
+    assert o2[k] == [0, 6]  # min(24, 4+2): throttled on the FIRST batch
+    assert [
+        (p.start, p.end) for p in r2.partitions(o1, o2) if p.stream
+    ] == [(4, 6)]
+    r2.commit(o2)
+    o3 = r2.latestOffset()
+    assert o3[k] == [0, 8, 6]  # warm path takes over, hwm rides
+    # double restart mid-catch-up: still capped, never re-delivers
+    r3 = mk()
+    o4 = r3.latestOffset()
+    assert o4[k] == [0, 10]  # durable base 8 (o3 was persisted)
+    assert [
+        (p.start, p.end) for p in r3.partitions(o3, o4) if p.stream
+    ] == [(8, 10)]
+
+
+def test_source_rebase_first_window_capped(spark, store):
+    """A purge+recreate's rebase position is structural (seq 0), so a
+    rate-capped reader's first post-rebase window is capped too — the
+    baseline is known, not guessed, and a same-generation offset-log
+    entry cannot predate the generation's first sighting."""
+    from s2_spark.streaming.source import S2StreamReader
+
+    k = f"{BASIN}\x00dead"
+    store.catalog.create_stream(BASIN, "dead")
+    store.append(BASIN, "dead", _recs(3))
+    r = S2StreamReader(
+        {"path": store.base_dir, "basin": BASIN, "maxrecordspertrigger": 2}
+    )
+    o0 = r.initialOffset()
+    o1 = r.latestOffset()
+    r.partitions(o0, o1)
+    r.commit(o1)
+    _purge_recreate(store, "dead", 7)  # new generation, tail 7
+    o2 = r.latestOffset()
+    assert o2[k] == [1, 2, 0]  # capped at start_seq + 2, not [1, 7]
+    assert [
+        (p.start, p.end) for p in r.partitions(o1, o2) if p.stream == "dead"
+    ] == [(0, 2)]
