@@ -492,16 +492,45 @@ def _first(buf: bytes, btype: bytes) -> bytes | None:
     return next((b for t, b in _walk_boxes(buf) if t == btype), None)
 
 
-def decode_raw_mp4_frame(payload: bytes, ts_ms: int = 0):
+#: driver-side registry of bring-your-own frame decoders, keyed by the
+#: MP4 sample-entry fourcc (e.g. b"avc1" for H.264). Module globals do
+#: NOT ship to executor Python workers — consumers (frame_sample)
+#: snapshot the registry into the task closure at plan-build time, so
+#: a registered decoder must be picklable (a top-level function or a
+#: callable built from picklable state).
+_EXTRA_DECODERS: dict[bytes, Callable] = {}
+
+
+def register_decoder(fourcc: bytes | str, fn: Callable) -> None:
+    """Install a frame decoder for an MP4 codec this engine does not
+    decode natively (the documented inter-frame boundary: H.264/H.265
+    need a codec library). ``fn(payload, sample, ts_ms, width,
+    height) -> (H, W, 3) uint8 ndarray`` — ``sample`` is the demuxed
+    access unit for the requested timestamp (enough for intra-frame
+    codecs), ``payload`` the whole container (stateful inter-frame
+    decoders run their own demux from it). Registration is driver-side
+    and snapshotted into task closures; call before building the plan."""
+    key = (fourcc.encode() if isinstance(fourcc, str) else fourcc).ljust(4)[:4]
+    _EXTRA_DECODERS[key] = fn
+
+
+def unregister_decoder(fourcc: bytes | str) -> None:
+    key = (fourcc.encode() if isinstance(fourcc, str) else fourcc).ljust(4)[:4]
+    _EXTRA_DECODERS.pop(key, None)
+
+
+def decode_raw_mp4_frame(payload: bytes, ts_ms: int = 0, decoders=None):
     """Decode the frame covering ``ts_ms`` from an MP4 → (H, W, 3)
     uint8. Walks moov → the 'vide' trak → stbl; maps time to a sample
     via the (uniform) stts delta, and the sample to mdat bytes via
     stsz/stco (uniform or per-sample sizes). Decodes uncompressed
     'raw ' RGB24 tracks and motion-JPEG ('jpeg'/'mjpa') tracks — each
     MJPEG sample is a standalone baseline JPEG, decoded by the numpy
-    codec in :mod:`s2_spark.functions.jpeg`. Raises
-    NotImplementedError for inter-frame codecs (H.264 etc.) — the
-    honest codec boundary stays explicit."""
+    codec in :mod:`s2_spark.functions.jpeg`. Other codecs route to a
+    registered plugin (``register_decoder``; ``decoders`` overrides
+    the registry — the executor path, where the snapshot rides in the
+    task closure); with none registered, raises NotImplementedError —
+    the honest codec boundary stays explicit."""
     moov = _first(payload, b"moov")
     if moov is None:
         raise ValueError("no moov box")
@@ -522,11 +551,18 @@ def decode_raw_mp4_frame(payload: bytes, ts_ms: int = 0):
         stsd = _first(stbl, b"stsd")
         entry = stsd[8:]  # past version/flags + entry_count
         fourcc = entry[4:8]
-        if fourcc not in (b"raw ", b"jpeg", b"mjpa"):
+        plugins = _EXTRA_DECODERS if decoders is None else decoders
+        plugin = (
+            plugins.get(fourcc)
+            if fourcc not in (b"raw ", b"jpeg", b"mjpa")
+            else None
+        )
+        if fourcc not in (b"raw ", b"jpeg", b"mjpa") and plugin is None:
             raise NotImplementedError(
                 f"video codec {fourcc!r} needs a codec library; only "
                 "uncompressed 'raw ' and motion-JPEG tracks decode in "
-                "this container"
+                "this container — bring your own via "
+                "register_decoder(fourcc, fn)"
             )
         width, height = struct.unpack(">HH", entry[32:36])
         stts = _first(stbl, b"stts")
@@ -575,6 +611,21 @@ def decode_raw_mp4_frame(payload: bytes, ts_ms: int = 0):
         frame = payload[start : start + size]
         if len(frame) != size:
             raise ValueError("sample range outside mdat")
+        if plugin is not None:
+            out = plugin(
+                payload=payload,
+                sample=frame,
+                ts_ms=ts_ms,
+                width=width,
+                height=height,
+            )
+            arr = np.asarray(out, dtype=np.uint8)
+            if arr.shape != (height, width, 3):
+                raise ValueError(
+                    f"decoder plugin for {fourcc!r} returned shape "
+                    f"{arr.shape}, expected {(height, width, 3)}"
+                )
+            return arr
         if fourcc == b"raw ":
             return np.frombuffer(frame, dtype=np.uint8).reshape(height, width, 3)
         from s2_spark.functions.jpeg import decode_jpeg
@@ -652,12 +703,18 @@ def frame_sample(
     The non-fake default decodes uncompressed 'raw ' RGB24 MP4 tracks
     for real (:func:`decode_raw_mp4_frame`) and raises the honest
     NotImplementedError for compressed codecs."""
+    # snapshot the plugin registry into the task closure NOW: module
+    # globals don't ship to executor Python workers, so consulting
+    # _EXTRA_DECODERS at decode time would see an empty registry on
+    # every worker — the snapshot is what makes register_decoder work
+    # end-to-end through mapInPandas
+    reg = dict(_EXTRA_DECODERS)
     dec = decoder or (
         (lambda payload, idx: hashlib.sha256((payload or b"") + idx.to_bytes(4, "big")).digest())
         if fake
         else (
             lambda payload, idx: decode_raw_mp4_frame(
-                payload, ts_ms=idx * every_ms
+                payload, ts_ms=idx * every_ms, decoders=reg
             ).tobytes()
         )
     )

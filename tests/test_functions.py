@@ -568,6 +568,56 @@ def test_frame_sample_compressed_codec_still_raises(spark):
     assert "NotImplementedError" in str(ei.value) or "codec" in str(ei.value)
 
 
+def test_frame_sample_decoder_plugin_seam(spark):
+    """The bring-your-own-decoder seam for inter-frame codecs: a
+    registered plugin for an 'avc1' track decodes end-to-end through
+    the real mapInPandas path — proving the schema, partitioning, and
+    Arrow batch plumbing work through an injected decoder (the test
+    runs in real executor Python workers, so the registry snapshot
+    riding in the task closure is load-bearing, not incidental). The
+    snapshot semantics are pinned too: unregistering after the plan is
+    built does not affect it, and a fresh plan without the plugin is
+    back at the honest NotImplementedError boundary."""
+    import numpy as np
+
+    w, h = 4, 4
+    frames = [np.full((h, w, 3), 7 * (i + 1), dtype=np.uint8) for i in range(3)]
+    mp4 = M.build_raw_mp4(frames, w, h, fps=1).replace(b"raw ", b"avc1", 1)
+    media = spark.createDataFrame(
+        [(0, "video", "video/mp4", None, None, 3000, mp4)], M.MEDIA_SCHEMA
+    )
+
+    # fake-H.264 plugin: 'decodes' by XOR-ing the demuxed access unit.
+    # Defined INSIDE the test so cloudpickle ships it by value — the
+    # standard Spark rule applies to plugins: be importable on the
+    # workers, or picklable by value.
+    def xor_decoder(payload, sample, ts_ms, width, height):
+        arr = np.frombuffer(sample, dtype=np.uint8) ^ 0x5A
+        return arr.reshape(height, width, 3)
+
+    M.register_decoder("avc1", xor_decoder)
+    try:
+        plan = M.frame_sample(media, every_ms=1000)
+    finally:
+        M.unregister_decoder("avc1")
+    rows = sorted(plan.collect(), key=lambda r: r.frame_idx)
+    assert len(rows) == 3
+    for r in rows:
+        expect = np.full((h, w, 3), 7 * (r.frame_idx + 1), dtype=np.uint8) ^ 0x5A
+        assert bytes(r.frame) == expect.tobytes()
+    # without the plugin, a fresh plan is back at the honest boundary
+    with pytest.raises(Exception) as ei:
+        M.frame_sample(media, every_ms=1000).collect()
+    assert "register_decoder" in str(ei.value) or "codec" in str(ei.value)
+    # a plugin returning the wrong shape is rejected loudly
+    M.register_decoder(b"avc1", lambda **kw: __import__("numpy").zeros((1, 1, 3)))
+    try:
+        with pytest.raises(Exception, match="shape"):
+            M.frame_sample(media, every_ms=1000).collect()
+    finally:
+        M.unregister_decoder(b"avc1")
+
+
 def test_frame_sampling_null_duration_yields_one_frame(spark):
     """MEDIA_SCHEMA declares duration_ms nullable; pandas surfaces NULL
     as NaN (truthy) — a null-duration video must emit exactly one frame,
