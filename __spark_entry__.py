@@ -79,14 +79,12 @@ _R03_BACKLOG = frozenset({
 # so their prior hash-matches predate the current code and they re-enter
 # the scoring prefix ahead of untouched proven entries until a fresh
 # proof lands.
-_R09_RESCORE = frozenset({
-    # round 9 touched: gen-carrying v2 streaming offsets + rebase
-    # rewrite (source.py) and order_col enforcement in the intent
-    # aggregate (sink.py) — the str and st families share that surface;
-    # the audit flusher gained drop-oldest + retry + audit_drop rows
-    # (the whole metrics family reads the audit relation); store
-    # compaction swap now keys on its own _COMPLETE marker
-    # (stream-semantics family exercises the store paths)
+_R10_RESCORE = frozenset({
+    # round 10 touched: durable admission baselines + structural
+    # rebase seeding + trash-timeout skip + bounded purge-churn retry
+    # (source.py) — the st/str families share that surface; audit_drop
+    # loss accounting now flushes durably through the normal path
+    # (audit.py — the whole metrics family reads the audit relation)
     "ag9_metrics_rollup", "ag10_metrics_gauge", "ag11_metrics_minute_ops",
     "ag12_metrics_day_throughput", "ag13_metrics_storage_gauge",
     "ag15_read_ops", "ag16_read_throughput", "ag17_basin_ops",
@@ -96,13 +94,12 @@ _R09_RESCORE = frozenset({
     "st4_clamp", "st5_trim_visibility", "st6_retention_cutoff",
     "st7_append_ack", "st8_combined_read_limits",
     "str5_stateful_dedup", "str6_command_fold",
-    # gram/shingle quadratic fixes (zip_with rewrites) changed these
-    # implementations after their latest proofs — re-prove on the new
-    # plans even though every one re-matched its oracle locally
-    "x15_doc_rolling_fingerprint", "x16_ngram_jaccard_neardup",
-    "x20_benchmark_contamination", "x25_repetition_signals",
-    "x27_passage_dedup", "x33_quality_funnel", "x35_pipeline_summary",
-    "x38_substring_dup_windows", "x41_span_dedup_c4",
+    # re-planned queries: x48 rewritten as one shuffle-free projection;
+    # lsh_topk folds the query norm below the probe explode (value-
+    # identical IEEE doubles, but the plan changed) — x13 and the
+    # recall reports that ride it
+    "x48_winnowing_fingerprints", "x13_lsh_ann_topk",
+    "x34_ann_recall_report", "x36_ann_recall_planted",
 })
 
 
@@ -139,8 +136,8 @@ def _prioritized(names: list[str]) -> list[str]:
 
     backlog = [n for n in fresh if n in _R03_BACKLOG]
     newer = [n for n in fresh if n not in _R03_BACKLOG]
-    rescore = [n for n in proven if n in _R09_RESCORE]
-    stable = [n for n in proven if n not in _R09_RESCORE]
+    rescore = [n for n in proven if n in _R10_RESCORE]
+    stable = [n for n in proven if n not in _R10_RESCORE]
     return (
         failed
         + _round_robin(backlog)
