@@ -2148,3 +2148,555 @@ def x51(spark, sf_dir):
         )
         .orderBy("vec_id")
     )
+
+
+def _jl_projection_oracle(m: int = 8, dim: int = 64, seed: int = 11) -> str:
+    """Replay of x52: identical projection-plane literals, identical
+    left-associated dot/norm chains on both the raw and the projected
+    vectors, so the distortion report is bit-identical."""
+    from s2_spark.suite._ann_oracles import _chain, _dot_lit
+
+    from s2_spark.functions.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, m, seed)
+
+    def proj_terms(vec: str) -> list[str]:
+        return [f"({_dot_lit(vec, p)})" for p in planes]
+
+    pe = proj_terms("e.v")
+    pq = proj_terms("q.qe")
+    pnum = " + ".join(f"{a} * {b}" for a, b in zip(pe, pq))
+    pna = " + ".join(f"{a} * {a}" for a in pe)
+    pnq = " + ".join(f"{b} * {b}" for b in pq)
+    proj_sim = f"({pnum}) / (sqrt({pna}) * sqrt({pnq}))"
+    exact = (
+        f"({_chain('e.v', 'q.qe', dim)}) /"
+        f" (sqrt({_chain('e.v', 'e.v', dim)}) * sqrt({_chain('q.qe', 'q.qe', dim)}))"
+    )
+    return (
+        "WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings), "
+        "q AS (SELECT v AS qe FROM base WHERE vec_id = 0), "
+        "e AS (SELECT vec_id, v FROM base WHERE vec_id <> 0), "
+        f"s AS (SELECT e.vec_id, ({proj_sim}) AS ps, ({exact}) AS xs "
+        "FROM e, q) "
+        "SELECT vec_id, round(ps, 4) AS proj_sim, round(xs, 4) AS exact_sim, "
+        "round(abs(ps - xs), 4) AS abs_err FROM s ORDER BY vec_id"
+    )
+
+
+@query(
+    "x52_random_projection",
+    oracle=_jl_projection_oracle(m=8, dim=64, seed=11),
+    doc=(
+        "Johnson-Lindenstrauss random projection as a dimensionality-"
+        "reduction quality report: project every embedding onto 8 "
+        "deterministic unit hyperplanes (the dim-reduce step a 100 TB "
+        "ANN pipeline runs before indexing — O(n*m*dim) map-only work, "
+        "ZERO shuffle: the projection matrix is plan-folded literals "
+        "and the single query row is a broadcast), then report, per "
+        "vector, the cosine to the query in projected space, the exact "
+        "cosine in the original space, and the absolute distortion — "
+        "the number that calibrates how aggressively the index tier "
+        "can shrink vectors. Oracle replays the plane literals and the "
+        "left-associated fold chains for bit-identical IEEE doubles."
+    ),
+)
+def x52(spark, sf_dir):
+    from functools import reduce
+
+    from s2_spark.functions.similarity import (
+        _hyperplanes,
+        _query_df,
+        cosine,
+        dot,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    planes = _hyperplanes(dim=64, m=8, seed=11)
+    q = _query_df(emb, "embedding", None, query_id=0)
+    base = emb.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
+
+    def proj(col: str) -> list:
+        return [
+            dot(F.col(col), F.array(*[F.lit(float(x)) for x in p]))
+            for p in planes
+        ]
+
+    pe, pq = proj("embedding"), proj("qe")
+    pnum = reduce(lambda a, b: a + b, [x * y for x, y in zip(pe, pq)])
+    pna = reduce(lambda a, b: a + b, [x * x for x in pe])
+    pnq = reduce(lambda a, b: a + b, [y * y for y in pq])
+    ps = pnum / (F.sqrt(pna) * F.sqrt(pnq))
+    xs = cosine("embedding", "qe")
+    return (
+        base.select(
+            "vec_id", ps.alias("_ps"), xs.alias("_xs")
+        )
+        .select(
+            "vec_id",
+            r4(F.col("_ps")).alias("proj_sim"),
+            r4(F.col("_xs")).alias("exact_sim"),
+            r4(F.abs(F.col("_ps") - F.col("_xs"))).alias("abs_err"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+from s2_spark.suite._ann_oracles import neardup_clusters_oracle  # noqa: E402
+
+
+@query(
+    "x53_dedup_cluster_report",
+    oracle=(
+        "SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters, "
+        "CAST(cluster_size * count(*) AS BIGINT) AS n_docs "
+        "FROM (SELECT cluster, CAST(count(*) AS BIGINT) AS cluster_size "
+        f"FROM ({neardup_clusters_oracle(k=16, bands=4)}) GROUP BY cluster) "
+        "GROUP BY cluster_size ORDER BY cluster_size"
+    ),
+    doc=(
+        "dedup audit report over the near-duplicate clusters (x30's "
+        "connected components): the cluster-size histogram — how many "
+        "clusters of each size, how many documents they hold — the "
+        "number a curation run reads to decide keep-one-per-cluster "
+        "impact before committing a 100 TB rewrite. Adds two "
+        "label-keyed aggregations (both tiny: cardinality is clusters, "
+        "then distinct sizes) on top of the O(n*bands) bucket-star CC; "
+        "the oracle replays signatures, banding, edges, and the "
+        "min-label fixpoint, then the same rollup."
+    ),
+)
+def x53(spark, sf_dir):
+    from s2_spark.functions.dedup import neardup_clusters
+
+    d = t(spark, sf_dir, "documents")
+    labels = neardup_clusters(d, k=16, bands=4)
+    sizes = labels.groupBy("cluster").agg(
+        F.count("*").alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(
+            F.count("*").alias("n_clusters"),
+            (F.col("cluster_size") * F.count("*")).alias("n_docs"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+@query(
+    "x54_source_token_quantiles",
+    oracle=(
+        "WITH n AS (SELECT source, len(string_split(text, ' ')) AS nt "
+        "FROM documents), "
+        "h AS (SELECT source, nt, CAST(count(*) AS BIGINT) AS c "
+        "FROM n GROUP BY source, nt), "
+        "w AS (SELECT source, nt, "
+        "CAST(sum(c) OVER (PARTITION BY source ORDER BY nt ROWS BETWEEN "
+        "UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum, "
+        "CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS total "
+        "FROM h) "
+        "SELECT source, max(total) AS n_docs, "
+        "min(CASE WHEN cum >= (total + 1) // 2 THEN nt END) AS p50_tokens, "
+        "min(CASE WHEN cum >= (total * 9 + 9) // 10 THEN nt END) AS p90_tokens, "
+        "min(CASE WHEN cum >= (total * 99 + 99) // 100 THEN nt END) AS p99_tokens "
+        "FROM w GROUP BY source ORDER BY source"
+    ),
+    doc=(
+        "EXACT per-source token-length quantiles (P50/P90/P99) via the "
+        "bounded-domain histogram — the 100 TB quantile shape: one "
+        "(source, n_tokens)-keyed aggregation with map-side combine "
+        "(cardinality = sources x distinct lengths, NOT rows), then a "
+        "source-partitioned cumulative window over the tiny histogram "
+        "and the smallest length whose cumulative count reaches "
+        "ceil(q*n) (type-1 quantile, pure integer thresholds). No "
+        "full-data sort, no per-group value collection (Spark's exact "
+        "percentile aggregate buffers every value), no approx sketch — "
+        "exactness here is free because token counts are small "
+        "integers. The oracle replays the identical histogram, window, "
+        "and integer thresholds."
+    ),
+)
+def x54(spark, sf_dir):
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    nt = F.size(F.split(F.col("text"), " ")).cast("long")
+    h = (
+        d.select("source", nt.alias("nt"))
+        .groupBy("source", "nt")
+        .agg(F.count("*").alias("c"))
+    )
+    win = (
+        Window.partitionBy("source")
+        .orderBy("nt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = Window.partitionBy("source")
+    w = h.select(
+        "source",
+        "nt",
+        F.sum("c").over(win).alias("cum"),
+        F.sum("c").over(tot).alias("total"),
+    )
+
+    def q_at(num: int, den: int):
+        thresh = (F.col("total") * num + (den - 1)) / den
+        return F.min(
+            F.when(F.col("cum") >= F.floor(thresh), F.col("nt"))
+        )
+
+    return (
+        w.groupBy("source")
+        .agg(
+            F.max("total").alias("n_docs"),
+            q_at(1, 2).alias("p50_tokens"),
+            q_at(9, 10).alias("p90_tokens"),
+            q_at(99, 100).alias("p99_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "x55_kneser_ney_bigram",
+    oracle=(
+        "WITH w AS (SELECT doc_id, "
+        "list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws "
+        "FROM documents), "
+        "bg AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2 "
+        "FROM w, unnest(generate_series(1, len(ws) - 1)) AS t(i)), "
+        "big AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY w1, w2), "
+        "ctx AS (SELECT w1, count(*) AS n, count(DISTINCT w2) AS n1f "
+        "FROM bg GROUP BY w1), "
+        "cont AS (SELECT w2, count(*) AS n1p FROM big GROUP BY w2), "
+        "tt AS (SELECT count(*) AS bt FROM big) "
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, "
+        "round(avg(-ln(greatest(c - 0.75, 0) / n "
+        "+ (0.75 * n1f / n) * (n1p / bt))), 4) AS avg_kn_surprisal "
+        "FROM bg JOIN big USING (w1, w2) JOIN ctx USING (w1) "
+        "JOIN cont USING (w2), tt "
+        "GROUP BY doc_id ORDER BY doc_id"
+    ),
+    doc=(
+        "Kneser-Ney smoothed bigram LM scoring — the real perplexity-"
+        "filter shape (KenLM/CCNet) that x42's unsmoothed conditional "
+        "approximates: P(w2|w1) = max(c(w1,w2)-d, 0)/c(w1) + "
+        "(d*N1+(w1,.)/c(w1)) * N1+(.,w2)/|bigram types|, absolute "
+        "discount d=0.75 with continuation-count backoff, so unseen-in-"
+        "context words are scored by how many contexts they follow "
+        "rather than raw frequency. Same 100 TB shape as x42: bigrams "
+        "fan out in-row (one zip_with per doc), the LM tables "
+        "(c, contexts+following-diversity, continuation counts) are "
+        "vocabulary-cardinality hash aggregations, the type total is a "
+        "broadcast scalar, and scoring is equi-joins on the bigram key "
+        "— nothing scales with corpus bytes except the one scan. "
+        "Oracle replays the identical counts, discount arithmetic "
+        "(same association order), and per-doc mean."
+    ),
+)
+def x55(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    ws = _clean_tokens(F.col("text"))
+    n1 = F.greatest(F.size(ws) - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(ws, F.lit(1), n1),
+        F.slice(ws, F.lit(2), n1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    bg = d.select("doc_id", F.explode(bigrams).alias("p")).select(
+        "doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    big = bg.groupBy("w1", "w2").agg(F.count("*").alias("c"))
+    ctx = bg.groupBy("w1").agg(
+        F.count("*").alias("n"), F.countDistinct("w2").alias("n1f")
+    )
+    # continuation count N1+(., w2) = #distinct predecessors = rows of
+    # the bigram-type table per w2; type total = one broadcast scalar
+    cont = big.groupBy("w2").agg(F.count("*").alias("n1p"))
+    tt = big.agg(F.count("*").alias("bt"))
+    p_kn = (
+        F.greatest(F.col("c") - F.lit(0.75), F.lit(0.0)) / F.col("n")
+        + (F.lit(0.75) * F.col("n1f") / F.col("n"))
+        * (F.col("n1p") / F.col("bt"))
+    )
+    return (
+        bg.join(big, ["w1", "w2"])
+        .join(ctx, ["w1"])
+        .join(cont, ["w2"])
+        .crossJoin(F.broadcast(tt))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            r4(F.avg(-F.log(p_kn))).alias("avg_kn_surprisal"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "x56_split_assignment",
+    oracle=(
+        "WITH h AS (SELECT source, md5(CAST(doc_id AS VARCHAR)) AS mh "
+        "FROM documents), "
+        "b AS (SELECT source, "
+        "(strpos('0123456789abcdef', substr(mh, 1, 1)) - 1) * 16 "
+        "+ (strpos('0123456789abcdef', substr(mh, 2, 1)) - 1) AS v FROM h) "
+        "SELECT source, "
+        "CASE WHEN v < 204 THEN 'train' WHEN v < 230 THEN 'val' "
+        "ELSE 'test' END AS split, CAST(count(*) AS BIGINT) AS n_docs "
+        "FROM b GROUP BY source, split ORDER BY source, split"
+    ),
+    doc=(
+        "deterministic train/val/test split assignment with a per-"
+        "source stratification report: the split is a pure function of "
+        "md5(doc_id) (first byte: <204 train ~80%, <230 val ~10%, rest "
+        "test), so it is stable across runs, machines, and re-shards — "
+        "the property that keeps eval sets uncontaminated when a 100 TB "
+        "corpus is re-processed. One map-only hash + one partial-agg "
+        "rollup; no shuffle carries document text. The report is what a "
+        "curation run checks for per-source split skew before training. "
+        "Oracle replays the hex-digit decode and thresholds exactly."
+    ),
+)
+def x56(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    h = d.select(
+        "source", F.md5(F.col("doc_id").cast("string")).alias("mh")
+    )
+
+    def nib(pos: int):
+        # hex digit -> 0..15 via position in the alphabet (the same
+        # portable decode the simhash oracle uses — no conv/from_hex
+        # dependence on either engine)
+        return F.expr(
+            f"locate(substr(mh, {pos}, 1), '0123456789abcdef') - 1"
+        )
+
+    v = nib(1) * 16 + nib(2)
+    split = (
+        F.when(v < 204, F.lit("train"))
+        .when(v < 230, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        h.select("source", split.alias("split"))
+        .groupBy("source", "split")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("source", "split")
+    )
+
+
+def _hll_oracle() -> str:
+    """Replay of x57's deterministic HyperLogLog: identical md5-derived
+    bucket/rank splits, integer-exact register sums (2^(55-rho) in
+    BIGINT — no float reassociation anywhere in the sketch), identical
+    small-range linear-counting switch."""
+    hexes = "0123456789abcdef"
+    w = " + ".join(
+        f"(strpos('{hexes}', substr(mh, {3 + i}, 1)) - 1) * {16 ** (11 - i)}"
+        for i in range(12)
+    )
+    rho = (
+        "CASE "
+        + " ".join(
+            f"WHEN w >= {1 << (48 - r)} THEN {r}" for r in range(1, 49)
+        )
+        + " ELSE 49 END"
+    )
+    return (
+        "WITH h AS (SELECT source, md5(text) AS mh FROM documents), "
+        "d AS (SELECT source, mh, "
+        "((strpos('0123456789abcdef', substr(mh, 1, 1)) - 1) * 16 "
+        "+ (strpos('0123456789abcdef', substr(mh, 2, 1)) - 1)) % 64 AS b, "
+        f"({w}) AS w FROM h), "
+        f"r AS (SELECT source, b, max({rho}) AS rho, count(*) AS nd "
+        "FROM d GROUP BY source, b), "
+        "s AS (SELECT source, CAST(sum(nd) AS BIGINT) AS n_docs, "
+        "CAST(sum((1::BIGINT << (55 - rho))) "
+        "+ (64 - count(*)) * (1::BIGINT << 55) AS BIGINT) AS int_sum, "
+        "64 - count(*) AS zeros "
+        "FROM r GROUP BY source), "
+        "sx AS (SELECT source, CAST(count(DISTINCT mh) AS BIGINT) AS xd "
+        "FROM h GROUP BY source), "
+        "e AS (SELECT s.source, n_docs, xd AS exact_distinct, zeros, "
+        "(0.709 * 4096 * 36028797018963968) / int_sum AS raw "
+        "FROM s JOIN sx ON s.source = sx.source) "
+        "SELECT source, n_docs, exact_distinct, "
+        "round(CASE WHEN raw <= 160.0 AND zeros > 0 "
+        "THEN 64.0 * ln(64.0 / zeros) ELSE raw END, 4) AS hll_estimate, "
+        "round(abs(CASE WHEN raw <= 160.0 AND zeros > 0 "
+        "THEN 64.0 * ln(64.0 / zeros) ELSE raw END - exact_distinct) "
+        "/ exact_distinct, 4) AS rel_err "
+        "FROM e ORDER BY source"
+    )
+
+
+@query(
+    "x57_hll_cardinality",
+    oracle=_hll_oracle(),
+    doc=(
+        "deterministic HyperLogLog distinct-count sketch per source "
+        "(Flajolet et al. 2007), verified END TO END against the exact "
+        "answer: md5(text) splits into a 6-bit bucket and a 48-bit "
+        "rank word, registers are max leading-zero ranks per bucket, "
+        "and the harmonic sum is computed as an EXACT BIGINT (each "
+        "term 2^(55-rho), empty buckets 2^55) so no float "
+        "reassociation can make the sketch engine-dependent — the only "
+        "floats are the final alpha*m^2*2^55/int_sum division and the "
+        "small-range linear-counting branch, both deterministic on "
+        "exact integer inputs. At 100 TB this is THE cardinality "
+        "shape: the shuffle carries at most 64 register rows per "
+        "source (not the distinct set), merging is a max — here the "
+        "exact count rides alongside only to hash-verify the sketch "
+        "and report its relative error."
+    ),
+)
+def x57(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    h = d.select("source", F.md5("text").alias("mh"))
+    hexes = "0123456789abcdef"
+    nib1 = F.expr(f"locate(substr(mh, 1, 1), '{hexes}') - 1")
+    nib2 = F.expr(f"locate(substr(mh, 2, 1), '{hexes}') - 1")
+    b = (nib1 * 16 + nib2) % 64
+    w = F.conv(F.substring("mh", 3, 12), 16, 10).cast("long")
+    dd = h.select("source", "mh", b.alias("b"), w.alias("w"))
+    rho = F.lit(None)
+    expr = None
+    for r in range(1, 49):
+        cond = F.col("w") >= F.lit(1 << (48 - r))
+        expr = F.when(cond, r) if expr is None else expr.when(cond, r)
+    rho = expr.otherwise(F.lit(49))
+    regs = dd.groupBy("source", "b").agg(
+        F.max(rho).alias("rho"), F.count("*").alias("nd")
+    )
+    per_src = regs.groupBy("source").agg(
+        F.sum("nd").alias("n_docs"),
+        (
+            F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(55 - rho AS INT))"))
+            + (F.lit(64) - F.count("*")) * F.lit(1 << 55)
+        ).cast("long").alias("int_sum"),
+        (F.lit(64) - F.count("*")).alias("zeros"),
+    )
+    exact = h.groupBy("source").agg(
+        F.countDistinct("mh").alias("exact_distinct")
+    )
+    raw = (F.lit(0.709) * F.lit(4096) * F.lit(1 << 55)) / F.col("int_sum")
+    est = F.when(
+        (raw <= F.lit(160.0)) & (F.col("zeros") > 0),
+        F.lit(64.0) * F.log(F.lit(64.0) / F.col("zeros")),
+    ).otherwise(raw)
+    return (
+        per_src.join(exact, "source")
+        .select(
+            "source",
+            "n_docs",
+            "exact_distinct",
+            r4(est).alias("hll_estimate"),
+            r4(F.abs(est - F.col("exact_distinct")) / F.col("exact_distinct")).alias(
+                "rel_err"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+def _cms_oracle(depth: int = 4, width: int = 256, k: int = 10) -> str:
+    """Replay of x58's count-min sketch: identical md5-byte hash rows,
+    identical counter table, identical min-over-rows estimates — all
+    integer, so the sketch is bit-identical across engines."""
+    hexes = "0123456789abcdef"
+
+    def bucket(j: int) -> str:
+        return (
+            f"(strpos('{hexes}', substr(mh, {2 * j + 1}, 1)) - 1) * 16 "
+            f"+ (strpos('{hexes}', substr(mh, {2 * j + 2}, 1)) - 1)"
+        )
+
+    rows = " UNION ALL ".join(
+        f"SELECT tok, {j} AS j, {bucket(j)} AS b FROM th"
+        for j in range(depth)
+    )
+    return (
+        "WITH toks AS (SELECT unnest(list_filter(string_split(lower(text), "
+        "' '), x -> x <> '')) AS tok FROM documents), "
+        "th AS (SELECT tok, md5(tok) AS mh FROM toks), "
+        f"tb AS ({rows}), "
+        "cnt AS (SELECT j, b, CAST(count(*) AS BIGINT) AS c "
+        "FROM tb GROUP BY j, b), "
+        "est AS (SELECT tok, min(c) AS cms_est FROM (SELECT DISTINCT tok, j, b "
+        "FROM tb) d JOIN cnt USING (j, b) GROUP BY tok), "
+        "ex AS (SELECT tok, CAST(count(*) AS BIGINT) AS exact_count "
+        "FROM toks GROUP BY tok) "
+        "SELECT tok, exact_count, cms_est, "
+        "cms_est - exact_count AS overestimate "
+        "FROM est JOIN ex USING (tok) "
+        f"ORDER BY cms_est DESC, tok LIMIT {k}"
+    )
+
+
+@query(
+    "x58_cms_heavy_hitters",
+    oracle=_cms_oracle(depth=4, width=256, k=10),
+    doc=(
+        "count-min sketch heavy hitters (Cormode & Muthukrishnan 2005), "
+        "verified end to end: 4 hash rows x 256 buckets (row j's bucket "
+        "= byte j of md5(token)), token frequency estimated as the MIN "
+        "of its 4 counters — never an underestimate, so the top-k by "
+        "estimate is a superset-biased heavy-hitter report. The whole "
+        "sketch is integer arithmetic on md5 bytes: bit-identical "
+        "across engines, no float anywhere. At 100 TB the counter "
+        "table is the point — 1024 cells regardless of vocabulary, "
+        "mergeable by addition, one map-side-combined aggregation over "
+        "the token stream; the exact per-token counts ride alongside "
+        "only to verify the sketch and expose each hitter's "
+        "overestimate (collision mass)."
+    ),
+)
+def x58(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(_clean_tokens(F.col("text"))).alias("tok")
+    )
+    th = toks.select("tok", F.md5("tok").alias("mh"))
+    hexes = "0123456789abcdef"
+
+    def bucket(j: int):
+        return F.expr(
+            f"(locate(substr(mh, {2 * j + 1}, 1), '{hexes}') - 1) * 16 "
+            f"+ (locate(substr(mh, {2 * j + 2}, 1), '{hexes}') - 1)"
+        )
+
+    tb = th.select(
+        "tok",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"), bucket(j).alias("b")
+                    )
+                    for j in range(4)
+                ]
+            )
+        ).alias("p"),
+    ).select("tok", F.col("p.j").alias("j"), F.col("p.b").alias("b"))
+    cnt = tb.groupBy("j", "b").agg(F.count("*").alias("c"))
+    est = (
+        tb.distinct()
+        .join(F.broadcast(cnt), ["j", "b"])
+        .groupBy("tok")
+        .agg(F.min("c").alias("cms_est"))
+    )
+    ex = toks.groupBy("tok").agg(F.count("*").alias("exact_count"))
+    return (
+        est.join(ex, "tok")
+        .select(
+            "tok",
+            "exact_count",
+            "cms_est",
+            (F.col("cms_est") - F.col("exact_count")).alias("overestimate"),
+        )
+        .orderBy(F.desc("cms_est"), "tok")
+        .limit(10)
+    )
