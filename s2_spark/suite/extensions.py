@@ -2700,3 +2700,115 @@ def x58(spark, sf_dir):
         .orderBy(F.desc("cms_est"), "tok")
         .limit(10)
     )
+
+
+def _bloom_oracle(m_bits: int = 2048, k_hashes: int = 4, mod: int = 97) -> str:
+    """Replay of x59's Bloom filter: identical md5-derived bit
+    positions (3 hex digits per hash, mod m), identical bit set,
+    identical all-k-positions-present membership rule — all integer,
+    bit-identical across engines."""
+    hexes = "0123456789abcdef"
+
+    def pos(j: int) -> str:
+        digits = " + ".join(
+            f"(strpos('{hexes}', substr(mh, {3 * j + 1 + i}, 1)) - 1) "
+            f"* {16 ** (2 - i)}"
+            for i in range(3)
+        )
+        return f"(({digits}) % {m_bits})"
+
+    probes = " UNION ALL ".join(
+        f"SELECT doc_id, source, {pos(j)} AS p FROM h" for j in range(k_hashes)
+    )
+    blockbits = " UNION ".join(
+        f"SELECT {pos(j)} AS p FROM h WHERE doc_id % {mod} = 0"
+        for j in range(k_hashes)
+    )
+    return (
+        "WITH h AS (SELECT doc_id, source, md5(text) AS mh FROM documents), "
+        f"bits AS ({blockbits}), "
+        f"pr AS ({probes}), "
+        "hits AS (SELECT doc_id, source, "
+        f"CAST(sum(CASE WHEN bits.p IS NOT NULL THEN 1 ELSE 0 END) = {k_hashes} "
+        "AS INTEGER) AS in_bloom "
+        "FROM pr LEFT JOIN bits ON pr.p = bits.p GROUP BY doc_id, source), "
+        "tr AS (SELECT d.doc_id, "
+        "CAST(max(CASE WHEN b.mh IS NOT NULL THEN 1 ELSE 0 END) AS INTEGER) "
+        "AS is_true FROM (SELECT doc_id, md5(text) AS mh FROM documents) d "
+        f"LEFT JOIN (SELECT DISTINCT md5(text) AS mh FROM documents "
+        f"WHERE doc_id % {mod} = 0) b ON d.mh = b.mh GROUP BY d.doc_id) "
+        "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(in_bloom) AS BIGINT) AS bloom_hits, "
+        "CAST(sum(is_true) AS BIGINT) AS true_hits, "
+        "CAST(sum(in_bloom) - sum(is_true) AS BIGINT) AS false_positives "
+        "FROM hits JOIN tr USING (doc_id) "
+        "GROUP BY source ORDER BY source"
+    )
+
+
+@query(
+    "x59_bloom_blocklist",
+    oracle=_bloom_oracle(m_bits=2048, k_hashes=4, mod=97),
+    doc=(
+        "Bloom-filter blocklist probe, verified end to end — the third "
+        "sketch of the trilogy (x57 cardinality, x58 frequency, x59 "
+        "membership): a deterministic blocklist (every 97th document) "
+        "hashes into a 2048-bit filter via 4 md5-derived positions; "
+        "every document probes the filter (member iff ALL 4 positions "
+        "are set) and the per-source report compares bloom hits with "
+        "exact digest membership, surfacing the false-positive mass. "
+        "The 100 TB point: the BIT SET (<= 2048 rows, broadcastable) "
+        "replaces shipping the blocklist itself to every probe — "
+        "membership never touches the blocklist texts — and the whole "
+        "sketch is integer md5 arithmetic, bit-identical across "
+        "engines; the exact anti-join side rides along only as the "
+        "verification companion."
+    ),
+)
+def x59(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    h = d.select("source", "doc_id", F.md5("text").alias("mh"))
+    hexes = "0123456789abcdef"
+
+    def pos(j: int):
+        return F.expr(
+            " + ".join(
+                f"(locate(substr(mh, {3 * j + 1 + i}, 1), '{hexes}') - 1) "
+                f"* {16 ** (2 - i)}"
+                for i in range(3)
+            )
+        ) % 2048
+
+    karr = F.array(*[pos(j) for j in range(4)])
+    bits = (
+        h.filter(F.col("doc_id") % 97 == 0)
+        .select(F.explode(karr).alias("p"))
+        .distinct()
+        .withColumn("_set", F.lit(1))
+    )
+    pr = h.select("doc_id", "source", F.explode(karr).alias("p"))
+    hits = (
+        pr.join(F.broadcast(bits), "p", "left")
+        .groupBy("doc_id", "source")
+        .agg((F.sum(F.coalesce(F.col("_set"), F.lit(0))) == 4).cast("int").alias("in_bloom"))
+    )
+    block = (
+        h.filter(F.col("doc_id") % 97 == 0).select("mh").distinct()
+        .withColumn("_blk", F.lit(1))
+    )
+    tr = (
+        h.join(F.broadcast(block), "mh", "left")
+        .groupBy("doc_id")
+        .agg(F.max(F.coalesce(F.col("_blk"), F.lit(0))).cast("int").alias("is_true"))
+    )
+    return (
+        hits.join(tr, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("in_bloom").alias("bloom_hits"),
+            F.sum("is_true").alias("true_hits"),
+            (F.sum("in_bloom") - F.sum("is_true")).alias("false_positives"),
+        )
+        .orderBy("source")
+    )
