@@ -1906,3 +1906,42 @@ def test_source_rebase_first_window_capped(spark, store):
     assert [
         (p.start, p.end) for p in r.partitions(o1, o2) if p.stream == "dead"
     ] == [(0, 2)]
+
+
+def test_reader_hwm_concurrent_writers_keep_monotone_max(tmp_path):
+    """The durable reader-HWM merge is flock-serialized: concurrent
+    writers (two queries on one store, or a trigger racing a restart)
+    can never lose the maximum — a lost max would let a later cold
+    reader cap below another query's checkpointed position."""
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
+    from s2_spark.streaming.source import (
+        _reader_hwm_read,
+        _reader_hwm_write_max,
+    )
+
+    base = str(tmp_path / "records")
+    os.makedirs(base)
+    key = "b\x00s"
+
+    def writer(vals):
+        for g, e in vals:
+            _reader_hwm_write_max(base, key, g, e)
+
+    import random as _r
+
+    seqs = []
+    for w in range(4):
+        rng = _r.Random(w)
+        seqs.append([(0, rng.randint(1, 1000)) for _ in range(50)])
+    with ThreadPoolExecutor(4) as ex:
+        for f in [ex.submit(writer, s) for s in seqs]:
+            f.result()
+    expect = max(e for s in seqs for _, e in s)
+    assert _reader_hwm_read(base, key) == (0, expect)
+    # generation replaces outright, then stays monotone; lower-gen
+    # stragglers are ignored
+    _reader_hwm_write_max(base, key, 1, 3)
+    _reader_hwm_write_max(base, key, 0, 10_000)
+    assert _reader_hwm_read(base, key) == (1, 3)
