@@ -171,17 +171,36 @@ def ivf_assign_fixed(
     """Assign every vector to its nearest centroid (squared euclidean,
     first-min tie-break) — one fold per centroid (zip_with + aggregate,
     element-order summation so an external engine reproduces the exact
-    IEEE doubles), no shuffle, no UDF. Adds ``_cell``."""
-    v = _dbl(vec_col)
+    IEEE doubles), no shuffle, no UDF. Adds ``_cell``.
+
+    The folds read the RAW column and let zip_with's float->double
+    coercion widen per element (exact, same doubles as casting first):
+    a _dbl() transform here would be textually repeated once per
+    centroid inside the single _cell expression, and Catalyst inlines
+    that expression into pushed-down probe filters."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
 
     def sqdist(c: list[float]) -> Column:
         lit = F.array(*[F.lit(float(x)) for x in c])
         diffs = F.zip_with(v, lit, lambda x, y: (x - y) * (x - y))
         return F.aggregate(diffs, F.lit(0.0), lambda s, x: s + x)
 
-    dists = F.array(*[sqdist(c) for c in centroids])
-    cell = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
-    return df.withColumn("_cell", cell)
+    # single-reference argmin: array_min over (dist, index) structs
+    # (lexicographic struct order = least distance, first index on
+    # ties — exactly array_position-of-min semantics). The former
+    # array_position(dists, array_min(dists)) referenced the fold
+    # array TWICE, and Catalyst's inferred isnotnull(_cell) filters
+    # inline the whole doubled expression below every join/probe —
+    # past whole-stage codegen size, where interpreted evaluation has
+    # no subexpression elimination (the x52/round-10 defect class,
+    # caught by the plan-hygiene oversized-duplication detector).
+    cells = F.array(
+        *[
+            F.struct(sqdist(c).alias("d"), F.lit(i).alias("i"))
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return df.withColumn("_cell", F.array_min(cells)["i"].cast("int"))
 
 
 def ivf_train_assign(
@@ -234,7 +253,22 @@ def ivf_topk(
         i for i, _ in sorted(centers, key=lambda ic: (_sqdist(ic[1], query), ic[0]))[:nprobe]
     ]
     qdf = _vec_lit_df(assigned.sparkSession, query)
-    base = assigned.filter(F.col("_cell").isin(probe_cells))
+    # probe-cell selection as a NULL-SAFE broadcast semi-join instead
+    # of isin(): a pushed-down isin predicate (and the isnotnull
+    # Catalyst infers from a plain equi-join) would inline the whole
+    # _cell assignment expression below the projection that
+    # materializes it — once per branch filter, with every centroid
+    # fold re-evaluated. eqNullSafe blocks the isnotnull inference and
+    # join keys evaluate the materialized column exactly once.
+    spark = assigned.sparkSession
+    cells_df = spark.createDataFrame(
+        [(int(c),) for c in probe_cells], "probe_cell int"
+    )
+    base = assigned.join(
+        F.broadcast(cells_df),
+        F.col("_cell").eqNullSafe(F.col("probe_cell")),
+        "leftsemi",
+    )
     if query_id is not None:
         base = base.filter(F.col(id_col) != query_id)
     return (

@@ -1986,13 +1986,20 @@ def x49(spark, sf_dir):
     cents = ivf_fixed_centroids(n_cells=16, dim=64, seed=7)
     a = ivf_assign_fixed(synth, cents)
     left = a.select(
-        F.col("vec_id").alias("a_id"), F.col("embedding").alias("va"), "_cell"
+        F.col("vec_id").alias("a_id"), F.col("embedding").alias("va"),
+        F.col("_cell").alias("_ca"),
     )
     right = a.select(
-        F.col("vec_id").alias("b_id"), F.col("embedding").alias("vb"), "_cell"
+        F.col("vec_id").alias("b_id"), F.col("embedding").alias("vb"),
+        F.col("_cell").alias("_cb"),
     )
+    # null-safe join: a plain equi-join makes Catalyst infer
+    # isnotnull(_cell) and push it below the projection that
+    # materializes the assignment, re-inlining every centroid fold
+    # into the planted-synthesis branch (plan-hygiene oversized-dup
+    # detector). _cell is never null; eqNullSafe is value-identical.
     pairs = (
-        left.join(right, "_cell")
+        left.join(right, F.col("_ca").eqNullSafe(F.col("_cb")))
         .filter(F.col("a_id") < F.col("b_id"))
         .select("a_id", "b_id", cosine("va", "vb").alias("s"))
     )
@@ -2214,25 +2221,43 @@ def x52(spark, sf_dir):
 
     emb = t(spark, sf_dir, "embeddings")
     planes = _hyperplanes(dim=64, m=8, seed=11)
-    q = _query_df(emb, "embedding", None, query_id=0)
-    base = emb.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
 
-    def proj(col: str) -> list:
-        return [
-            dot(F.col(col), F.array(*[F.lit(float(x)) for x in p]))
-            for p in planes
-        ]
+    def proj(col: str):
+        return F.array(
+            *[
+                dot(F.col(col), F.array(*[F.lit(float(x)) for x in p]))
+                for p in planes
+            ]
+        )
 
-    pe, pq = proj("embedding"), proj("qe")
-    pnum = reduce(lambda a, b: a + b, [x * y for x, y in zip(pe, pq)])
-    pna = reduce(lambda a, b: a + b, [x * x for x in pe])
-    pnq = reduce(lambda a, b: a + b, [y * y for y in pq])
+    # materialize the 8 projection folds as a COLUMN on each side
+    # before any of them is referenced twice: the similarity arithmetic
+    # reads pv/qv ELEMENTS, so every 64-element fold runs exactly once
+    # per row (inlining them into pnum+pna made the single projection
+    # expression big enough to fall out of whole-stage codegen —
+    # measured 50 s warm at sf0.1 for 2k vectors; this shape is 0.5 s)
+    q = _query_df(emb, "embedding", None, query_id=0).select(
+        "qe", proj("qe").alias("qv")
+    )
+    base = (
+        emb.filter(F.col("vec_id") != 0)
+        .select("vec_id", "embedding", proj("embedding").alias("pv"))
+        .crossJoin(F.broadcast(q))
+    )
+    el = lambda c, i: F.element_at(F.col(c), i + 1)  # noqa: E731
+    pnum = reduce(
+        lambda a, b: a + b, [el("pv", i) * el("qv", i) for i in range(8)]
+    )
+    pna = reduce(
+        lambda a, b: a + b, [el("pv", i) * el("pv", i) for i in range(8)]
+    )
+    pnq = reduce(
+        lambda a, b: a + b, [el("qv", i) * el("qv", i) for i in range(8)]
+    )
     ps = pnum / (F.sqrt(pna) * F.sqrt(pnq))
     xs = cosine("embedding", "qe")
     return (
-        base.select(
-            "vec_id", ps.alias("_ps"), xs.alias("_xs")
-        )
+        base.select("vec_id", ps.alias("_ps"), xs.alias("_xs"))
         .select(
             "vec_id",
             r4(F.col("_ps")).alias("proj_sim"),

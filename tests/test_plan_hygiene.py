@@ -129,8 +129,10 @@ def _gram_quadratic_exprs(plan: str) -> list[str]:
     Catalyst could have evaluated it once per input row below the
     explode, but will instead evaluate it per generated row. Exprs ON
     the Generate line itself (generator arguments) run once per input
-    row and are fine; same-operator textual duplication is left to
-    codegen subexpression elimination (linear, not the quadratic)."""
+    row and are fine; same-operator textual duplication in a normal-
+    sized operator is left to codegen subexpression elimination —
+    except in an OVERSIZED operator (see below), where codegen gives
+    up and interpreted evaluation has no CSE."""
     lines = plan.splitlines()
     nodes = []  # (depth, line)
     for line in lines:
@@ -144,9 +146,30 @@ def _gram_quadratic_exprs(plan: str) -> list[str]:
             j += 1
         return range(i + 1, j)
 
+    bad = []
+    # second class (round-10, found live in x52): the same expensive
+    # fold duplicated within ONE oversized operator. Normally codegen
+    # subexpression elimination makes same-operator duplication a
+    # non-issue, but a projection too large for whole-stage codegen
+    # falls back to interpreted evaluation where no CSE applies — x52's
+    # inlined 8x2 projection folds ran 50 s warm at sf0.1 (0.5 s once
+    # materialized as an array column). Line length is the codegen-
+    # fallout proxy.
+    for _, line in nodes:
+        if len(line) < 20_000:
+            continue
+        seen: dict[str, int] = {}
+        for expr in _expensive_exprs(line):
+            norm = re.sub(r"#\d+", "#", expr)
+            seen[norm] = seen.get(norm, 0) + 1
+        bad += [
+            f"(dup in oversized operator) {n[:130]}"
+            for n, c in seen.items()
+            if c >= 2
+        ]
     gens = [i for i, (_, l) in enumerate(nodes) if "Generate " in l]
     if not gens:
-        return []
+        return sorted(set(bad))
     # per Generate: ids visible below it, and its generator outputs
     # (the last bracket group on the Generate line)
     below_ids: dict[int, set[str]] = {}
@@ -159,7 +182,6 @@ def _gram_quadratic_exprs(plan: str) -> list[str]:
         out_ids[g] = (
             set(_ATTR_ID.findall(last_bracket[-1])) if last_bracket else set()
         )
-    bad = []
     for i, (_, line) in enumerate(nodes):
         if "Generate " in line:
             continue
@@ -244,6 +266,59 @@ def test_gram_quadratic_detector_fires_on_prefix_x42_shape(spark):
         "id", F.transform(toks, F.md5).alias("hs")
     )
     assert not _gram_quadratic_exprs(_physical_plan(flat))
+
+
+def test_detector_fires_on_oversized_duplicated_folds(spark):
+    """The round-10 x52 defect: many large fold expressions inlined
+    twice each into ONE projection push it past whole-stage codegen,
+    and interpreted evaluation has no subexpression elimination —
+    measured 50 s warm for 2k rows. The detector flags duplicated
+    expensive exprs inside an oversized operator; the fixed shape
+    (folds materialized as an array column, elements referenced above)
+    stays clean."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    from s2_spark.functions.similarity import _hyperplanes, dot
+
+    emb = spark.range(10).select(
+        "id",
+        F.array(*[(F.col("id") + i).cast("double") for i in range(64)]).alias(
+            "v"
+        ),
+    )
+    planes = _hyperplanes(dim=64, m=8, seed=11)
+    folds = [
+        dot(F.col("v"), F.array(*[F.lit(float(x)) for x in p]))
+        for p in planes
+    ]
+    num = reduce(lambda a, b: a + b, [f * f for f in folds])
+    den = reduce(lambda a, b: a + b, [f * F.lit(2.0) for f in folds])
+    bad = emb.select("id", (num / den).alias("s"))
+    assert any(
+        "dup in oversized operator" in b
+        for b in _gram_quadratic_exprs(_physical_plan(bad))
+    )
+    good = emb.select(
+        "id", F.array(*folds).alias("pv")
+    ).select(
+        "id",
+        (
+            reduce(
+                lambda a, b: a + b,
+                [
+                    F.element_at("pv", i + 1) * F.element_at("pv", i + 1)
+                    for i in range(8)
+                ],
+            )
+            / reduce(
+                lambda a, b: a + b,
+                [F.element_at("pv", i + 1) * F.lit(2.0) for i in range(8)],
+            )
+        ).alias("s"),
+    )
+    assert not _gram_quadratic_exprs(_physical_plan(good))
 
 
 @pytest.mark.parametrize("name", _QUERIES)
