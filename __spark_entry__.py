@@ -100,6 +100,9 @@ _R10_RESCORE = frozenset({
     # recall reports that ride it
     "x48_winnowing_fingerprints", "x13_lsh_ann_topk",
     "x34_ann_recall_report", "x36_ann_recall_planted",
+    # oversized-fold fixes re-planned the IVF family (single-reference
+    # argmin + coercion instead of per-centroid casts + null-safe keys)
+    "x14_ivf_ann_topk", "x37_ivf_recall_planted", "x49_semdedup",
 })
 
 

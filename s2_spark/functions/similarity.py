@@ -143,8 +143,15 @@ def lsh_topk(
         "qe", "_qn", F.explode(probes).alias("_bkt")
     )
     base = bucketed if query is not None else bucketed.filter(F.col(id_col) != query_id)
+    # null-safe key: a plain equi-join makes Catalyst infer
+    # isnotnull(_bkt) and push it to the scan with the whole m-plane
+    # bucket expression inlined — recomputing every sign fold per row
+    # just for the null check. The key is never null; values identical.
+    qx = qx.withColumnRenamed("_bkt", "_qprobe")
     return (
-        base.join(F.broadcast(qx), "_bkt")
+        base.join(
+            F.broadcast(qx), F.col("_bkt").eqNullSafe(F.col("_qprobe"))
+        )
         .select(
             id_col,
             (dot(vec_col, "qe") / (norm(vec_col) * F.col("_qn"))).alias("sim"),

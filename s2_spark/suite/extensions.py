@@ -2134,10 +2134,15 @@ def x51(spark, sf_dir):
         F.explode(probes).alias("_bkt"),
     )
     right = a.select(
-        F.col("vec_id").alias("b_id"), F.col("embedding").alias("vb"), "_bkt"
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("vb"),
+        F.col("_bkt").alias("_bktr"),
     )
+    # null-safe key: blocks the inferred isnotnull(_bkt) that would
+    # re-inline the m-plane sign folds into pushed scan filters (the
+    # key is never null; values identical)
     pairs = (
-        left.join(right, "_bkt")
+        left.join(right, F.col("_bkt").eqNullSafe(F.col("_bktr")))
         .filter(F.col("a_id") < F.col("b_id"))
         .select("a_id", "b_id", cosine("va", "vb").alias("s"))
     )
