@@ -2842,3 +2842,83 @@ def x59(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@query(
+    "x60_gapfill_locf",
+    oracle=(
+        "WITH e AS (SELECT event_type, "
+        "CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h, value FROM events), "
+        "agg AS (SELECT event_type, h, CAST(count(*) AS BIGINT) AS n_events, "
+        "sum(value) AS sv FROM e GROUP BY event_type, h), "
+        "b AS (SELECT min(h) AS h0, max(h) AS h1 FROM e), "
+        "ty AS (SELECT DISTINCT event_type FROM e), "
+        "grid AS (SELECT event_type, gs.h FROM ty, b, "
+        "unnest(generate_series(b.h0, b.h1)) AS gs(h)), "
+        "f AS (SELECT grid.event_type, grid.h, "
+        "coalesce(agg.n_events, 0) AS n_events, agg.sv "
+        "FROM grid LEFT JOIN agg USING (event_type, h)), "
+        "w AS (SELECT event_type, h, n_events, sv, "
+        "last_value(sv IGNORE NULLS) OVER (PARTITION BY event_type "
+        "ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+        "AS locf FROM f) "
+        "SELECT event_type, h AS hour_epoch, n_events, "
+        "round(sv, 4) AS bucket_sum, round(locf, 4) AS locf_sum, "
+        "CAST(CASE WHEN n_events = 0 THEN 1 ELSE 0 END AS INTEGER) AS is_gap "
+        "FROM w ORDER BY event_type, hour_epoch"
+    ),
+    doc=(
+        "time-series gap filling with last-observation-carried-forward "
+        "interpolation: hourly buckets per event type over the global "
+        "time range, empty buckets materialized from a generated grid "
+        "(types x sequence(min_hour, max_hour) — the dense axis a "
+        "dashboard or a training-curriculum sampler needs; a naive "
+        "groupBy silently omits gaps) and their value carried forward "
+        "by the last non-null window. The grid bounds are one broadcast "
+        "1-row aggregate; the fill windows are event_type-PARTITIONED "
+        "(never a global sort); grid cardinality = types x hours, "
+        "independent of event count — at 100 TB the dense grid is "
+        "MUCH smaller than the raw events it summarizes. Oracle "
+        "replays bucketing (identical integer epoch-hour floor), the "
+        "grid, and the LOCF window."
+    ),
+)
+def x60(spark, sf_dir):
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("unix_timestamp(ts) div 3600").alias("h"),
+        "value",
+    )
+    agg = e.groupBy("event_type", "h").agg(
+        F.count("*").alias("n_events"), F.sum("value").alias("sv")
+    )
+    bounds = e.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    grid = (
+        e.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type", F.explode(F.sequence("h0", "h1")).alias("h")
+        )
+    )
+    full = grid.join(agg, ["event_type", "h"], "left").select(
+        "event_type",
+        "h",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        "sv",
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return full.select(
+        "event_type",
+        F.col("h").alias("hour_epoch"),
+        "n_events",
+        r4(F.col("sv")).alias("bucket_sum"),
+        r4(F.last("sv", ignorenulls=True).over(w)).alias("locf_sum"),
+        (F.col("n_events") == 0).cast("int").alias("is_gap"),
+    ).orderBy("event_type", "hour_epoch")
