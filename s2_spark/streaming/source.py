@@ -565,7 +565,10 @@ class S2StreamReader(DataSourceStreamReader):
         import pyarrow.dataset as ds
 
         b, s = key.split(SEP, 1)
-        dataset = ds.dataset(self.path, format="parquet")
+        # explicit file list for the same reason as read(): dir-level
+        # discovery walks Spark's `_temporary` staging and races its
+        # removal under concurrent appends
+        dataset = ds.dataset(_parquet_files(self.path), format="parquet")
         while nxt < tail:
             hi = min(nxt + self._BYTES_SCAN_WINDOW, tail)
             flt = (
@@ -684,7 +687,6 @@ class S2StreamReader(DataSourceStreamReader):
             return
         import pyarrow.dataset as ds
 
-        dataset = ds.dataset(partition.path, format="parquet")
         flt = (
             (ds.field("basin") == partition.basin)
             & (ds.field("stream") == partition.stream)
@@ -692,7 +694,52 @@ class S2StreamReader(DataSourceStreamReader):
             & (ds.field("seq_num") < partition.end)
         )
         cols = [f.name for f in RECORD_SCHEMA.fields]
-        table = dataset.to_table(filter=flt, columns=cols)
+        # EXPLICIT file list, not ds.dataset(dir): pyarrow's recursive
+        # discovery walks into Spark's `_temporary` append staging and
+        # races its removal (FileNotFoundError mid-listing, caught
+        # live by test_source_exactly_once_under_live_concurrent_
+        # compaction); _parquet_files applies the same underscore/dot
+        # filter as every other listing here. The read itself then
+        # races the compaction swap window: a mid-swap listing can
+        # miss rows of a PLANNED slice, and delivering short would
+        # lose them forever (the offset has already advanced) — so a
+        # shortfall with the trash dir sighted retries, a shortfall
+        # with no swap in sight is accepted (physical trim legitimately
+        # removes records below the trim point), and a stranded swap
+        # raises loudly rather than under-delivering.
+        expected = partition.end - partition.start
+        trash = partition.path.rstrip("/") + ".trash"
+        table = None
+        for _ in range(80):
+            saw = os.path.isdir(trash)
+            try:
+                files = _parquet_files(partition.path)
+                t = (
+                    ds.dataset(files, format="parquet").to_table(
+                        filter=flt, columns=cols
+                    )
+                    if files
+                    else None
+                )
+            except (FileNotFoundError, OSError):
+                time.sleep(0.05)  # a listed file moved mid-scan
+                continue
+            n = t.num_rows if t is not None else 0
+            if n == expected or (not saw and not os.path.isdir(trash)):
+                table = t
+                break
+            time.sleep(0.05)
+        else:
+            raise RuntimeError(
+                f"slice [{partition.start},{partition.end}) of "
+                f"{partition.basin}/{partition.stream} kept reading "
+                f"short under an in-progress compaction swap over "
+                f"{partition.path!r} — refusing to under-deliver a "
+                "planned batch (stranded .trash? the next store open "
+                "recovers it)"
+            )
+        if table is None:
+            return
         # deliver in seq order (total order per stream); yield Arrow
         # batches so the hot path stays vectorized end-to-end — record
         # bodies never pass through Python objects

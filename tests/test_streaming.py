@@ -1945,3 +1945,75 @@ def test_reader_hwm_concurrent_writers_keep_monotone_max(tmp_path):
     _reader_hwm_write_max(base, key, 1, 3)
     _reader_hwm_write_max(base, key, 0, 10_000)
     assert _reader_hwm_read(base, key) == (1, 3)
+
+
+def test_source_exactly_once_under_live_concurrent_compaction(spark, store):
+    """Live race of the round-10 tails-scan hardening: a reader
+    triggers continuously while the store compacts in a loop (the
+    `.trash` swap window repeatedly opens and closes under the scan).
+    Offsets must never regress within a generation — a mid-swap
+    listing is skipped, not trusted — and every appended record is
+    delivered exactly once. Appends and compactions serialize against
+    each other (compaction is a maintenance op); the READER runs fully
+    concurrent with both."""
+    import threading
+    import time as _t
+
+    from s2_spark.streaming.source import SEP, S2StreamReader
+
+    k = f"{BASIN}{SEP}s1"
+    mu = threading.Lock()
+    stop = threading.Event()
+    n_total = 36
+
+    def appender():
+        for i in range(0, n_total, 3):
+            with mu:
+                store.append(
+                    BASIN, "s1", [Record(body=f"r{i + j}".encode()) for j in range(3)]
+                )
+            _t.sleep(0.01)
+
+    def compactor():
+        while not stop.is_set():
+            with mu:
+                store.compact()
+            _t.sleep(0.005)
+
+    ta = threading.Thread(target=appender)
+    tc = threading.Thread(target=compactor)
+    ta.start()
+    tc.start()
+    r = S2StreamReader({"path": store.base_dir, "basin": BASIN})
+    ckpt = r.initialOffset()
+    delivered: list[tuple[int, bytes]] = []
+    last_end = 0
+    try:
+        deadline = _t.monotonic() + 60
+        while _t.monotonic() < deadline:
+            o = r.latestOffset()
+            if k in o:
+                end = o[k][1]
+                assert end >= last_end, (
+                    f"offset regressed {last_end} -> {end} mid-compaction"
+                )
+                last_end = end
+            for p in r.partitions(ckpt, o):
+                if not p.stream:
+                    continue
+                for batch in r.read(p):
+                    d = batch.to_pydict()
+                    delivered += list(
+                        zip(d["seq_num"], [bytes(b) for b in d["body"]])
+                    )
+            r.commit(o)
+            ckpt = o
+            if not ta.is_alive() and last_end >= n_total:
+                break
+    finally:
+        stop.set()
+        ta.join()
+        tc.join()
+    assert sorted(delivered) == [
+        (i, f"r{i}".encode()) for i in range(n_total)
+    ], "lost or duplicated records under live compaction"
