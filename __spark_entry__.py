@@ -26,14 +26,21 @@ SF_SMOKE = "/root/testdata/sf0.001"
 _REPO = Path(__file__).resolve().parent
 
 
-def _latest_driver_status() -> dict[str, int]:
+def _latest_driver_status() -> tuple[dict[str, int], dict[str, int]]:
     """Latest per-query driver outcome from CORRECTNESS_r*.json files.
 
-    0 = never scored, 1 = scored but not proven (crash, mismatch, or
-    rows-only ``no_oracle``), 2 = proven (hash_match true).
+    Returns ``(status, proof_round)``: status is 0 = never scored,
+    1 = scored but not proven (crash, mismatch, or rows-only
+    ``no_oracle``), 2 = proven (hash_match true); proof_round is the
+    round number of the LATEST scoring (for aging — the oldest proofs
+    rotate back into the scored prefix first, so no proof goes stale
+    while newer entries hog the budget).
     """
     status: dict[str, int] = {}
+    proof_round: dict[str, int] = {}
     for path in sorted(glob.glob(str(_REPO / "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as f:
                 rows = json.load(f)
@@ -43,7 +50,8 @@ def _latest_driver_status() -> dict[str, int]:
             if not isinstance(row, dict):
                 continue
             status[name] = 2 if row.get("hash_match") is True else 1
-    return status
+            proof_round[name] = rnd
+    return status, proof_round
 
 
 def _family(name: str) -> str:
@@ -79,30 +87,20 @@ _R03_BACKLOG = frozenset({
 # so their prior hash-matches predate the current code and they re-enter
 # the scoring prefix ahead of untouched proven entries until a fresh
 # proof lands.
-_R10_RESCORE = frozenset({
-    # round 10 touched: durable admission baselines + structural
-    # rebase seeding + trash-timeout skip + bounded purge-churn retry
-    # (source.py) — the st/str families share that surface; audit_drop
-    # loss accounting now flushes durably through the normal path
-    # (audit.py — the whole metrics family reads the audit relation)
-    "ag9_metrics_rollup", "ag10_metrics_gauge", "ag11_metrics_minute_ops",
-    "ag12_metrics_day_throughput", "ag13_metrics_storage_gauge",
-    "ag15_read_ops", "ag16_read_throughput", "ag17_basin_ops",
-    "ag18_active_basins", "ag19_account_ops", "ag20_ops_by_label",
-    "ag21_active_streams",
+_R11_RESCORE = frozenset({
+    # round 11 re-planned (ADVICE r10): x54's quantile threshold moved
+    # from double-divide+floor to integer `div`; x60's hour bucketing
+    # moved from truncating `div` to floor division — both value-
+    # identical on the fixture domain but the plans changed, so their
+    # r10 proofs predate the shipped expressions
+    "x54_source_token_quantiles", "x60_gapfill_locf",
+    # round 11 touched source.py (cold-reader stranded-trash raise,
+    # per-query admission namespaces, no-fcntl sidecar HWM merge) —
+    # the st/str families share that surface
     "st1_check_tail", "st2_list_paginated", "st3_tail_offset",
     "st4_clamp", "st5_trim_visibility", "st6_retention_cutoff",
     "st7_append_ack", "st8_combined_read_limits",
     "str5_stateful_dedup", "str6_command_fold",
-    # re-planned queries: x48 rewritten as one shuffle-free projection;
-    # lsh_topk folds the query norm below the probe explode (value-
-    # identical IEEE doubles, but the plan changed) — x13 and the
-    # recall reports that ride it
-    "x48_winnowing_fingerprints", "x13_lsh_ann_topk",
-    "x34_ann_recall_report", "x36_ann_recall_planted",
-    # oversized-fold fixes re-planned the IVF family (single-reference
-    # argmin + coercion instead of per-centroid casts + null-safe keys)
-    "x14_ivf_ann_topk", "x37_ivf_recall_planted", "x49_semdedup",
 })
 
 
@@ -115,9 +113,14 @@ def _prioritized(names: list[str]) -> list[str]:
     or rows-only check first, then never-scored queries round-robined
     across operator families (so every family earns at least one scored
     row per round), then already-proven queries last — their proofs are
-    in prior CORRECTNESS_r*.json files.
+    in prior CORRECTNESS_r*.json files. The proven tail is ordered by
+    proof AGE (oldest round first, family-round-robined within a
+    round), so leftover prefix budget continuously refreshes the
+    stalest proofs — a query proven in round 2 whose proof never aged
+    out would otherwise sit unverified behind nine rounds of code
+    churn.
     """
-    status = _latest_driver_status()
+    status, proof_round = _latest_driver_status()
     failed = [n for n in names if status.get(n, 0) == 1]
     fresh = [n for n in names if status.get(n, 0) == 0]
     proven = [n for n in names if status.get(n, 0) == 2]
@@ -139,14 +142,21 @@ def _prioritized(names: list[str]) -> list[str]:
 
     backlog = [n for n in fresh if n in _R03_BACKLOG]
     newer = [n for n in fresh if n not in _R03_BACKLOG]
-    rescore = [n for n in proven if n in _R10_RESCORE]
-    stable = [n for n in proven if n not in _R10_RESCORE]
+    rescore = [n for n in proven if n in _R11_RESCORE]
+    stable = [n for n in proven if n not in _R11_RESCORE]
+    # age the stable tail: oldest proof round first, families
+    # round-robined within each round so one big old family can't
+    # monopolize the refresh budget
+    by_round: dict[int, list[str]] = {}
+    for n in stable:
+        by_round.setdefault(proof_round.get(n, 0), []).append(n)
+    aged = [n for rnd in sorted(by_round) for n in _round_robin(by_round[rnd])]
     return (
         failed
         + _round_robin(backlog)
         + _round_robin(newer)
         + rescore
-        + stable
+        + aged
     )
 
 

@@ -512,6 +512,7 @@ def neardup_clusters(
     k: int = 16,
     bands: int = 4,
     max_iters: int = 25,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Duplicate-cluster formation: connected components over the LSH
     band-bucket graph, as ``(id, cluster)`` with cluster = the minimum
@@ -537,6 +538,20 @@ def neardup_clusters(
     (shared :func:`_band_buckets` construction), so an external SQL
     engine (recursive CTE) replays the exact clusters.
 
+    Lineage truncation each round is ``localCheckpoint`` by default:
+    fast (executor block store, no extra I/O), but the truncated
+    lineage is UNRECOVERABLE if an executor holding the blocks dies —
+    on a large cluster a mid-loop executor loss fails the whole job.
+    Pass ``checkpoint_dir`` (an HDFS/S3/shared path all executors can
+    reach) to opt into RELIABLE checkpoints instead: each round's
+    labels land in fault-tolerant storage, so the loop survives
+    executor loss at the cost of one write+read of the label set
+    (2 longs/row) per round. Checkpoint files under the dir are owned
+    by the caller (Spark only auto-cleans them with
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true``); the
+    returned DataFrame reads from the LAST checkpoint, so delete the
+    dir only after materializing the result.
+
     Raises ``RuntimeError`` if min-label propagation has not converged
     after ``max_iters`` rounds — partial labels would silently diverge
     from true connected components (and from the recursive-CTE
@@ -555,16 +570,26 @@ def neardup_clusters(
         .select(F.col(id_col).alias("_a"), F.col("_bmin").alias("_b"))
         .distinct()
     )
-    # localCheckpoint (not persist) on every round: persist caches the
+    # Checkpoint (not persist) on every round: persist caches the
     # DATA but the logical plan still nests one level per iteration, and
     # Catalyst re-analysis of the growing tree dominates within a few
     # rounds (measured 1.3s -> 43.6s per round by iteration 4).
     # Checkpointing truncates the lineage so every round re-plans a
-    # two-join query, not the whole history.
-    edges = edges.localCheckpoint(eager=True)
-    labels = df.select(
-        F.col(id_col).alias("_v"), F.col(id_col).alias("_lbl")
-    ).localCheckpoint(eager=True)
+    # two-join query, not the whole history. localCheckpoint keeps the
+    # blocks on executors (fast, fragile); checkpoint_dir opts into
+    # reliable storage (survives executor loss — see docstring).
+    if checkpoint_dir is not None:
+        df.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _truncate(d: DataFrame) -> DataFrame:
+        if checkpoint_dir is None:
+            return d.localCheckpoint(eager=True)
+        return d.checkpoint(eager=True)
+
+    edges = _truncate(edges)
+    labels = _truncate(
+        df.select(F.col(id_col).alias("_v"), F.col(id_col).alias("_lbl"))
+    )
     changed = 0
     for _ in range(max_iters):
         # candidate labels flowing along edges, both directions
@@ -580,8 +605,8 @@ def neardup_clusters(
             .unionByName(bwd)
             .groupBy("_v")
             .agg(F.min("_lbl").alias("_lbl"))
-            .localCheckpoint(eager=True)
         )
+        new_labels = _truncate(new_labels)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "_v")

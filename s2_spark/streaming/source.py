@@ -252,44 +252,88 @@ def _reader_hwm_file(path: str, key: str) -> str:
 
 def _reader_hwm_read(path: str, key: str) -> tuple[int, int] | None:
     """Durable admission baseline for ``key``: the max (gen, end) any
-    reader of this store has ever emitted. Written tmp+rename, so a
-    read sees old or new, never torn."""
-    try:
-        with open(_reader_hwm_file(path, key)) as f:
-            m = json.load(f)
-        return int(m["gen"]), int(m["end"])
-    except (OSError, ValueError, KeyError):
-        return None
+    reader of this store has ever emitted. Every file is written
+    tmp+rename, so each read sees old or new, never torn. The value is
+    the max-merge of the flock-merged main file AND any per-writer
+    ``.w{pid}`` sidecars (the no-fcntl path below) — a store moved
+    between filesystems still recovers the true max."""
+    p = _reader_hwm_file(path, key)
+    import glob
+
+    best: tuple[int, int] | None = None
+    for cand in [p] + sorted(glob.glob(glob.escape(p) + ".w*")):
+        try:
+            with open(cand) as f:
+                m = json.load(f)
+            v = (int(m["gen"]), int(m["end"]))
+        except (OSError, ValueError, KeyError):
+            continue
+        if best is None or v > best:
+            best = v
+    return best
 
 
 def _reader_hwm_write_max(path: str, key: str, gen: int, end: int) -> None:
-    """Monotone (gen, end) lexicographic max-merge under an exclusive
-    file lock — concurrent readers of one store never lose each
-    other's maximum (a lost max could let a later cold reader cap its
-    end BELOW another query's checkpointed position: the offset-log
-    regression the never-regress invariant forbids). Same durable-
-    marker pattern as the purge tombstones (store._record_purges).
+    """Monotone (gen, end) lexicographic max-merge — concurrent readers
+    of one store never lose each other's maximum (a lost max could let
+    a later cold reader cap its end BELOW another query's checkpointed
+    position: the offset-log regression the never-regress invariant
+    forbids). Same durable-marker pattern as the purge tombstones
+    (store._record_purges).
 
-    Best-effort on filesystems without ``fcntl``: failure to persist
-    only costs admission on the next cold start (fall back to the
-    uncapped first window), never correctness."""
-    try:
-        import fcntl
-    except ImportError:  # non-POSIX: durability degrades, caps stay safe
-        return
+    With ``fcntl`` the merge runs under an exclusive flock on the main
+    file. Without it (non-POSIX), each writer lands its max in a
+    PRIVATE ``.w{pid}`` sidecar via O_EXCL-tmp + atomic rename — no
+    two writers ever rename onto the same path, so there is no
+    clobber window at all, and ``_reader_hwm_read`` max-merges the
+    main file with every sidecar. Persistence stays best-effort on
+    I/O failure (costs only admission on the next cold start, never
+    correctness)."""
     d = _reader_hwm_dir(path)
     p = _reader_hwm_file(path, key)
+
+    def _land(target: str, value: tuple[int, int]) -> None:
+        # unique O_EXCL tmp per attempt: two writers can never share a
+        # staging file, and the rename itself is atomic
+        for salt in range(64):
+            tmp = f"{target}.tmp.{os.getpid()}.{salt}"
+            try:
+                fd = os.open(tmp, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                continue
+            with os.fdopen(fd, "w") as f:
+                json.dump({"key": key, "gen": value[0], "end": value[1]}, f)
+            os.replace(tmp, target)
+            return
+        raise OSError(f"could not stage a unique tmp beside {target!r}")
+
     try:
         os.makedirs(d, exist_ok=True)
-        with open(p + ".lock", "w") as lf:
-            fcntl.flock(lf, fcntl.LOCK_EX)
-            cur = _reader_hwm_read(path, key)
-            if cur is not None and cur >= (gen, end):
-                return
-            tmp = p + ".tmp"
-            with open(tmp, "w") as f:
-                json.dump({"key": key, "gen": gen, "end": end}, f)
-            os.replace(tmp, p)
+        try:
+            import fcntl
+        except ImportError:
+            fcntl = None
+        if fcntl is not None:
+            with open(p + ".lock", "w") as lf:
+                fcntl.flock(lf, fcntl.LOCK_EX)
+                cur = _reader_hwm_read(path, key)
+                if cur is not None and cur >= (gen, end):
+                    return
+                _land(p, (gen, end))
+            return
+        # no fcntl: single-writer sidecar. Only this (pid, thread)
+        # renames onto its .w file, so the write can never lose a
+        # concurrent writer's larger value — the merge happens at READ
+        # time instead of write time. Stale sidecars from dead writers
+        # are harmless (the merge is monotone) and bounded by writer
+        # count.
+        import threading
+
+        side = f"{p}.w{os.getpid()}-{threading.get_ident()}"
+        cur = _reader_hwm_read(path, key)
+        if cur is not None and cur >= (gen, end):
+            return
+        _land(side, (gen, end))
     except OSError:
         return
 
@@ -320,6 +364,17 @@ class S2StreamReader(DataSourceStreamReader):
         # lifetime (incremental, cached); the unbudgeted hot path never
         # touches data pages on the driver.
         self.max_bytes = int(options.get("maxbytes", 0))
+        # admission namespace: the durable reader-HWM files are keyed by
+        # (store path, basin/stream) and therefore SHARED across queries
+        # reading one store — a cold query whose checkpoint sits at seq
+        # 10 would recover another query's hwm=1000 baseline and run its
+        # first window effectively uncapped (correctness unaffected:
+        # the shared hwm is ≥ any checkpointed end, so no regression —
+        # only the per-query throttle contract weakens). Passing a
+        # per-query identity here (e.g. the checkpoint dir or query
+        # name) isolates the baselines; empty = shared-store default,
+        # disclosed in README.
+        self.hwm_ns = str(options.get("hwmns", ""))
         self._bytes_scan: dict[str, tuple[int, int]] = {}  # key -> (next_seq, cum)
         self._bytes_cap: dict[str, int] = {}  # key -> resolved final cap
         # driver-side per-file tails cache: each trigger's latestOffset
@@ -375,6 +430,12 @@ class S2StreamReader(DataSourceStreamReader):
             default_gen = self._init_gens.get(k, 0)
         return default_gen, int(v)
 
+    def _hwm_key(self, k: str) -> str:
+        """Durable-HWM file key for stream key ``k`` — prefixed with the
+        admission namespace (``hwmns`` option) when set, so distinct
+        queries keep distinct throttle baselines over one store."""
+        return f"{self.hwm_ns}\x01{k}" if self.hwm_ns else k
+
     def _filtered(self, tails: dict[str, int]) -> dict[str, int]:
         out = {}
         for k, v in tails.items():
@@ -424,8 +485,25 @@ class S2StreamReader(DataSourceStreamReader):
             if scanned is None:
                 # mid-compaction-swap past the wait budget: the listing
                 # is inconsistent — reuse the previous tails for this
-                # trigger (monotone by construction; a cold reader just
-                # plans an empty batch and retries next trigger)
+                # trigger (monotone by construction). A COLD reader has
+                # no previous tails: emitting from an empty _max_seen
+                # would produce an offset that silently OMITS streams
+                # present in Spark's checkpoint, and if that reduced
+                # offset becomes the log's latest before a crash, the
+                # next incarnation sees start=None for those streams and
+                # re-delivers committed records (the stranded-swap +
+                # restart double fault). Fail the trigger loudly instead
+                # — same posture as the purge-churn bound below; the
+                # next store open recovers the stranded swap.
+                if not self._max_seen:
+                    raise RuntimeError(
+                        "latestOffset timed out waiting on a stranded "
+                        f"compaction swap over {self.path!r} with no "
+                        "prior in-memory tails (cold reader) — refusing "
+                        "to emit an offset that would drop previously-"
+                        "checkpointed streams (the next store open "
+                        "recovers the stranded .trash)"
+                    )
                 tails = dict(self._max_seen)
                 break
             tails = self._filtered(scanned)
@@ -506,7 +584,7 @@ class S2StreamReader(DataSourceStreamReader):
                 g = self._gen_seen.get(k, 0)
                 b = self._baseline.get(k)
                 if b is None or b[0] != g:
-                    db = _reader_hwm_read(self.path, k)
+                    db = _reader_hwm_read(self.path, self._hwm_key(k))
                     if db is not None and db[0] == g:
                         b = db
                 if b is not None and b[0] == g:
@@ -520,7 +598,7 @@ class S2StreamReader(DataSourceStreamReader):
             for k, v in tails.items():
                 g = self._gen_seen.get(k, 0)
                 if self._hwm_written.get(k) != (g, v):
-                    _reader_hwm_write_max(self.path, k, g, v)
+                    _reader_hwm_write_max(self.path, self._hwm_key(k), g, v)
                     self._hwm_written[k] = (g, v)
         out = {self._VKEY: self.OFFSET_VERSION}
         for k, v in tails.items():

@@ -2372,10 +2372,12 @@ def x54(spark, sf_dir):
     )
 
     def q_at(num: int, den: int):
-        thresh = (F.col("total") * num + (den - 1)) / den
-        return F.min(
-            F.when(F.col("cum") >= F.floor(thresh), F.col("nt"))
-        )
+        # integer `div`, NOT double `/` + floor: the double path can
+        # floor to a different threshold once total*num exceeds 2^53
+        # (ADVICE r10) — the doc's "pure integer thresholds" claim
+        # must hold on the Spark side exactly as in the oracle
+        thresh = F.expr(f"(total * {num} + {den - 1}) div {den}")
+        return F.min(F.when(F.col("cum") >= thresh, F.col("nt")))
 
     return (
         w.groupBy("source")
@@ -2888,7 +2890,11 @@ def x60(spark, sf_dir):
 
     e = t(spark, sf_dir, "events").select(
         "event_type",
-        F.expr("unix_timestamp(ts) div 3600").alias("h"),
+        # FLOOR division, not `div` (which truncates toward zero):
+        # pre-1970 timestamps have negative epochs, where truncation
+        # and the oracle's floor semantics differ by one bucket
+        # (ADVICE r10)
+        F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("h"),
         "value",
     )
     agg = e.groupBy("event_type", "h").agg(

@@ -742,6 +742,33 @@ def test_neardup_clusters_matches_union_find_replay(spark, docs):
     assert got == _cluster_replay(rows)
 
 
+def test_neardup_clusters_reliable_checkpoint_identical(spark, docs, tmp_path):
+    """checkpoint_dir opts the CC loop into RELIABLE checkpoints
+    (fault-tolerant storage an executor loss can't take down, vs
+    localCheckpoint's executor block store). Same clusters, and the
+    rounds actually land RDD checkpoint files under the dir."""
+    import os
+
+    corpus = docs.limit(60)
+    ckpt = str(tmp_path / "cc_ckpt")
+    base = [
+        (r["doc_id"], r["cluster"])
+        for r in D.neardup_clusters(corpus).collect()
+    ]
+    reliable = [
+        (r["doc_id"], r["cluster"])
+        for r in D.neardup_clusters(corpus, checkpoint_dir=ckpt).collect()
+    ]
+    assert sorted(reliable) == sorted(base)
+    landed = [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(ckpt)
+        for f in fs
+        if not f.startswith(".")
+    ]
+    assert landed, "reliable mode must write checkpoint files"
+
+
 def test_neardup_cluster_ids_survive_keep_rule(spark, docs):
     """The min member of a connected component is by construction a
     bucket-min of every bucket it appears in, so every cluster id must

@@ -1787,8 +1787,11 @@ def test_tails_scan_skips_trigger_on_stranded_trash(spark, store, monkeypatch):
     outlives the tails scan's wait budget — the scan must NOT proceed
     on the possibly mid-swap (mixed/partial) listing it was waiting
     out. `_tails` reports the timeout and latestOffset reuses the
-    previous tails for the trigger: a warm reader keeps its position,
-    a cold reader plans an empty batch and retries — neither can
+    previous tails for the trigger: a warm reader keeps its position;
+    a COLD reader has no previous tails and fails the trigger loudly
+    (ADVICE r10: emitting from an empty _max_seen would drop
+    checkpointed streams from the offset — combined with a crash, the
+    next incarnation re-delivers committed records). Neither can
     checkpoint a regressed tail."""
     import os
 
@@ -1812,11 +1815,13 @@ def test_tails_scan_skips_trigger_on_stranded_trash(spark, store, monkeypatch):
     # appends hidden behind the swap window are not falsely consumed
     o2 = r.latestOffset()
     assert {kk: v[:2] for kk, v in o2.items() if kk != "__v"} == {k: [0, 4]}
-    # cold reader over the same (still-stranded) store: empty batch,
-    # no regressed checkpoint entry
+    # cold reader over the same (still-stranded) store: it has no
+    # previous tails to reuse, and emitting from nothing would DROP
+    # streams a checkpoint may hold (the stranded-swap + restart
+    # double fault) — the trigger fails loudly instead
     r2 = _reader(store)
-    o_cold = r2.latestOffset()
-    assert [kk for kk in o_cold if kk != "__v"] == []
+    with pytest.raises(RuntimeError, match="cold reader"):
+        r2.latestOffset()
     # swap window over: the next trigger sees the true tails again
     os.rmdir(trash)
     o3 = r2.latestOffset()
@@ -1842,15 +1847,23 @@ def test_latest_offset_purge_churn_bounded_retry_raises(spark, store, monkeypatc
         r.latestOffset()
 
 
-def test_source_restart_admission_durable(spark, store):
+@pytest.mark.parametrize("no_fcntl", [False, True], ids=["flock", "no-fcntl"])
+def test_source_restart_admission_durable(spark, store, monkeypatch, no_fcntl):
     """Admission control survives restarts (the reference's in-flight
     semaphore contract, streamer.rs:815-838): every emission persists
     the end to the durable reader HWM (`{path}/_reader_hwm/`, monotone
     max, written BEFORE the emission can reach Spark's offset log), so
     a COLD reader facing a deep backlog caps its FIRST window at
     min(tail, durable + cap) — which, durable being >= every logged
-    end, never regresses below any checkpointed position."""
+    end, never regresses below any checkpointed position. On
+    filesystems without `fcntl` the merge lands in per-writer sidecars
+    max-merged at read time — same durable semantics, no lock."""
+    import sys
+
     from s2_spark.streaming.source import S2StreamReader
+
+    if no_fcntl:
+        monkeypatch.setitem(sys.modules, "fcntl", None)
 
     k = f"{BASIN}\x00s1"
     store.append(BASIN, "s1", _recs(4))
@@ -1908,18 +1921,28 @@ def test_source_rebase_first_window_capped(spark, store):
     ] == [(0, 2)]
 
 
-def test_reader_hwm_concurrent_writers_keep_monotone_max(tmp_path):
-    """The durable reader-HWM merge is flock-serialized: concurrent
-    writers (two queries on one store, or a trigger racing a restart)
-    can never lose the maximum — a lost max would let a later cold
-    reader cap below another query's checkpointed position."""
+@pytest.mark.parametrize("no_fcntl", [False, True], ids=["flock", "no-fcntl"])
+def test_reader_hwm_concurrent_writers_keep_monotone_max(
+    tmp_path, monkeypatch, no_fcntl
+):
+    """The durable reader-HWM merge never loses the maximum under
+    concurrent writers (two queries on one store, or a trigger racing
+    a restart) — a lost max would let a later cold reader cap below
+    another query's checkpointed position. With `fcntl` the merge is
+    flock-serialized; without it each (pid, thread) writes a private
+    sidecar (no contended rename exists to clobber) and the read side
+    max-merges them."""
     import os
+    import sys
     from concurrent.futures import ThreadPoolExecutor
 
     from s2_spark.streaming.source import (
         _reader_hwm_read,
         _reader_hwm_write_max,
     )
+
+    if no_fcntl:
+        monkeypatch.setitem(sys.modules, "fcntl", None)
 
     base = str(tmp_path / "records")
     os.makedirs(base)
@@ -1945,6 +1968,44 @@ def test_reader_hwm_concurrent_writers_keep_monotone_max(tmp_path):
     _reader_hwm_write_max(base, key, 1, 3)
     _reader_hwm_write_max(base, key, 0, 10_000)
     assert _reader_hwm_read(base, key) == (1, 3)
+
+
+def test_reader_hwm_namespace_isolates_queries(spark, store):
+    """ADVICE r10: the durable reader HWM is keyed per store and
+    therefore SHARED across queries by default — a query positioned at
+    a shallow checkpoint that cold-restarts beside a query with a deep
+    persisted baseline runs its first window effectively uncapped.
+    The `hwmns` option namespaces the baseline per query identity
+    (e.g. a checkpoint dir or query name): namespaced queries recover
+    only their OWN baselines; the un-namespaced default keeps the
+    shared-store behavior."""
+    from s2_spark.streaming.source import S2StreamReader
+
+    k = f"{BASIN}\x00s1"
+    mk = lambda **kw: S2StreamReader(  # noqa: E731
+        {
+            "path": store.base_dir,
+            "basin": BASIN,
+            "maxrecordspertrigger": 2,
+            **kw,
+        }
+    )
+    store.append(BASIN, "s1", _recs(4))
+    a = mk()
+    assert a.latestOffset()[k] == [0, 4]  # persists the SHARED hwm 4
+    store.append(BASIN, "s1", _recs(20, start=4))  # deep backlog, tail 24
+    # default (shared) cold reader: capped from the shared baseline
+    assert mk().latestOffset()[k] == [0, 6]
+    # a namespaced query is isolated: its namespace has no durable
+    # state yet, so it gets the disclosed uncapped-first-window
+    # fallback — NOT another query's deep baseline
+    b = mk(hwmns="query-b")
+    assert b.latestOffset()[k] == [0, 24]
+    store.append(BASIN, "s1", _recs(10, start=24))  # tail 34
+    # ...and its baseline persists within its own namespace
+    assert mk(hwmns="query-b").latestOffset()[k] == [0, 26]
+    # while the shared namespace still caps from ITS last emission
+    assert mk().latestOffset()[k] == [0, 8]
 
 
 def test_source_exactly_once_under_live_concurrent_compaction(spark, store):
