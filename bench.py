@@ -85,6 +85,9 @@ SCALE_PROBE = [
     # probed ratio pins the per-bucket-occupancy-stays-constant claim
     # (embeddings scale 10x in the probe dir -> m steps 11 -> 14)
     ("q_semdedup_bucketed", "x51_semdedup_bucketed"),
+    # cluster-size report: CC labels + two label aggregations — the
+    # x10 leg seeds the x100 probe's denominator below
+    ("q_cluster_report", "x53_dedup_cluster_report"),
     # global running token count via the chunked two-phase prefix sum —
     # the scale-safe replacement for single-partition windows
     ("q_seq_packing", "x31_sequence_packing"),
@@ -426,11 +429,11 @@ def _build_x10(spark, out_dir: str) -> None:
         out.write.mode("overwrite").parquet(os.path.join(out_dir, f"{name}.parquet"))
 
 
-# x100 representatives — one chunked-prefix query, one dedup head, one
+# x100 representatives — one chunked-prefix query, the dedup heads, one
 # multiway join: the second decade of the scale curve for the paths
-# whose 100-TB story matters most. Only lineitem/orders/documents are
-# physically scaled (the tables these three touch); everything else
-# symlinks.
+# whose 100-TB story matters most. Only lineitem/orders/documents/
+# embeddings are physically scaled (the tables these probes touch);
+# everything else symlinks.
 X100_PROBE = [
     ("q_join_multi", "j2_multiway_join"),
     ("q_minhash_dedup", "x29_minhash_dedup_keep"),
@@ -439,6 +442,14 @@ X100_PROBE = [
     # growth of bucket-star CC label propagation (rounds grow ~log of the
     # largest cluster diameter, each round one shuffle over the edges)
     ("q_neardup_clusters", "x30_neardup_clusters"),
+    # second decade for the adaptive SemDeDup tier: 2^m tracks n across
+    # BOTH decades (m steps 14 -> 16 at x100), so the probe pins the
+    # occupancy-stays-constant claim where the bucket count saturates
+    # the 16-plane family — embeddings scale physically below
+    ("q_semdedup_bucketed", "x51_semdedup_bucketed"),
+    # CC + two label aggregations: the report's growth should track
+    # x30's label-propagation decade, not add one of its own
+    ("q_cluster_report", "x53_dedup_cluster_report"),
 ]
 
 
@@ -450,11 +461,12 @@ def _build_x100(spark, from10: str, out_dir: str) -> None:
         "lineitem": ("l_orderkey", 100_000_000),
         "orders": ("o_orderkey", 100_000_000),
         "documents": ("doc_id", 100_000_000),
+        "embeddings": ("vec_id", 100_000_000),
     }
     os.makedirs(out_dir, exist_ok=True)
     for name in [
         "region", "nation", "customer", "supplier", "part",
-        "events", "embeddings",
+        "events",
     ]:
         src = os.path.join(from10, f"{name}.parquet")
         if os.path.exists(src):

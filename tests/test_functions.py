@@ -618,6 +618,96 @@ def test_frame_sample_decoder_plugin_seam(spark):
         M.unregister_decoder(b"avc1")
 
 
+def test_pyav_example_plugin_missing_library_guided_error():
+    """The shipped example plugin (decoder_plugins.py) keeps the
+    honest boundary when PyAV is absent: a guided ImportError naming
+    the public package and the worker-image requirement — never a
+    silent no-op registration."""
+    import importlib.util
+
+    from s2_spark.functions import decoder_plugins as P
+
+    if importlib.util.find_spec("av") is not None:
+        pytest.skip("real PyAV present; the guided-error path is moot")
+    with pytest.raises(ImportError, match="pip install av"):
+        P.pyav_frame_decoder()
+    with pytest.raises(ImportError, match="executor"):
+        P.install_pyav()
+
+
+def test_pyav_example_plugin_adapter_end_to_end():
+    """The PyAV adapter wired through the REAL seam: install_pyav with
+    an injected fake library registers the H.264/H.265 fourccs, and
+    decode_raw_mp4_frame routes an avc1 track through the adapter —
+    which must run the library's own demux over the WHOLE container
+    (inter-frame correctness) and pick the frame covering ts_ms, not
+    the nearest-after or the first."""
+    import io
+    from types import SimpleNamespace
+
+    import numpy as np
+
+    from s2_spark.functions import decoder_plugins as P
+
+    w, h = 4, 4
+    arrs = [np.full((h, w, 3), 11 * (i + 1), dtype=np.uint8) for i in range(3)]
+
+    class _FakeFrame:
+        def __init__(self, t, arr):
+            self.time = t
+            self._arr = arr
+
+        def to_ndarray(self, format):
+            assert format == "rgb24"
+            return self._arr
+
+    class _FakeContainer:
+        def __init__(self, frames):
+            self._frames = frames
+            self.streams = [
+                SimpleNamespace(type="audio"),
+                SimpleNamespace(type="video"),
+            ]
+
+        def decode(self, stream):
+            assert stream.type == "video"
+            yield from self._frames
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    opened = []
+
+    class _FakeAv:
+        def open(self, fh):
+            opened.append(fh.read() if isinstance(fh, io.BytesIO) else fh)
+            return _FakeContainer(
+                [_FakeFrame(float(i), a) for i, a in enumerate(arrs)]
+            )
+
+    mp4 = M.build_raw_mp4(
+        [a.tobytes() for a in arrs], w, h, fps=1
+    ).replace(b"raw ", b"avc1", 1)
+    claimed = P.install_pyav(av_module=_FakeAv())
+    try:
+        assert claimed == list(P.DEFAULT_FOURCCS)
+        # ts 1500 ms covers the frame AT 1.0 s (LOCF, not nearest-after)
+        got = M.decode_raw_mp4_frame(mp4, ts_ms=1500)
+        assert bytes(got.tobytes()) == arrs[1].tobytes()
+        # ts 0 is the first frame; a late ts clamps to the last
+        assert M.decode_raw_mp4_frame(mp4, ts_ms=0).tobytes() == arrs[0].tobytes()
+        assert M.decode_raw_mp4_frame(mp4, ts_ms=9000).tobytes() == arrs[2].tobytes()
+        # the adapter handed the library the WHOLE container, not the
+        # demuxed access unit — inter-frame decoders need the prefix
+        assert opened and all(buf == mp4 for buf in opened)
+    finally:
+        for fc in claimed:
+            M.unregister_decoder(fc)
+
+
 def test_frame_sampling_null_duration_yields_one_frame(spark):
     """MEDIA_SCHEMA declares duration_ms nullable; pandas surfaces NULL
     as NaN (truthy) — a null-duration video must emit exactly one frame,

@@ -51,8 +51,12 @@ class Op:
     kind: 'append' | 'check_tail' | 'read'
     For appends: ``bodies`` is the record payload tuple, ``match`` the
     optional match_seq_num precondition, ``token`` the optional fencing
-    precondition, ``new_token`` set when the batch is a fence command.
-    ``result`` is ('ok', value) / ('seq_mismatch',) /
+    precondition, ``new_token`` set when the batch is a fence command,
+    ``trim_to`` set when it is a trim command (the requested trim
+    point; the model applies the store's clamp-to-own-seq+1 and
+    monotone-max rules, store.py:542-546). For reads: ``read_start``
+    is the inclusive range floor (0 = full read); trim visibility
+    applies on top. ``result`` is ('ok', value) / ('seq_mismatch',) /
     ('token_mismatch',) / ('unknown',).
     """
 
@@ -65,6 +69,8 @@ class Op:
     match: int | None = None
     token: str | None = None
     new_token: str | None = None
+    trim_to: int | None = None
+    read_start: int = 0
 
 
 class _Clock:
@@ -86,22 +92,33 @@ class _Clock:
 
 
 def _model_apply(state, op: Op):
-    """Apply ``op`` to the sequential model state ``(bodies, token)``;
-    return (expected_result, new_state). Mirrors the documented append
-    semantics: fencing precondition checked before CAS (store.py),
-    fence command records occupy a sequence number themselves."""
-    bodies, token = state
+    """Apply ``op`` to the sequential model state ``(bodies, token,
+    trim_point)``; return (expected_result, new_state). Mirrors the
+    documented append semantics: fencing precondition checked before
+    CAS (store.py), fence/trim command records occupy a sequence
+    number themselves, a trim's requested point is clamped to its own
+    seq+1 and merges as a monotone max (store.py:542-546), and reads
+    hide records below the trim point (store.py:942-944) on top of
+    their own range floor — check_tail is trim-blind (the tail never
+    regresses, stream_trim.rs keeps it in a dedicated row)."""
+    bodies, token, trim = state
     if op.kind == "check_tail":
         return ("ok", len(bodies)), state
     if op.kind == "read":
-        return ("ok", tuple(enumerate(bodies))), state
+        floor = max(trim, op.read_start)
+        vis = tuple((i, b) for i, b in enumerate(bodies) if i >= floor)
+        return ("ok", vis), state
     # append
     if op.token is not None and op.token != token:
         return ("token_mismatch",), state
     if op.match is not None and op.match != len(bodies):
         return ("seq_mismatch",), state
     new_token = op.new_token if op.new_token is not None else token
-    return ("ok", len(bodies)), (bodies + op.bodies, new_token)
+    new_trim = trim
+    if op.trim_to is not None:
+        # single-record trim batch at seq = len(bodies)
+        new_trim = max(trim, min(op.trim_to, len(bodies) + 1))
+    return ("ok", len(bodies)), (bodies + op.bodies, new_token, new_trim)
 
 
 def check_linearizable(history: list[Op]) -> bool:
@@ -141,7 +158,7 @@ def check_linearizable(history: list[Op]) -> bool:
                 return True
         return False
 
-    return dfs(frozenset(), ((), ""))
+    return dfs(frozenset(), ((), "", 0))
 
 
 # --------------------------------------------------------------------
@@ -230,6 +247,62 @@ def test_checker_rejects_fencing_bypass():
     assert not check_linearizable(h)
 
 
+def test_checker_rejects_read_below_trim():
+    # trim(1) acked at seq 2 returned before the read was called, yet
+    # the read still shows seq 0 — trim visibility violated
+    h = [
+        _ok_append(0, 1, 2, b"a", 0),
+        _ok_append(0, 3, 4, b"b", 1),
+        Op(1, 5, 6, "append", ("ok", 2), bodies=(b"\x00" * 8,), trim_to=1),
+        Op(0, 7, 8, "read",
+           ("ok", ((0, b"a"), (1, b"b"), (2, b"\x00" * 8)))),
+    ]
+    assert not check_linearizable(h)
+    ok = [
+        h[0], h[1], h[2],
+        Op(0, 7, 8, "read", ("ok", ((1, b"b"), (2, b"\x00" * 8)))),
+    ]
+    assert check_linearizable(ok)
+
+
+def test_checker_trim_clamps_to_own_seq_and_stays_monotone():
+    # a trim requesting far past its own record clamps to seq+1 (the
+    # trim may hide itself but nothing that doesn't exist yet)…
+    big = [
+        _ok_append(0, 1, 2, b"a", 0),
+        Op(1, 3, 4, "append", ("ok", 1), bodies=(b"\x00" * 8,), trim_to=100),
+        _ok_append(0, 5, 6, b"c", 2),
+        Op(0, 7, 8, "read", ("ok", ((2, b"c"),))),
+    ]
+    assert check_linearizable(big)
+    # …and a LATER smaller trim never un-hides: a read showing seq 0
+    # after trim(2)-then-trim(1) both returned must fail
+    h = [
+        _ok_append(0, 1, 2, b"a", 0),
+        _ok_append(0, 3, 4, b"b", 1),
+        Op(1, 5, 6, "append", ("ok", 2), bodies=(b"\x00" * 8,), trim_to=2),
+        Op(1, 7, 8, "append", ("ok", 3), bodies=(b"\x00" * 8,), trim_to=1),
+        Op(0, 9, 10, "read", ("ok", ((0, b"a"),) + tuple())),
+    ]
+    assert not check_linearizable(h)
+
+
+def test_checker_ranged_read_floor():
+    # a ranged read applies its own floor on top of trim…
+    h = [
+        _ok_append(0, 1, 2, b"a", 0),
+        _ok_append(0, 3, 4, b"b", 1),
+        Op(1, 5, 6, "read", ("ok", ((1, b"b"),)), read_start=1),
+    ]
+    assert check_linearizable(h)
+    # …and showing a record below that floor is rejected
+    bad = [
+        h[0], h[1],
+        Op(1, 5, 6, "read", ("ok", ((0, b"a"), (1, b"b"))), read_start=1),
+    ]
+    assert not check_linearizable(bad)
+
+
 def test_checker_unknown_append_both_outcomes():
     # an unknown append may be present in the final read…
     h_present = [
@@ -276,8 +349,11 @@ class _Recorder:
             self.events.append(Op(**kw))
 
 
-def _read_result(store) -> tuple:
-    rows = store.read(BASIN, STREAM).select("seq_num", "body").collect()
+def _read_result(store, start: int = 0) -> tuple:
+    from s2_spark.store import ReadStart
+
+    df = store.read(BASIN, STREAM, start=ReadStart(seq_num=start))
+    rows = df.select("seq_num", "body").collect()
     return tuple(sorted((r.seq_num, bytes(r.body)) for r in rows))
 
 
@@ -363,6 +439,32 @@ def _fencing_client(store, rec, cid, rng, n_ops):
             )
 
 
+def _trim_client(store, rec, cid, rng, n_ops):
+    """Trims (in-band command appends, A6) interleaved with ranged
+    reads — the alphabet extension that audits trim visibility, the
+    clamp-to-own-seq rule, and monotone merge under concurrency."""
+    for j in range(n_ops):
+        call = rec.clock.tick()
+        if rng.random() < 0.5:
+            tail, _ = store.check_tail(BASIN, STREAM)
+            # mostly conservative points (some clamp past the tail so
+            # the min(requested, own seq+1) branch is reachable)
+            req = rng.randint(0, tail + 2)
+            ack = store.trim(BASIN, STREAM, req)
+            rec.record(
+                client=cid, call=call, ret=rec.clock.tick(), kind="append",
+                bodies=(req.to_bytes(8, "big"),), trim_to=req,
+                result=("ok", ack.start_seq),
+            )
+        else:
+            start = rng.randint(0, 4)
+            got = _read_result(store, start=start)
+            rec.record(
+                client=cid, call=call, ret=rec.clock.tick(), kind="read",
+                read_start=start, result=("ok", got),
+            )
+
+
 @pytest.mark.parametrize("seed", [11, 3001])
 def test_concurrent_history_linearizable(store, seed):
     """linearizable.rs shape: clients i%3 → plain / match_seq_num /
@@ -387,6 +489,33 @@ def test_concurrent_history_linearizable(store, seed):
     # sanity: the mix actually exercised all three result shapes
     kinds_seen = {o.result[0] for o in rec.events}
     assert "ok" in kinds_seen
+
+
+@pytest.mark.parametrize("seed", [7, 4242])
+def test_concurrent_history_with_trims_linearizable(store, seed):
+    """The extended alphabet live: plain / CAS / fencing / trim+ranged-
+    read clients against one stream. Every recorded trim must replay
+    through the model's clamp + monotone-max rules, and every (ranged)
+    read must observe exactly the surviving suffix at its
+    linearization point."""
+    rec = _Recorder()
+    clients, n_ops = 8, 6
+    kinds = [_plain_client, _cas_client, _fencing_client, _trim_client]
+
+    def run(cid):
+        kinds[cid % 4](store, rec, cid, random.Random(seed * 100 + cid), n_ops)
+
+    with ThreadPoolExecutor(clients) as ex:
+        for f in [ex.submit(run, c) for c in range(clients)]:
+            f.result()
+    call = rec.clock.tick()
+    got = _read_result(store)
+    rec.record(client=99, call=call, ret=rec.clock.tick(), kind="read",
+               result=("ok", got))
+    assert check_linearizable(rec.events)
+    # the mix really exercised the new letters
+    assert any(o.trim_to is not None for o in rec.events)
+    assert any(o.kind == "read" and o.read_start > 0 for o in rec.events)
 
 
 class _Boom(RuntimeError):
