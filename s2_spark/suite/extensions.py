@@ -2928,3 +2928,473 @@ def x60(spark, sf_dir):
         r4(F.last("sv", ignorenulls=True).over(w)).alias("locf_sum"),
         (F.col("n_events") == 0).cast("int").alias("is_gap"),
     ).orderBy("event_type", "hour_epoch")
+
+
+_HEAPS_PCTS = (1, 5, 25, 50, 100)
+
+
+@query(
+    "x62_heaps_vocab_growth",
+    oracle=(
+        "WITH toks AS (SELECT doc_id, unnest(list_filter("
+        "string_split(lower(text), ' '), x -> x <> '')) AS tok "
+        "FROM documents), "
+        "first AS (SELECT tok, min(doc_id) AS first_doc FROM toks "
+        "GROUP BY tok), "
+        "perdoc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok "
+        "FROM toks GROUP BY doc_id), "
+        "bound AS (SELECT max(doc_id) + 1 AS n FROM documents), "
+        "grid AS (SELECT p, (n * p) // 100 AS thr FROM bound, "
+        f"(VALUES {', '.join(f'({p})' for p in _HEAPS_PCTS)}) AS v(p)) "
+        "SELECT p AS pct, "
+        "(SELECT CAST(count(*) AS BIGINT) FROM documents "
+        " WHERE doc_id < thr) AS prefix_docs, "
+        "(SELECT CAST(coalesce(sum(n_tok), 0) AS BIGINT) FROM perdoc "
+        " WHERE doc_id < thr) AS prefix_tokens, "
+        "(SELECT CAST(count(*) AS BIGINT) FROM first "
+        " WHERE first_doc < thr) AS vocab "
+        "FROM grid ORDER BY pct"
+    ),
+    doc=(
+        "Heaps'-law vocabulary growth curve: distinct-token count over "
+        "growing doc_id prefixes (1/5/25/50/100% of the id domain, "
+        "integer-div thresholds). The scale trick: vocabulary-in-"
+        "prefix is NOT a count-distinct per prefix — each token "
+        "reduces to its FIRST document (one groupBy over tokens), and "
+        "every prefix answer is then a count over that tiny relation, "
+        "so five prefixes cost one token shuffle, not five. At 100 TB "
+        "the shuffle carries (token, min(doc_id)) pairs and the grid "
+        "fan-out is a broadcast of five rows. All integers end to end."
+    ),
+)
+def x62(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(_tokens(F.col("text"))).alias("tok")
+    ).filter(F.col("tok") != "")
+    first = toks.groupBy("tok").agg(F.min("doc_id").alias("first_doc"))
+    perdoc = toks.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
+    grid = (
+        d.agg((F.max("doc_id") + 1).alias("n"))
+        .select(
+            F.explode(
+                F.array(*[F.lit(p) for p in _HEAPS_PCTS])
+            ).alias("p"),
+            "n",
+        )
+        .select("p", F.expr("(n * p) div 100").alias("thr"))
+    )
+    vocab = (
+        first.crossJoin(F.broadcast(grid))
+        .groupBy("p")
+        .agg(
+            F.sum(
+                F.when(F.col("first_doc") < F.col("thr"), 1).otherwise(0)
+            ).alias("vocab")
+        )
+    )
+    docs = (
+        d.select("doc_id")
+        .crossJoin(F.broadcast(grid))
+        .groupBy("p")
+        .agg(
+            F.sum(
+                F.when(F.col("doc_id") < F.col("thr"), 1).otherwise(0)
+            ).alias("prefix_docs")
+        )
+    )
+    ntok = (
+        perdoc.crossJoin(F.broadcast(grid))
+        .groupBy("p")
+        .agg(
+            F.sum(
+                F.when(F.col("doc_id") < F.col("thr"), F.col("n_tok")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("prefix_tokens")
+        )
+    )
+    return (
+        docs.join(ntok, "p")
+        .join(vocab, "p")
+        .select(
+            F.col("p").alias("pct"),
+            "prefix_docs",
+            "prefix_tokens",
+            "vocab",
+        )
+        .orderBy("pct")
+    )
+
+
+@query(
+    "x63_source_lift_keywords",
+    oracle=(
+        "WITH toks AS (SELECT source, unnest(list_filter("
+        "string_split(lower(text), ' '), x -> x <> '')) AS tok "
+        "FROM documents), "
+        "st AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c_st "
+        "FROM toks GROUP BY source, tok), "
+        "s AS (SELECT source, CAST(count(*) AS BIGINT) AS c_s "
+        "FROM toks GROUP BY source), "
+        "tk AS (SELECT tok, CAST(count(*) AS BIGINT) AS c_t "
+        "FROM toks GROUP BY tok), "
+        "tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM toks), "
+        "lifts AS (SELECT source, tok, c_st, "
+        "(c_st * n) / (c_s * c_t) AS lift_raw "
+        "FROM st JOIN tk USING (tok) JOIN s USING (source), tot "
+        "WHERE c_st >= 5), "
+        "ranked AS (SELECT *, row_number() OVER (PARTITION BY source "
+        "ORDER BY lift_raw DESC, tok) AS rn FROM lifts) "
+        "SELECT source, tok, c_st, round(lift_raw, 4) AS lift "
+        "FROM ranked WHERE rn <= 5 ORDER BY source, lift DESC, tok"
+    ),
+    doc=(
+        "per-source characteristic keywords by lift: lift(tok|src) = "
+        "p(tok|src)/p(tok) computed as (c_st*N)/(c_s*c_t) — a single "
+        "double division of exact BIGINT products (products stay under "
+        "2^53 on the fixture domain, so the engines' long->double "
+        "conversions are bit-identical and the top-5 per source "
+        "agrees without tolerance; tie-break on token). Shuffle shape "
+        "at 100 TB: one token-level groupBy + one token-keyed join; "
+        "per-source totals and the global count are broadcast "
+        "one-row/one-per-source aggregates, never a re-scan."
+    ),
+)
+def x63(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.explode(_tokens(F.col("text"))).alias("tok")
+    ).filter(F.col("tok") != "")
+    st = toks.groupBy("source", "tok").agg(F.count("*").alias("c_st"))
+    s = toks.groupBy("source").agg(F.count("*").alias("c_s"))
+    tk = toks.groupBy("tok").agg(F.count("*").alias("c_t"))
+    tot = toks.agg(F.count("*").alias("n"))
+    lifts = (
+        st.join(tk, "tok")
+        .join(F.broadcast(s), "source")
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("c_st") >= 5)
+        .withColumn(
+            "lift_raw",
+            (F.col("c_st") * F.col("n")) / (F.col("c_s") * F.col("c_t")),
+        )
+    )
+    rn = F.row_number().over(
+        W.partitionBy("source").orderBy(F.desc("lift_raw"), "tok")
+    )
+    return (
+        lifts.withColumn("rn", rn)
+        .filter(F.col("rn") <= 5)
+        .select("source", "tok", "c_st", r4(F.col("lift_raw")).alias("lift"))
+        .orderBy("source", F.desc("lift"), "tok")
+    )
+
+
+def _matryoshka_oracle(prefix_dim: int = 16, dim: int = 64, nq: int = 8) -> str:
+    """Replay of x64: identical left-associated dot-product chains for
+    the full-dim and prefix-dim cosines (the Spark side's F.aggregate
+    fold order), identical (sim DESC, vec_id) argmax."""
+    from s2_spark.suite._ann_oracles import _chain
+
+    full = (
+        f"({_chain('v', 'qv', dim)}) / "
+        f"(sqrt({_chain('v', 'v', dim)}) * sqrt({_chain('qv', 'qv', dim)}))"
+    )
+    pref = (
+        f"({_chain('v', 'qv', prefix_dim)}) / "
+        f"(sqrt({_chain('v', 'v', prefix_dim)})"
+        f" * sqrt({_chain('qv', 'qv', prefix_dim)}))"
+    )
+    return (
+        f"WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv "
+        f"FROM embeddings WHERE vec_id < {nq}), "
+        f"c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        f"FROM embeddings WHERE vec_id >= {nq}), "
+        f"sims AS (SELECT qid, vec_id, {full} AS sf, {pref} AS sp "
+        "FROM c, q), "
+        "tf AS (SELECT qid, vec_id AS full_top1, sf AS full_sim, "
+        "row_number() OVER (PARTITION BY qid ORDER BY sf DESC, vec_id) "
+        "AS rn FROM sims), "
+        "tp AS (SELECT qid, vec_id AS prefix_top1, sp AS prefix_sim, "
+        "row_number() OVER (PARTITION BY qid ORDER BY sp DESC, vec_id) "
+        "AS rn FROM sims) "
+        "SELECT tf.qid AS query_id, full_top1, prefix_top1, "
+        "CAST(full_top1 = prefix_top1 AS INTEGER) AS agree, "
+        "round(full_sim, 4) AS full_sim, round(prefix_sim, 4) AS prefix_sim "
+        "FROM tf JOIN tp ON tf.qid = tp.qid AND tf.rn = 1 AND tp.rn = 1 "
+        "ORDER BY query_id"
+    )
+
+
+@query(
+    "x64_matryoshka_agreement",
+    oracle=_matryoshka_oracle(),
+    doc=(
+        "Matryoshka-style truncation quality report: for 8 query "
+        "vectors, the exact cosine top-1 neighbor at full dim (64) vs "
+        "the top-1 using only the 16-dim PREFIX of the same vectors — "
+        "the agreement rate is the measured cost of searching truncated "
+        "embeddings (the memory/recall dial real ANN deployments turn). "
+        "Both argmaxes are driver-free groupBy max(struct(sim, -id)) "
+        "aggregations over a broadcast 8-row query join; dot products "
+        "are left-associated F.aggregate folds replayed term-for-term "
+        "in the oracle, so both engines pick identical winners. At "
+        "100 TB this is one broadcast-fan-out scan: no pairwise "
+        "corpus x corpus join, prefix cosine reuses the same row."
+    ),
+)
+def x64(spark, sf_dir):
+    nq, prefix_dim = 8, 16
+    emb = t(spark, sf_dir, "embeddings")
+    dbl = lambda c: F.transform(c, lambda x: x.cast("double"))  # noqa: E731
+    q = (
+        emb.filter(F.col("vec_id") < nq)
+        .select(F.col("vec_id").alias("qid"), dbl(F.col("embedding")).alias("qv"))
+    )
+    c = emb.filter(F.col("vec_id") >= nq).select(
+        "vec_id", dbl(F.col("embedding")).alias("v")
+    )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    def cos(a, b):
+        return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+    pv = F.slice(F.col("v"), 1, prefix_dim)
+    pq = F.slice(F.col("qv"), 1, prefix_dim)
+    sims = c.crossJoin(F.broadcast(q)).select(
+        "qid",
+        "vec_id",
+        cos(F.col("v"), F.col("qv")).alias("sf"),
+        cos(pv, pq).alias("sp"),
+    )
+    top = sims.groupBy("qid").agg(
+        F.max(F.struct(F.col("sf").alias("s"), (-F.col("vec_id")).alias("nv"))).alias(
+            "mf"
+        ),
+        F.max(F.struct(F.col("sp").alias("s"), (-F.col("vec_id")).alias("nv"))).alias(
+            "mp"
+        ),
+    )
+    return top.select(
+        F.col("qid").alias("query_id"),
+        (-F.col("mf.nv")).alias("full_top1"),
+        (-F.col("mp.nv")).alias("prefix_top1"),
+        (F.col("mf.nv") == F.col("mp.nv")).cast("int").alias("agree"),
+        r4(F.col("mf.s")).alias("full_sim"),
+        r4(F.col("mp.s")).alias("prefix_sim"),
+    ).orderBy("query_id")
+
+
+@query(
+    "x65_stratified_sample",
+    oracle=(
+        "WITH n AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s "
+        "FROM documents GROUP BY source), "
+        "r AS (SELECT doc_id, source, row_number() OVER "
+        "(PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) "
+        "AS rn FROM documents) "
+        "SELECT r.doc_id, r.source, CAST(rn AS BIGINT) AS rank_in_stratum "
+        "FROM r JOIN n USING (source) "
+        "WHERE rn <= (n_s + 9) // 10 "
+        "ORDER BY source, rank_in_stratum"
+    ),
+    doc=(
+        "deterministic stratified 10% sample with EXACT per-stratum "
+        "quotas: quota = ceil(n_s/10) by integer arithmetic, membership "
+        "= the quota smallest docs by md5(doc_id) (a uniform, seedless, "
+        "engine-portable order — rerunning or re-sharding the corpus "
+        "reproduces the identical sample, the property training-data "
+        "pipelines need for auditable subsets). One count aggregate + "
+        "one per-stratum rank window; at 100 TB the window partitions "
+        "by stratum and never globally sorts."
+    ),
+)
+def x65(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    d = t(spark, sf_dir, "documents")
+    n = d.groupBy("source").agg(F.count("*").alias("n_s"))
+    rn = F.row_number().over(
+        W.partitionBy("source").orderBy(
+            F.md5(F.col("doc_id").cast("string")), "doc_id"
+        )
+    )
+    return (
+        d.select("doc_id", "source")
+        .withColumn("rn", rn)
+        .join(F.broadcast(n), "source")
+        .filter(F.col("rn") <= F.expr("(n_s + 9) div 10"))
+        .select(
+            "doc_id",
+            "source",
+            F.col("rn").cast("long").alias("rank_in_stratum"),
+        )
+        .orderBy("source", "rank_in_stratum")
+    )
+
+
+@query(
+    "x66_pmi_collocations",
+    oracle=(
+        "WITH toks AS (SELECT doc_id, list_filter("
+        "string_split(lower(text), ' '), x -> x <> '') AS tk "
+        "FROM documents), "
+        "uni AS (SELECT unnest(tk) AS w FROM toks), "
+        "ucnt AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM uni "
+        "GROUP BY w), "
+        "nu AS (SELECT CAST(count(*) AS BIGINT) AS n FROM uni), "
+        "bi AS (SELECT tk[i] AS w1, tk[i+1] AS w2 FROM toks, "
+        "unnest(range(1, len(tk))) AS r(i) WHERE len(tk) >= 2), "
+        "bcnt AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_xy "
+        "FROM bi GROUP BY w1, w2), "
+        "nb AS (SELECT CAST(count(*) AS BIGINT) AS n_b FROM bi), "
+        "pmi AS (SELECT w1, w2, c_xy, "
+        "ln((c_xy * n * n) / (n_b * a.c * b.c)) AS pmi_raw "
+        "FROM bcnt JOIN ucnt a ON w1 = a.w JOIN ucnt b ON w2 = b.w, "
+        "nu, nb WHERE c_xy >= 5) "
+        "SELECT w1, w2, c_xy, round(pmi_raw, 4) AS pmi FROM pmi "
+        "ORDER BY pmi_raw DESC, w1, w2 LIMIT 15"
+    ),
+    doc=(
+        "PMI collocation mining: top-15 adjacent bigrams by pointwise "
+        "mutual information ln(p(xy)/(p(x)p(y))) with p(xy)=c_xy/N_bi, "
+        "p(w)=c_w/N_uni — evaluated as ONE ln of ONE division of exact "
+        "BIGINT products, so both engines see identical doubles and "
+        "the ranking needs no tolerance. Bigrams are built IN-ROW "
+        "(zip_with over the token array against its own shift) — the "
+        "shuffle carries (w1, w2) pairs, and the unigram join is "
+        "vocabulary-sized, the same 100 TB shape as the x55 "
+        "Kneser-Ney table."
+    ),
+)
+def x66(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    tk = F.filter(_tokens(F.col("text")), lambda x: x != F.lit(""))
+    docs = d.select(tk.alias("tk"))
+    uni = docs.select(F.explode("tk").alias("w"))
+    ucnt = uni.groupBy("w").agg(F.count("*").alias("c"))
+    nu = uni.agg(F.count("*").alias("n"))
+    pairs = F.when(
+        F.size("tk") >= 2,
+        F.zip_with(
+            F.slice(F.col("tk"), 1, F.size("tk") - 1),
+            F.slice(F.col("tk"), 2, F.size("tk") - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1 string, w2 string>>"))
+    bi = docs.select(F.explode(pairs).alias("p")).select("p.w1", "p.w2")
+    bcnt = bi.groupBy("w1", "w2").agg(F.count("*").alias("c_xy"))
+    nb = bi.agg(F.count("*").alias("n_b"))
+    a = ucnt.select(F.col("w").alias("w1"), F.col("c").alias("c_x"))
+    b = ucnt.select(F.col("w").alias("w2"), F.col("c").alias("c_y"))
+    pmi_raw = F.log(
+        (F.col("c_xy") * F.col("n") * F.col("n"))
+        / (F.col("n_b") * F.col("c_x") * F.col("c_y"))
+    )
+    return (
+        bcnt.join(F.broadcast(a), "w1")
+        .join(F.broadcast(b), "w2")
+        .crossJoin(F.broadcast(nu))
+        .crossJoin(F.broadcast(nb))
+        .filter(F.col("c_xy") >= 5)
+        .withColumn("pmi_raw", pmi_raw)
+        .orderBy(F.desc("pmi_raw"), "w1", "w2")
+        .limit(15)
+        .select("w1", "w2", "c_xy", r4(F.col("pmi_raw")).alias("pmi"))
+    )
+
+
+def _kmv_oracle(k: int = 32) -> str:
+    """Replay of x61's KMV sketch: identical 32-bit hash values
+    (first 8 hex chars of md5(text) — '0x'-cast, Spark's conv), the
+    k smallest DISTINCT values per source, and the same single
+    double division for the estimator — everything else integer."""
+    return (
+        "WITH h AS (SELECT DISTINCT source, "
+        "CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT) AS hv "
+        "FROM documents), "
+        "r AS (SELECT source, hv, row_number() OVER "
+        "(PARTITION BY source ORDER BY hv) AS rn FROM h), "
+        f"mins AS (SELECT source, CAST(max(hv) AS BIGINT) AS kth, "
+        f"CAST(count(*) AS BIGINT) AS n_min FROM r WHERE rn <= {k} "
+        "GROUP BY source), "
+        "ex AS (SELECT source, CAST(count(DISTINCT hv) AS BIGINT) "
+        "AS exact_distinct FROM h GROUP BY source) "
+        "SELECT source, exact_distinct, kth, "
+        f"round(CASE WHEN n_min < {k} THEN CAST(n_min AS DOUBLE) "
+        f"ELSE {(k - 1)} * 4294967296.0 / kth END, 4) AS kmv_estimate, "
+        f"round(abs(CASE WHEN n_min < {k} THEN CAST(n_min AS DOUBLE) "
+        f"ELSE {(k - 1)} * 4294967296.0 / kth END - exact_distinct) "
+        "/ exact_distinct, 4) AS rel_err "
+        "FROM mins JOIN ex USING (source) ORDER BY source"
+    )
+
+
+@query(
+    "x61_kmv_distinct_sketch",
+    oracle=_kmv_oracle(),
+    doc=(
+        "KMV (k-minimum-values) distinct-count sketch per source "
+        "(Bar-Yossef et al. 2002), the mergeable bottom-k cousin of "
+        "x57's HLL, verified END TO END: hash = first 32 bits of "
+        "md5(text) as an exact BIGINT, sketch state = the k=32 "
+        "smallest distinct hashes per source (the kth value is "
+        "emitted and integer-compared, so the oracle checks the "
+        "sketch itself, not just the estimate), estimator = "
+        "(k-1)*2^32/kth — one double division on exact integers; "
+        "sources holding fewer than k distinct values answer exactly. "
+        "At 100 TB the shuffle carries distinct 8-byte hashes and the "
+        "per-source sort is the bottom-k window (map-side partial "
+        "dedup first); two KMV sketches merge as the k smallest of "
+        "the union, so per-partition sketches combine without "
+        "re-scanning — the property HLL buys with max(), KMV buys "
+        "with bottom-k."
+    ),
+)
+def x61(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    k = 32
+    d = t(spark, sf_dir, "documents")
+    h = d.select(
+        "source",
+        F.conv(F.substring(F.md5("text"), 1, 8), 16, 10)
+        .cast("long")
+        .alias("hv"),
+    ).distinct()
+    rn = F.row_number().over(W.partitionBy("source").orderBy("hv"))
+    mins = (
+        h.withColumn("rn", rn)
+        .filter(F.col("rn") <= k)
+        .groupBy("source")
+        .agg(F.max("hv").alias("kth"), F.count("*").alias("n_min"))
+    )
+    ex = h.groupBy("source").agg(
+        F.countDistinct("hv").alias("exact_distinct")
+    )
+    est = F.when(
+        F.col("n_min") < k, F.col("n_min").cast("double")
+    ).otherwise(F.lit(float(k - 1) * 4294967296.0) / F.col("kth"))
+    return (
+        mins.join(ex, "source")
+        .select(
+            "source",
+            "exact_distinct",
+            "kth",
+            r4(est).alias("kmv_estimate"),
+            r4(
+                F.abs(est - F.col("exact_distinct"))
+                / F.col("exact_distinct")
+            ).alias("rel_err"),
+        )
+        .orderBy("source")
+    )
