@@ -3313,6 +3313,196 @@ def x66(spark, sf_dir):
     )
 
 
+@query(
+    "x67_sessionization",
+    oracle=(
+        "WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us "
+        "FROM events), "
+        "g AS (SELECT user_id, event_id, us, us - lag(us) OVER "
+        "(PARTITION BY user_id ORDER BY us, event_id) AS gap FROM e), "
+        "s AS (SELECT user_id, CAST(sum(CASE WHEN gap IS NULL OR "
+        "gap > 1800000000 THEN 1 ELSE 0 END) OVER "
+        "(PARTITION BY user_id ORDER BY us, event_id ROWS BETWEEN "
+        "UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid "
+        "FROM g), "
+        "per AS (SELECT user_id, sid, CAST(count(*) AS BIGINT) AS n "
+        "FROM s GROUP BY user_id, sid) "
+        "SELECT user_id, CAST(max(sid) AS BIGINT) AS n_sessions, "
+        "CAST(sum(n) AS BIGINT) AS n_events, "
+        "CAST(max(n) AS BIGINT) AS max_session_events "
+        "FROM per GROUP BY user_id ORDER BY user_id"
+    ),
+    doc=(
+        "user sessionization with a 30-minute inactivity gap: session "
+        "boundaries from integer-microsecond deltas (exact on both "
+        "engines — no float time math), session ids as a running sum "
+        "of boundary flags, then per-user session stats. The window "
+        "partitions by user_id — the unit of parallelism — and never "
+        "globally sorts; at 100 TB this is the canonical event-stream "
+        "shape: one shuffle on the user key serves the lag, the "
+        "running sum, and the rollup."
+    ),
+)
+def x67(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    e = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        # ts may arrive as TIMESTAMP_NTZ (micros fixture) or TIMESTAMP
+        # (normalized nanos fixture); the session TZ is UTC, so the
+        # cast is value-preserving and unix_micros == DuckDB epoch_us
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    w = W.partitionBy("user_id").orderBy("us", "event_id")
+    gap = F.col("us") - F.lag("us").over(w)
+    new_s = F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0)
+    sid = F.sum(new_s).over(
+        w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    per = (
+        e.withColumn("sid", sid)
+        .groupBy("user_id", "sid")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        per.groupBy("user_id")
+        .agg(
+            F.max("sid").alias("n_sessions"),
+            F.sum("n").alias("n_events"),
+            F.max("n").alias("max_session_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "x68_decontamination_overlap",
+    oracle=(
+        "WITH d AS (SELECT doc_id, "
+        "CASE WHEN (strpos('0123456789abcdef', substr(md5(CAST(doc_id "
+        "AS VARCHAR)), 1, 1)) - 1) * 16 + (strpos('0123456789abcdef', "
+        "substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) < 204 "
+        "THEN 'train' WHEN (strpos('0123456789abcdef', substr(md5("
+        "CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16 + (strpos("
+        "'0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, "
+        "1)) - 1) < 230 THEN 'val' ELSE 'test' END AS split, "
+        "list_filter(string_split(lower(text), ' '), x -> x <> '') "
+        "AS tk FROM documents), "
+        "grams AS (SELECT doc_id, split, "
+        "md5(array_to_string(tk[i:i+7], ' ')) AS g "
+        "FROM d, unnest(range(1, len(tk) - 6)) AS r(i) "
+        "WHERE len(tk) >= 8), "
+        "tg AS (SELECT DISTINCT g FROM grams WHERE split = 'train'), "
+        "ev AS (SELECT DISTINCT doc_id, split, g FROM grams "
+        "WHERE split <> 'train'), "
+        "hit AS (SELECT ev.doc_id, ev.split, ev.g FROM ev "
+        "JOIN tg USING (g)) "
+        "SELECT split, "
+        "(SELECT CAST(count(DISTINCT doc_id) AS BIGINT) FROM ev e2 "
+        " WHERE e2.split = s.split) AS n_docs, "
+        "CAST(count(DISTINCT doc_id) AS BIGINT) AS n_contaminated, "
+        "CAST(count(DISTINCT g) AS BIGINT) AS n_shared_grams "
+        "FROM hit s GROUP BY split ORDER BY split"
+    ),
+    doc=(
+        "train/eval decontamination report over the x56 deterministic "
+        "split: an eval (val/test) document is contaminated when any "
+        "of its 8-gram shingles appears in ANY train document — the "
+        "n-gram-overlap rule eval suites apply before trusting a "
+        "benchmark number. Grams are built IN-ROW and immediately "
+        "reduced to md5 digests, so the shuffle and the semi-join "
+        "carry 16-byte hashes, never text; the train side dedupes to "
+        "distinct grams before the join. At 100 TB: one gram-digest "
+        "shuffle each side + one digest-keyed join."
+    ),
+)
+def x68(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    mh = F.md5(F.col("doc_id").cast("string"))
+    b = F.expr(
+        "(locate(substr(md5(CAST(doc_id AS STRING)), 1, 1), "
+        "'0123456789abcdef') - 1) * 16 + "
+        "(locate(substr(md5(CAST(doc_id AS STRING)), 2, 1), "
+        "'0123456789abcdef') - 1)"
+    )
+    split = (
+        F.when(b < 204, "train").when(b < 230, "val").otherwise("test")
+    )
+    tk = F.filter(_tokens(F.col("text")), lambda x: x != F.lit(""))
+    docs = d.select("doc_id", split.alias("split"), tk.alias("tk")).filter(
+        F.size("tk") >= 8
+    )
+    grams = docs.select(
+        "doc_id",
+        "split",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(tk) - 7), "
+                "i -> md5(concat_ws(' ', slice(tk, i, 8))))"
+            )
+        ).alias("g"),
+    )
+    tg = grams.filter(F.col("split") == "train").select("g").distinct()
+    ev = (
+        grams.filter(F.col("split") != "train")
+        .select("doc_id", "split", "g")
+        .distinct()
+    )
+    hit = ev.join(tg, "g")
+    n_docs = ev.groupBy("split").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    rep = hit.groupBy("split").agg(
+        F.countDistinct("doc_id").alias("n_contaminated"),
+        F.countDistinct("g").alias("n_shared_grams"),
+    )
+    return (
+        n_docs.join(rep, "split")
+        .select("split", "n_docs", "n_contaminated", "n_shared_grams")
+        .orderBy("split")
+    )
+
+
+@query(
+    "x69_cross_source_leakage",
+    oracle=(
+        "SELECT cluster, CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(count(DISTINCT source) AS BIGINT) AS n_sources "
+        f"FROM ({neardup_clusters_oracle(k=16, bands=4)}) c "
+        "JOIN documents USING (doc_id) "
+        "GROUP BY cluster HAVING count(DISTINCT source) > 1 "
+        "ORDER BY cluster"
+    ),
+    doc=(
+        "cross-source duplicate leakage report: near-duplicate "
+        "clusters (x30's connected components) whose members span "
+        "MORE THAN ONE source — the clusters that make per-source "
+        "dedup insufficient and leak one provider's text through "
+        "another's slice (the audit a licensing/provenance review "
+        "runs). One label-keyed join of the CC output back to the "
+        "(doc_id, source) projection + one count-distinct rollup; the "
+        "oracle replays signatures, banding, edges, the min-label "
+        "fixpoint, then the same spanning test."
+    ),
+)
+def x69(spark, sf_dir):
+    from s2_spark.functions.dedup import neardup_clusters
+
+    d = t(spark, sf_dir, "documents")
+    labels = neardup_clusters(d, k=16, bands=4)
+    return (
+        labels.join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("cluster")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+        .filter(F.col("n_sources") > 1)
+        .orderBy("cluster")
+    )
+
+
 def _kmv_oracle(k: int = 32) -> str:
     """Replay of x61's KMV sketch: identical 32-bit hash values
     (first 8 hex chars of md5(text) — '0x'-cast, Spark's conv), the

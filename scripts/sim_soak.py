@@ -1,0 +1,63 @@
+"""Fresh-seed differential-sim soak — the per-round chaos sweep.
+
+Runs the heaviest seeded sim scenarios from tests/test_sim.py with
+RANDOM seeds (the pytest matrix pins known-regression seeds; this
+sweep hunts new ones). Every failure prints the scenario + seed so it
+can be pinned into the matrix.
+
+Usage: python scripts/sim_soak.py [n_seeds] [base_seed]
+A fixed base_seed reproduces the whole sweep.
+"""
+
+from __future__ import annotations
+
+import pathlib
+import random
+import shutil
+import sys
+import tempfile
+import traceback
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+from s2_spark.session import get_spark  # noqa: E402
+
+
+def main() -> int:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 12
+    base = int(sys.argv[2]) if len(sys.argv) > 2 else random.SystemRandom().randrange(1 << 30)
+    rng = random.Random(base)
+    spark = get_spark("sim_soak", cpus=8, shuffle_partitions=8)
+
+    import tests.test_sim as T
+
+    scenarios = [
+        ("crash_injection", T.test_sim_differential_with_crash_injection),
+        ("dormancy_restart", T.test_sim_differential_with_dormancy_and_restart),
+        ("compaction_crashes", T.test_sim_differential_with_compaction_crashes),
+        ("source_exactly_once", T.test_sim_source_exactly_once_with_purges_restarts_rate_limits),
+    ]
+    print(f"sim_soak: {n} seeds per scenario, base_seed={base}", flush=True)
+    failures = []
+    for name, fn in scenarios:
+        for _ in range(n):
+            seed = rng.randrange(1 << 20)
+            tmp = pathlib.Path(tempfile.mkdtemp(prefix=f"soak_{name}_"))
+            try:
+                fn(spark, tmp, seed)
+                print(f"  ok   {name} seed={seed}", flush=True)
+            except Exception:
+                failures.append((name, seed))
+                print(f"  FAIL {name} seed={seed}", flush=True)
+                traceback.print_exc()
+            finally:
+                shutil.rmtree(tmp, ignore_errors=True)
+    if failures:
+        print(f"FAILURES: {failures}")
+        return 1
+    print("sim_soak: all green")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
