@@ -1475,8 +1475,26 @@ class StreamStore:
                 F.max(
                     F.when(F.col("_cmd") == "fence", F.col("seq_num"))
                 ).alias("_last_fence_seq"),
-                F.max(
-                    F.when(F.col("_cmd") == "trim", F.col("seq_num"))
+                # the kept trim command is the one DEFINING the trim
+                # point — arg-max of the effective clamp min(payload,
+                # seq+1), NOT the latest by seq: a later trim with a
+                # LOWER payload is dominated by the monotone max, and
+                # keeping only it would delete the defining command and
+                # regress the recovered trim point (resurrecting every
+                # record between the regressed and true points — found
+                # by the round-11 fresh-seed sim soak, seed 930413)
+                F.max_by(
+                    F.when(F.col("_cmd") == "trim", F.col("seq_num")),
+                    F.when(
+                        F.col("_cmd") == "trim",
+                        F.struct(
+                            F.least(
+                                F.conv(F.hex("body"), 16, 10).cast("long"),
+                                F.col("seq_num") + 1,
+                            ).alias("eff"),
+                            F.col("seq_num").alias("sq"),
+                        ),
+                    ),
                 ).alias("_last_trim_seq"),
             )
         )

@@ -205,6 +205,33 @@ def test_full_trim_then_physical_delete_preserves_tail(spark, tmp_path):
     assert _all_seqs(s2, "s") == [4]
 
 
+def test_compaction_keeps_the_defining_trim_command(spark, tmp_path):
+    """A later trim with a LOWER payload is dominated by the monotone
+    max and must not displace the DEFINING trim command from the
+    compaction keep-set: keeping only the latest-by-seq trim and
+    deleting the defining one regresses the recovered trim point and
+    resurrects every record in between (round-11 fresh-seed sim soak,
+    seed 930413 — now also pinned in the sim matrix)."""
+    base = str(tmp_path / "records")
+    s1 = _fresh(spark, base)
+    s1.append(BASIN, "s", [Record(body=bytes([i])) for i in range(8)])
+    s1.trim(BASIN, "s", 8)  # seq 8, effective trim 8
+    s1.apply_trim_and_retention()  # physically drops seqs 0-7
+    s1.trim(BASIN, "s", 1)  # seq 9: DOMINATED (monotone max keeps 8)
+    assert _all_seqs(s1, "s") == [8, 9]  # hot state still hides 0-7
+    s1.apply_trim_and_retention()
+
+    s2 = StreamStore(spark, base)
+    s2.recover_state()
+    st = s2._st(BASIN, "s")
+    assert st.trim_point == 8, "recovered trim point regressed"
+    # nothing resurrected, tail intact, appends continue past it
+    assert _all_seqs(s2, "s") == [8, 9]
+    assert s2.check_tail(BASIN, "s")[0] == 10
+    ack = s2.append(BASIN, "s", [Record(body=b"d")])
+    assert ack.start_seq == 10
+
+
 def test_purged_stream_name_recreates_fresh(spark, tmp_path):
     """delete_stream → purge → create the same name: the new stream
     must start empty at seq 0, never resurrecting the dead stream's
