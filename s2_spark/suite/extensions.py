@@ -3503,6 +3503,158 @@ def x69(spark, sf_dir):
     )
 
 
+@query(
+    "x70_ngram_novelty_by_decile",
+    oracle=(
+        "WITH d AS (SELECT doc_id, list_filter(string_split(lower(text), "
+        "' '), x -> x <> '') AS tk FROM documents), "
+        "bound AS (SELECT max(doc_id) + 1 AS n FROM documents), "
+        "grams AS (SELECT (doc_id * 10) // n AS dec, "
+        "md5(array_to_string(tk[i:i+7], ' ')) AS g "
+        "FROM d, bound, unnest(range(1, len(tk) - 6)) AS r(i) "
+        "WHERE len(tk) >= 8), "
+        "gd AS (SELECT DISTINCT dec, g FROM grams), "
+        "first AS (SELECT g, min(dec) AS first_dec FROM gd GROUP BY g) "
+        "SELECT dec AS decile, "
+        "CAST(count(*) AS BIGINT) AS n_distinct_grams, "
+        "CAST(sum(CASE WHEN first_dec = dec THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_novel_grams, "
+        "round(CAST(sum(CASE WHEN first_dec = dec THEN 1 ELSE 0 END) AS "
+        "DOUBLE) / count(*), 4) AS novelty_rate "
+        "FROM gd JOIN first USING (g) GROUP BY dec ORDER BY dec"
+    ),
+    doc=(
+        "corpus novelty decay: per doc_id decile (ingestion-order "
+        "proxy), the fraction of this decile's distinct 8-gram "
+        "shingles never seen in an earlier decile — the freshness "
+        "curve a continuous-crawl pipeline watches to decide when "
+        "additional data stops adding information. Same scale trick "
+        "as x62: every gram reduces to its FIRST decile (one digest "
+        "shuffle), so ten deciles cost one pass; the rate is the only "
+        "division, on exact integers. Grams never leave the row as "
+        "text — 16-byte md5 digests shuffle."
+    ),
+)
+def x70(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    tk = F.filter(_tokens(F.col("text")), lambda x: x != F.lit(""))
+    bound = d.agg((F.max("doc_id") + 1).alias("n"))
+    grams = (
+        d.select("doc_id", tk.alias("tk"))
+        .filter(F.size("tk") >= 8)
+        .crossJoin(F.broadcast(bound))
+        .select(
+            F.expr("(doc_id * 10) div n").alias("dec"),
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(tk) - 7), "
+                    "i -> md5(concat_ws(' ', slice(tk, i, 8))))"
+                )
+            ).alias("g"),
+        )
+    )
+    gd = grams.distinct()
+    first = gd.groupBy("g").agg(F.min("dec").alias("first_dec"))
+    novel = F.sum(
+        F.when(F.col("first_dec") == F.col("dec"), 1).otherwise(0)
+    )
+    return (
+        gd.join(first, "g")
+        .groupBy(F.col("dec").alias("decile"))
+        .agg(
+            F.count("*").alias("n_distinct_grams"),
+            novel.alias("n_novel_grams"),
+            r4(novel.cast("double") / F.count("*")).alias("novelty_rate"),
+        )
+        .orderBy("decile")
+    )
+
+
+@query(
+    "x71_source_drift_matrix",
+    oracle=(
+        "WITH toks AS (SELECT source, unnest(list_filter("
+        "string_split(lower(text), ' '), x -> x <> '')) AS w "
+        "FROM documents), "
+        "c AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c "
+        "FROM toks GROUP BY source, w), "
+        "n AS (SELECT source, CAST(count(*) AS BIGINT) AS n "
+        "FROM toks GROUP BY source), "
+        "co AS (SELECT a.source AS s1, b.source AS s2, "
+        "CAST(sum(abs(a.c * n2.n - b.c * n1.n)) AS BIGINT) AS num_co, "
+        "CAST(sum(a.c) AS BIGINT) AS c1_co, "
+        "CAST(sum(b.c) AS BIGINT) AS c2_co, "
+        "CAST(count(*) AS BIGINT) AS n_shared "
+        "FROM c a JOIN c b ON a.w = b.w AND a.source < b.source "
+        "JOIN n n1 ON n1.source = a.source "
+        "JOIN n n2 ON n2.source = b.source "
+        "GROUP BY a.source, b.source) "
+        "SELECT s1, s2, n_shared, "
+        "round(CAST(num_co + (n1.n - c1_co) * n2.n "
+        "+ (n2.n - c2_co) * n1.n AS DOUBLE) / (n1.n * n2.n), 4) "
+        "AS l1_distance "
+        "FROM co JOIN n n1 ON n1.source = s1 JOIN n n2 ON n2.source = s2 "
+        "ORDER BY s1, s2"
+    ),
+    doc=(
+        "pairwise source drift matrix: L1 distance between unigram "
+        "distributions, sum_w |p1(w) - p2(w)| in [0, 2], computed "
+        "WITHOUT a full-outer word join via the sparse identity "
+        "sum_co |c1*N2 - c2*N1| + (N1 - sum_co c1)*N2 + "
+        "(N2 - sum_co c2)*N1 over the co-occurring words only, all "
+        "exact BIGINT until one final division — the one-sided tails "
+        "fold into totals, so the join carries only shared vocabulary. "
+        "The number a mixture-rebalancing run reads to see which "
+        "sources converged. At 100 TB: one vocabulary-keyed count "
+        "table, one self-join on the word key, broadcast totals."
+    ),
+)
+def x71(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.explode(_tokens(F.col("text"))).alias("w")
+    ).filter(F.col("w") != "")
+    c = toks.groupBy("source", "w").agg(F.count("*").alias("c"))
+    n = toks.groupBy("source").agg(F.count("*").alias("n"))
+    a = c.select(F.col("source").alias("s1"), "w", F.col("c").alias("c1"))
+    b = c.select(F.col("source").alias("s2"), "w", F.col("c").alias("c2"))
+    n1 = F.broadcast(n.select(F.col("source").alias("s1"), F.col("n").alias("n1")))
+    n2 = F.broadcast(n.select(F.col("source").alias("s2"), F.col("n").alias("n2")))
+    co = (
+        a.join(b, "w")
+        .filter(F.col("s1") < F.col("s2"))
+        .join(n1, "s1")
+        .join(n2, "s2")
+        .groupBy("s1", "s2")
+        .agg(
+            F.sum(
+                F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1"))
+            ).alias("num_co"),
+            F.sum("c1").alias("c1_co"),
+            F.sum("c2").alias("c2_co"),
+            F.count("*").alias("n_shared"),
+        )
+    )
+    num = (
+        F.col("num_co")
+        + (F.col("n1") - F.col("c1_co")) * F.col("n2")
+        + (F.col("n2") - F.col("c2_co")) * F.col("n1")
+    )
+    return (
+        co.join(n1, "s1")
+        .join(n2, "s2")
+        .select(
+            "s1",
+            "s2",
+            "n_shared",
+            r4(num.cast("double") / (F.col("n1") * F.col("n2"))).alias(
+                "l1_distance"
+            ),
+        )
+        .orderBy("s1", "s2")
+    )
+
+
 def _kmv_oracle(k: int = 32) -> str:
     """Replay of x61's KMV sketch: identical 32-bit hash values
     (first 8 hex chars of md5(text) — '0x'-cast, Spark's conv), the

@@ -36,6 +36,7 @@ def main() -> int:
         ("dormancy_restart", T.test_sim_differential_with_dormancy_and_restart),
         ("compaction_crashes", T.test_sim_differential_with_compaction_crashes),
         ("source_exactly_once", T.test_sim_source_exactly_once_with_purges_restarts_rate_limits),
+        ("sink_replay", T.test_sim_sink_replay_with_purges_and_trims),
     ]
     print(f"sim_soak: {n} seeds per scenario, base_seed={base}", flush=True)
     failures = []
