@@ -95,6 +95,44 @@ def test_cms_counter_merge_is_addition(texts):
     assert merged == cms(bodies)
 
 
+def test_kmv_below_k_sources_answer_exactly(spark, tmp_path):
+    """x61's estimator branch for sources holding FEWER than k distinct
+    hashes must answer exactly (the fixture corpora never exercise it —
+    every source exceeds k=32 distinct texts), and the oracle must
+    agree on the same synthetic corpus."""
+    import pandas as pd
+
+    from s2_spark.registry import all_queries
+    from tests.oracle import compare, duck_connect
+
+    rows = [("tiny", f"t {i % 5}") for i in range(20)] + [
+        ("big", f"b {i}") for i in range(200)
+    ]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(rows)),
+            "text": [r[1] for r in rows],
+            "lang": "en",
+            "source": [r[0] for r in rows],
+            "n_chars": [len(r[1]) for r in rows],
+        }
+    )
+    pdf.to_parquet(tmp_path / "documents.parquet")
+    q = all_queries()["x61_kmv_distinct_sketch"]
+    con = duck_connect(str(tmp_path))
+    compare(q.spark(spark, str(tmp_path)), con, q.oracle)
+    got = {r["source"]: r for r in q.spark(spark, str(tmp_path)).collect()}
+    assert got["tiny"]["exact_distinct"] == 5
+    assert got["tiny"]["kmv_estimate"] == 5.0  # exact, not estimated
+    assert got["tiny"]["rel_err"] == 0.0
+    # the big source ran the (k-1)*2^32/kth division branch: its kth
+    # value is a real 32-bit hash, and the estimate is never the
+    # integer-exact path (200 distinct > k=32)
+    assert got["big"]["exact_distinct"] == 200
+    assert 0 < got["big"]["kth"] < 1 << 32
+    assert got["big"]["kmv_estimate"] > 0.0
+
+
 def test_spark_partitioned_hll_matches_single_shot(spark):
     """The merge law exercised THROUGH Spark: the x57 register
     aggregation computed over a 16-partition shuffle-scrambled copy of
