@@ -3655,6 +3655,101 @@ def x71(spark, sf_dir):
     )
 
 
+@query(
+    "x72_sampled_quantiles",
+    oracle=(
+        "WITH n AS (SELECT source, len(string_split(text, ' ')) AS nt, "
+        "CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN "
+        "('0', '1') THEN 1 ELSE 0 END AS in_s FROM documents), "
+        "h AS (SELECT source, nt, CAST(count(*) AS BIGINT) AS c, "
+        "CAST(sum(in_s) AS BIGINT) AS cs FROM n GROUP BY source, nt), "
+        "w AS (SELECT source, nt, "
+        "CAST(sum(c) OVER (PARTITION BY source ORDER BY nt ROWS BETWEEN "
+        "UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum, "
+        "CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS total, "
+        "CAST(sum(cs) OVER (PARTITION BY source ORDER BY nt ROWS BETWEEN "
+        "UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_s, "
+        "CAST(sum(cs) OVER (PARTITION BY source) AS BIGINT) AS total_s "
+        "FROM h) "
+        "SELECT source, max(total) AS n_docs, max(total_s) AS n_sample, "
+        "min(CASE WHEN cum >= (total + 1) // 2 THEN nt END) AS p50_exact, "
+        "CASE WHEN max(total_s) > 0 THEN "
+        "min(CASE WHEN cum_s >= (total_s + 1) // 2 THEN nt END) END "
+        "AS p50_sampled, "
+        "min(CASE WHEN cum >= (total * 9 + 9) // 10 THEN nt END) "
+        "AS p90_exact, "
+        "CASE WHEN max(total_s) > 0 THEN "
+        "min(CASE WHEN cum_s >= (total_s * 9 + 9) // 10 THEN nt END) END "
+        "AS p90_sampled "
+        "FROM w GROUP BY source ORDER BY source"
+    ),
+    doc=(
+        "MERGEABLE quantile estimation via deterministic hash-threshold "
+        "sampling, reported against the exact answer: membership = "
+        "first md5(doc_id) hex digit in {0,1} (rate 1/8) — a pure "
+        "per-row predicate, so per-partition samples union into the "
+        "global sample with no coordination (the mergeability x57/x61 "
+        "give cardinality, here for quantiles), and re-sharding "
+        "reproduces the identical sample. Both the exact and the "
+        "sampled quantiles ride ONE bounded-domain histogram (x54's "
+        "shape) with pure integer ceil thresholds — this query is "
+        "float-free end to end. Sources whose sample is empty report "
+        "NULL rather than a fabricated estimate."
+    ),
+)
+def x72(spark, sf_dir):
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    nt = F.size(F.split(F.col("text"), " ")).cast("long")
+    in_s = (
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+        .isin("0", "1")
+        .cast("long")
+    )
+    h = (
+        d.select("source", nt.alias("nt"), in_s.alias("in_s"))
+        .groupBy("source", "nt")
+        .agg(F.count("*").alias("c"), F.sum("in_s").alias("cs"))
+    )
+    win = (
+        Window.partitionBy("source")
+        .orderBy("nt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = Window.partitionBy("source")
+    w = h.select(
+        "source",
+        "nt",
+        F.sum("c").over(win).alias("cum"),
+        F.sum("c").over(tot).alias("total"),
+        F.sum("cs").over(win).alias("cum_s"),
+        F.sum("cs").over(tot).alias("total_s"),
+    )
+
+    def q_at(num: int, den: int, cum: str, total: str):
+        thresh = F.expr(f"({total} * {num} + {den - 1}) div {den}")
+        return F.min(F.when(F.col(cum) >= thresh, F.col("nt")))
+
+    def q_sampled(num: int, den: int):
+        return F.when(
+            F.max("total_s") > 0, q_at(num, den, "cum_s", "total_s")
+        )
+
+    return (
+        w.groupBy("source")
+        .agg(
+            F.max("total").alias("n_docs"),
+            F.max("total_s").alias("n_sample"),
+            q_at(1, 2, "cum", "total").alias("p50_exact"),
+            q_sampled(1, 2).alias("p50_sampled"),
+            q_at(9, 10, "cum", "total").alias("p90_exact"),
+            q_sampled(9, 10).alias("p90_sampled"),
+        )
+        .orderBy("source")
+    )
+
+
 def _kmv_oracle(k: int = 32) -> str:
     """Replay of x61's KMV sketch: identical 32-bit hash values
     (first 8 hex chars of md5(text) — '0x'-cast, Spark's conv), the
