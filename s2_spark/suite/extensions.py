@@ -3750,6 +3750,64 @@ def x72(spark, sf_dir):
     )
 
 
+@query(
+    "x73_langid_eval_report",
+    oracle=(
+        "WITH s AS (SELECT lang, "
+        "CAST(length(list_filter(string_split(lower(text), ' '), "
+        "x -> x IN ('the','a','of','and','to','in','is'))) AS BIGINT) "
+        "AS n_stop, "
+        "CAST(length(string_split(lower(text), ' ')) AS BIGINT) AS n_tok "
+        "FROM documents) "
+        "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(CASE WHEN CAST(n_stop AS DOUBLE) / n_tok >= 0.1 "
+        "THEN 1 ELSE 0 END) AS BIGINT) AS n_pred_en, "
+        "round(CAST(sum(CASE WHEN CAST(n_stop AS DOUBLE) / n_tok >= 0.1 "
+        "THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS en_rate, "
+        "round(CAST(sum(n_stop) AS DOUBLE) / sum(n_tok), 4) "
+        "AS pooled_stop_ratio "
+        "FROM s GROUP BY lang ORDER BY lang"
+    ),
+    doc=(
+        "language-filter evaluation report: x6's stopword-ratio "
+        "English detector scored against the labeled lang column — "
+        "per label, how many docs the heuristic would route to the "
+        "'en' pipeline (its recall on en, its leak rate on the rest) "
+        "and the POOLED stopword ratio as sum(stops)/sum(tokens), the "
+        "ratio-of-sums form that stays one exact-integer division "
+        "instead of a float mean of per-doc ratios (means of doubles "
+        "are reassociation-ordered; sums of BIGINTs are not). The "
+        "number a curation run reads before trusting a cheap lang "
+        "filter at 100 TB, where a 2% leak is 2 TB."
+    ),
+)
+def x73(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    s = d.select(
+        "lang",
+        F.size(F.filter(toks, lambda x: x.isin(*_STOPWORDS)))
+        .cast("long")
+        .alias("n_stop"),
+        F.size(toks).cast("long").alias("n_tok"),
+    )
+    pred_en = F.when(
+        F.col("n_stop").cast("double") / F.col("n_tok") >= 0.1, 1
+    ).otherwise(0)
+    return (
+        s.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(pred_en).alias("n_pred_en"),
+            r4(F.sum(pred_en).cast("double") / F.count("*")).alias("en_rate"),
+            r4(
+                F.sum("n_stop").cast("double") / F.sum("n_tok")
+            ).alias("pooled_stop_ratio"),
+        )
+        .orderBy("lang")
+    )
+
+
 def _kmv_oracle(k: int = 32) -> str:
     """Replay of x61's KMV sketch: identical 32-bit hash values
     (first 8 hex chars of md5(text) — '0x'-cast, Spark's conv), the

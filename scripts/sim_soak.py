@@ -35,6 +35,7 @@ def main() -> int:
         ("crash_injection", T.test_sim_differential_with_crash_injection),
         ("dormancy_restart", T.test_sim_differential_with_dormancy_and_restart),
         ("compaction_crashes", T.test_sim_differential_with_compaction_crashes),
+        ("compaction_bucketed", T.test_sim_differential_compaction_crashes_bucketed),
         ("source_exactly_once", T.test_sim_source_exactly_once_with_purges_restarts_rate_limits),
         ("sink_replay", T.test_sim_sink_replay_with_purges_and_trims),
     ]
