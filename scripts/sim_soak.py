@@ -23,6 +23,21 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 from s2_spark.session import get_spark  # noqa: E402
 
 
+def _linearizability_scenario(spark, tmp_path, seed):
+    """Random-seed wrapper for the live concurrent Wing & Gong history
+    (tests/test_linearizability.py pins two seeds; this sweeps fresh
+    interleavings of the plain/CAS/fencing/trim client mix)."""
+    import tests.test_linearizability as L
+    from s2_spark.catalog import BasinConfig, Catalog
+    from s2_spark.store import StreamStore
+
+    cat = Catalog(spark)
+    cat.create_basin(L.BASIN, BasinConfig(create_stream_on_append=True))
+    cat.create_stream(L.BASIN, L.STREAM)
+    store = StreamStore(spark, str(tmp_path / "records"), catalog=cat)
+    L.test_concurrent_history_with_trims_linearizable(store, seed)
+
+
 def main() -> int:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 12
     base = int(sys.argv[2]) if len(sys.argv) > 2 else random.SystemRandom().randrange(1 << 30)
@@ -38,6 +53,7 @@ def main() -> int:
         ("compaction_bucketed", T.test_sim_differential_compaction_crashes_bucketed),
         ("source_exactly_once", T.test_sim_source_exactly_once_with_purges_restarts_rate_limits),
         ("sink_replay", T.test_sim_sink_replay_with_purges_and_trims),
+        ("linearizability", _linearizability_scenario),
     ]
     print(f"sim_soak: {n} seeds per scenario, base_seed={base}", flush=True)
     failures = []

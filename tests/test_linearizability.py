@@ -105,6 +105,11 @@ def _model_apply(state, op: Op):
     if op.kind == "check_tail":
         return ("ok", len(bodies)), state
     if op.kind == "read":
+        if op.read_start > len(bodies):
+            # non-clamped read past the tail: RangeNotSatisfiable
+            # carrying the tail at the linearization point (A7,
+            # read.rs:260-269) — itself an observable to check
+            return ("range_error", len(bodies)), state
         floor = max(trim, op.read_start)
         vis = tuple((i, b) for i, b in enumerate(bodies) if i >= floor)
         return ("ok", vis), state
@@ -303,6 +308,29 @@ def test_checker_ranged_read_floor():
     assert not check_linearizable(bad)
 
 
+def test_checker_range_error_carries_the_tail():
+    # a non-clamped past-tail read observes RangeNotSatisfiable(tail);
+    # the reported tail must be consistent with SOME linearization…
+    h = [
+        _ok_append(0, 1, 2, b"a", 0),
+        Op(1, 3, 4, "read", ("range_error", 1), read_start=3),
+    ]
+    assert check_linearizable(h)
+    # …an error claiming a tail the stream never had is rejected…
+    bad = [
+        h[0],
+        Op(1, 3, 4, "read", ("range_error", 0), read_start=3),
+    ]
+    assert not check_linearizable(bad)
+    # …and an error for a start the tail already covers is rejected
+    # (the read should have succeeded)
+    bad2 = [
+        h[0],
+        Op(1, 3, 4, "read", ("range_error", 1), read_start=1),
+    ]
+    assert not check_linearizable(bad2)
+
+
 def test_checker_unknown_append_both_outcomes():
     # an unknown append may be present in the final read…
     h_present = [
@@ -457,11 +485,19 @@ def _trim_client(store, rec, cid, rng, n_ops):
                 result=("ok", ack.start_seq),
             )
         else:
+            from s2_spark.model import RangeNotSatisfiable
+
             start = rng.randint(0, 4)
-            got = _read_result(store, start=start)
+            try:
+                got = _read_result(store, start=start)
+                result = ("ok", got)
+            except RangeNotSatisfiable as e:
+                # past-tail without clamp: the 416's tail value is an
+                # observation the checker must linearize too
+                result = ("range_error", e.tail)
             rec.record(
                 client=cid, call=call, ret=rec.clock.tick(), kind="read",
-                read_start=start, result=("ok", got),
+                read_start=start, result=result,
             )
 
 
