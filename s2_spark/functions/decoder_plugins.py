@@ -36,17 +36,21 @@ from s2_spark.functions.multimodal import register_decoder
 DEFAULT_FOURCCS = (b"avc1", b"avc3", b"hvc1", b"hev1")
 
 
-def pyav_frame_decoder(av_module=None) -> Callable:
+def pyav_frame_decoder(av_module=None, seek: bool = False) -> Callable:
     """Build a seam-shaped decoder backed by PyAV.
 
     The decoder is STATEFUL-inter-frame correct: it ignores the
     pre-demuxed access unit (``sample``) and runs FFmpeg's own demux
-    over the whole container payload, decoding from the start of the
-    stream up to the frame covering ``ts_ms`` — reference frames ahead
-    of the target are therefore always available, at the cost of
-    decoding the prefix (fine for the sparse frame_sample grids this
-    path serves; a seekable variant would use ``container.seek`` to the
-    nearest keyframe first).
+    over the whole container payload, decoding up to the frame
+    covering ``ts_ms`` — reference frames ahead of the target are
+    therefore always available. By default it decodes from the start
+    of the stream (always correct); ``seek=True`` first asks the
+    library to seek BACKWARD to the nearest keyframe at/before the
+    target (``container.seek`` in stream time-base units), so a deep
+    timestamp costs one GOP of decoding instead of the whole prefix —
+    the right mode for long videos with sparse sample grids.
+    Correctness is unchanged: backward keyframe seek + forward decode
+    reaches the same covering frame.
 
     ``av_module`` injects the library (tests pass a fake); ``None``
     imports the real PyAV and raises a guided ``ImportError`` when it
@@ -75,6 +79,12 @@ def pyav_frame_decoder(av_module=None) -> Callable:
             stream = next(
                 s for s in container.streams if s.type == "video"
             )
+            if seek:
+                tb = getattr(stream, "time_base", None)
+                if tb:
+                    container.seek(
+                        int(target / float(tb)), stream=stream, backward=True
+                    )
             best = None
             for frame in container.decode(stream):
                 t = frame.time
@@ -95,12 +105,15 @@ def pyav_frame_decoder(av_module=None) -> Callable:
 
 
 def install_pyav(
-    fourccs: Iterable[bytes | str] = DEFAULT_FOURCCS, av_module=None
+    fourccs: Iterable[bytes | str] = DEFAULT_FOURCCS,
+    av_module=None,
+    seek: bool = False,
 ) -> list[bytes]:
     """Register the PyAV adapter for every fourcc in ``fourccs`` and
     return the normalized keys that were claimed. Call on the driver
-    BEFORE building plans (registration is snapshotted per plan)."""
-    fn = pyav_frame_decoder(av_module=av_module)
+    BEFORE building plans (registration is snapshotted per plan).
+    ``seek=True`` enables keyframe seeking for long videos."""
+    fn = pyav_frame_decoder(av_module=av_module, seek=seek)
     claimed = []
     for fc in fourccs:
         register_decoder(fc, fn)

@@ -223,6 +223,14 @@ class StreamStore:
         # (streamer.rs:55) rather than an eager all-streams scan.
         self._data_seen = False
         self._records_cache: DataFrame | None = None
+        # epoch fencing for the listing cache: bumped by every
+        # invalidation so a reader that started LISTING before a
+        # concurrent append cannot cache its pre-append snapshot after
+        # the append's invalidation ran (the lost-invalidation race —
+        # every later read would silently serve a listing missing the
+        # acked records; found by the round-11 linearizability soak)
+        self._records_epoch = 0
+        self._records_mu = threading.Lock()
         self._probe_unknown_streams = self._has_data()
         self._evicted: set[tuple[str, str]] = set()
         self._touched_ms: dict[tuple[str, str], int] = {}
@@ -327,8 +335,10 @@ class StreamStore:
         invalidates it (:meth:`_invalidate_records`) and read-heavy
         paths — follow sessions polling for new batches above all —
         skip a full directory re-listing per call."""
-        if self._records_cache is not None:
-            return self._records_cache
+        cached = self._records_cache
+        if cached is not None:
+            return cached
+        epoch = self._records_epoch  # BEFORE the listing starts
         if self.bucket_count:
             from pyspark.sql import types as T
 
@@ -345,11 +355,20 @@ class StreamStore:
             df = self.spark.read.schema(schema).parquet(self.base_dir)
         else:
             df = self.spark.read.schema(RECORD_SCHEMA).parquet(self.base_dir)
-        self._records_cache = df
+        # cache only if no writer invalidated while we listed: a df
+        # whose listing raced an append is still fine for THIS caller
+        # (its read is concurrent with that append and may linearize
+        # first) but must never become the served snapshot for reads
+        # that start after the append acked
+        with self._records_mu:
+            if self._records_epoch == epoch:
+                self._records_cache = df
         return df
 
     def _invalidate_records(self) -> None:
-        self._records_cache = None
+        with self._records_mu:
+            self._records_epoch += 1
+            self._records_cache = None
 
     @staticmethod
     def _state_agg(df: DataFrame) -> DataFrame:

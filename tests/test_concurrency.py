@@ -577,3 +577,40 @@ def test_producer_timer_start_failure_does_not_leak_ticket(store, monkeypatch):
     assert f3.result(timeout=5) == 1  # b rolled back, never committed
     rows = store.read(BASIN, "s1").collect()
     assert [bytes(r.body) for r in rows] == [b"a", b"c"]
+
+
+def test_records_cache_lost_invalidation_is_fenced(store):
+    """The listing-cache epoch fence (round-11 linearizability soak):
+    a reader whose directory listing OVERLAPS an append must not
+    install its snapshot as the served cache after the append's
+    invalidation ran — pre-fence, the stale snapshot silently hid the
+    acked records from every subsequent read (a real-time
+    linearizability violation caught ~1-in-10 under load)."""
+    import threading
+
+    store.append(BASIN, "s1", [Record(body=b"a")])
+    store.read(BASIN, "s1").collect()  # populate the cache
+    store._invalidate_records()
+
+    entered, proceed = threading.Event(), threading.Event()
+    orig_has_data = store._has_data
+
+    def slow_has_data():
+        entered.set()
+        assert proceed.wait(10)
+        return orig_has_data()
+
+    store._has_data = slow_has_data
+    reader = threading.Thread(target=store.records_df)
+    reader.start()
+    assert entered.wait(10)  # the reader is mid-listing (pre-epoch read done)
+    store._has_data = orig_has_data
+    store.append(BASIN, "s1", [Record(body=b"late")])  # bumps the epoch
+    proceed.set()
+    reader.join(10)
+    # the racing reader must NOT have cached: its snapshot began before
+    # the append's invalidation
+    assert store._records_cache is None
+    # and a post-append read serves the acked record
+    rows = [bytes(r.body) for r in store.read(BASIN, "s1").collect()]
+    assert rows == [b"a", b"late"]

@@ -661,17 +661,33 @@ def test_pyav_example_plugin_adapter_end_to_end():
             assert format == "rgb24"
             return self._arr
 
+    from fractions import Fraction
+
+    seeks = []
+
     class _FakeContainer:
         def __init__(self, frames):
             self._frames = frames
+            self._from = 0
             self.streams = [
-                SimpleNamespace(type="audio"),
-                SimpleNamespace(type="video"),
+                SimpleNamespace(type="audio", time_base=None),
+                SimpleNamespace(type="video", time_base=Fraction(1, 1000)),
             ]
+
+        def seek(self, offset, stream=None, backward=True):
+            # keyframe model: every frame is a keyframe (intra fake),
+            # so a backward seek lands exactly at/below the offset
+            assert backward and stream.type == "video"
+            seeks.append(offset)
+            t = offset * float(stream.time_base)
+            self._from = max(
+                (i for i, f in enumerate(self._frames) if f.time <= t),
+                default=0,
+            )
 
         def decode(self, stream):
             assert stream.type == "video"
-            yield from self._frames
+            yield from self._frames[self._from :]
 
         def __enter__(self):
             return self
@@ -703,6 +719,17 @@ def test_pyav_example_plugin_adapter_end_to_end():
         # the adapter handed the library the WHOLE container, not the
         # demuxed access unit — inter-frame decoders need the prefix
         assert opened and all(buf == mp4 for buf in opened)
+        assert seeks == []  # default mode never seeks
+    finally:
+        for fc in claimed:
+            M.unregister_decoder(fc)
+    # seek mode: backward keyframe seek in stream time-base units,
+    # then forward decode to the SAME covering frame
+    claimed = P.install_pyav(av_module=_FakeAv(), seek=True)
+    try:
+        assert M.decode_raw_mp4_frame(mp4, ts_ms=1500).tobytes() == arrs[1].tobytes()
+        assert M.decode_raw_mp4_frame(mp4, ts_ms=9000).tobytes() == arrs[2].tobytes()
+        assert seeks == [1500, 9000]  # target/time_base with tb=1/1000
     finally:
         for fc in claimed:
             M.unregister_decoder(fc)
