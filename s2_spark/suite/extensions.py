@@ -3808,6 +3808,138 @@ def x73(spark, sf_dir):
     )
 
 
+@query(
+    "x74_conversion_funnel",
+    oracle=(
+        "WITH su AS (SELECT user_id, min(epoch_us(ts)) AS t0 "
+        "FROM events WHERE event_type = 'signup' GROUP BY user_id), "
+        "pu AS (SELECT e.user_id, min(epoch_us(ts)) AS t1 "
+        "FROM events e JOIN su ON e.user_id = su.user_id "
+        "WHERE e.event_type = 'purchase' AND epoch_us(ts) >= su.t0 "
+        "GROUP BY e.user_id), "
+        "j AS (SELECT su.user_id, t0, t1 FROM su LEFT JOIN pu "
+        "ON su.user_id = pu.user_id) "
+        "SELECT CAST(count(*) AS BIGINT) AS n_signed_up, "
+        "CAST(sum(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_converted, "
+        "CAST(sum(CASE WHEN t1 IS NOT NULL AND t1 - t0 <= 604800000000 "
+        "THEN 1 ELSE 0 END) AS BIGINT) AS n_converted_7d, "
+        "round(CAST(sum(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS "
+        "DOUBLE) / count(*), 4) AS conversion_rate, "
+        "CAST(min(CASE WHEN t1 IS NOT NULL THEN t1 - t0 END) AS BIGINT) "
+        "AS min_lag_us, "
+        "CAST(max(CASE WHEN t1 IS NOT NULL THEN t1 - t0 END) AS BIGINT) "
+        "AS max_lag_us FROM j"
+    ),
+    doc=(
+        "ordered two-step conversion funnel over the event stream: "
+        "first signup per user, first purchase AT OR AFTER it, "
+        "conversion counts overall and within a 7-day window, plus "
+        "exact min/max signup->purchase lag — all on integer "
+        "microseconds (one double division for the rate). The ordered "
+        "constraint (purchase >= signup) is what separates a funnel "
+        "from two count-distincts. Shape at 100 TB: two filtered "
+        "user-keyed min-aggregations and one user-keyed join — the "
+        "shuffle carries one row per user, never the event stream "
+        "twice."
+    ),
+)
+def x74(spark, sf_dir):
+    e = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    su = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t0"))
+    )
+    pu = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(su, "user_id")
+        .filter(F.col("us") >= F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t1"))
+    )
+    j = su.join(pu, "user_id", "left")
+    conv = F.sum(F.when(F.col("t1").isNotNull(), 1).otherwise(0))
+    lag = F.when(F.col("t1").isNotNull(), F.col("t1") - F.col("t0"))
+    return j.agg(
+        F.count("*").alias("n_signed_up"),
+        conv.alias("n_converted"),
+        F.sum(
+            F.when(
+                F.col("t1").isNotNull()
+                & (F.col("t1") - F.col("t0") <= 604_800_000_000),
+                1,
+            ).otherwise(0)
+        ).alias("n_converted_7d"),
+        r4(conv.cast("double") / F.count("*")).alias("conversion_rate"),
+        F.min(lag).alias("min_lag_us"),
+        F.max(lag).alias("max_lag_us"),
+    )
+
+
+@query(
+    "x75_retention_cohorts",
+    oracle=(
+        "WITH e AS (SELECT user_id, "
+        "epoch_us(ts) // 604800000000 AS wk FROM events), "
+        "c AS (SELECT user_id, min(wk) AS cohort FROM e GROUP BY user_id), "
+        "sizes AS (SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_size "
+        "FROM c GROUP BY cohort), "
+        "act AS (SELECT DISTINCT e.user_id, c.cohort, "
+        "e.wk - c.cohort AS k FROM e JOIN c ON e.user_id = c.user_id), "
+        "cells AS (SELECT cohort, CAST(k AS BIGINT) AS week_offset, "
+        "CAST(count(*) AS BIGINT) AS n_active FROM act GROUP BY cohort, k) "
+        "SELECT cohort, week_offset, n_active, cohort_size, "
+        "round(CAST(n_active AS DOUBLE) / cohort_size, 4) AS retention "
+        "FROM cells JOIN sizes USING (cohort) "
+        "ORDER BY cohort, week_offset"
+    ),
+    doc=(
+        "weekly retention cohort matrix: users grouped by first-active "
+        "week (epoch-week integer floor), activity as DISTINCT "
+        "(user, week-offset) pairs, retention = active/cohort-size per "
+        "(cohort, offset) cell — the triangle every growth dashboard "
+        "renders. Integer week arithmetic end to end (one division per "
+        "cell for the rate). At 100 TB: one user-keyed min, one "
+        "user-keyed join, one (cohort, offset) rollup — distinct-pairs "
+        "dedup happens map-side before the final shuffle."
+    ),
+)
+def x75(spark, sf_dir):
+    e = t(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr(
+            "unix_micros(cast(ts as timestamp)) div 604800000000"
+        ).alias("wk"),
+    )
+    c = e.groupBy("user_id").agg(F.min("wk").alias("cohort"))
+    act = (
+        e.join(c, "user_id")
+        .select("user_id", "cohort", (F.col("wk") - F.col("cohort")).alias("k"))
+        .distinct()
+    )
+    sizes = c.groupBy("cohort").agg(F.count("*").alias("cohort_size"))
+    return (
+        act.groupBy("cohort", F.col("k").alias("week_offset"))
+        .agg(F.count("*").alias("n_active"))
+        .join(F.broadcast(sizes), "cohort")
+        .select(
+            "cohort",
+            "week_offset",
+            "n_active",
+            "cohort_size",
+            r4(
+                F.col("n_active").cast("double") / F.col("cohort_size")
+            ).alias("retention"),
+        )
+        .orderBy("cohort", "week_offset")
+    )
+
+
 def _kmv_oracle(k: int = 32) -> str:
     """Replay of x61's KMV sketch: identical 32-bit hash values
     (first 8 hex chars of md5(text) — '0x'-cast, Spark's conv), the
