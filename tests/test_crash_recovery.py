@@ -232,6 +232,55 @@ def test_compaction_keeps_the_defining_trim_command(spark, tmp_path):
     assert ack.start_seq == 10
 
 
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_ops_st = st.lists(
+    st.one_of(
+        st.tuples(st.just("append"), st.integers(1, 3)),
+        st.tuples(st.just("trim"), st.integers(0, 15)),
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=_ops_st)
+def test_any_trim_sequence_recovers_exactly_after_compaction(spark, ops):
+    """Property form of the trim-keeper rule: for ANY interleaving of
+    appends and trims — including dominated trims, self-trimming trims,
+    and past-tail clamps — physical compaction followed by cold
+    recovery reproduces exactly the monotone-max trim point, the tail,
+    and the visible suffix. Generalizes the seed-930413 regression."""
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="trimprop_")
+    s1 = _fresh(spark, base)
+    tail, trim = 0, 0
+    for kind, v in ops:
+        if kind == "append":
+            s1.append(BASIN, "s", [Record(body=bytes([i])) for i in range(v)])
+            tail += v
+        else:
+            s1.trim(BASIN, "s", v)  # the trim record itself takes seq `tail`
+            trim = max(trim, min(v, tail + 1))
+            tail += 1
+    s1.apply_trim_and_retention()
+
+    s2 = StreamStore(spark, base)
+    s2.recover_state()
+    st_ = s2._st(BASIN, "s")
+    assert (st_.tail_seq, st_.trim_point) == (tail, trim)
+    assert _all_seqs(s2, "s") == [s for s in range(tail) if s >= trim]
+    ack = s2.append(BASIN, "s", [Record(body=b"next")])
+    assert ack.start_seq == tail
+
+
 def test_purged_stream_name_recreates_fresh(spark, tmp_path):
     """delete_stream → purge → create the same name: the new stream
     must start empty at seq 0, never resurrecting the dead stream's
