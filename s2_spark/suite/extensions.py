@@ -3940,6 +3940,68 @@ def x75(spark, sf_dir):
     )
 
 
+def _bucket_degree_oracle(k: int = 16, bands: int = 4, topn: int = 10) -> str:
+    """Replay of x76: identical md5-rotation banding (the shared
+    ``_minhash_band_sql`` family), bucket sizes, per-doc co-member
+    degree, top-N."""
+    from s2_spark.suite._ann_oracles import _TOKS, _minhash_band_sql
+
+    comps, cases, band_list = _minhash_band_sql(k, bands)
+    return f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+sig AS (SELECT doc_id, {comps} FROM toks GROUP BY doc_id),
+banded AS (
+  SELECT doc_id, band, CASE band {cases} END AS bh
+  FROM sig, (VALUES {', '.join(f'({b})' for b in range(bands))}) AS v(band)
+),
+sz AS (SELECT band, bh, CAST(count(*) AS BIGINT) AS n
+       FROM banded GROUP BY band, bh)
+SELECT doc_id, CAST(sum(n - 1) AS BIGINT) AS degree,
+       CAST(sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+       AS n_hot_bands
+FROM banded JOIN sz USING (band, bh)
+GROUP BY doc_id
+ORDER BY degree DESC, doc_id LIMIT {topn}
+"""
+
+
+@query(
+    "x76_boilerplate_hubs",
+    oracle=_bucket_degree_oracle(),
+    doc=(
+        "boilerplate/template detection by LSH bucket degree: a "
+        "document's degree = total co-members across its minhash band "
+        "buckets — templates, navigation chrome, and license "
+        "boilerplate collide with MANY near-copies and surface as "
+        "hubs, the docs a curation run inspects before cluster-level "
+        "dedup (one hub can glue unrelated clusters). Top-10 by "
+        "degree, plus how many of the doc's bands are hot. Pure "
+        "integer aggregation over the O(n*bands) band rows — the same "
+        "shared banding construction (and oracle fragment family) as "
+        "the keep rule and CC clustering, so the three views of the "
+        "duplicate graph can never drift apart."
+    ),
+)
+def x76(spark, sf_dir):
+    from s2_spark.functions.dedup import _band_buckets
+
+    d = t(spark, sf_dir, "documents")
+    banded, _ = _band_buckets(d, "doc_id", "text", k=16, bands=4)
+    sz = banded.groupBy("band", "bh").agg(F.count("*").alias("n"))
+    return (
+        banded.join(sz, ["band", "bh"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("n") - 1).alias("degree"),
+            F.sum(F.when(F.col("n") >= 2, 1).otherwise(0)).alias(
+                "n_hot_bands"
+            ),
+        )
+        .orderBy(F.desc("degree"), "doc_id")
+        .limit(10)
+    )
+
+
 def _kmv_oracle(k: int = 32) -> str:
     """Replay of x61's KMV sketch: identical 32-bit hash values
     (first 8 hex chars of md5(text) — '0x'-cast, Spark's conv), the
