@@ -4002,6 +4002,96 @@ def x76(spark, sf_dir):
     )
 
 
+def _hard_negative_oracle(nq: int = 8, topk: int = 5, dim: int = 64) -> str:
+    """Replay of x77: identical left-associated cosine chains, label
+    exclusion, per-query (sim DESC, vec_id) rank."""
+    from s2_spark.suite._ann_oracles import _chain
+
+    sim = (
+        f"({_chain('v', 'qv', dim)}) / "
+        f"(sqrt({_chain('v', 'v', dim)}) * sqrt({_chain('qv', 'qv', dim)}))"
+    )
+    return (
+        f"WITH q AS (SELECT vec_id AS qid, label AS qlabel, "
+        f"CAST(embedding AS DOUBLE[]) AS qv FROM embeddings "
+        f"WHERE vec_id < {nq}), "
+        f"c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v "
+        f"FROM embeddings WHERE vec_id >= {nq}), "
+        f"s AS (SELECT qid, qlabel, vec_id, label, {sim} AS sim_raw "
+        "FROM c, q WHERE c.label <> q.qlabel), "
+        "r AS (SELECT *, row_number() OVER (PARTITION BY qid "
+        "ORDER BY sim_raw DESC, vec_id) AS rn FROM s) "
+        "SELECT qid AS query_id, vec_id AS negative_id, label, "
+        "CAST(rn AS BIGINT) AS rank, round(sim_raw, 4) AS sim "
+        f"FROM r WHERE rn <= {topk} ORDER BY query_id, rank"
+    )
+
+
+@query(
+    "x77_hard_negative_mining",
+    oracle=_hard_negative_oracle(),
+    doc=(
+        "contrastive-training hard-negative mining: for each of 8 "
+        "query vectors, the top-5 most-similar vectors with a "
+        "DIFFERENT label — the near-misses a contrastive or reranker "
+        "training run wants as negatives (random negatives are too "
+        "easy; same-label neighbors are positives). Broadcast query "
+        "join + label-exclusion filter + per-query rank window; dot "
+        "products are left-associated folds replayed term-for-term in "
+        "the oracle so ranks agree bit-for-bit. At 100 TB the "
+        "broadcast fan-out scan is the baseline and the IVF/LSH "
+        "bucketed variants (x13/x14) are the scale path — negatives "
+        "only need candidates, not exactness."
+    ),
+)
+def x77(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    nq, topk = 8, 5
+    emb = t(spark, sf_dir, "embeddings")
+    dbl = lambda c: F.transform(c, lambda x: x.cast("double"))  # noqa: E731
+    q = emb.filter(F.col("vec_id") < nq).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        dbl(F.col("embedding")).alias("qv"),
+    )
+    c = emb.filter(F.col("vec_id") >= nq).select(
+        "vec_id", "label", dbl(F.col("embedding")).alias("v")
+    )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    sim = dot(F.col("v"), F.col("qv")) / (
+        F.sqrt(dot(F.col("v"), F.col("v")))
+        * F.sqrt(dot(F.col("qv"), F.col("qv")))
+    )
+    s = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("label") != F.col("qlabel"))
+        .select("qid", "vec_id", "label", sim.alias("sim_raw"))
+    )
+    rn = F.row_number().over(
+        W.partitionBy("qid").orderBy(F.desc("sim_raw"), "vec_id")
+    )
+    return (
+        s.withColumn("rn", rn)
+        .filter(F.col("rn") <= topk)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("vec_id").alias("negative_id"),
+            "label",
+            F.col("rn").cast("long").alias("rank"),
+            r4(F.col("sim_raw")).alias("sim"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
 def _kmv_oracle(k: int = 32) -> str:
     """Replay of x61's KMV sketch: identical 32-bit hash values
     (first 8 hex chars of md5(text) — '0x'-cast, Spark's conv), the
