@@ -696,3 +696,32 @@ def test_sim_source_exactly_once_with_purges_restarts_rate_limits(
             f"{s}: live generation under-delivered {got}/"
             f"{len(applog[s][gen[s]])} (seed {seed}, maxpt {maxpt})"
         )
+
+
+def test_sim_soak_script_wiring():
+    """scripts/sim_soak.py drives these sim tests BY NAME at soak time;
+    a rename here would break the soak silently at its next run. Pin
+    that every scenario the script sweeps resolves to a callable with
+    the (spark, tmp_path, seed)-shaped signature it invokes."""
+    import importlib.util
+    import inspect
+    import pathlib
+
+    spec = importlib.util.spec_from_file_location(
+        "sim_soak",
+        pathlib.Path(__file__).resolve().parent.parent / "scripts" / "sim_soak.py",
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    src = inspect.getsource(mod.main)
+    import re as _re
+
+    names = _re.findall(r'\("([a-z_]+)", (T\.[A-Za-z_0-9]+|_[A-Za-z_0-9]+)\)', src)
+    assert len(names) >= 7, "the soak should sweep all seven scenarios"
+    import tests.test_sim as T  # the module the script resolves against
+
+    for label, ref in names:
+        fn = getattr(T, ref[2:]) if ref.startswith("T.") else getattr(mod, ref)
+        assert callable(fn), (label, ref)
+        params = list(inspect.signature(fn).parameters)
+        assert params[:3] == ["spark", "tmp_path", "seed"], (label, params)
