@@ -552,6 +552,16 @@ def neardup_clusters(
     returned DataFrame reads from the LAST checkpoint, so delete the
     dir only after materializing the result.
 
+    ``checkpoint_dir`` is applied via ``SparkContext.setCheckpointDir``,
+    which is SESSION-GLOBAL state: while the loop runs, any concurrent
+    ``.checkpoint()`` elsewhere in the session writes under this dir.
+    The previous checkpoint dir is captured before the loop and
+    restored afterwards (even on failure) — but if no dir was set
+    before, Spark has no unset API, so this call's dir remains the
+    session default. Concurrent ``neardup_clusters`` calls in one
+    session must therefore share a single ``checkpoint_dir`` (the
+    last setter wins for BOTH loops otherwise).
+
     Raises ``RuntimeError`` if min-label propagation has not converged
     after ``max_iters`` rounds — partial labels would silently diverge
     from true connected components (and from the recursive-CTE
@@ -578,44 +588,54 @@ def neardup_clusters(
     # two-join query, not the whole history. localCheckpoint keeps the
     # blocks on executors (fast, fragile); checkpoint_dir opts into
     # reliable storage (survives executor loss — see docstring).
+    sc = df.sparkSession.sparkContext
+    prev_checkpoint_dir = (
+        sc.getCheckpointDir() if checkpoint_dir is not None else None
+    )
     if checkpoint_dir is not None:
-        df.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+        sc.setCheckpointDir(checkpoint_dir)
 
     def _truncate(d: DataFrame) -> DataFrame:
         if checkpoint_dir is None:
             return d.localCheckpoint(eager=True)
         return d.checkpoint(eager=True)
 
-    edges = _truncate(edges)
-    labels = _truncate(
-        df.select(F.col(id_col).alias("_v"), F.col(id_col).alias("_lbl"))
-    )
-    changed = 0
-    for _ in range(max_iters):
-        # candidate labels flowing along edges, both directions
-        fwd = edges.join(labels, edges["_a"] == labels["_v"]).select(
-            F.col("_b").alias("_v"), "_lbl"
+    try:
+        edges = _truncate(edges)
+        labels = _truncate(
+            df.select(F.col(id_col).alias("_v"), F.col(id_col).alias("_lbl"))
         )
-        bwd = edges.join(labels, edges["_b"] == labels["_v"]).select(
-            F.col("_a").alias("_v"), "_lbl"
-        )
-        new_labels = (
-            labels.select("_v", "_lbl")
-            .unionByName(fwd)
-            .unionByName(bwd)
-            .groupBy("_v")
-            .agg(F.min("_lbl").alias("_lbl"))
-        )
-        new_labels = _truncate(new_labels)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "_v")
-            .filter(F.col("n._lbl") != F.col("o._lbl"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
+        changed = 0
+        for _ in range(max_iters):
+            # candidate labels flowing along edges, both directions
+            fwd = edges.join(labels, edges["_a"] == labels["_v"]).select(
+                F.col("_b").alias("_v"), "_lbl"
+            )
+            bwd = edges.join(labels, edges["_b"] == labels["_v"]).select(
+                F.col("_a").alias("_v"), "_lbl"
+            )
+            new_labels = (
+                labels.select("_v", "_lbl")
+                .unionByName(fwd)
+                .unionByName(bwd)
+                .groupBy("_v")
+                .agg(F.min("_lbl").alias("_lbl"))
+            )
+            new_labels = _truncate(new_labels)
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "_v")
+                .filter(F.col("n._lbl") != F.col("o._lbl"))
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                break
+    finally:
+        # restore session-global checkpoint-dir state (no unset API,
+        # so a previously-unset dir stays set — see docstring)
+        if checkpoint_dir is not None and prev_checkpoint_dir is not None:
+            sc.setCheckpointDir(prev_checkpoint_dir)
     if changed != 0:
         raise RuntimeError(
             f"neardup_clusters: min-label propagation did not converge in "

@@ -261,7 +261,22 @@ def _reader_hwm_read(path: str, key: str) -> tuple[int, int] | None:
     import glob
 
     best: tuple[int, int] | None = None
-    for cand in [p] + sorted(glob.glob(glob.escape(p) + ".w*")):
+    # ".w*" also matches in-flight sidecar STAGING files
+    # ({p}.w{pid}-{tid}.tmp.{pid}.{salt}); only completed sidecars are
+    # durable state, so exclude ".tmp." paths — and sweep ones a
+    # crashed writer abandoned (age-gated: an in-flight tmp lives
+    # milliseconds between O_EXCL open and rename)
+    sidecars = []
+    for cand in sorted(glob.glob(glob.escape(p) + ".w*")):
+        if ".tmp." in os.path.basename(cand):
+            try:
+                if time.time() - os.path.getmtime(cand) > 3600:
+                    os.unlink(cand)
+            except OSError:
+                pass
+            continue
+        sidecars.append(cand)
+    for cand in [p] + sidecars:
         try:
             with open(cand) as f:
                 m = json.load(f)

@@ -2850,7 +2850,11 @@ def x59(spark, sf_dir):
     "x60_gapfill_locf",
     oracle=(
         "WITH e AS (SELECT event_type, "
-        "CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h, value FROM events), "
+        # true FLOOR of the epoch-hour quotient, matching the Spark
+        # side's F.floor(unix_timestamp/3600) — DuckDB's integer `//`
+        # truncates toward zero, which diverges by one bucket on
+        # pre-1970 (negative-epoch) timestamps (ADVICE r11)
+        "CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h, value FROM events), "
         "agg AS (SELECT event_type, h, CAST(count(*) AS BIGINT) AS n_events, "
         "sum(value) AS sv FROM e GROUP BY event_type, h), "
         "b AS (SELECT min(h) AS h0, max(h) AS h1 FROM e), "
@@ -3419,7 +3423,6 @@ def x67(spark, sf_dir):
 )
 def x68(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
-    mh = F.md5(F.col("doc_id").cast("string"))
     b = F.expr(
         "(locate(substr(md5(CAST(doc_id AS STRING)), 1, 1), "
         "'0123456789abcdef') - 1) * 16 + "
@@ -4176,4 +4179,176 @@ def x61(spark, sf_dir):
             ).alias("rel_err"),
         )
         .orderBy("source")
+    )
+
+
+@query(
+    "x78_tokenizer_fertility",
+    oracle=(
+        "WITH d AS (SELECT source, strlen(text) AS nb, "
+        "CAST(length(list_filter(string_split(lower(text), ' '), "
+        "x -> x <> '')) AS BIGINT) AS nw, "
+        "CAST(length(regexp_extract_all(lower(text), "
+        "'[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS nt FROM documents) "
+        "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(nb) AS BIGINT) AS total_bytes, "
+        "CAST(sum(nw) AS BIGINT) AS total_words, "
+        "CAST(sum(nt) AS BIGINT) AS total_tokens, "
+        "round(sum(nt) * 1.0 / sum(nw), 4) AS tokens_per_word, "
+        "round(sum(nt) * 1000.0 / sum(nb), 4) AS tokens_per_kb "
+        "FROM d GROUP BY source ORDER BY source"
+    ),
+    doc=(
+        "tokenizer-fertility report per source: UTF-8 bytes, whitespace "
+        "words, and BPE-ish pre-tokens (x12's regex: word pieces / "
+        "numbers / punctuation) rolled up to tokens-per-word and "
+        "tokens-per-KB — the mixture-cost table a training-data team "
+        "computes before weighting sources (token budgets are paid in "
+        "tokenizer tokens, storage and licensing in bytes; a source "
+        "with high fertility costs more compute per byte). One scan, "
+        "three per-row column expressions (regexp_count never "
+        "materializes the token array), then a map-side-combined "
+        "groupBy on the low-cardinality source key — the whole report "
+        "is one small shuffle at any scale. Ratios from the SUMS (not "
+        "averaged per-doc ratios), so short docs don't dominate."
+    ),
+)
+def x78(spark, sf_dir):
+    from s2_spark.functions.text import token_count
+
+    d = t(spark, sf_dir, "documents")
+    per = d.select(
+        "source",
+        F.octet_length("text").cast("long").alias("nb"),
+        F.size(
+            F.filter(_tokens(F.col("text")), lambda x: x != F.lit(""))
+        ).cast("long").alias("nw"),
+        token_count("text", "bpe").alias("nt"),
+    )
+    return (
+        per.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("nb").alias("total_bytes"),
+            F.sum("nw").alias("total_words"),
+            F.sum("nt").alias("total_tokens"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "total_bytes",
+            "total_words",
+            "total_tokens",
+            r4(F.col("total_tokens") / F.col("total_words")).alias(
+                "tokens_per_word"
+            ),
+            r4(F.col("total_tokens") * 1000.0 / F.col("total_bytes")).alias(
+                "tokens_per_kb"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+# x56's deterministic doc_id -> split assignment, spelled once for the
+# contamination oracles (x68 verbatim, x79 normalized)
+_SPLIT_SQL = (
+    "CASE WHEN (strpos('0123456789abcdef', substr(md5(CAST(doc_id "
+    "AS VARCHAR)), 1, 1)) - 1) * 16 + (strpos('0123456789abcdef', "
+    "substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) < 204 "
+    "THEN 'train' WHEN (strpos('0123456789abcdef', substr(md5("
+    "CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16 + (strpos("
+    "'0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, "
+    "1)) - 1) < 230 THEN 'val' ELSE 'test' END"
+)
+
+
+@query(
+    "x79_normalized_contamination",
+    oracle=(
+        "WITH d AS (SELECT doc_id, "
+        f"{_SPLIT_SQL} AS split, "
+        "list_filter(string_split(trim(regexp_replace(regexp_replace("
+        "lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), ' '), "
+        "x -> x <> '') AS tk FROM documents), "
+        "grams AS (SELECT doc_id, split, "
+        "md5(array_to_string(tk[i:i+7], ' ')) AS g "
+        "FROM d, unnest(range(1, len(tk) - 6)) AS r(i) "
+        "WHERE len(tk) >= 8), "
+        "tg AS (SELECT DISTINCT g FROM grams WHERE split = 'train'), "
+        "ev AS (SELECT DISTINCT doc_id, split, g FROM grams "
+        "WHERE split <> 'train'), "
+        "hit AS (SELECT ev.doc_id, ev.split, ev.g FROM ev "
+        "JOIN tg USING (g)) "
+        "SELECT split, "
+        "(SELECT CAST(count(DISTINCT doc_id) AS BIGINT) FROM ev e2 "
+        " WHERE e2.split = s.split) AS n_docs, "
+        "CAST(count(DISTINCT doc_id) AS BIGINT) AS n_contaminated, "
+        "CAST(count(DISTINCT g) AS BIGINT) AS n_shared_grams "
+        "FROM hit s GROUP BY split ORDER BY split"
+    ),
+    doc=(
+        "case/punctuation-normalized decontamination over the x56 "
+        "split: x68 digests VERBATIM 8-grams, so benchmark leakage "
+        "that survives trivial reformatting (re-casing, punctuation "
+        "stripped or added, double spacing) slips through. Here every "
+        "document first passes x21's canonicalizer (lowercase, strip "
+        "non-alphanumerics, collapse space runs) and THEN shingles — "
+        "grams hash the canonical form, so 'Hello, World' and "
+        "'hello world!!' produce the SAME digest. Same scale shape as "
+        "x68: grams reduced to md5 digests in-row, train side deduped "
+        "before the digest-keyed semi-join; normalization is one extra "
+        "codegen'd regexp pass on the scan, no new shuffle."
+    ),
+)
+def x79(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    b = F.expr(
+        "(locate(substr(md5(CAST(doc_id AS STRING)), 1, 1), "
+        "'0123456789abcdef') - 1) * 16 + "
+        "(locate(substr(md5(CAST(doc_id AS STRING)), 2, 1), "
+        "'0123456789abcdef') - 1)"
+    )
+    split = (
+        F.when(b < 204, "train").when(b < 230, "val").otherwise("test")
+    )
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+            " +",
+            " ",
+        )
+    )
+    tk = F.filter(F.split(norm, " "), lambda x: x != F.lit(""))
+    docs = d.select("doc_id", split.alias("split"), tk.alias("tk")).filter(
+        F.size("tk") >= 8
+    )
+    grams = docs.select(
+        "doc_id",
+        "split",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(tk) - 7), "
+                "i -> md5(concat_ws(' ', slice(tk, i, 8))))"
+            )
+        ).alias("g"),
+    )
+    tg = grams.filter(F.col("split") == "train").select("g").distinct()
+    ev = (
+        grams.filter(F.col("split") != "train")
+        .select("doc_id", "split", "g")
+        .distinct()
+    )
+    hit = ev.join(tg, "g")
+    n_docs = ev.groupBy("split").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    rep = hit.groupBy("split").agg(
+        F.countDistinct("doc_id").alias("n_contaminated"),
+        F.countDistinct("g").alias("n_shared_grams"),
+    )
+    return (
+        n_docs.join(rep, "split")
+        .select("split", "n_docs", "n_contaminated", "n_shared_grams")
+        .orderBy("split")
     )

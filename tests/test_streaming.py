@@ -2078,3 +2078,65 @@ def test_source_exactly_once_under_live_concurrent_compaction(spark, store):
     assert sorted(delivered) == [
         (i, f"r{i}".encode()) for i in range(n_total)
     ], "lost or duplicated records under live compaction"
+
+
+def test_reader_hwm_ignores_inflight_sidecar_tmps(tmp_path):
+    """The sidecar glob (`.w*`) also matches in-flight STAGING files
+    (`{p}.w{pid}-{tid}.tmp.{pid}.{salt}`). Only completed sidecars are
+    durable state: a tmp's contents must never widen the admission
+    baseline, and a stale tmp from a crashed writer is swept once it
+    ages past the in-flight window (ADVICE r11)."""
+    import json
+    import os
+    import time
+
+    from s2_spark.streaming.source import (
+        _reader_hwm_file,
+        _reader_hwm_read,
+        _reader_hwm_write_max,
+    )
+
+    base = str(tmp_path / "records")
+    os.makedirs(base)
+    key = "b\x00s"
+    _reader_hwm_write_max(base, key, 0, 7)
+    assert _reader_hwm_read(base, key) == (0, 7)
+
+    # a crashed writer's abandoned staging file holding a LARGER value
+    # must not be read as durable state
+    p = _reader_hwm_file(base, key)
+    stale = f"{p}.w999-1.tmp.999.0"
+    with open(stale, "w") as f:
+        json.dump({"key": key, "gen": 5, "end": 10_000}, f)
+    assert _reader_hwm_read(base, key) == (0, 7)
+    assert os.path.exists(stale)  # fresh tmp: still inside the
+    # in-flight window, not swept
+
+    # ...but once it ages past the window it is cleaned up
+    old = time.time() - 7200
+    os.utime(stale, (old, old))
+    assert _reader_hwm_read(base, key) == (0, 7)
+    assert not os.path.exists(stale)
+
+
+def test_neardup_clusters_restores_prior_checkpoint_dir(spark, tmp_path):
+    """checkpoint_dir sets SESSION-GLOBAL SparkContext state; the loop
+    must restore the caller's previous checkpoint dir afterwards so a
+    later .checkpoint() elsewhere doesn't silently land under this
+    call's dir (ADVICE r11)."""
+    from s2_spark.functions import dedup as D
+
+    sc = spark.sparkContext
+    prior = str(tmp_path / "prior_ckpt")
+    mine = str(tmp_path / "cc_ckpt")
+    sc.setCheckpointDir(prior)
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta {i}") for i in range(8)],
+        "doc_id long, text string",
+    )
+    D.neardup_clusters(docs, checkpoint_dir=mine).collect()
+    # setCheckpointDir nests a UUID subdir per call, so assert by tree:
+    # later checkpoints must land back under the caller's PRIOR dir,
+    # not under this call's dir
+    after = sc.getCheckpointDir()
+    assert "prior_ckpt" in after and "cc_ckpt" not in after, after
