@@ -388,8 +388,21 @@ class S2StreamReader(DataSourceStreamReader):
         # only the per-query throttle contract weakens). Passing a
         # per-query identity here (e.g. the checkpoint dir or query
         # name) isolates the baselines; empty = shared-store default,
-        # disclosed in README.
-        self.hwm_ns = str(options.get("hwmns", ""))
+        # disclosed in README. When `checkpointLocation` is given as a
+        # READ option (mirror the writeStream setting on readStream),
+        # the namespace is derived from it automatically — checkpoint
+        # dirs are per-query by construction, so every query that
+        # discloses its checkpoint gets an isolated baseline with no
+        # extra knob; an explicit `hwmns` always wins (e.g. to SHARE a
+        # baseline across a torn-down-and-recreated checkpoint).
+        ns = str(options.get("hwmns", ""))
+        if not ns:
+            ckpt = str(options.get("checkpointlocation", ""))
+            if ckpt:
+                import hashlib
+
+                ns = "ckpt-" + hashlib.sha1(ckpt.encode()).hexdigest()[:16]
+        self.hwm_ns = ns
         self._bytes_scan: dict[str, tuple[int, int]] = {}  # key -> (next_seq, cum)
         self._bytes_cap: dict[str, int] = {}  # key -> resolved final cap
         # driver-side per-file tails cache: each trigger's latestOffset

@@ -1015,3 +1015,54 @@ def test_frame_sample_multi_chunk_mjpeg(spark):
     assert len(rows) == 5
     for i, f in enumerate(frames):
         assert rows[i] == expected_decode(f).tobytes()
+
+
+def test_pyav_real_h264_end_to_end():
+    """The last x18 inch: when the OPTIONAL PyAV wheel is present,
+    encode a real H.264 clip with the library itself, then decode it
+    back through install_pyav(seek=True) → register_decoder →
+    decode_raw_mp4_frame — proving the adapter against real FFmpeg,
+    not the injected fake. Skips cleanly where 'av' is not installed
+    (this container ships without codec libraries)."""
+    pytest.importorskip("av")
+    import io
+
+    import numpy as np
+
+    import av
+
+    from s2_spark.functions import decoder_plugins as P
+
+    w, h, fps = 16, 16, 2
+    grays = [40, 100, 160, 220]  # frames at 0, 0.5, 1.0, 1.5 s
+    buf = io.BytesIO()
+    with av.open(buf, "w", format="mp4") as container:
+        try:
+            stream = container.add_stream("h264", rate=fps)
+        except Exception as e:  # wheel built without libx264
+            pytest.skip(f"PyAV present but no h264 encoder: {e}")
+        stream.width, stream.height = w, h
+        stream.pix_fmt = "yuv420p"
+        # no B-frames: keeps presentation order == decode order and the
+        # stts table uniform (decode_raw_mp4_frame requires n_tts == 1)
+        stream.options = {"bf": "0"}
+        for g in grays:
+            arr = np.full((h, w, 3), g, dtype=np.uint8)
+            frame = av.VideoFrame.from_ndarray(arr, format="rgb24")
+            for pkt in stream.encode(frame):
+                container.mux(pkt)
+        for pkt in stream.encode():
+            container.mux(pkt)
+    mp4 = buf.getvalue()
+
+    claimed = P.install_pyav(seek=True)
+    try:
+        for ts_ms, want in [(0, 40), (1200, 160), (9000, 220)]:
+            got = M.decode_raw_mp4_frame(mp4, ts_ms=ts_ms)
+            assert got.shape == (h, w, 3) and got.dtype == np.uint8
+            # lossy codec + yuv420p roundtrip: assert the covering
+            # frame by mean gray level, not bit-exactness
+            assert abs(float(got.mean()) - want) < 12, (ts_ms, got.mean())
+    finally:
+        for fc in claimed:
+            M.unregister_decoder(fc)

@@ -2140,3 +2140,50 @@ def test_neardup_clusters_restores_prior_checkpoint_dir(spark, tmp_path):
     # not under this call's dir
     after = sc.getCheckpointDir()
     assert "prior_ckpt" in after and "cc_ckpt" not in after, after
+
+
+def test_reader_hwm_autonamespace_from_checkpoint_location(spark, store):
+    """VERDICT r11: checkpoint dirs are per-query by construction, so a
+    `checkpointLocation` read option auto-derives the admission
+    namespace — two queries that each disclose their checkpoint are
+    BOTH throttled from their own baselines starting with the very
+    first micro-batch, without the explicit `hwmns` knob. `hwmns`
+    still wins when both are given."""
+    from s2_spark.streaming.source import S2StreamReader
+
+    k = f"{BASIN}\x00s1"
+    mk = lambda **kw: S2StreamReader(  # noqa: E731
+        {
+            "path": store.base_dir,
+            "basin": BASIN,
+            "maxrecordspertrigger": 2,
+            **kw,
+        }
+    )
+    store.append(BASIN, "s1", _recs(4))
+    # two fresh queries, distinct checkpoints: each gets the disclosed
+    # uncapped first window (no durable baseline of its OWN), then each
+    # persists into its own namespace
+    a = mk(checkpointlocation="/ckpt/query-a")
+    b = mk(checkpointlocation="/ckpt/query-b")
+    assert a.latestOffset()[k] == [0, 4]
+    assert b.latestOffset()[k] == [0, 4]
+    store.append(BASIN, "s1", _recs(20, start=4))  # tail 24
+    # cold restarts with the same checkpoints: throttled from their own
+    # persisted baselines on the FIRST window — never another query's
+    assert mk(checkpointlocation="/ckpt/query-a").latestOffset()[k] == [0, 6]
+    assert mk(checkpointlocation="/ckpt/query-b").latestOffset()[k] == [0, 6]
+    # the namespaces are really distinct: advance only query-a (each
+    # capped emission persists into its OWN namespace)
+    assert mk(checkpointlocation="/ckpt/query-a").latestOffset()[k] == [0, 8]
+    assert mk(checkpointlocation="/ckpt/query-a").latestOffset()[k] == [0, 10]
+    # ...query-b's baseline is untouched by query-a's advances
+    assert mk(checkpointlocation="/ckpt/query-b").latestOffset()[k] == [0, 8]
+    # explicit hwmns overrides the checkpoint-derived namespace: a
+    # fresh explicit ns gets the disclosed uncapped first window, not
+    # query-a's baseline
+    c = mk(checkpointlocation="/ckpt/query-a", hwmns="shared")
+    assert c.latestOffset()[k] == [0, 24]
+    assert mk(hwmns="shared").latestOffset()[k] == [0, 24]
+    # and query-a's namespace was not polluted by the override
+    assert mk(checkpointlocation="/ckpt/query-a").latestOffset()[k] == [0, 12]
