@@ -87,20 +87,22 @@ _R03_BACKLOG = frozenset({
 # so their prior hash-matches predate the current code and they re-enter
 # the scoring prefix ahead of untouched proven entries until a fresh
 # proof lands.
-_R11_RESCORE = frozenset({
-    # round 11 re-planned (ADVICE r10): x54's quantile threshold moved
-    # from double-divide+floor to integer `div`; x60's hour bucketing
-    # moved from truncating `div` to floor division — both value-
-    # identical on the fixture domain but the plans changed, so their
-    # r10 proofs predate the shipped expressions
-    "x54_source_token_quantiles", "x60_gapfill_locf",
-    # round 11 touched source.py (cold-reader stranded-trash raise,
-    # per-query admission namespaces, no-fcntl sidecar HWM merge) —
-    # the st/str families share that surface
+_R12_RESCORE = frozenset({
+    # round 12 re-planned: x60's DuckDB oracle moved from truncating
+    # `//` to true floor (ADVICE r11 medium) — the r11 proof predates
+    # the shipped oracle; x68 dropped a dead column from its projection
+    "x60_gapfill_locf", "x68_decontamination_overlap",
+    # round 12 touched store.py's durable-commit path (staged private
+    # parquet write replacing the shared Hadoop committer — the
+    # multi-stream soak find) and source.py (sidecar-tmp glob
+    # exclusion, checkpointLocation-derived admission namespaces) —
+    # the st/str families exercise both surfaces end-to-end
     "st1_check_tail", "st2_list_paginated", "st3_tail_offset",
     "st4_clamp", "st5_trim_visibility", "st6_retention_cutoff",
     "st7_append_ack", "st8_combined_read_limits",
-    "str5_stateful_dedup", "str6_command_fold",
+    "str1_tumbling_window", "str2_sliding_window", "str3_session_window",
+    "str4_watermark_survivors", "str5_stateful_dedup",
+    "str6_command_fold", "str7_stream_static_join", "str8_interval_join",
 })
 
 
@@ -142,8 +144,8 @@ def _prioritized(names: list[str]) -> list[str]:
 
     backlog = [n for n in fresh if n in _R03_BACKLOG]
     newer = [n for n in fresh if n not in _R03_BACKLOG]
-    rescore = [n for n in proven if n in _R11_RESCORE]
-    stable = [n for n in proven if n not in _R11_RESCORE]
+    rescore = [n for n in proven if n in _R12_RESCORE]
+    stable = [n for n in proven if n not in _R12_RESCORE]
     # age the stable tail: oldest proof round first, families
     # round-robined within each round so one big old family can't
     # monopolize the refresh budget

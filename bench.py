@@ -91,6 +91,11 @@ SCALE_PROBE = [
     # global running token count via the chunked two-phase prefix sum —
     # the scale-safe replacement for single-partition windows
     ("q_seq_packing", "x31_sequence_packing"),
+    # the gram-digest equi-shuffle heads (r11's three steepest first
+    # decades: 2.11 / 1.71 / 2.28) — x10 legs seed their x100 probes
+    ("q_decontamination", "x68_decontamination_overlap"),
+    ("q_dup_leakage", "x69_cross_source_leakage"),
+    ("q_novelty_decile", "x70_ngram_novelty_by_decile"),
 ]
 
 
@@ -450,6 +455,15 @@ X100_PROBE = [
     # CC + two label aggregations: the report's growth should track
     # x30's label-propagation decade, not add one of its own
     ("q_cluster_report", "x53_dedup_cluster_report"),
+    # the gram-occurrence-bound digest shapes (VERDICT r11 task 3):
+    # their first decades were the three steepest of the r11 cohort
+    # (x68 2.11, x69 1.71, x70 2.28) because gram OCCURRENCES grow
+    # faster than documents on a dup-dense corpus — the defense is
+    # that every stage is an equi-shuffle on md5 digests (no pair
+    # expansion), which should hold through the second decade too
+    ("q_decontamination", "x68_decontamination_overlap"),
+    ("q_dup_leakage", "x69_cross_source_leakage"),
+    ("q_novelty_decile", "x70_ngram_novelty_by_decile"),
 ]
 
 

@@ -210,6 +210,11 @@ class StreamStore:
         # stream commit one at a time; different streams proceed in
         # parallel
         self._locks: dict[tuple[str, str], threading.Lock] = defaultdict(threading.Lock)
+        # physical-rewrite latch: compaction / retention swaps take it,
+        # and compaction_paused() exposes it so batch jobs can pin a
+        # stable input snapshot against the swap window (RLock: the
+        # retention path may run under a caller's pause)
+        self._rewrite_mu = threading.RLock()
         os.makedirs(base_dir, exist_ok=True)
         # a crash mid-compaction must not surface as an empty store:
         # finish (or discard) any interrupted _rewrite swap before the
@@ -568,13 +573,13 @@ class StreamStore:
 
         # durable commit — one parquet write per append batch
         df = self._local_records_df(rows)
-        writer = df.coalesce(1).write.mode("append")
         if self.bucket_count:
             df = df.withColumn(
                 "bucket", F.lit(self._bucket_of(basin, stream)).cast("int")
             )
-            writer = df.coalesce(1).write.mode("append").partitionBy("bucket")
-        writer.parquet(self.base_dir)
+        self._staged_append_write(
+            df.coalesce(1), ["bucket"] if self.bucket_count else None
+        )
         self._data_seen = True
         self._invalidate_records()
 
@@ -590,6 +595,56 @@ class StreamStore:
         st.fencing_token = new_token
         st.trim_point = new_trim
         return ack
+
+    def _staged_append_write(self, df: DataFrame, partition_cols) -> None:
+        """Land an append batch's parquet into ``base_dir`` via a
+        PRIVATE staging dir + rename, never Hadoop's shared committer.
+
+        ``mode("append").parquet(base_dir)`` stages every concurrent
+        job under the SAME ``{base_dir}/_temporary/0`` root, and one
+        job's commit/cleanup deletes that root recursively — so two
+        appends to DIFFERENT streams (serialized only per-stream by
+        design, streamer.rs's actor-per-stream discipline) could fail
+        each other's durable commit with FileNotFoundException (found
+        live by the multi-stream linearizability soak, r12). Here each
+        job writes to its own ``_stage-{pid}-{uuid}`` dir beside the
+        data (underscore prefix → invisible to every listing, Spark's
+        and ours), then the produced part files are renamed into
+        place — rename is atomic per file, staging roots are never
+        shared (safe across processes too, not just threads), and the
+        single-append path stays single-file (coalesce(1)) so its
+        commit is one atomic rename, exactly the old visibility
+        contract. Bulk batches rename multiple files; a crash mid-move
+        leaves a durable prefix — the same unknown-outcome envelope
+        the committer gave (its job commit was also a file-by-file
+        move) and what crash recovery already models."""
+        import shutil
+        import uuid
+
+        stage = os.path.join(
+            self.base_dir, f"_stage-{os.getpid()}-{uuid.uuid4().hex}"
+        )
+        writer = df.write.mode("overwrite")
+        if partition_cols:
+            writer = writer.partitionBy(*partition_cols)
+        try:
+            writer.parquet(stage)
+            for root, _dirs, files in os.walk(stage):
+                for f in files:
+                    if not f.endswith(".parquet") or f.startswith(("_", ".")):
+                        continue
+                    rel = os.path.relpath(root, stage)
+                    dest_dir = (
+                        self.base_dir
+                        if rel == "."
+                        else os.path.join(self.base_dir, rel)
+                    )
+                    os.makedirs(dest_dir, exist_ok=True)
+                    os.replace(
+                        os.path.join(root, f), os.path.join(dest_dir, f)
+                    )
+        finally:
+            shutil.rmtree(stage, ignore_errors=True)
 
     def _local_records_df(self, rows: list[tuple]) -> DataFrame:
         """Sequenced record rows as a DataFrame, via an Arrow-backed
@@ -835,9 +890,9 @@ class StreamStore:
                     % self.bucket_count
                 ).cast("int"),
             )
-            out.write.mode("append").partitionBy("bucket").parquet(self.base_dir)
+            self._staged_append_write(out, ["bucket"])
         else:
-            out.write.mode("append").parquet(self.base_dir)
+            self._staged_append_write(out, None)
         if timings is not None:
             timings["write_sec"] = round(time.perf_counter() - _t0, 3)
         self._data_seen = True
@@ -1332,6 +1387,32 @@ class StreamStore:
         )
         self._rewrite(clustered)
 
+    def compaction_paused(self):
+        """Context manager that blocks physical rewrites (compaction,
+        retention/trim maintenance) for its duration.
+
+        Spark DataFrames snapshot a parquet FILE listing at analysis
+        time and evaluate lazily, so a batch job whose input is a
+        store read can hit the compaction swap window: the rename-out
+        phase moves a listed file into ``.trash`` mid-task →
+        FileNotFoundException (found live by the compaction-during-CC
+        soak scenario, r12 — the streaming source survives this via
+        per-micro-batch explicit listings + shortfall retries, but a
+        generic batch plan cannot transparently re-plan). Long
+        analytics over a live store should pin their input under this
+        pause — materialize ONE stable snapshot (e.g.
+        ``df.localCheckpoint()`` / ``df.checkpoint()``) inside the
+        block, then run the long computation on the snapshot outside
+        it, keeping the pause to a single evaluation rather than the
+        whole job. Rewrites queue behind the pause (same lock the
+        rewrite paths take); appends are unaffected. At object-store
+        scale the structural answer is a manifest-MVCC layout
+        (readers pin a manifest generation; compaction publishes a
+        new one and old files outlive in-flight readers) — the
+        rename-swap protocol here trades that for a much simpler
+        crash story, disclosed in SCALE.md."""
+        return self._rewrite_mu
+
     def _rewrite(self, df: DataFrame) -> None:
         """Swap the record data for ``df``'s output, PRESERVING the
         store's metadata directories: ``_meta`` (the durable catalog)
@@ -1350,6 +1431,10 @@ class StreamStore:
         no window exists where base_dir silently holds no data while
         ``.compact`` has everything — the failure mode the old
         delete-then-rename order allowed."""
+        with self._rewrite_mu:
+            self._rewrite_locked(df)
+
+    def _rewrite_locked(self, df: DataFrame) -> None:
         self._swap_recover()  # finish/clear any interrupted prior swap
         tmp = self.base_dir.rstrip("/") + ".compact"
         writer = df.write.mode("overwrite")

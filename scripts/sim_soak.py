@@ -38,6 +38,23 @@ def _linearizability_scenario(spark, tmp_path, seed):
     L.test_concurrent_history_with_trims_linearizable(store, seed)
 
 
+def _multi_stream_scenario(spark, tmp_path, seed):
+    """Random-seed wrapper for the cross-stream isolation history:
+    plain/CAS/fencing/trim clients on TWO streams of one store, each
+    stream's Wing & Gong history checked independently (r12 — its
+    first run found the shared-committer append race, fixed by the
+    staged per-job parquet write)."""
+    import tests.test_linearizability as L
+    from s2_spark.catalog import BasinConfig, Catalog
+    from s2_spark.store import StreamStore
+
+    cat = Catalog(spark)
+    cat.create_basin(L.BASIN, BasinConfig(create_stream_on_append=True))
+    cat.create_stream(L.BASIN, L.STREAM)
+    store = StreamStore(spark, str(tmp_path / "records"), catalog=cat)
+    L.test_concurrent_multi_stream_histories_isolated(store, seed)
+
+
 def main() -> int:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 12
     base = int(sys.argv[2]) if len(sys.argv) > 2 else random.SystemRandom().randrange(1 << 30)
@@ -54,6 +71,8 @@ def main() -> int:
         ("source_exactly_once", T.test_sim_source_exactly_once_with_purges_restarts_rate_limits),
         ("sink_replay", T.test_sim_sink_replay_with_purges_and_trims),
         ("linearizability", _linearizability_scenario),
+        ("multi_stream_linearizability", _multi_stream_scenario),
+        ("compaction_during_cc", T.test_sim_compaction_during_cc_loop),
     ]
     print(f"sim_soak: {n} seeds per scenario, base_seed={base}", flush=True)
     failures = []

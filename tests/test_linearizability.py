@@ -377,15 +377,15 @@ class _Recorder:
             self.events.append(Op(**kw))
 
 
-def _read_result(store, start: int = 0) -> tuple:
+def _read_result(store, start: int = 0, stream: str = STREAM) -> tuple:
     from s2_spark.store import ReadStart
 
-    df = store.read(BASIN, STREAM, start=ReadStart(seq_num=start))
+    df = store.read(BASIN, stream, start=ReadStart(seq_num=start))
     rows = df.select("seq_num", "body").collect()
     return tuple(sorted((r.seq_num, bytes(r.body)) for r in rows))
 
 
-def _plain_client(store, rec, cid, rng, n_ops):
+def _plain_client(store, rec, cid, rng, n_ops, stream: str = STREAM):
     for j in range(n_ops):
         roll = rng.random()
         call = rec.clock.tick()
@@ -393,35 +393,35 @@ def _plain_client(store, rec, cid, rng, n_ops):
             bodies = tuple(
                 f"c{cid}o{j}r{i}".encode() for i in range(rng.randint(1, 3))
             )
-            ack = store.append(BASIN, STREAM, [Record(body=b) for b in bodies])
+            ack = store.append(BASIN, stream, [Record(body=b) for b in bodies])
             rec.record(
                 client=cid, call=call, ret=rec.clock.tick(), kind="append",
                 bodies=bodies, result=("ok", ack.start_seq),
             )
         elif roll < 0.8:
-            tail, _ = store.check_tail(BASIN, STREAM)
+            tail, _ = store.check_tail(BASIN, stream)
             rec.record(
                 client=cid, call=call, ret=rec.clock.tick(),
                 kind="check_tail", result=("ok", tail),
             )
         else:
-            got = _read_result(store)
+            got = _read_result(store, stream=stream)
             rec.record(
                 client=cid, call=call, ret=rec.clock.tick(),
                 kind="read", result=("ok", got),
             )
 
 
-def _cas_client(store, rec, cid, rng, n_ops):
+def _cas_client(store, rec, cid, rng, n_ops, stream: str = STREAM):
     for j in range(n_ops):
-        tail, _ = store.check_tail(BASIN, STREAM)
+        tail, _ = store.check_tail(BASIN, stream)
         # sometimes race a deliberately stale expectation
         expect = tail if rng.random() < 0.7 else max(0, tail - 1)
         body = f"c{cid}o{j}cas".encode()
         call = rec.clock.tick()
         try:
             ack = store.append(
-                BASIN, STREAM, [Record(body=body)], match_seq_num=expect
+                BASIN, stream, [Record(body=body)], match_seq_num=expect
             )
             result = ("ok", ack.start_seq)
         except SeqNumMismatch:
@@ -432,7 +432,7 @@ def _cas_client(store, rec, cid, rng, n_ops):
         )
 
 
-def _fencing_client(store, rec, cid, rng, n_ops):
+def _fencing_client(store, rec, cid, rng, n_ops, stream: str = STREAM):
     last_set = ""
     for j in range(n_ops):
         roll = rng.random()
@@ -441,7 +441,7 @@ def _fencing_client(store, rec, cid, rng, n_ops):
             frec = fence_record(token)
             bodies = (bytes(frec.body),)
             call = rec.clock.tick()
-            ack = store.append(BASIN, STREAM, [frec])
+            ack = store.append(BASIN, stream, [frec])
             rec.record(
                 client=cid, call=call, ret=rec.clock.tick(), kind="append",
                 bodies=bodies, new_token=token, result=("ok", ack.start_seq),
@@ -456,7 +456,7 @@ def _fencing_client(store, rec, cid, rng, n_ops):
             call = rec.clock.tick()
             try:
                 ack = store.append(
-                    BASIN, STREAM, [Record(body=body)], fencing_token=guard
+                    BASIN, stream, [Record(body=body)], fencing_token=guard
                 )
                 result = ("ok", ack.start_seq)
             except FencingTokenMismatch:
@@ -467,18 +467,18 @@ def _fencing_client(store, rec, cid, rng, n_ops):
             )
 
 
-def _trim_client(store, rec, cid, rng, n_ops):
+def _trim_client(store, rec, cid, rng, n_ops, stream: str = STREAM):
     """Trims (in-band command appends, A6) interleaved with ranged
     reads — the alphabet extension that audits trim visibility, the
     clamp-to-own-seq rule, and monotone merge under concurrency."""
     for j in range(n_ops):
         call = rec.clock.tick()
         if rng.random() < 0.5:
-            tail, _ = store.check_tail(BASIN, STREAM)
+            tail, _ = store.check_tail(BASIN, stream)
             # mostly conservative points (some clamp past the tail so
             # the min(requested, own seq+1) branch is reachable)
             req = rng.randint(0, tail + 2)
-            ack = store.trim(BASIN, STREAM, req)
+            ack = store.trim(BASIN, stream, req)
             rec.record(
                 client=cid, call=call, ret=rec.clock.tick(), kind="append",
                 bodies=(req.to_bytes(8, "big"),), trim_to=req,
@@ -489,7 +489,7 @@ def _trim_client(store, rec, cid, rng, n_ops):
 
             start = rng.randint(0, 4)
             try:
-                got = _read_result(store, start=start)
+                got = _read_result(store, start=start, stream=stream)
                 result = ("ok", got)
             except RangeNotSatisfiable as e:
                 # past-tail without clamp: the 416's tail value is an
@@ -610,3 +610,43 @@ def test_history_with_indefinite_failure_append(spark, tmp_path):
         for o in rec.events
     ]
     assert not check_linearizable(bad)
+
+
+STREAM2 = "lin-s2"
+
+
+@pytest.mark.parametrize("seed", [13, 5150])
+def test_concurrent_multi_stream_histories_isolated(store, seed):
+    """Cross-stream isolation LIVE (previously only unit-tested):
+    plain / CAS / fencing / trim clients hammer TWO streams of one
+    store concurrently, each stream recording its own Wing & Gong
+    history. Commands on one stream (trims, fences) must never affect
+    the other's visibility — leakage would surface as a non-
+    linearizable history on the victim stream (a read missing acked
+    records, a trim point it never set, a fencing rejection under a
+    token it never saw). Each history is checked independently: the
+    per-stream clocks impose each stream's own real-time order."""
+    store.catalog.create_stream(BASIN, STREAM2)
+    recs = {STREAM: _Recorder(), STREAM2: _Recorder()}
+    kinds = [_plain_client, _cas_client, _fencing_client, _trim_client]
+    clients, n_ops = 8, 6
+
+    def run(cid):
+        s = STREAM if cid % 2 == 0 else STREAM2
+        kinds[(cid // 2) % 4](
+            store, recs[s], cid, random.Random(seed * 100 + cid), n_ops,
+            stream=s,
+        )
+
+    with ThreadPoolExecutor(clients) as ex:
+        for f in [ex.submit(run, c) for c in range(clients)]:
+            f.result()
+    for s, rec in recs.items():
+        call = rec.clock.tick()
+        got = _read_result(store, stream=s)
+        rec.record(client=99, call=call, ret=rec.clock.tick(), kind="read",
+                   result=("ok", got))
+        assert check_linearizable(rec.events), f"stream {s} history"
+    # both streams really exercised the command letters concurrently
+    for rec in recs.values():
+        assert any(o.trim_to is not None for o in rec.events)

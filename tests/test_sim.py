@@ -717,7 +717,7 @@ def test_sim_soak_script_wiring():
     import re as _re
 
     names = _re.findall(r'\("([a-z_]+)", (T\.[A-Za-z_0-9]+|_[A-Za-z_0-9]+)\)', src)
-    assert len(names) >= 7, "the soak should sweep all seven scenarios"
+    assert len(names) >= 9, "the soak should sweep all nine scenarios"
     import tests.test_sim as T  # the module the script resolves against
 
     for label, ref in names:
@@ -725,3 +725,90 @@ def test_sim_soak_script_wiring():
         assert callable(fn), (label, ref)
         params = list(inspect.signature(fn).parameters)
         assert params[:3] == ["spark", "tmp_path", "seed"], (label, params)
+
+
+@pytest.mark.parametrize("seed", [88, 7707])
+def test_sim_compaction_during_cc_loop(spark, tmp_path, seed):
+    """Store compaction churns CONCURRENTLY with a neardup_clusters CC
+    loop whose input is a store-backed read and whose lineage
+    truncation uses the reliable checkpoint_dir path (VERDICT r11).
+    Compaction preserves every logical record, so the clusters must
+    come out exactly equal to the union-find replay of the corpus —
+    and neither side may crash. The disclosed pattern for batch
+    analytics over a live store: pin ONE input snapshot under
+    ``store.compaction_paused()`` (a raw store-backed plan evaluated
+    mid-swap hits FileNotFound — Spark's listing snapshot cannot
+    re-plan), then run the long loop on the snapshot while rewrites
+    proceed freely; the loop's own checkpoints pin every later round."""
+    import threading
+
+    from pyspark.sql import functions as F
+
+    from s2_spark.catalog import BasinConfig
+    from s2_spark.functions.dedup import neardup_clusters
+    from tests.test_functions import _cluster_replay
+
+    rng = random.Random(seed)
+    store = StreamStore(spark, str(tmp_path / "records"))
+    store.catalog.create_basin(
+        BASIN, BasinConfig(create_stream_on_append=True)
+    )
+    store.catalog.create_stream(BASIN, "docs")
+    words = [
+        "alpha", "beta", "gamma", "delta", "epsilon",
+        "zeta", "eta", "theta", "iota", "kappa",
+    ]
+    texts = []
+    for i in range(30):
+        base = rng.sample(words, 5)
+        texts.append(" ".join(base))
+        if rng.random() < 0.5:
+            # a planted near-duplicate: same tokens + one extra — lands
+            # in the same LSH buckets often enough to form clusters
+            texts.append(" ".join(base + [f"x{i % 7}"]))
+    # one append per doc → many small files, real compaction fodder
+    for tx in texts:
+        store.append(BASIN, "docs", [Record(body=tx.encode())])
+    rows = [
+        (r.seq_num, bytes(r.body).decode())
+        for r in store.read(BASIN, "docs").select("seq_num", "body").collect()
+    ]
+    expected = _cluster_replay(rows)
+
+    stop = threading.Event()
+    errs: list = []
+
+    def churn():
+        while not stop.is_set():
+            try:
+                store.compact()
+            except Exception as e:  # pragma: no cover - the assertion
+                errs.append(e)
+                return
+
+    th = threading.Thread(target=churn)
+    th.start()
+    try:
+        # pin the input against the swap window: one snapshot
+        # materialization under the pause, then the loop runs on the
+        # snapshot while compaction churns concurrently
+        with store.compaction_paused():
+            snap = (
+                store.read(BASIN, "docs")
+                .select(
+                    F.col("seq_num").alias("doc_id"),
+                    F.col("body").cast("string").alias("text"),
+                )
+                .localCheckpoint(eager=True)
+            )
+        got = sorted(
+            (r["doc_id"], r["cluster"])
+            for r in neardup_clusters(
+                snap, checkpoint_dir=str(tmp_path / "cc_ckpt")
+            ).collect()
+        )
+    finally:
+        stop.set()
+        th.join()
+    assert not errs, errs
+    assert got == expected
