@@ -647,6 +647,12 @@ def test_concurrent_multi_stream_histories_isolated(store, seed):
         rec.record(client=99, call=call, ret=rec.clock.tick(), kind="read",
                    result=("ok", got))
         assert check_linearizable(rec.events), f"stream {s} history"
-    # both streams really exercised the command letters concurrently
+    # the command letters really ran (union-level, not per-stream: a
+    # trim client issues a trim with p=0.5 per op, so one stream
+    # seeing zero trims happens on ~1.6% of random soak seeds — the
+    # isolation property above is what each stream must always prove)
+    assert any(
+        o.trim_to is not None for rec in recs.values() for o in rec.events
+    )
     for rec in recs.values():
-        assert any(o.trim_to is not None for o in rec.events)
+        assert any(o.result[0] == "ok" for o in rec.events)
