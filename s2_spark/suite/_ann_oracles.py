@@ -198,16 +198,16 @@ def _minhash_band_sql(k: int, bands: int) -> tuple[str, str, str]:
     return comps, cases, band_list
 
 
-def minhash_keep_oracle(k: int = 16, bands: int = 4) -> str:
-    """Full replay of dedup.minhash_dedup_keep: md5-string minhash
-    signature (component i = lexicographic min over the 2i-hex-char
-    cyclic rotation of md5(tok) — one digest per token, a valid
-    uniform order both engines share), md5 band hashes over
-    '|'-joined component slices, bucket-min, and the keep rule
-    (doc survives iff no band bucket holds a lower doc_id)."""
+def minhash_keep_ctes(
+    k: int = 16, bands: int = 4, corpus: str = "documents"
+) -> str:
+    """The CTE chain of the minhash keep replay, parameterized on the
+    corpus relation so composite oracles (e.g. the x80 yield funnel,
+    which runs the keep rule on exact-dedup survivors) can embed it
+    after their own CTEs. Survivors are ``SELECT doc_id FROM dmin
+    WHERE doc_id = dm``."""
     comps, cases, band_list = _minhash_band_sql(k, bands)
-    return f"""
-WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+    return f"""toks AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM {corpus}),
 sig AS (SELECT doc_id, {comps} FROM toks GROUP BY doc_id),
 banded AS (
   SELECT doc_id, band, CASE band {cases} END AS bh
@@ -215,7 +215,18 @@ banded AS (
 ),
 bmin AS (SELECT band, bh, min(doc_id) AS bm FROM banded GROUP BY band, bh),
 dmin AS (SELECT banded.doc_id AS doc_id, min(bm) AS dm
-         FROM banded JOIN bmin USING (band, bh) GROUP BY banded.doc_id)
+         FROM banded JOIN bmin USING (band, bh) GROUP BY banded.doc_id)"""
+
+
+def minhash_keep_oracle(k: int = 16, bands: int = 4) -> str:
+    """Full replay of dedup.minhash_dedup_keep: md5-string minhash
+    signature (component i = lexicographic min over the 2i-hex-char
+    cyclic rotation of md5(tok) — one digest per token, a valid
+    uniform order both engines share), md5 band hashes over
+    '|'-joined component slices, bucket-min, and the keep rule
+    (doc survives iff no band bucket holds a lower doc_id)."""
+    return f"""
+WITH {minhash_keep_ctes(k, bands)}
 SELECT doc_id FROM dmin WHERE doc_id = dm ORDER BY doc_id
 """
 

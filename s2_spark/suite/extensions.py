@@ -4352,3 +4352,170 @@ def x79(spark, sf_dir):
         .select("split", "n_docs", "n_contaminated", "n_shared_grams")
         .orderBy("split")
     )
+
+
+from s2_spark.suite._ann_oracles import minhash_keep_ctes  # noqa: E402
+
+_X80_NT = (
+    "CAST(length(regexp_extract_all(lower(text), "
+    "'[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT)"
+)
+
+
+@query(
+    "x80_token_yield_funnel",
+    oracle=(
+        "WITH ex AS (SELECT doc_id, text, source, md5(text) AS h, "
+        f"{_X80_NT} AS nt FROM documents), "
+        "kmin AS (SELECT h, min(doc_id) AS keep FROM ex GROUP BY h), "
+        "ex_kept AS (SELECT ex.doc_id, ex.text, ex.source, ex.nt "
+        "FROM ex JOIN kmin ON ex.h = kmin.h AND ex.doc_id = kmin.keep), "
+        f"{minhash_keep_ctes(k=16, bands=4, corpus='ex_kept')}, "
+        "nd AS (SELECT doc_id FROM dmin WHERE doc_id = dm), "
+        "raw AS (SELECT source, CAST(count(*) AS BIGINT) AS n_raw_docs, "
+        "CAST(sum(nt) AS BIGINT) AS raw_tokens FROM ex GROUP BY source), "
+        "exk AS (SELECT source, CAST(count(*) AS BIGINT) AS n_exact_docs, "
+        "CAST(sum(nt) AS BIGINT) AS exact_tokens FROM ex_kept "
+        "GROUP BY source), "
+        "ndk AS (SELECT source, CAST(count(*) AS BIGINT) AS "
+        "n_neardup_docs, CAST(sum(nt) AS BIGINT) AS neardup_tokens "
+        "FROM ex_kept JOIN nd USING (doc_id) GROUP BY source) "
+        "SELECT source, n_raw_docs, raw_tokens, "
+        "CAST(coalesce(n_exact_docs, 0) AS BIGINT) AS n_exact_docs, "
+        "CAST(coalesce(exact_tokens, 0) AS BIGINT) AS exact_tokens, "
+        "CAST(coalesce(n_neardup_docs, 0) AS BIGINT) AS n_neardup_docs, "
+        "CAST(coalesce(neardup_tokens, 0) AS BIGINT) AS neardup_tokens, "
+        "round(coalesce(neardup_tokens, 0) * 1.0 / raw_tokens, 4) "
+        "AS token_yield "
+        "FROM raw LEFT JOIN exk USING (source) "
+        "LEFT JOIN ndk USING (source) ORDER BY source"
+    ),
+    doc=(
+        "effective-token-yield funnel per source: raw -> exact-dedup "
+        "survivors (global min-doc_id per md5(text), cross-source) -> "
+        "near-dup survivors (x29's greedy minhash keep rule applied ON "
+        "the exact survivors — the real cascade order), with BPE-ish "
+        "token sums at each stage and the final tokens/raw-tokens "
+        "yield. This is the number mixture planning actually consumes: "
+        "a source's raw token count overstates its contribution by its "
+        "duplication factor, and the funnel shows WHERE each source "
+        "loses mass. Scale shape: one md5 groupBy (digests shuffle, "
+        "not text), the x29 band pipeline on the surviving subset, "
+        "three small per-source rollups broadcast-joined on the "
+        "low-cardinality source key. The oracle replays every stage "
+        "including the keep rule on the composed survivor relation."
+    ),
+)
+def x80(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    from s2_spark.functions.dedup import minhash_dedup_keep
+    from s2_spark.functions.text import token_count
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        "source",
+        token_count("text", "bpe").alias("nt"),
+        F.md5(F.col("text").cast("binary")).alias("h"),
+    )
+    keep = F.min("doc_id").over(W.partitionBy("h"))
+    ex_kept = (
+        d.withColumn("_k", keep)
+        .filter(F.col("doc_id") == F.col("_k"))
+        .drop("_k", "h")
+    )
+    nd = minhash_dedup_keep(ex_kept, k=16, bands=4)
+    raw = d.groupBy("source").agg(
+        F.count("*").alias("n_raw_docs"), F.sum("nt").alias("raw_tokens")
+    )
+    exk = ex_kept.groupBy("source").agg(
+        F.count("*").alias("n_exact_docs"),
+        F.sum("nt").alias("exact_tokens"),
+    )
+    ndk = (
+        ex_kept.join(nd, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_neardup_docs"),
+            F.sum("nt").alias("neardup_tokens"),
+        )
+    )
+    # LEFT joins + zero-fill: a source whose every doc lost the cascade
+    # must report yield 0, not vanish from the funnel
+    return (
+        raw.join(exk, "source", "left")
+        .join(ndk, "source", "left")
+        .select(
+            "source",
+            "n_raw_docs",
+            "raw_tokens",
+            F.coalesce("n_exact_docs", F.lit(0)).alias("n_exact_docs"),
+            F.coalesce("exact_tokens", F.lit(0)).alias("exact_tokens"),
+            F.coalesce("n_neardup_docs", F.lit(0)).alias("n_neardup_docs"),
+            F.coalesce("neardup_tokens", F.lit(0)).alias("neardup_tokens"),
+            r4(
+                F.coalesce("neardup_tokens", F.lit(0))
+                / F.col("raw_tokens")
+            ).alias("token_yield"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "x81_mixture_weights",
+    oracle=(
+        "WITH s AS (SELECT source, "
+        f"CAST(sum({_X80_NT}) AS BIGINT) AS tokens "
+        "FROM documents GROUP BY source), "
+        "tot AS (SELECT CAST(sum(tokens) AS BIGINT) AS total, "
+        "CAST(count(*) AS BIGINT) AS n_sources FROM s) "
+        "SELECT source, tokens, "
+        "round(tokens * 1.0 / total, 4) AS token_share, "
+        "round(least((total * 1.0 / n_sources) / tokens, 4.0), 4) "
+        "AS weight, "
+        "CAST(CASE WHEN (total * 1.0 / n_sources) / tokens > 4.0 "
+        "THEN 1 ELSE 0 END AS INTEGER) AS capped, "
+        "round(tokens * least((total * 1.0 / n_sources) / tokens, 4.0), "
+        "4) AS effective_tokens "
+        "FROM s CROSS JOIN tot ORDER BY source"
+    ),
+    doc=(
+        "mixture rebalancing weights: per-source sampling weight that "
+        "moves the corpus toward a UNIFORM token share (target 1/n of "
+        "total tokens per source), with upsampling capped at 4x — the "
+        "epoch-multiplier table a curriculum/mixture sampler consumes "
+        "(uncapped upsampling of a tiny source means repeating it "
+        "dozens of times per epoch; the cap and the `capped` flag make "
+        "the shortfall explicit instead of silent). Token counts are "
+        "x78's BPE-ish regex (the unit training budgets are paid in). "
+        "One per-source aggregate + a broadcast 1-row totals join — "
+        "never an unpartitioned window; the whole result is "
+        "|sources| rows regardless of corpus size."
+    ),
+)
+def x81(spark, sf_dir):
+    from s2_spark.functions.text import token_count
+
+    d = t(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(
+        F.sum(token_count("text", "bpe")).alias("tokens")
+    )
+    tot = s.agg(
+        F.sum("tokens").alias("total"), F.count("*").alias("n_sources")
+    )
+    target = F.col("total") / F.col("n_sources")
+    w = F.least(target / F.col("tokens"), F.lit(4.0))
+    return (
+        s.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "tokens",
+            r4(F.col("tokens") / F.col("total")).alias("token_share"),
+            r4(w).alias("weight"),
+            (target / F.col("tokens") > 4.0).cast("int").alias("capped"),
+            r4(F.col("tokens") * w).alias("effective_tokens"),
+        )
+        .orderBy("source")
+    )
