@@ -456,7 +456,9 @@ class StreamStore:
                 self._evicted.discard(k)
                 self._touched_ms[k] = now
 
-    def recover_state(self) -> None:
+    def recover_state(
+        self, force_keys: frozenset[tuple[str, str]] = frozenset()
+    ) -> None:
         """Rebuild hot state from storage, like the reference's recovery
         read of tail/token/trim rows (lite/src/backend/core.rs:101-161).
         One distributed pass: per-stream aggregates + last-command lookups.
@@ -467,14 +469,23 @@ class StreamStore:
         Streams with an append IN FLIGHT (their per-stream writer lock
         held) keep their existing state object: the holder's commit is
         at least as new as the scan, and replacing the object would
-        detach the holder's tail advance (lost update → seq reuse)."""
+        detach the holder's tail advance (lost update → seq reuse).
+        ``force_keys`` overrides that keep-rule for keys whose locks
+        the CALLER itself holds (bulk_append's command branch: its own
+        commit is already durable, so the scan is the newest truth for
+        exactly those keys and the stale pre-bulk object must go)."""
         per_stream = self._state_agg(self.records_df()).collect()
         with self._meta_mu:
             new_state: dict[tuple[str, str], _StreamState] = {}
             for r in per_stream:
                 key = (r["basin"], r["stream"])
                 lk = self._locks.get(key)
-                if lk is not None and lk.locked() and key in self._state:
+                if (
+                    lk is not None
+                    and lk.locked()
+                    and key in self._state
+                    and key not in force_keys
+                ):
                     new_state[key] = self._state[key]
                 else:
                     new_state[key] = self._state_of(r)
@@ -815,107 +826,127 @@ class StreamStore:
                 raise ClientTimestampRequired("client timestamp required")
         # lazily recover every touched stream's tail from storage in one
         # pass; only the batch's own chunk keys ride in the broadcast
-        self._ensure_states(keys)
-        arrival = self._clock()
+        # EXCLUSIVITY against concurrent appends on the same streams:
+        # take every touched stream's writer lock (sorted — unary
+        # append takes one, two bulks take the same order, so no
+        # cycle) from state recovery through the state advance.
+        # Without this, a unary append racing the bulk write reads the
+        # same tail, mints DUPLICATE seq_nums, and its smaller state
+        # advance clobbers the bulk's (observed live: 4019 rows, 4008
+        # distinct seqs, tail regressed 4019 -> 19). Unary appends to
+        # streams outside the batch are unaffected; the hold spans the
+        # write job by necessity — that IS the serialization the
+        # per-stream actor discipline requires.
+        _held = [self._locks[k] for k in sorted(keys)]
+        for _lk in _held:
+            _lk.acquire()
+        try:
+            self._ensure_states(keys)
+            arrival = self._clock()
 
-        def _chunk_ts_max(r, cfg) -> int:
-            # max over the chunk's rows of the mode-adjusted ts0 — the
-            # same fold the per-stream state advance uses: least(·,
-            # arrival) is monotone, so the max of capped client ts is
-            # least(max_client, arrival), with arrival a candidate when
-            # any row's timestamp was NULL
-            if cfg.timestamping_mode == "arrival":
-                return arrival
-            cands = [arrival] if r["n_null_ts"] else []
-            if r["mx_client"] is not None:
-                mxc = r["mx_client"]
-                cands.append(mxc if cfg.timestamping_uncapped else min(mxc, arrival))
-            return max(cands)
+            def _chunk_ts_max(r, cfg) -> int:
+                # max over the chunk's rows of the mode-adjusted ts0 — the
+                # same fold the per-stream state advance uses: least(·,
+                # arrival) is monotone, so the max of capped client ts is
+                # least(max_client, arrival), with arrival a candidate when
+                # any row's timestamp was NULL
+                if cfg.timestamping_mode == "arrival":
+                    return arrival
+                cands = [arrival] if r["n_null_ts"] else []
+                if r["mx_client"] is not None:
+                    mxc = r["mx_client"]
+                    cands.append(mxc if cfg.timestamping_uncapped else min(mxc, arrival))
+                return max(cands)
 
-        # phase 2 of the prefix, in driver math: each chunk's starting
-        # seq (tail + earlier chunks' counts) and timestamp floor
-        # (max of last_ts and earlier chunks' ts0 maxima)
-        off_rows = []
-        running: dict[tuple[str, str], tuple[int, int]] = {}
-        for r in cstats:
-            k = (r["basin"], r["stream"])
-            if k not in running:
-                st = self._st(*k)
-                running[k] = (st.tail_seq, st.last_ts)
-            seq_off, ts_floor = running[k]
-            off_rows.append((k[0], k[1], r["_chunk"], seq_off, ts_floor))
-            running[k] = (
-                seq_off + r["n"],
-                max(ts_floor, _chunk_ts_max(r, cfg_by_key[k])),
+            # phase 2 of the prefix, in driver math: each chunk's starting
+            # seq (tail + earlier chunks' counts) and timestamp floor
+            # (max of last_ts and earlier chunks' ts0 maxima)
+            off_rows = []
+            running: dict[tuple[str, str], tuple[int, int]] = {}
+            for r in cstats:
+                k = (r["basin"], r["stream"])
+                if k not in running:
+                    st = self._st(*k)
+                    running[k] = (st.tail_seq, st.last_ts)
+                seq_off, ts_floor = running[k]
+                off_rows.append((k[0], k[1], r["_chunk"], seq_off, ts_floor))
+                running[k] = (
+                    seq_off + r["n"],
+                    max(ts_floor, _chunk_ts_max(r, cfg_by_key[k])),
+                )
+            offsets = _lit_rows_df(
+                self.spark,
+                off_rows or [("", "", 0, 0, 0)],
+                [("basin", "string"), ("stream", "string"), ("_chunk", "long"),
+                 ("seq_off", "long"), ("ts_floor", "long")],
             )
-        offsets = _lit_rows_df(
-            self.spark,
-            off_rows or [("", "", 0, 0, 0)],
-            [("basin", "string"), ("stream", "string"), ("_chunk", "long"),
-             ("seq_off", "long"), ("ts_floor", "long")],
-        )
-        cfgs = _lit_rows_df(
-            self.spark,
-            cfg_rows or [("", "", "client-prefer", False)],
-            [("basin", "string"), ("stream", "string"),
-             ("ts_mode", "string"), ("ts_uncapped", "boolean")],
-        )
-        w = W.partitionBy("basin", "stream", "_chunk").orderBy(order_col)
-        wmax = w.rowsBetween(W.unboundedPreceding, W.currentRow)
-        client = F.coalesce("timestamp", F.lit(arrival))
-        ts0 = (
-            F.when(F.col("ts_mode") == "arrival", F.lit(arrival))
-            .when(F.col("ts_uncapped"), client)
-            .otherwise(F.least(client, F.lit(arrival)))
-        )
-        out = (
-            df.withColumn("_chunk", chunk_col)
-            .join(F.broadcast(offsets), ["basin", "stream", "_chunk"], "left")
-            .join(F.broadcast(cfgs), ["basin", "stream"], "left")
-            .withColumn("seq_off", F.coalesce("seq_off", F.lit(0)))
-            .withColumn("ts_floor", F.coalesce("ts_floor", F.lit(0)))
-            .withColumn("seq_num", F.row_number().over(w) - 1 + F.col("seq_off"))
-            .withColumn("ts0", ts0)
-            .withColumn(
-                "timestamp", F.greatest(F.max("ts0").over(wmax), F.col("ts_floor"))
+            cfgs = _lit_rows_df(
+                self.spark,
+                cfg_rows or [("", "", "client-prefer", False)],
+                [("basin", "string"), ("stream", "string"),
+                 ("ts_mode", "string"), ("ts_uncapped", "boolean")],
             )
-            .select("basin", "stream", "seq_num", "timestamp", "headers", "body")
-        )
-        _t0 = time.perf_counter()
-        if self.bucket_count:
-            out = out.withColumn(
-                "bucket",
-                (
-                    F.crc32(F.concat_ws("\x00", "basin", "stream"))
-                    % self.bucket_count
-                ).cast("int"),
+            w = W.partitionBy("basin", "stream", "_chunk").orderBy(order_col)
+            wmax = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+            client = F.coalesce("timestamp", F.lit(arrival))
+            ts0 = (
+                F.when(F.col("ts_mode") == "arrival", F.lit(arrival))
+                .when(F.col("ts_uncapped"), client)
+                .otherwise(F.least(client, F.lit(arrival)))
             )
-            self._staged_append_write(out, ["bucket"])
-        else:
-            self._staged_append_write(out, None)
-        if timings is not None:
-            timings["write_sec"] = round(time.perf_counter() - _t0, 3)
-        self._data_seen = True
-        self._invalidate_records()
-        _t0 = time.perf_counter()
-        # advance hot state from the up-front stats — pure driver math,
-        # no second scan. Per stream the final last_ts is
-        # max(old_last_ts, max(mode-adjusted per-row ts)) since the
-        # running-max adjust never exceeds that bound; and because
-        # least(·, arrival) is monotone, max over rows of the capped
-        # client ts folds to least(max_client, arrival), with arrival
-        # itself a candidate when any row's timestamp was NULL.
-        if any(v["n_cmd"] for v in per_stream.values()):
-            # in-band fence/trim in a bulk batch: rare — take the full
-            # recovery scan to fold them at their assigned positions
-            self.recover_state()
-        else:
-            # the prefix fold in `running` already ends at each
-            # stream's final (tail, last_ts) — reuse it, no recompute
-            for (b, s), (tail, last_ts) in running.items():
-                st = self._st(b, s)
-                st.tail_seq = tail
-                st.last_ts = max(st.last_ts, last_ts)
+            out = (
+                df.withColumn("_chunk", chunk_col)
+                .join(F.broadcast(offsets), ["basin", "stream", "_chunk"], "left")
+                .join(F.broadcast(cfgs), ["basin", "stream"], "left")
+                .withColumn("seq_off", F.coalesce("seq_off", F.lit(0)))
+                .withColumn("ts_floor", F.coalesce("ts_floor", F.lit(0)))
+                .withColumn("seq_num", F.row_number().over(w) - 1 + F.col("seq_off"))
+                .withColumn("ts0", ts0)
+                .withColumn(
+                    "timestamp", F.greatest(F.max("ts0").over(wmax), F.col("ts_floor"))
+                )
+                .select("basin", "stream", "seq_num", "timestamp", "headers", "body")
+            )
+            _t0 = time.perf_counter()
+            if self.bucket_count:
+                out = out.withColumn(
+                    "bucket",
+                    (
+                        F.crc32(F.concat_ws("\x00", "basin", "stream"))
+                        % self.bucket_count
+                    ).cast("int"),
+                )
+                self._staged_append_write(out, ["bucket"])
+            else:
+                self._staged_append_write(out, None)
+            if timings is not None:
+                timings["write_sec"] = round(time.perf_counter() - _t0, 3)
+            self._data_seen = True
+            self._invalidate_records()
+            _t0 = time.perf_counter()
+            # advance hot state from the up-front stats — pure driver math,
+            # no second scan. Per stream the final last_ts is
+            # max(old_last_ts, max(mode-adjusted per-row ts)) since the
+            # running-max adjust never exceeds that bound; and because
+            # least(·, arrival) is monotone, max over rows of the capped
+            # client ts folds to least(max_client, arrival), with arrival
+            # itself a candidate when any row's timestamp was NULL.
+            if any(v["n_cmd"] for v in per_stream.values()):
+                # in-band fence/trim in a bulk batch: rare — take the full
+                # recovery scan to fold them at their assigned positions
+                # (force our own held keys: the keep-locked rule would
+                # otherwise preserve their stale pre-bulk state objects)
+                self.recover_state(force_keys=frozenset(keys))
+            else:
+                # the prefix fold in `running` already ends at each
+                # stream's final (tail, last_ts) — reuse it, no recompute
+                for (b, s), (tail, last_ts) in running.items():
+                    st = self._st(b, s)
+                    st.tail_seq = tail
+                    st.last_ts = max(st.last_ts, last_ts)
+        finally:
+            for _lk in reversed(_held):
+                _lk.release()
         self._refresh_stale_views()
         if timings is not None:
             timings["state_sec"] = round(time.perf_counter() - _t0, 3)

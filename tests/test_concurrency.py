@@ -614,3 +614,87 @@ def test_records_cache_lost_invalidation_is_fenced(store):
     # and a post-append read serves the acked record
     rows = [bytes(r.body) for r in store.read(BASIN, "s1").collect()]
     assert rows == [b"a", b"late"]
+
+
+def test_bulk_append_serializes_with_unary_appends(spark, store):
+    """Found live (r12): bulk_append computed offsets from per-stream
+    tails WITHOUT the per-stream writer locks, so a unary append
+    racing the bulk write job read the same tail, minted DUPLICATE
+    seq_nums, and its smaller state advance clobbered the bulk's
+    (observed: 4019 rows / 4008 distinct seqs / tail regressed to 19).
+    bulk_append now holds every touched stream's lock (sorted) from
+    state recovery through the state advance: the seq space must come
+    out exactly [0, total) and the tail exact, no matter how the
+    unary writer interleaves."""
+    import threading
+
+    store.append(BASIN, "s1", [Record(body=b"seed")])
+    rows = [
+        (BASIN, "s1", None, [], f"bulk{i}".encode(), i) for i in range(2000)
+    ]
+    bulk_df = spark.createDataFrame(
+        rows,
+        "basin string, stream string, timestamp long, "
+        "headers array<struct<name:binary,value:binary>>, "
+        "body binary, ingest_order long",
+    )
+    done = threading.Event()
+    errs: list = []
+
+    def bulk():
+        try:
+            store.bulk_append(bulk_df)
+        except Exception as e:  # pragma: no cover - the assertion
+            errs.append(e)
+        finally:
+            done.set()
+
+    th = threading.Thread(target=bulk)
+    th.start()
+    n_unary = 0
+    while not done.is_set():
+        store.append(BASIN, "s1", [Record(body=b"u%d" % n_unary)])
+        n_unary += 1
+    th.join()
+    assert not errs, errs
+    df = store.read(BASIN, "s1")
+    expected = 1 + 2000 + n_unary
+    seqs = sorted(r.seq_num for r in df.select("seq_num").collect())
+    assert seqs == list(range(expected)), (
+        f"seq space broken: {len(seqs)} rows, "
+        f"{len(set(seqs))} distinct, expected [0, {expected})"
+    )
+    tail, _ = store.check_tail(BASIN, "s1")
+    assert tail == expected
+
+
+def test_bulk_append_with_commands_recovers_own_streams_under_lock(
+    spark, store
+):
+    """The command branch of bulk_append runs a full recover_state
+    WHILE holding its own streams' writer locks — recover_state's
+    keep-locked rule would preserve the stale pre-bulk state object,
+    losing the bulk's tail advance and the in-band trim fold.
+    force_keys makes the scan authoritative for exactly the caller's
+    held keys: after a bulk batch containing a trim command, the tail
+    AND the trim point must reflect the batch."""
+    from s2_spark.model import trim_record
+
+    store.append(BASIN, "s1", [Record(body=b"a"), Record(body=b"b")])
+    tr = trim_record(2)
+    rows = [
+        (BASIN, "s1", None, [], b"c", 0),
+        (BASIN, "s1", None, [(n, v) for n, v in tr.headers], bytes(tr.body), 1),
+        (BASIN, "s1", None, [], b"d", 2),
+    ]
+    bulk_df = spark.createDataFrame(
+        rows,
+        "basin string, stream string, timestamp long, "
+        "headers array<struct<name:binary,value:binary>>, "
+        "body binary, ingest_order long",
+    )
+    store.bulk_append(bulk_df)
+    tail, _ = store.check_tail(BASIN, "s1")
+    assert tail == 5
+    got = [bytes(r.body) for r in store.read(BASIN, "s1").collect()]
+    assert got == [b"c", bytes(tr.body), b"d"]  # records 0,1 trimmed
