@@ -73,6 +73,7 @@ def main() -> int:
         ("linearizability", _linearizability_scenario),
         ("multi_stream_linearizability", _multi_stream_scenario),
         ("compaction_during_cc", T.test_sim_compaction_during_cc_loop),
+        ("bulk_unary_race", T.test_sim_bulk_unary_race),
     ]
     print(f"sim_soak: {n} seeds per scenario, base_seed={base}", flush=True)
     failures = []

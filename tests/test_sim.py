@@ -717,7 +717,7 @@ def test_sim_soak_script_wiring():
     import re as _re
 
     names = _re.findall(r'\("([a-z_]+)", (T\.[A-Za-z_0-9]+|_[A-Za-z_0-9]+)\)', src)
-    assert len(names) >= 9, "the soak should sweep all nine scenarios"
+    assert len(names) >= 10, "the soak should sweep all ten scenarios"
     import tests.test_sim as T  # the module the script resolves against
 
     for label, ref in names:
@@ -812,3 +812,74 @@ def test_sim_compaction_during_cc_loop(spark, tmp_path, seed):
         th.join()
     assert not errs, errs
     assert got == expected
+
+
+@pytest.mark.parametrize("seed", [41, 9119])
+def test_sim_bulk_unary_race(spark, tmp_path, seed):
+    """Randomized generalization of the r12 bulk-vs-unary find: a
+    bulk_append over a random subset of streams runs in a thread while
+    unary writers hammer BOTH a stream inside the batch and one
+    outside it. Afterwards every stream's seq space must be exactly
+    [0, its total) — duplicate or missing seq_nums mean the bulk's
+    offsets and a racing unary advance diverged — and check_tail must
+    agree with the row count."""
+    import threading
+
+    from s2_spark.catalog import BasinConfig
+
+    rng = random.Random(seed)
+    store = StreamStore(spark, str(tmp_path / "records"))
+    store.catalog.create_basin(
+        BASIN, BasinConfig(create_stream_on_append=True)
+    )
+    streams = ["bk-a", "bk-b", "bk-c"]
+    for s in streams:
+        store.catalog.create_stream(BASIN, s)
+        store.append(BASIN, s, [Record(body=b"seed")])
+    in_bulk = rng.sample(streams, 2)
+    n_bulk = rng.randint(1500, 3000)
+    rows = [
+        (BASIN, rng.choice(in_bulk), None, [], f"blk{i}".encode(), i)
+        for i in range(n_bulk)
+    ]
+    bulk_df = spark.createDataFrame(
+        rows,
+        "basin string, stream string, timestamp long, "
+        "headers array<struct<name:binary,value:binary>>, "
+        "body binary, ingest_order long",
+    )
+    done = threading.Event()
+    errs: list = []
+
+    def bulk():
+        try:
+            store.bulk_append(bulk_df)
+        except Exception as e:  # pragma: no cover - the assertion
+            errs.append(e)
+        finally:
+            done.set()
+
+    counts = {s: 1 for s in streams}
+    for _, s, *_ in rows:
+        counts[s] += 1
+    th = threading.Thread(target=bulk)
+    th.start()
+    i = 0
+    while not done.is_set():
+        s = rng.choice(streams)  # inside AND outside the batch
+        store.append(BASIN, s, [Record(body=b"u%d" % i)])
+        counts[s] += 1
+        i += 1
+    th.join()
+    assert not errs, errs
+    for s in streams:
+        seqs = sorted(
+            r.seq_num
+            for r in store.read(BASIN, s).select("seq_num").collect()
+        )
+        assert seqs == list(range(counts[s])), (
+            f"{s}: {len(seqs)} rows, {len(set(seqs))} distinct, "
+            f"expected [0, {counts[s]})"
+        )
+        tail, _ = store.check_tail(BASIN, s)
+        assert tail == counts[s]
