@@ -582,8 +582,13 @@ def main() -> None:
     # round-over-round series stays interpretable across the change.
     total = round(sum(queries.values()), 3)
     total_first = round(sum(queries_first.values()), 3)
-    skew = skew_probe(spark)
-    probe10, probe100 = scale_probe(spark)
+    # SPARK_GRAFT_PROBES=0 → headline-only rep: skip the skew and
+    # x10/x100 probes AND leave BENCH_DETAIL.json untouched, so cheap
+    # repeated headline measurements (noise triage on a co-tenant
+    # machine) never clobber a full run's probe record
+    probes = os.environ.get("SPARK_GRAFT_PROBES", "1") != "0"
+    skew = skew_probe(spark) if probes else {"speedup": None}
+    probe10, probe100 = scale_probe(spark) if probes else ({}, {})
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     # Detail record FIRST (big: per-query min/first, probes, latency
     # percentiles), compact headline record LAST: the driver artifact
@@ -607,12 +612,13 @@ def main() -> None:
     # the driver keeps only the tail of stdout, so the detail record is
     # the truncation victim — persist it to a file too (s2bench latency
     # percentiles and skew spread stay inspectable every round)
-    try:
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_DETAIL.json"), "w") as f:
-            json.dump(detail, f, indent=1)
-    except OSError:
-        pass  # read-only checkout: stdout copy still exists
+    if probes:
+        try:
+            with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   "BENCH_DETAIL.json"), "w") as f:
+                json.dump(detail, f, indent=1)
+        except OSError:
+            pass  # read-only checkout: stdout copy still exists
     print(
         json.dumps(
             {
