@@ -4490,25 +4490,36 @@ def x80(spark, sf_dir):
         "dozens of times per epoch; the cap and the `capped` flag make "
         "the shortfall explicit instead of silent). Token counts are "
         "x78's BPE-ish regex (the unit training budgets are paid in). "
-        "One per-source aggregate + a broadcast 1-row totals join — "
-        "never an unpartitioned window; the whole result is "
-        "|sources| rows regardless of corpus size."
+        "One per-source aggregate, then totals via a single-partition "
+        "window over the AGGREGATED relation — |sources| rows, never "
+        "the corpus (a totals branch built by re-aggregating the raw "
+        "table would scan + retokenize documents twice: Spark shares "
+        "no subplan across DataFrame branches without materialization, "
+        "and .explain showed exactly that double scan before this "
+        "shape). The whole result is |sources| rows regardless of "
+        "corpus size."
     ),
 )
 def x81(spark, sf_dir):
+    from pyspark.sql import Window as W
+
     from s2_spark.functions.text import token_count
 
     d = t(spark, sf_dir, "documents")
     s = d.groupBy("source").agg(
         F.sum(token_count("text", "bpe")).alias("tokens")
     )
-    tot = s.agg(
-        F.sum("tokens").alias("total"), F.count("*").alias("n_sources")
+    wall = W.partitionBy()  # one partition of |sources| rows — safe
+    s = s.select(
+        "source",
+        "tokens",
+        F.sum("tokens").over(wall).alias("total"),
+        F.count("*").over(wall).alias("n_sources"),
     )
     target = F.col("total") / F.col("n_sources")
     w = F.least(target / F.col("tokens"), F.lit(4.0))
     return (
-        s.crossJoin(F.broadcast(tot))
+        s
         .select(
             "source",
             "tokens",
