@@ -96,6 +96,11 @@ SCALE_PROBE = [
     ("q_decontamination", "x68_decontamination_overlap"),
     ("q_dup_leakage", "x69_cross_source_leakage"),
     ("q_novelty_decile", "x70_ngram_novelty_by_decile"),
+    # x68's case/punct-normalized sibling: same digest-equi-shuffle
+    # defense, steepest r12 first decade (3.65 — after normalization
+    # the 10x corpus's byte-identical copies are maximally duplicated,
+    # the dup-dense worst case for gram occurrences)
+    ("q_norm_contamination", "x79_normalized_contamination"),
 ]
 
 
@@ -464,6 +469,9 @@ X100_PROBE = [
     ("q_decontamination", "x68_decontamination_overlap"),
     ("q_dup_leakage", "x69_cross_source_leakage"),
     ("q_novelty_decile", "x70_ngram_novelty_by_decile"),
+    # the normalized sibling (r12): first decade 3.65 — the steepest
+    # of the r12 cohort, same gram-occurrence-bound defense as x68
+    ("q_norm_contamination", "x79_normalized_contamination"),
 ]
 
 

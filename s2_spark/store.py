@@ -601,10 +601,17 @@ class StreamStore:
             start_ts=rows[0][3],
             end_ts=rows[-1][3],
         )
-        st.tail_seq = seq
-        st.last_ts = last_ts
-        st.fencing_token = new_token
-        st.trim_point = new_trim
+        # advance the four state fields as ONE atomic step under the
+        # meta lock: readers snapshot (tail, trim) as a pair
+        # (:meth:`_st_snapshot`), and an unsynchronized reader between
+        # the tail and trim assignments would observe a state no
+        # sequential execution produces (the torn-read class the
+        # round-12 soak caught on the read path)
+        with self._meta_mu:
+            st.tail_seq = seq
+            st.last_ts = last_ts
+            st.fencing_token = new_token
+            st.trim_point = new_trim
         return ack
 
     def _staged_append_write(self, df: DataFrame, partition_cols) -> None:
@@ -940,10 +947,13 @@ class StreamStore:
             else:
                 # the prefix fold in `running` already ends at each
                 # stream's final (tail, last_ts) — reuse it, no recompute
+                # (advance under the meta lock: readers snapshot state
+                # pairs atomically, see the unary path)
                 for (b, s), (tail, last_ts) in running.items():
                     st = self._st(b, s)
-                    st.tail_seq = tail
-                    st.last_ts = max(st.last_ts, last_ts)
+                    with self._meta_mu:
+                        st.tail_seq = tail
+                        st.last_ts = max(st.last_ts, last_ts)
         finally:
             for _lk in reversed(_held):
                 _lk.release()
@@ -995,11 +1005,37 @@ class StreamStore:
         20 ms heartbeat probes that are not client RPCs)."""
         self.catalog.ensure_stream_for(basin, stream, "read")
         st = self._st(basin, stream)
-        return st.tail_seq, st.last_ts
+        with self._meta_mu:
+            return st.tail_seq, st.last_ts
 
-    def _resolve_start(self, basin: str, stream: str, start: ReadStart) -> int:
+    def _st_snapshot(self, basin: str, stream: str) -> tuple[int, int]:
+        """Atomic ``(tail_seq, trim_point)`` pair for the read path.
+
+        Writers advance all state fields as one step under
+        ``_meta_mu`` (after the batch is durable), so a pair captured
+        under the same lock corresponds to an actual point in the
+        stream's history. Capturing the fields WITHOUT the lock — or
+        one field before the records listing and one after — produced
+        a torn read the round-12 fresh-seed soak caught (seed 20325):
+        a read observed a trim command's clamp while missing the
+        append sequenced BEFORE that trim, a state no linearization
+        order allows. The read path filters to ``[trim, tail)`` of one
+        snapshot, making the result exactly the stream prefix this
+        store (the stream's actor — appends serialize on its per-
+        stream writer locks) had acknowledged at the snapshot point;
+        the file listing only needs to COVER the snapshot (guaranteed:
+        records are durable and the listing cache invalidated before
+        the state advance that published them)."""
         st = self._st(basin, stream)
-        tail = st.tail_seq
+        with self._meta_mu:
+            return st.tail_seq, st.trim_point
+
+    def _resolve_start(
+        self, basin: str, stream: str, start: ReadStart, tail: int | None = None
+    ) -> int:
+        if tail is None:
+            st = self._st(basin, stream)
+            tail = st.tail_seq
         if start.timestamp is not None:
             # first record with ts >= t: timestamps are monotone per
             # stream (append invariant), so the seq resolution the
@@ -1037,22 +1073,36 @@ class StreamStore:
         start = start or ReadStart(seq_num=0)
         limit = limit or ReadLimit()
         cfg = self.catalog.resolve_config(basin, stream)
-        st = self._st(basin, stream)
+        # ONE atomic (tail, trim) snapshot, captured BEFORE the records
+        # listing: the read returns exactly the prefix [trim, tail) of
+        # that snapshot. Filtering by a live `st.trim_point` over an
+        # independently-captured listing tears (soak seed 20325: trim's
+        # clamp visible, the append sequenced before it missing); the
+        # listing is a superset of the snapshot because records become
+        # durable (and the listing cache is invalidated) before the
+        # state advance that publishes them.
+        tail_snap, trim_snap = self._st_snapshot(basin, stream)
 
         df = self.records_df()
         if self.bucket_count:
             # partition-directory pruning: one bucket dir per stream key
             df = df.filter(F.col("bucket") == self._bucket_of(basin, stream))
         df = df.filter((F.col("basin") == basin) & (F.col("stream") == stream))
+        # snapshot upper bound: records committed after the snapshot
+        # (by a concurrent writer) must not leak into this read
+        df = df.filter(F.col("seq_num") < tail_snap)
         # trim visibility (A6): records below the trim point are hidden
-        if st.trim_point > 0:
-            df = df.filter(F.col("seq_num") >= st.trim_point)
+        if trim_snap > 0:
+            df = df.filter(F.col("seq_num") >= trim_snap)
         # retention (A17): age-based expiry as a read-side filter
         if apply_retention and (cfg.retention_age_secs or 0) > 0:
             cutoff = self._clock() - cfg.retention_age_secs * 1000
             df = df.filter(F.col("timestamp") >= cutoff)
 
-        start_seq = self._resolve_start(basin, stream, start)
+        # resolve against the SAME snapshot tail (a tail_offset or
+        # clamp resolved from a fresher tail would contradict the
+        # snapshot bound above)
+        start_seq = self._resolve_start(basin, stream, start, tail=tail_snap)
         if start_seq is None:
             df = df.filter(F.col("timestamp") >= start.timestamp)
         elif start_seq > 0:
@@ -1291,7 +1341,8 @@ class StreamStore:
         self.catalog.ensure_stream_for(basin, stream, "read")
         self.audit.log("read_session", basin, stream)
         st0 = self._st(basin, stream)
-        tail_seq0, tail_ts0 = st0.tail_seq, st0.last_ts
+        with self._meta_mu:
+            tail_seq0, tail_ts0 = st0.tail_seq, st0.last_ts
         may_follow = (
             limit.count is None and limit.bytes is None and limit.until is None
         ) or (wait_s is not None and wait_s > 0)
@@ -1299,7 +1350,8 @@ class StreamStore:
             if not start.clamp and not budget_spent:
                 raise RangeNotSatisfiable(tail_seq0)
             start = ReadStart(seq_num=tail_seq0, clamp=True)
-        start_seq = self._resolve_start(basin, stream, start)
+        # resolve against the same tail the open checks used
+        start_seq = self._resolve_start(basin, stream, start, tail=tail_seq0)
         if (
             start_seq is not None
             and start_seq == tail_seq0

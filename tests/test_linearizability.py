@@ -527,7 +527,11 @@ def test_concurrent_history_linearizable(store, seed):
     assert "ok" in kinds_seen
 
 
-@pytest.mark.parametrize("seed", [7, 4242])
+# 20325: round-12 fresh-seed soak find — a read filtered by the live
+# st.trim_point over an independently-captured file listing observed
+# a trim's clamp while missing the append sequenced before it (torn
+# read); fixed by the atomic (tail, trim) snapshot in store.read()
+@pytest.mark.parametrize("seed", [7, 4242, 20325])
 def test_concurrent_history_with_trims_linearizable(store, seed):
     """The extended alphabet live: plain / CAS / fencing / trim+ranged-
     read clients against one stream. Every recorded trim must replay
@@ -615,7 +619,9 @@ def test_history_with_indefinite_failure_append(spark, tmp_path):
 STREAM2 = "lin-s2"
 
 
-@pytest.mark.parametrize("seed", [13, 5150])
+# 732608: the same round-12 torn-read find surfacing on one stream of
+# the multi-stream history (seed pinned with the single-stream 20325)
+@pytest.mark.parametrize("seed", [13, 5150, 732608])
 def test_concurrent_multi_stream_histories_isolated(store, seed):
     """Cross-stream isolation LIVE (previously only unit-tested):
     plain / CAS / fencing / trim clients hammer TWO streams of one
