@@ -698,3 +698,49 @@ def test_bulk_append_with_commands_recovers_own_streams_under_lock(
     assert tail == 5
     got = [bytes(r.body) for r in store.read(BASIN, "s1").collect()]
     assert got == [b"c", bytes(tr.body), b"d"]  # records 0,1 trimmed
+
+
+def test_read_snapshot_not_torn_by_concurrent_trim(store):
+    """Deterministic rendering of the round-12 soak find (seeds 20325 /
+    732608, pinned in test_linearizability): a read whose records
+    LISTING resolves after a concurrent append+trim landed must still
+    return its state snapshot's prefix — never the fresher trim's
+    clamp over the staler record set (the torn read: trim's effect
+    visible, the append sequenced before it missing).
+
+    The interleaving is forced, not raced: records_df is wrapped so
+    the READER's listing call first lets a writer commit an append at
+    seq 3 and a trim(2) at seq 4 — the window where the old
+    live-``st.trim_point`` filter mixed listing and state captured at
+    different points. This pins the snapshot MECHANISM (state pair
+    captured at read entry, result bounded to it); the torn-read bug
+    itself is pinned stochastically by the linearizability seeds."""
+    from s2_spark.model import trim_record
+
+    store.append(
+        BASIN, "s1", [Record(body=b"r0"), Record(body=b"r1"), Record(body=b"r2")]
+    )
+
+    real_records_df = store.records_df
+    injected = []
+
+    def records_df_with_midflight_writer(*a, **kw):
+        if not injected:
+            injected.append(True)
+            store.append(BASIN, "s1", [Record(body=b"late")])  # seq 3
+            store.append(BASIN, "s1", [trim_record(2)])        # seq 4, trim=2
+        return real_records_df(*a, **kw)
+
+    store.records_df = records_df_with_midflight_writer
+    try:
+        # the reader's (tail, trim) snapshot predates the injection, so
+        # it must see the FULL pre-injection prefix [0, 3) untrimmed
+        seqs = [r.seq_num for r in store.read(BASIN, "s1").collect()]
+    finally:
+        store.records_df = real_records_df
+    assert injected, "injection did not run — the test lost its teeth"
+    assert seqs == [0, 1, 2], f"torn read: {seqs}"
+
+    # and a read AFTER the writer's commits sees the post-trim state
+    seqs = [r.seq_num for r in store.read(BASIN, "s1").collect()]
+    assert seqs == [2, 3, 4]
