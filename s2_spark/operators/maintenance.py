@@ -216,6 +216,9 @@ def basin_deletion_sweep(store: StreamStore) -> list[str]:
             if basin == name and smeta.deleted_at is None:
                 smeta.deleted_at = store._clock()
                 st = store._st(basin, stream)
-                st.trim_point = st.tail_seq
+                # under the meta lock: readers snapshot (tail, trim)
+                # as an atomic pair (store._st_snapshot)
+                with store._meta_mu:
+                    st.trim_point = st.tail_seq
                 finished.append(f"{basin}/{stream}")
     return finished
