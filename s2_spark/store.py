@@ -1520,10 +1520,32 @@ class StreamStore:
     def _rewrite_locked(self, df: DataFrame) -> None:
         self._swap_recover()  # finish/clear any interrupted prior swap
         tmp = self.base_dir.rstrip("/") + ".compact"
+        # The swap must replace exactly the files this rewrite READ —
+        # never whatever happens to be in base_dir at swap time.
+        # Appends commit concurrently with a long rewrite job (they
+        # don't, and must not, wait on the rewrite latch), so a file
+        # landed after ``df``'s listing snapshot holds ACKED records
+        # the compacted output does not contain; the old rename-
+        # everything phase 2 moved such files to the trash and deleted
+        # them with it (acked-data loss, reproduced live in round 12:
+        # 12 acked appends racing 3 compactions lost 11 records).
+        # ``inputFiles()`` is the listing snapshot pinned in the plan.
+        base = os.path.abspath(self.base_dir.rstrip("/"))
+        consumed = []
+        for uri in df.inputFiles():
+            p = uri[len("file:"):] if uri.startswith("file:") else uri
+            p = os.path.abspath(p)
+            if p.startswith(base + os.sep):
+                consumed.append(os.path.relpath(p, base))
         writer = df.write.mode("overwrite")
         if self.bucket_count:
             writer = writer.partitionBy("bucket")
         writer.parquet(tmp)
+        # manifest BEFORE the completion marker: any state in which the
+        # trash phase may run (or resume) must be able to name exactly
+        # the consumed files
+        with open(os.path.join(tmp, "_CONSUMED"), "w") as f:
+            f.write("\n".join(consumed))
         # the store's OWN completion marker. Spark's _SUCCESS is
         # committer-controlled (mapreduce.fileoutputcommitter.
         # marksuccessfuljobs=false is a common cluster tuning that
@@ -1538,31 +1560,59 @@ class StreamStore:
         self._invalidate_records()
 
     def _swap_in(self, tmp: str, resume: bool = False) -> None:
-        """Phase 2+3 of the compaction swap. Phase 2: rename every old
-        data entry into ``<base>.trash``, then touch ``_SWAP`` in the
-        compact dir (the phase boundary a recovery can observe). Phase
-        3: rename the compact entries into base_dir — safe to repeat,
-        names never collide with phase-2 leftovers because phase 2 ran
-        to completion first. Deleting the compact dir commits; the
-        trash is then garbage."""
+        """Phase 2+3 of the compaction swap. Phase 2: rename the
+        rewrite's CONSUMED files (the ``_CONSUMED`` manifest — the
+        input listing snapshot) into ``<base>.trash``, then touch
+        ``_SWAP`` in the compact dir (the phase boundary a recovery can
+        observe). Files NOT in the manifest — append batches that
+        landed after the rewrite's listing — are never touched: they
+        hold acked records the compacted output does not contain.
+        Phase 3: rename the compact data files into base_dir — safe to
+        repeat, compacted part-file names never collide with phase-2
+        leftovers because phase 2 ran to completion first. Deleting
+        the compact dir commits; the trash is then garbage.
+
+        A pre-manifest ``.compact`` dir (older store version crashed
+        mid-swap) falls back to the whole-directory phase 2 — correct
+        for that era's swaps, which were only ever produced without
+        concurrent appends in flight."""
         import shutil
 
         trash = self.base_dir.rstrip("/") + ".trash"
         swap_marker = os.path.join(tmp, "_SWAP")
+        manifest = os.path.join(tmp, "_CONSUMED")
         if not (resume and os.path.exists(swap_marker)):
             os.makedirs(trash, exist_ok=True)
-            for entry in os.listdir(self.base_dir):
-                if entry.startswith(("_", ".")):
-                    continue  # _meta / _audit / hidden metadata survive
-                os.rename(
-                    os.path.join(self.base_dir, entry), os.path.join(trash, entry)
-                )
+            if os.path.exists(manifest):
+                with open(manifest) as f:
+                    consumed = [ln for ln in f.read().splitlines() if ln]
+                for rel in consumed:
+                    src = os.path.join(self.base_dir, rel)
+                    if not os.path.exists(src):
+                        continue  # already moved by an interrupted run
+                    dst = os.path.join(trash, rel)
+                    os.makedirs(os.path.dirname(dst), exist_ok=True)
+                    os.rename(src, dst)
+            else:  # legacy swap dir: whole-entry semantics
+                for entry in os.listdir(self.base_dir):
+                    if entry.startswith(("_", ".")):
+                        continue  # _meta / _audit / hidden metadata survive
+                    os.rename(
+                        os.path.join(self.base_dir, entry),
+                        os.path.join(trash, entry),
+                    )
             with open(swap_marker, "w"):
                 pass
-        for entry in os.listdir(tmp):
-            if entry.startswith(("_", ".")):
-                continue  # _COMPLETE / _SUCCESS / _SWAP markers are not data
-            os.rename(os.path.join(tmp, entry), os.path.join(self.base_dir, entry))
+        for root, _dirs, files in os.walk(tmp):
+            for f in files:
+                if f.startswith(("_", ".")):
+                    continue  # _COMPLETE/_SWAP/_CONSUMED/_SUCCESS: not data
+                rel = os.path.relpath(root, tmp)
+                dest_dir = (
+                    self.base_dir if rel == "." else os.path.join(self.base_dir, rel)
+                )
+                os.makedirs(dest_dir, exist_ok=True)
+                os.rename(os.path.join(root, f), os.path.join(dest_dir, f))
         # trash FIRST: the completion markers must outlive the trash,
         # else a crash mid-rmtree(tmp) could strand an old-data trash
         # that a later recovery (seeing no marker) would wrongly
@@ -1600,11 +1650,22 @@ class StreamStore:
             return
         shutil.rmtree(tmp, ignore_errors=True)
         if os.path.isdir(trash):
-            # no complete compact output: the old data is authoritative
-            for entry in os.listdir(trash):
-                dst = os.path.join(self.base_dir, entry)
-                if not os.path.exists(dst):
-                    os.rename(os.path.join(trash, entry), dst)
+            # no complete compact output: the old data is authoritative.
+            # Per-FILE restore: under the consumed-set protocol the
+            # base dir keeps its unconsumed files (and bucket dirs), so
+            # an entry-level rename could collide with a live directory
+            for root, _dirs, files in os.walk(trash):
+                for f in files:
+                    rel = os.path.relpath(root, trash)
+                    dest_dir = (
+                        self.base_dir
+                        if rel == "."
+                        else os.path.join(self.base_dir, rel)
+                    )
+                    os.makedirs(dest_dir, exist_ok=True)
+                    dst = os.path.join(dest_dir, f)
+                    if not os.path.exists(dst):
+                        os.rename(os.path.join(root, f), dst)
             shutil.rmtree(trash, ignore_errors=True)
             if hasattr(self, "_records_cache"):
                 self._invalidate_records()

@@ -74,6 +74,7 @@ def main() -> int:
         ("multi_stream_linearizability", _multi_stream_scenario),
         ("compaction_during_cc", T.test_sim_compaction_during_cc_loop),
         ("bulk_unary_race", T.test_sim_bulk_unary_race),
+        ("append_during_compaction", T.test_sim_append_during_compaction_churn),
     ]
     print(f"sim_soak: {n} seeds per scenario, base_seed={base}", flush=True)
     failures = []

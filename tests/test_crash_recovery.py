@@ -531,3 +531,48 @@ def test_compaction_crash_bucketed_layout_recovers(spark, tmp_path, monkeypatch)
     assert r.check_tail(BASIN, "s1")[0] == 5
     assert r.check_tail(BASIN, "s2")[0] == 2
     assert _all_seqs(r, "s1") == [0, 1, 2, 3, 4]
+
+
+def test_compaction_preserves_append_landed_after_listing(spark, tmp_path):
+    """Round-12 live find (REAL acked-data loss): appends commit
+    concurrently with a rewrite — they do not wait on the rewrite
+    latch — so a batch landing between the rewrite's listing snapshot
+    and the swap holds acked records the compacted output lacks. The
+    old phase 2 renamed EVERY data entry to the trash and deleted it
+    with the trash (reproduced: 12 acked appends racing 3 compactions
+    lost 11 records). The consumed-set swap (`_CONSUMED` manifest =
+    the rewrite's inputFiles snapshot) must leave such files alone.
+
+    Deterministic, not raced: the append is injected at the exact
+    window — after the rewrite's listing/inputFiles capture, before
+    phase 2 — by wrapping `_swap_in`."""
+    base = str(tmp_path / "records")
+    s = _seed(spark, base)
+
+    real_swap_in = s._swap_in
+    injected = []
+
+    def swap_in_with_midflight_append(tmp, resume=False):
+        if not injected:
+            injected.append(True)
+            ack = s.append(BASIN, "s1", [Record(body=b"landed-late")])
+            injected.append(ack.start_seq)
+        return real_swap_in(tmp, resume=resume)
+
+    s._swap_in = swap_in_with_midflight_append
+    try:
+        s.compact()
+    finally:
+        s._swap_in = real_swap_in
+    assert injected, "injection did not run"
+
+    # the acked late append must survive the swap — same store AND a
+    # cold recovery store must both see it at its acked position
+    assert _all_seqs(s, "s1") == [0, 1, 2, 3, 4, 5]
+    assert bytes(
+        s.read(BASIN, "s1").filter("seq_num = 5").collect()[0]["body"]
+    ) == b"landed-late"
+    r = StreamStore(spark, base)
+    r.recover_state()
+    assert r.check_tail(BASIN, "s1")[0] == 6
+    assert _all_seqs(r, "s1") == [0, 1, 2, 3, 4, 5]

@@ -717,7 +717,7 @@ def test_sim_soak_script_wiring():
     import re as _re
 
     names = _re.findall(r'\("([a-z_]+)", (T\.[A-Za-z_0-9]+|_[A-Za-z_0-9]+)\)', src)
-    assert len(names) >= 10, "the soak should sweep all ten scenarios"
+    assert len(names) >= 11, "the soak should sweep all eleven scenarios"
     import tests.test_sim as T  # the module the script resolves against
 
     for label, ref in names:
@@ -883,3 +883,85 @@ def test_sim_bulk_unary_race(spark, tmp_path, seed):
         )
         tail, _ = store.check_tail(BASIN, s)
         assert tail == counts[s]
+
+
+@pytest.mark.parametrize("seed", [52, 8813])
+def test_sim_append_during_compaction_churn(spark, tmp_path, seed):
+    """Randomized generalization of the round-12 acked-data-loss find:
+    writers append (to a random stream mix) WHILE compaction and the
+    trim/retention rewrite churn in a background thread. The old
+    rename-everything swap deleted any append file that landed after
+    the rewrite's listing snapshot (12 acked appends racing 3
+    compactions lost 11 records, live); the consumed-set swap must
+    preserve every acked record at its acked seq. Afterwards every
+    stream's visible log must be exactly its acked bodies in order,
+    and a COLD recovery store must agree (the manifest protocol holds
+    across the durability boundary, not just in hot state)."""
+    import threading
+
+    from s2_spark.catalog import BasinConfig
+
+    rng = random.Random(seed)
+    store = StreamStore(spark, str(tmp_path / "records"))
+    store.catalog.create_basin(
+        BASIN, BasinConfig(create_stream_on_append=True)
+    )
+    streams = ["cc-a", "cc-b"]
+    acked: dict[str, list] = {s: [] for s in streams}
+    for s in streams:
+        store.catalog.create_stream(BASIN, s)
+        for i in range(rng.randint(3, 8)):
+            body = f"{s}-pre{i}".encode()
+            ack = store.append(BASIN, s, [Record(body=body)])
+            acked[s].append((ack.start_seq, body))
+
+    stop = threading.Event()
+    errs: list = []
+
+    def churn():
+        while not stop.is_set():
+            try:
+                if rng.random() < 0.3:
+                    store.apply_trim_and_retention()
+                else:
+                    store.compact()
+            except Exception as e:  # pragma: no cover - the assertion
+                errs.append(e)
+                return
+
+    th = threading.Thread(target=churn)
+    th.start()
+    try:
+        for i in range(rng.randint(15, 30)):
+            s = rng.choice(streams)
+            n = rng.randint(1, 3)
+            bodies = [f"{s}-live{i}r{j}".encode() for j in range(n)]
+            ack = store.append(BASIN, s, [Record(body=b) for b in bodies])
+            for j, b in enumerate(bodies):
+                acked[s].append((ack.start_seq + j, b))
+    finally:
+        stop.set()
+        th.join()
+    assert not errs, errs
+    # one final rewrite so at least one swap runs AFTER the last append
+    store.compact()
+
+    def check(st):
+        for s in streams:
+            rows = {
+                r.seq_num: bytes(r.body)
+                for r in st.read(BASIN, s).select("seq_num", "body").collect()
+            }
+            want = dict(acked[s])
+            assert rows == want, (
+                f"{s}: {len(rows)} visible vs {len(want)} acked; "
+                f"missing={sorted(set(want) - set(rows))[:5]} "
+                f"extra={sorted(set(rows) - set(want))[:5]}"
+            )
+            tail, _ = st.check_tail(BASIN, s)
+            assert tail == len(want)
+
+    check(store)
+    cold = StreamStore(spark, str(tmp_path / "records"))
+    cold.recover_state()
+    check(cold)
