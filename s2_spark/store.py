@@ -215,6 +215,12 @@ class StreamStore:
         # stable input snapshot against the swap window (RLock: the
         # retention path may run under a caller's pause)
         self._rewrite_mu = threading.RLock()
+        # swap latch: held across the swap's driver-side rename phases
+        # and by records_df's listing creation, so no listing can START
+        # inside the consumed-out/compacted-not-yet-in window (a
+        # listing there silently misses records below an acked tail).
+        # Strictly leaf under _rewrite_mu; never held across Spark jobs
+        self._swap_mu = threading.RLock()
         os.makedirs(base_dir, exist_ok=True)
         # a crash mid-compaction must not surface as an empty store:
         # finish (or discard) any interrupted _rewrite swap before the
@@ -356,10 +362,20 @@ class StreamStore:
             # schema includes the bucket column in bucketed layout, so
             # an empty-store maintenance rewrite can still partitionBy
             return self.spark.createDataFrame([], schema)
-        if self.bucket_count:
-            df = self.spark.read.schema(schema).parquet(self.base_dir)
-        else:
-            df = self.spark.read.schema(RECORD_SCHEMA).parquet(self.base_dir)
+        # listing under the swap latch: the compaction swap's rename
+        # window (consumed files out, compacted files not yet in) is
+        # the one state in which a directory listing silently MISSES
+        # records below an acked tail — the epoch fence keeps such a
+        # listing out of the cache, but the racing caller would still
+        # use it. The latch covers only driver-side renames
+        # (microseconds), never a Spark job; plans listed BEFORE a
+        # swap fail loudly (FileNotFound on the trashed file) rather
+        # than silently, which compaction_paused() exists to manage.
+        with self._swap_mu:
+            if self.bucket_count:
+                df = self.spark.read.schema(schema).parquet(self.base_dir)
+            else:
+                df = self.spark.read.schema(RECORD_SCHEMA).parquet(self.base_dir)
         # cache only if no writer invalidated while we listed: a df
         # whose listing raced an append is still fine for THIS caller
         # (its read is concurrent with that append and may linearize
@@ -1581,42 +1597,50 @@ class StreamStore:
         trash = self.base_dir.rstrip("/") + ".trash"
         swap_marker = os.path.join(tmp, "_SWAP")
         manifest = os.path.join(tmp, "_CONSUMED")
-        if not (resume and os.path.exists(swap_marker)):
-            os.makedirs(trash, exist_ok=True)
-            if os.path.exists(manifest):
-                with open(manifest) as f:
-                    consumed = [ln for ln in f.read().splitlines() if ln]
-                for rel in consumed:
-                    src = os.path.join(self.base_dir, rel)
-                    if not os.path.exists(src):
-                        continue  # already moved by an interrupted run
-                    dst = os.path.join(trash, rel)
-                    os.makedirs(os.path.dirname(dst), exist_ok=True)
-                    os.rename(src, dst)
-            else:  # legacy swap dir: whole-entry semantics
-                for entry in os.listdir(self.base_dir):
-                    if entry.startswith(("_", ".")):
-                        continue  # _meta / _audit / hidden metadata survive
-                    os.rename(
-                        os.path.join(self.base_dir, entry),
-                        os.path.join(trash, entry),
+        # both rename phases under the swap latch: no records_df
+        # listing may start while consumed files are out and compacted
+        # files not yet in (it would silently miss acked records).
+        # Driver-side renames only — the latch is held microseconds
+        with self._swap_mu:
+            if not (resume and os.path.exists(swap_marker)):
+                os.makedirs(trash, exist_ok=True)
+                if os.path.exists(manifest):
+                    with open(manifest) as f:
+                        consumed = [ln for ln in f.read().splitlines() if ln]
+                    for rel in consumed:
+                        src = os.path.join(self.base_dir, rel)
+                        if not os.path.exists(src):
+                            continue  # already moved by an interrupted run
+                        dst = os.path.join(trash, rel)
+                        os.makedirs(os.path.dirname(dst), exist_ok=True)
+                        os.rename(src, dst)
+                else:  # legacy swap dir: whole-entry semantics
+                    for entry in os.listdir(self.base_dir):
+                        if entry.startswith(("_", ".")):
+                            continue  # _meta/_audit/hidden metadata survive
+                        os.rename(
+                            os.path.join(self.base_dir, entry),
+                            os.path.join(trash, entry),
+                        )
+                with open(swap_marker, "w"):
+                    pass
+            for root, _dirs, files in os.walk(tmp):
+                for f in files:
+                    if f.startswith(("_", ".")):
+                        continue  # _COMPLETE/_SWAP/_CONSUMED/_SUCCESS markers
+                    rel = os.path.relpath(root, tmp)
+                    dest_dir = (
+                        self.base_dir
+                        if rel == "."
+                        else os.path.join(self.base_dir, rel)
                     )
-            with open(swap_marker, "w"):
-                pass
-        for root, _dirs, files in os.walk(tmp):
-            for f in files:
-                if f.startswith(("_", ".")):
-                    continue  # _COMPLETE/_SWAP/_CONSUMED/_SUCCESS: not data
-                rel = os.path.relpath(root, tmp)
-                dest_dir = (
-                    self.base_dir if rel == "." else os.path.join(self.base_dir, rel)
-                )
-                os.makedirs(dest_dir, exist_ok=True)
-                os.rename(os.path.join(root, f), os.path.join(dest_dir, f))
+                    os.makedirs(dest_dir, exist_ok=True)
+                    os.rename(os.path.join(root, f), os.path.join(dest_dir, f))
         # trash FIRST: the completion markers must outlive the trash,
         # else a crash mid-rmtree(tmp) could strand an old-data trash
         # that a later recovery (seeing no marker) would wrongly
-        # restore over the committed swap
+        # restore over the committed swap. Outside the latch: trash and
+        # tmp are SIBLINGS of base_dir, invisible to its listings
         shutil.rmtree(trash, ignore_errors=True)
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -1653,19 +1677,22 @@ class StreamStore:
             # no complete compact output: the old data is authoritative.
             # Per-FILE restore: under the consumed-set protocol the
             # base dir keeps its unconsumed files (and bucket dirs), so
-            # an entry-level rename could collide with a live directory
-            for root, _dirs, files in os.walk(trash):
-                for f in files:
-                    rel = os.path.relpath(root, trash)
-                    dest_dir = (
-                        self.base_dir
-                        if rel == "."
-                        else os.path.join(self.base_dir, rel)
-                    )
-                    os.makedirs(dest_dir, exist_ok=True)
-                    dst = os.path.join(dest_dir, f)
-                    if not os.path.exists(dst):
-                        os.rename(os.path.join(root, f), dst)
+            # an entry-level rename could collide with a live directory.
+            # Under the swap latch for the same listing-atomicity reason
+            # as _swap_in (recovery can run on a live store's rewrite)
+            with self._swap_mu:
+                for root, _dirs, files in os.walk(trash):
+                    for f in files:
+                        rel = os.path.relpath(root, trash)
+                        dest_dir = (
+                            self.base_dir
+                            if rel == "."
+                            else os.path.join(self.base_dir, rel)
+                        )
+                        os.makedirs(dest_dir, exist_ok=True)
+                        dst = os.path.join(dest_dir, f)
+                        if not os.path.exists(dst):
+                            os.rename(os.path.join(root, f), dst)
             shutil.rmtree(trash, ignore_errors=True)
             if hasattr(self, "_records_cache"):
                 self._invalidate_records()
