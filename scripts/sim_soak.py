@@ -55,6 +55,21 @@ def _multi_stream_scenario(spark, tmp_path, seed):
     L.test_concurrent_multi_stream_histories_isolated(store, seed)
 
 
+def _compaction_linearizability_scenario(spark, tmp_path, seed):
+    """Random-seed wrapper for the under-compaction Wing & Gong history
+    (r12: full client alphabet racing compaction churn — compaction
+    must be invisible; reads retry the loud swap-window FNF only)."""
+    import tests.test_linearizability as L
+    from s2_spark.catalog import BasinConfig, Catalog
+    from s2_spark.store import StreamStore
+
+    cat = Catalog(spark)
+    cat.create_basin(L.BASIN, BasinConfig(create_stream_on_append=True))
+    cat.create_stream(L.BASIN, L.STREAM)
+    store = StreamStore(spark, str(tmp_path / "records"), catalog=cat)
+    L.test_concurrent_history_linearizable_under_compaction(store, seed)
+
+
 def main() -> int:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 12
     base = int(sys.argv[2]) if len(sys.argv) > 2 else random.SystemRandom().randrange(1 << 30)
@@ -75,6 +90,7 @@ def main() -> int:
         ("compaction_during_cc", T.test_sim_compaction_during_cc_loop),
         ("bulk_unary_race", T.test_sim_bulk_unary_race),
         ("append_during_compaction", T.test_sim_append_during_compaction_churn),
+        ("compaction_linearizability", _compaction_linearizability_scenario),
     ]
     print(f"sim_soak: {n} seeds per scenario, base_seed={base}", flush=True)
     failures = []

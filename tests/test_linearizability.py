@@ -662,3 +662,84 @@ def test_concurrent_multi_stream_histories_isolated(store, seed):
     )
     for rec in recs.values():
         assert any(o.result[0] == "ok" for o in rec.events)
+
+
+@pytest.mark.parametrize("seed", [29, 6006])
+def test_concurrent_history_linearizable_under_compaction(store, seed):
+    """The two strongest layers composed: the full client alphabet
+    (plain / CAS / fencing / trim+ranged-read) races a background
+    compaction churn, and the recorded history must STILL be
+    linearizable — compaction must be invisible to every client. The
+    round-12 swap work makes three claims this scenario checks live:
+    concurrent append batches survive the swap (consumed-set
+    manifest), reads never silently observe a hole below an acked
+    tail (the swap latch over listing creation), and trim visibility
+    stays exactly the monotone-clamp model even while rewrites
+    physically delete trimmed records.
+
+    A read whose pre-swap listing EXECUTES after the swap fails
+    loudly (FileNotFound on a trashed file) — that is the documented
+    availability window, not a correctness defect, so clients retry
+    it with a fresh call stamp (the recorded interval covers the
+    successful execution). A SILENT anomaly — a hole, a resurrected
+    trimmed record, a lost append — reaches the checker and fails."""
+    import threading
+
+    global _read_result
+    real_read_result = _read_result
+
+    def retrying_read_result(store_, start=0, stream=STREAM):
+        for _ in range(20):
+            try:
+                return real_read_result(store_, start=start, stream=stream)
+            except Exception as e:  # noqa: BLE001 - classified below
+                # str(), not repr(): Py4JJavaError carries the Java-side
+                # detail (the FILE_NOT_EXIST message) only in __str__
+                msg = f"{type(e).__name__}: {e}"
+                if not any(
+                    pat in msg
+                    for pat in (
+                        "FileNotFound", "fileNotExist", "does not exist",
+                        "PATH_NOT_FOUND",
+                    )
+                ):
+                    raise
+        raise AssertionError("read kept hitting the swap window")
+
+    stop = threading.Event()
+    churn_errs: list = []
+
+    def churn():
+        while not stop.is_set():
+            try:
+                store.compact()
+            except Exception as e:  # pragma: no cover - the assertion
+                churn_errs.append(e)
+                return
+
+    rec = _Recorder()
+    clients, n_ops = 8, 6
+    kinds = [_plain_client, _cas_client, _fencing_client, _trim_client]
+
+    def run(cid):
+        kinds[cid % 4](store, rec, cid, random.Random(seed * 100 + cid), n_ops)
+
+    th = threading.Thread(target=churn)
+    _read_result = retrying_read_result
+    th.start()
+    try:
+        with ThreadPoolExecutor(clients) as ex:
+            for f in [ex.submit(run, c) for c in range(clients)]:
+                f.result()
+    finally:
+        stop.set()
+        th.join()
+        _read_result = real_read_result
+    assert not churn_errs, churn_errs
+    # one final read AFTER the churn stopped closes the history
+    call = rec.clock.tick()
+    got = _read_result(store)
+    rec.record(client=99, call=call, ret=rec.clock.tick(), kind="read",
+               result=("ok", got))
+    assert check_linearizable(rec.events)
+    assert any(o.trim_to is not None for o in rec.events)
