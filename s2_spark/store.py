@@ -175,6 +175,7 @@ class StreamStore:
         catalog: Catalog | None = None,
         clock=None,
         bucket_count: int = 0,
+        manifest: bool = False,
     ):
         """``bucket_count > 0`` enables the partitioned physical layout:
         records land under ``bucket=crc32(basin\\0stream) % N`` directory
@@ -184,9 +185,29 @@ class StreamStore:
         pruning does what the LSM key-range seek does. CRC32 is used
         because Python (zlib.crc32) and Spark (F.crc32) agree on it, so
         both the driver-side and distributed paths compute the same
-        bucket."""
+        bucket.
+
+        ``manifest=True`` switches visibility from directory listings
+        to the manifest-MVCC generation log (:mod:`s2_spark.manifest`):
+        appends and compactions commit by atomically publishing a
+        generation, compaction needs no rename-over-readers swap (and
+        therefore no ``compaction_paused()`` coordination), and
+        delisted files are garbage-collected by :meth:`vacuum`. A
+        directory that already carries a generation log reopens in
+        manifest mode regardless of the flag — the on-disk log, not
+        the constructor argument, is authoritative once created
+        (a listing-mode reopen over a compacted manifest store would
+        see delisted duplicates)."""
+        from s2_spark import manifest as _mf
+
         self.spark = spark
         self.base_dir = base_dir
+        self.manifest = bool(manifest) or _mf.is_manifest_store(base_dir)
+        # manifest-mode cache: current (generation, visible relpaths).
+        # Guarded by _manifest_mu; gen None = not yet folded from disk
+        self._manifest_mu = threading.Lock()
+        self._mf_gen: int | None = None
+        self._mf_files: set[str] = set()
         # default catalog persists its metadata under the store's own
         # directory (underscore prefix → invisible to parquet listings),
         # so basins/streams/configs survive a session restart alongside
@@ -226,6 +247,10 @@ class StreamStore:
         # finish (or discard) any interrupted _rewrite swap before the
         # first storage probe below reads base_dir
         self._swap_recover()
+        if self.manifest and not _mf.is_manifest_store(base_dir):
+            # migrating an existing listing-mode directory: the flag
+            # alone must never make existing records invisible
+            self._manifest_bootstrap()
         # Hot state is recovered LAZILY, per touched stream: a store
         # opened over existing data probes storage on a stream's first
         # touch (never silently restarting it at seq 0), and only
@@ -320,15 +345,125 @@ class StreamStore:
         every append path calls this, and a directory walk per append is
         O(files) — the flag only ever flips False→True (deleting every
         record later just means reads see an empty DataFrame, which the
-        schema-pinned ``records_df`` read handles)."""
+        schema-pinned ``records_df`` read handles). Manifest mode asks
+        the generation log instead of the directory (orphaned unpublished
+        files must not count as data)."""
         if self._data_seen:
             return True
+        if self.manifest:
+            if self._manifest_current()[1]:
+                self._data_seen = True
+                return True
+            return False
         for _, dirs, fs in os.walk(self.base_dir):
             dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
             if any(f.endswith(".parquet") and not f.startswith(("_", ".")) for f in fs):
                 self._data_seen = True
                 return True
         return False
+
+    # --- manifest-MVCC visibility (manifest=True) -----------------------
+
+    def _manifest_current(self) -> tuple[int, frozenset]:
+        """Current (generation, visible relpath set), folding the log on
+        first touch and served from the in-process cache afterwards —
+        this store is the directory's only writer, so every publish
+        updates the cache in place."""
+        from s2_spark import manifest as _mf
+
+        with self._manifest_mu:
+            if self._mf_gen is None:
+                self._mf_gen, self._mf_files = _mf.fold(self.base_dir)
+            return self._mf_gen, frozenset(self._mf_files)
+
+    def _manifest_publish(self, add=(), remove=()) -> int:
+        """Publish generation N+1 — THE commit point for manifest-mode
+        appends and compactions. One atomic file creation; data files
+        named by ``add`` become visible and ``remove`` files invisible
+        in the same instant, for every reader whose listing starts
+        after this returns (in-flight readers keep their pinned
+        generation's files, which stay on disk until :meth:`vacuum`)."""
+        from s2_spark import manifest as _mf
+
+        add, remove = list(add), list(remove)
+        with self._manifest_mu:
+            if self._mf_gen is None:
+                self._mf_gen, self._mf_files = _mf.fold(self.base_dir)
+            gen = self._mf_gen + 1
+            files = (self._mf_files - set(remove)) | set(add)
+            ckpt = sorted(files) if gen % _mf.CHECKPOINT_EVERY == 0 else None
+            _mf.write_gen(self.base_dir, gen, add, remove, ckpt)
+            self._mf_gen, self._mf_files = gen, files
+            return gen
+
+    def vacuum(self, grace_ms: int = 15 * 60 * 1000) -> int:
+        """Manifest-mode garbage collection: delete data files the
+        CURRENT generation no longer references and whose delisting has
+        aged past ``grace_ms`` (file mtime vs wall clock — Delta's
+        ``VACUUM ... RETAIN`` shape), then prune manifest log entries
+        below the newest checkpoint. Returns files deleted.
+
+        The grace window is the reader-pinning contract: an in-flight
+        DataFrame holds the file list of the generation it started on,
+        so ``grace_ms`` must exceed the longest batch plan you run
+        against a live store (at 1000-executor scale this would be a
+        lease registry; a retention horizon is the standard practical
+        answer). It also covers the append path's tiny
+        rename-into-place → publish window. Runs under the rewrite
+        latch so it never races a compaction's own staging."""
+        if not self.manifest:
+            raise RuntimeError("vacuum() requires manifest mode")
+        from s2_spark import manifest as _mf
+
+        _, visible = self._manifest_current()
+        now = time.time()
+        grace_s = grace_ms / 1000.0
+        removed = 0
+        with self._rewrite_mu:
+            for root, dirs, files in os.walk(self.base_dir):
+                dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+                for f in files:
+                    if f.startswith(("_", ".")) or not f.endswith(".parquet"):
+                        continue
+                    p = os.path.join(root, f)
+                    if os.path.relpath(p, self.base_dir) in visible:
+                        continue
+                    try:
+                        if now - os.path.getmtime(p) >= grace_s:
+                            os.remove(p)
+                            removed += 1
+                    except FileNotFoundError:  # pragma: no cover
+                        pass
+            # stage dirs stranded by a crashed process (invisible to
+            # every reader; their files were never published)
+            import shutil
+
+            for entry in os.listdir(self.base_dir):
+                if entry.startswith(("_stage-", "_compact-stage-")):
+                    p = os.path.join(self.base_dir, entry)
+                    try:
+                        if now - os.path.getmtime(p) >= grace_s:
+                            shutil.rmtree(p, ignore_errors=True)
+                    except FileNotFoundError:  # pragma: no cover
+                        pass
+            _mf.prune_log(self.base_dir)
+        return removed
+
+    def _manifest_bootstrap(self) -> None:
+        """First manifest-mode open over a directory with existing
+        listing-mode data: publish generation 1 as a checkpoint of the
+        current data files, migrating visibility into the log (the
+        flag alone must never make existing records invisible)."""
+        existing: list[str] = []
+        for root, dirs, files in os.walk(self.base_dir):
+            dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+            for f in files:
+                if f.endswith(".parquet") and not f.startswith(("_", ".")):
+                    existing.append(
+                        os.path.relpath(os.path.join(root, f), self.base_dir)
+                    )
+        if existing:
+            self._manifest_publish(add=existing)
 
     def _bucket_of(self, basin: str, stream: str) -> int:
         import zlib
@@ -362,6 +497,27 @@ class StreamStore:
             # schema includes the bucket column in bucketed layout, so
             # an empty-store maintenance rewrite can still partitionBy
             return self.spark.createDataFrame([], schema)
+        if self.manifest:
+            # manifest mode: the generation log, not the directory,
+            # defines visibility. The file list is an immutable
+            # snapshot of one generation — no swap window exists to
+            # latch against (delisted files outlive in-flight plans
+            # until vacuum), which is the entire point of the layout.
+            # basePath keeps the bucket=N partition-column inference
+            # identical to the directory read.
+            _, visible = self._manifest_current()
+            if not visible:
+                return self.spark.createDataFrame([], schema)
+            paths = [os.path.join(self.base_dir, rel) for rel in sorted(visible)]
+            df = (
+                self.spark.read.option("basePath", self.base_dir)
+                .schema(schema)
+                .parquet(*paths)
+            )
+            with self._records_mu:
+                if self._records_epoch == epoch:
+                    self._records_cache = df
+            return df
         # listing under the swap latch: the compaction swap's rename
         # window (consumed files out, compacted files not yet in) is
         # the one state in which a directory listing silently MISSES
@@ -651,7 +807,14 @@ class StreamStore:
         contract. Bulk batches rename multiple files; a crash mid-move
         leaves a durable prefix — the same unknown-outcome envelope
         the committer gave (its job commit was also a file-by-file
-        move) and what crash recovery already models."""
+        move) and what crash recovery already models.
+
+        In manifest mode the renamed files become visible only at the
+        generation publish that follows the rename loop, so the batch
+        commits ATOMICALLY: a crash anywhere before the publish leaves
+        orphaned (invisible) files for vacuum — a strictly smaller
+        unknown-outcome envelope than the listing layout's durable
+        prefix."""
         import shutil
         import uuid
 
@@ -661,6 +824,7 @@ class StreamStore:
         writer = df.write.mode("overwrite")
         if partition_cols:
             writer = writer.partitionBy(*partition_cols)
+        renamed: list[str] = []
         try:
             writer.parquet(stage)
             for root, _dirs, files in os.walk(stage):
@@ -674,9 +838,11 @@ class StreamStore:
                         else os.path.join(self.base_dir, rel)
                     )
                     os.makedirs(dest_dir, exist_ok=True)
-                    os.replace(
-                        os.path.join(root, f), os.path.join(dest_dir, f)
-                    )
+                    dst = os.path.join(dest_dir, f)
+                    os.replace(os.path.join(root, f), dst)
+                    renamed.append(os.path.relpath(dst, self.base_dir))
+            if self.manifest and renamed:
+                self._manifest_publish(add=renamed)
         finally:
             shutil.rmtree(stage, ignore_errors=True)
 
@@ -1533,7 +1699,49 @@ class StreamStore:
         with self._rewrite_mu:
             self._rewrite_locked(df)
 
+    def _consumed_files(self, df: DataFrame) -> list[str]:
+        """Store-relative paths of the data files ``df``'s pinned
+        listing snapshot reads — the exact set a rewrite's swap (or a
+        manifest publish's ``remove``) replaces.
+
+        Both sides are normalized through ``urlparse`` + ``unquote`` +
+        ``realpath`` (ADVICE r12): ``inputFiles()`` URIs can be
+        percent-encoded or carry ``file://`` variants, and ``abspath``
+        does not resolve symlinks — a store file silently failing the
+        containment check would survive the swap alongside its
+        compacted copy and serve duplicate seq_nums forever. Files
+        under metadata components (``_meta``, ``_manifest``, hidden
+        dirs) are never consumed; any OTHER input file that does not
+        resolve into the store directory aborts the rewrite loudly —
+        a rewrite plan only ever reads store files, so an unresolvable
+        one means the normalization (not the plan) is wrong."""
+        from urllib.parse import unquote, urlparse
+
+        base = os.path.realpath(self.base_dir.rstrip("/"))
+        consumed, foreign = [], []
+        for uri in df.inputFiles():
+            parsed = urlparse(uri)
+            p = unquote(parsed.path) if parsed.scheme else uri
+            p = os.path.realpath(p)
+            if p.startswith(base + os.sep):
+                rel = os.path.relpath(p, base)
+                if any(c.startswith(("_", ".")) for c in rel.split(os.sep)):
+                    continue  # catalog/_meta, manifest log, markers
+                consumed.append(rel)
+            else:
+                foreign.append(uri)
+        if foreign:
+            raise RuntimeError(
+                f"rewrite input includes files that do not resolve into "
+                f"the store directory {self.base_dir!r}: {foreign[:3]} — "
+                f"aborting (a silent skip would leave duplicates)"
+            )
+        return consumed
+
     def _rewrite_locked(self, df: DataFrame) -> None:
+        if self.manifest:
+            self._rewrite_locked_manifest(df)
+            return
         self._swap_recover()  # finish/clear any interrupted prior swap
         tmp = self.base_dir.rstrip("/") + ".compact"
         # The swap must replace exactly the files this rewrite READ —
@@ -1546,13 +1754,7 @@ class StreamStore:
         # them with it (acked-data loss, reproduced live in round 12:
         # 12 acked appends racing 3 compactions lost 11 records).
         # ``inputFiles()`` is the listing snapshot pinned in the plan.
-        base = os.path.abspath(self.base_dir.rstrip("/"))
-        consumed = []
-        for uri in df.inputFiles():
-            p = uri[len("file:"):] if uri.startswith("file:") else uri
-            p = os.path.abspath(p)
-            if p.startswith(base + os.sep):
-                consumed.append(os.path.relpath(p, base))
+        consumed = self._consumed_files(df)
         writer = df.write.mode("overwrite")
         if self.bucket_count:
             writer = writer.partitionBy("bucket")
@@ -1573,6 +1775,56 @@ class StreamStore:
         with open(os.path.join(tmp, "_COMPLETE"), "w"):
             pass
         self._swap_in(tmp)
+        self._invalidate_records()
+
+    def _rewrite_locked_manifest(self, df: DataFrame) -> None:
+        """Manifest-mode rewrite: stage the compacted output, rename
+        its part files into the data layout under fresh (UUID) names,
+        then COMMIT by publishing one manifest generation that adds
+        them and removes exactly the files the rewrite consumed.
+
+        There is no swap: consumed files stay on disk (in-flight
+        readers pinned to older generations keep reading them) until
+        :meth:`vacuum`, and the publish is the single atomic commit
+        point — a crash anywhere before it leaves only orphaned
+        invisible files, a crash after it a fully committed rewrite.
+        Concurrent appends publish their own generations in between;
+        their files are not in the consumed set and survive untouched,
+        which is the acked-data-loss guarantee the listing layout
+        needed the ``_CONSUMED``/trash machinery for."""
+        import shutil
+        import uuid
+
+        consumed = self._consumed_files(df)
+        stage = os.path.join(
+            self.base_dir, f"_compact-stage-{os.getpid()}-{uuid.uuid4().hex}"
+        )
+        writer = df.write.mode("overwrite")
+        if self.bucket_count:
+            writer = writer.partitionBy("bucket")
+        added: list[str] = []
+        try:
+            writer.parquet(stage)
+            for root, _dirs, files in os.walk(stage):
+                for f in files:
+                    if not f.endswith(".parquet") or f.startswith(("_", ".")):
+                        continue
+                    rel = os.path.relpath(root, stage)
+                    dest_dir = (
+                        self.base_dir
+                        if rel == "."
+                        else os.path.join(self.base_dir, rel)
+                    )
+                    os.makedirs(dest_dir, exist_ok=True)
+                    dst = os.path.join(dest_dir, f)
+                    assert not os.path.exists(dst), (
+                        f"compacted part name collides with a live file: {dst}"
+                    )
+                    os.replace(os.path.join(root, f), dst)
+                    added.append(os.path.relpath(dst, self.base_dir))
+            self._manifest_publish(add=added, remove=consumed)
+        finally:
+            shutil.rmtree(stage, ignore_errors=True)
         self._invalidate_records()
 
     def _swap_in(self, tmp: str, resume: bool = False) -> None:
@@ -1635,13 +1887,37 @@ class StreamStore:
                         else os.path.join(self.base_dir, rel)
                     )
                     os.makedirs(dest_dir, exist_ok=True)
-                    os.rename(os.path.join(root, f), os.path.join(dest_dir, f))
+                    dst = os.path.join(dest_dir, f)
+                    # phase 2 already ran to completion, so the only
+                    # way dst exists is a name collision between the
+                    # compacted output and a post-listing staged-append
+                    # file — structurally impossible today (UUID part
+                    # names) and silently clobbering an acked append
+                    # would be data loss, so fail loudly if it ever is
+                    assert not os.path.exists(dst), (
+                        f"swap phase-3 collision with a live file: {dst}"
+                    )
+                    os.rename(os.path.join(root, f), dst)
         # trash FIRST: the completion markers must outlive the trash,
         # else a crash mid-rmtree(tmp) could strand an old-data trash
         # that a later recovery (seeing no marker) would wrongly
         # restore over the committed swap. Outside the latch: trash and
         # tmp are SIBLINGS of base_dir, invisible to its listings
         shutil.rmtree(trash, ignore_errors=True)
+        # markers come off in a DEFINED order before the tmp rmtree
+        # (whose own deletion order is arbitrary): _COMPLETE first,
+        # then _SWAP, then _CONSUMED. A crash mid-sequence therefore
+        # leaves either a resumable marker state ({_SWAP,_CONSUMED} →
+        # phase 2 skipped, phase 3 re-walk moves nothing) or a
+        # marker-less dir (discarded; trash is already gone) — never
+        # the ADVICE-r12 state where _COMPLETE alone survives and
+        # recovery re-runs the DESTRUCTIVE legacy whole-dir phase 2
+        # over the committed swap plus any post-swap appends.
+        for marker in ("_COMPLETE", "_SWAP", "_CONSUMED"):
+            try:
+                os.remove(os.path.join(tmp, marker))
+            except FileNotFoundError:
+                pass
         shutil.rmtree(tmp, ignore_errors=True)
 
     def _swap_recover(self) -> None:
@@ -1668,6 +1944,26 @@ class StreamStore:
             os.path.exists(os.path.join(tmp, "_COMPLETE"))
             or os.path.exists(os.path.join(tmp, "_SWAP"))
         ):
+            has_data = any(
+                f.endswith(".parquet") and not f.startswith(("_", "."))
+                for _r, _d, fs in os.walk(tmp)
+                for f in fs
+            )
+            if not has_data:
+                # marker-only compact dir: phase 3 already moved every
+                # data file in, so the swap COMMITTED — just clean up.
+                # Never fall into the marker-driven phase-2 paths here:
+                # a _COMPLETE-only dir left by an older store version's
+                # crash mid-cleanup would re-run the legacy whole-dir
+                # trash phase over the committed data and then delete
+                # it with the trash (ADVICE r12). Any surviving trash
+                # is garbage for the same reason the markers say the
+                # swap committed.
+                shutil.rmtree(trash, ignore_errors=True)
+                shutil.rmtree(tmp, ignore_errors=True)
+                if hasattr(self, "_records_cache"):
+                    self._invalidate_records()
+                return
             self._swap_in(tmp, resume=True)
             if hasattr(self, "_records_cache"):
                 self._invalidate_records()  # file listing changed

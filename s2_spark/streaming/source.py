@@ -64,7 +64,24 @@ class _StreamSlice(InputPartition):
 def _parquet_files(path: str) -> list[str]:
     """Data files only — hidden/metadata entries (underscore or dot
     prefixed, e.g. the store's ``_meta`` catalog) are skipped, matching
-    Spark's and pyarrow's hidden-path filters."""
+    Spark's and pyarrow's hidden-path filters.
+
+    A manifest-mode store (generation log under ``<path>/_manifest``)
+    is listed from its CURRENT generation instead: after a manifest
+    compaction the delisted originals coexist on disk with the
+    compacted copies until vacuum, so a raw directory walk would
+    double-count every record. The fold is lock-free (generation files
+    are immutable once published) — exactly the reader protocol the
+    store's own ``records_df`` uses."""
+    from s2_spark import manifest as _mf
+
+    if _mf.is_manifest_store(path):
+        _, visible = _mf.fold(path)
+        return sorted(
+            p
+            for rel in visible
+            if os.path.exists(p := os.path.join(path, rel))
+        )
     out = []
     for d, dirs, fs in os.walk(path):
         dirs[:] = [x for x in dirs if not x.startswith(("_", "."))]
