@@ -137,11 +137,57 @@ def run_queries(spark) -> tuple[dict, dict, dict]:
     return med, mn, first
 
 
-def s2_bench_equivalent(spark, n_records: int = 8000, record_bytes: int = 8192) -> dict:
-    """The reference bench workload (cli/src/cli.rs:702-736 defaults:
-    8 KiB records, ~60 MiB): bulk-append through the store's distributed
-    sequencing, then catch-up read; verify count + order-sensitive
-    chain hash on both sides."""
+#: repetitions for the s2-bench append/read legs. Round 12's lesson:
+#: these legs ran ONCE per bench while every headline query got 3 reps
+#: with median — so a single co-tenant stall on the read leg (9.88 s vs
+#: 0.67 s idle) became the committed headline. Median-of-3 with a fresh
+#: temp store per rep self-corrects that class of artifact.
+S2BENCH_REPS = int(os.environ.get("SPARK_GRAFT_S2BENCH_REPS", "3"))
+
+
+def s2_bench_equivalent(
+    spark, n_records: int = 8000, record_bytes: int = 8192, reps: int | None = None
+) -> dict:
+    """Repeated-median wrapper over the single-run bench: each rep gets
+    a fresh temp store; append/read legs report the MEDIAN of
+    ``reps`` (spread kept alongside), verification must pass on EVERY
+    rep, and the ack/e2e latency percentiles pool the raw samples of
+    all reps (3x16 batches instead of 16)."""
+    reps = S2BENCH_REPS if reps is None else reps
+    runs = [_s2_bench_once(spark, n_records, record_bytes) for _ in range(reps)]
+
+    def med_by(key):
+        return sorted(runs, key=lambda r: r[key])[len(runs) // 2]
+
+    med_a, med_r = med_by("append_sec"), med_by("read_sec")
+    append_s, read_s = med_a["append_sec"], med_r["read_sec"]
+    mib = n_records * record_bytes / (1024 * 1024)
+    ack = [x for r in runs for x in r["_ack_samples"]]
+    e2e = [x for r in runs for x in r["_e2e_samples"]]
+    return {
+        "append_sec": append_s,
+        "read_sec": read_s,
+        "append_spread": [min(r["append_sec"] for r in runs),
+                          max(r["append_sec"] for r in runs)],
+        "read_spread": [min(r["read_sec"] for r in runs),
+                        max(r["read_sec"] for r in runs)],
+        "reps": reps,
+        "mib": round(mib, 1),
+        "records_per_s": round(n_records / append_s, 1),
+        "append_mib_s": round(mib / append_s, 1),
+        "read_mib_s": round(mib / read_s, 1),
+        "verified": all(r["verified"] for r in runs),
+        "live_verified": all(r["live_verified"] for r in runs),
+        "append_phases": med_a["append_phases"],
+        "latency": {"ack": _percentiles(ack), "e2e": _percentiles(e2e)},
+    }
+
+
+def _s2_bench_once(spark, n_records: int = 8000, record_bytes: int = 8192) -> dict:
+    """One run of the reference bench workload (cli/src/cli.rs:702-736
+    defaults: 8 KiB records, ~60 MiB): bulk-append through the store's
+    distributed sequencing, then catch-up read; verify count +
+    order-sensitive chain hash on both sides."""
     from s2_spark.catalog import Catalog
     from s2_spark.store import StreamStore
 
@@ -237,8 +283,12 @@ def s2_bench_equivalent(spark, n_records: int = 8000, record_bytes: int = 8192) 
         store.bulk_append(src, timings=phases)
         append_s = time.perf_counter() - t0
         # job count for the timed call (pinned-thread mode keeps the
-        # live reader's jobs out of this group): the plan is 2 jobs —
-        # admission agg + write; anything more is a regression
+        # live reader's jobs out of this group). The current plan
+        # measures 6 jobs — admission agg, the per-stream tail/config
+        # recovery collects, the per-chunk offset/stat aggregation,
+        # and the staged parquet write — recorded so a regression
+        # shows as this count GROWING round-over-round (the r11-r12
+        # series holds at 6), not as a hand-written expectation
         phases["spark_jobs"] = len(
             sc.statusTracker().getJobIdsForGroup("bench_append")
         )
@@ -276,7 +326,8 @@ def s2_bench_equivalent(spark, n_records: int = 8000, record_bytes: int = 8192) 
             # advance) — attributes any run-to-run variance to the
             # phase that moved instead of leaving it a mystery
             "append_phases": phases,
-            "latency": _latency_probe(spark, store),
+            # raw per-batch samples, pooled across reps by the wrapper
+            **_latency_probe(spark, store),
         }
     finally:
         shutil.rmtree(base, ignore_errors=True)
@@ -329,7 +380,7 @@ def _latency_probe(
         ).count()
         e2e_lat.append(time.perf_counter() - t0)
         assert got == per_batch
-    return {"ack": _percentiles(ack_lat), "e2e": _percentiles(e2e_lat)}
+    return {"_ack_samples": ack_lat, "_e2e_samples": e2e_lat}
 
 
 def skew_probe(
@@ -571,7 +622,28 @@ def scale_probe(spark) -> tuple[dict, dict]:
 
 
 def main() -> None:
+    # Co-tenant guard (r12: one noise-stalled sample became the
+    # committed 18.7 s headline — an artifact-quality failure, not a
+    # code one). If the 1-minute loadavg exceeds the threshold, wait
+    # for the machine to go idle; if it never does, REFUSE to write a
+    # BENCH record rather than poison the round series — unless
+    # explicitly overridden.
+    max_load = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "8"))
+    idle_wait_s = int(os.environ.get("SPARK_GRAFT_BENCH_IDLE_WAIT_S", "300"))
+    force = os.environ.get("SPARK_GRAFT_BENCH_FORCE", "0") == "1"
+    waited = 0
+    while os.getloadavg()[0] > max_load and waited < idle_wait_s:
+        time.sleep(10)
+        waited += 10
     load_start = os.getloadavg()
+    if load_start[0] > max_load and not force:
+        print(
+            f"bench REFUSED: loadavg {load_start[0]:.1f} > {max_load} after "
+            f"waiting {waited}s — a co-tenant-loaded record would poison the "
+            f"round series. Set SPARK_GRAFT_BENCH_FORCE=1 to record anyway.",
+            file=sys.stderr,
+        )
+        sys.exit(3)
     spark = get_spark("s2_spark_bench", cpus=CPUS, shuffle_partitions=CPUS)
     # warm the JVM + file listing so query times measure execution
     for name in ("lineitem", "orders", "events", "documents"):

@@ -805,9 +805,17 @@ class StreamStore:
         single-append path stays single-file (coalesce(1)) so its
         commit is one atomic rename, exactly the old visibility
         contract. Bulk batches rename multiple files; a crash mid-move
-        leaves a durable prefix — the same unknown-outcome envelope
-        the committer gave (its job commit was also a file-by-file
-        move) and what crash recovery already models.
+        leaves a durable per-FILE subset — the same unknown-outcome
+        envelope the committer gave (its job commit was also a
+        file-by-file move) and what crash recovery already models. For
+        batches whose per-stream rows fit one sequencing chunk (the
+        overwhelmingly common case) that subset is a per-stream seq
+        prefix; a >SEQ_CHUNK_WIDTH single-stream batch can in
+        principle land a later chunk's file without an earlier one's
+        (tests/test_sim.py::test_sim_staged_append_kill_point pins the
+        prefix envelope at sim scale). Manifest mode closes this
+        structurally: the batch is invisible until its single
+        generation publish, so the commit is all-or-nothing.
 
         In manifest mode the renamed files become visible only at the
         generation publish that follows the rename loop, so the batch

@@ -70,6 +70,22 @@ def _compaction_linearizability_scenario(spark, tmp_path, seed):
     L.test_concurrent_history_linearizable_under_compaction(store, seed)
 
 
+def _manifest_linearizability_scenario(spark, tmp_path, seed):
+    """r13: the same alphabet-vs-churn history on the MANIFEST layout,
+    with the FNF retry DISABLED — readers pin a generation whose files
+    compaction never deletes, so any read exception is a failure."""
+    import tests.test_linearizability as L
+    from s2_spark.catalog import BasinConfig, Catalog
+    from s2_spark.store import StreamStore
+
+    cat = Catalog(spark)
+    cat.create_basin(L.BASIN, BasinConfig(create_stream_on_append=True))
+    cat.create_stream(L.BASIN, L.STREAM)
+    store = StreamStore(spark, str(tmp_path / "records"), catalog=cat,
+                        manifest=True)
+    L._history_under_compaction(store, seed, retry_reads=False)
+
+
 def main() -> int:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 12
     base = int(sys.argv[2]) if len(sys.argv) > 2 else random.SystemRandom().randrange(1 << 30)
@@ -91,6 +107,15 @@ def main() -> int:
         ("bulk_unary_race", T.test_sim_bulk_unary_race),
         ("append_during_compaction", T.test_sim_append_during_compaction_churn),
         ("compaction_linearizability", _compaction_linearizability_scenario),
+        # r13: manifest-MVCC layout — the same chaos without the
+        # pause/latch/retry coordination the rename-swap layout needs
+        ("manifest_compaction_crashes", T.test_sim_differential_with_compaction_crashes_manifest),
+        ("manifest_compaction_bucketed", T.test_sim_differential_compaction_crashes_manifest_bucketed),
+        ("manifest_append_during_churn", T.test_sim_append_during_compaction_churn_manifest),
+        ("manifest_cc_no_pause", T.test_sim_compaction_during_cc_loop_manifest_no_pause),
+        ("manifest_linearizability", _manifest_linearizability_scenario),
+        # r13: kill-point chaos for the staged multi-file append commit
+        ("staged_append_kill_point", T.test_sim_staged_append_kill_point),
     ]
     print(f"sim_soak: {n} seeds per scenario, base_seed={base}", flush=True)
     failures = []

@@ -664,25 +664,21 @@ def test_concurrent_multi_stream_histories_isolated(store, seed):
         assert any(o.result[0] == "ok" for o in rec.events)
 
 
-@pytest.mark.parametrize("seed", [29, 6006])
-def test_concurrent_history_linearizable_under_compaction(store, seed):
-    """The two strongest layers composed: the full client alphabet
-    (plain / CAS / fencing / trim+ranged-read) races a background
-    compaction churn, and the recorded history must STILL be
-    linearizable — compaction must be invisible to every client. The
-    round-12 swap work makes three claims this scenario checks live:
-    concurrent append batches survive the swap (consumed-set
-    manifest), reads never silently observe a hole below an acked
-    tail (the swap latch over listing creation), and trim visibility
-    stays exactly the monotone-clamp model even while rewrites
-    physically delete trimmed records.
+def _history_under_compaction(store, seed, retry_reads: bool) -> None:
+    """Shared core: the full client alphabet (plain / CAS / fencing /
+    trim+ranged-read) races a background compaction churn, and the
+    recorded history must STILL be linearizable — compaction must be
+    invisible to every client.
 
-    A read whose pre-swap listing EXECUTES after the swap fails
-    loudly (FileNotFound on a trashed file) — that is the documented
-    availability window, not a correctness defect, so clients retry
-    it with a fresh call stamp (the recorded interval covers the
-    successful execution). A SILENT anomaly — a hole, a resurrected
-    trimmed record, a lost append — reaches the checker and fails."""
+    ``retry_reads=True`` is the LISTING layout's contract: a read
+    whose pre-swap listing executes after the swap fails loudly
+    (FileNotFound on a trashed file) — the documented availability
+    window, not a correctness defect — so clients retry with a fresh
+    call stamp. ``retry_reads=False`` is the MANIFEST layout's
+    stronger contract: no swap window exists (delisted files outlive
+    in-flight readers until vacuum), so ANY read exception fails the
+    scenario outright. A SILENT anomaly — a hole, a resurrected
+    trimmed record, a lost append — reaches the checker either way."""
     import threading
 
     global _read_result
@@ -730,7 +726,8 @@ def test_concurrent_history_linearizable_under_compaction(store, seed):
         kinds[cid % 4](store, rec, cid, random.Random(seed * 100 + cid), n_ops)
 
     th = threading.Thread(target=churn)
-    _read_result = retrying_read_result
+    if retry_reads:
+        _read_result = retrying_read_result
     th.start()
     try:
         with ThreadPoolExecutor(clients) as ex:
@@ -747,4 +744,36 @@ def test_concurrent_history_linearizable_under_compaction(store, seed):
     rec.record(client=99, call=call, ret=rec.clock.tick(), kind="read",
                result=("ok", got))
     assert check_linearizable(rec.events)
+    # the command letters really ran against the churn
     assert any(o.trim_to is not None for o in rec.events)
+
+
+@pytest.mark.parametrize("seed", [29, 6006])
+def test_concurrent_history_linearizable_under_compaction(store, seed):
+    """Listing layout: linearizable under compaction churn, with the
+    documented loud-FNF retry for reads that execute mid-swap. The
+    round-12 swap work makes three claims this scenario checks live:
+    concurrent append batches survive the swap (consumed-set
+    manifest), reads never silently observe a hole below an acked
+    tail (the swap latch over listing creation), and trim visibility
+    stays exactly the monotone-clamp model even while rewrites
+    physically delete trimmed records."""
+    _history_under_compaction(store, seed, retry_reads=True)
+
+
+@pytest.mark.parametrize("seed", [29, 6006])
+def test_concurrent_history_linearizable_under_compaction_manifest(
+    spark, tmp_path, seed
+):
+    """Manifest-MVCC layout under the SAME churn, with retries
+    DISABLED: readers pin a manifest generation whose files compaction
+    never renames or deletes (until vacuum), so the swap-window
+    FileNotFound class must be structurally gone — any read exception
+    fails the scenario — and the history must still linearize without
+    pause/latch coordination anywhere."""
+    cat = Catalog(spark)
+    cat.create_basin(BASIN, BasinConfig(create_stream_on_append=True))
+    cat.create_stream(BASIN, STREAM)
+    store = StreamStore(spark, str(tmp_path / "records"), catalog=cat,
+                        manifest=True)
+    _history_under_compaction(store, seed, retry_reads=False)

@@ -110,6 +110,7 @@ def _run_workload(
     rebuild=None,
     crash=False,
     compaction=False,
+    manifest=False,
 ):
     """Returns the op/result trace for determinism comparison.
 
@@ -123,7 +124,14 @@ def _run_workload(
     crash-consistency window of tests/test_crash_recovery.py, here
     randomized): the shadow model treats the crashed batch as
     committed — because it is, the write is the durability boundary —
-    and every later op on the rebuilt store must still agree."""
+    and every later op on the rebuilt store must still agree.
+
+    ``manifest`` aims the compaction crash injection at the
+    MANIFEST-MVCC protocol's own steps instead of the rename-swap's:
+    the staged-output renames and the generation-publish rename (the
+    single commit point). It also runs vacuum(grace_ms=0) after a
+    random subset of rebuilds — with no reader in flight, GC of
+    delisted files must be semantically invisible."""
     rng = random.Random(seed)
     models = {s: ShadowModel() for s in STREAMS}
     trace = []
@@ -139,20 +147,40 @@ def _run_workload(
             crashed = False
             if rng.random() < 0.6:
                 real_rename = _os.rename
-                tmpdir = store.base_dir.rstrip("/") + ".compact"
-                trashdir = store.base_dir.rstrip("/") + ".trash"
+                real_replace = _os.replace
+                if manifest:
+                    # manifest protocol steps: staged-output moves
+                    # (os.replace) and the publish rename (os.rename
+                    # into _manifest/) — crash anywhere before the
+                    # publish discards the rewrite, after it commits it
+                    def _hit(src, dst):
+                        return "_compact-stage-" in str(src) or (
+                            f"_manifest{_os.sep}" in str(dst)
+                        )
+                else:
+                    tmpdir = store.base_dir.rstrip("/") + ".compact"
+                    trashdir = store.base_dir.rstrip("/") + ".trash"
+
+                    def _hit(src, dst):
+                        return str(src).startswith(tmpdir) or str(
+                            dst
+                        ).startswith(trashdir)
+
                 calls = {"n": 0, "limit": rng.randint(1, 3)}
 
-                def bomb(src, dst):
-                    if str(src).startswith(tmpdir) or str(dst).startswith(
-                        trashdir
-                    ):
+                def bomb(src, dst, _real=real_rename):
+                    if _hit(src, dst):
                         calls["n"] += 1
                         if calls["n"] >= calls["limit"]:
                             raise RuntimeError("injected swap crash")
-                    return real_rename(src, dst)
+                    return _real(src, dst)
+
+                def bomb_replace(src, dst):
+                    return bomb(src, dst, _real=real_replace)
 
                 _os.rename = bomb
+                if manifest:
+                    _os.replace = bomb_replace
                 try:
                     store.apply_trim_and_retention()
                 except RuntimeError as e:
@@ -161,9 +189,12 @@ def _run_workload(
                     crashed = True
                 finally:
                     _os.rename = real_rename
+                    _os.replace = real_replace
             else:
                 store.apply_trim_and_retention()
             store = rebuild()  # recovery completes/discards the swap
+            if manifest and rng.random() < 0.5:
+                store.vacuum(grace_ms=0)
             for s_c, m_c in models.items():
                 got_c = [
                     (r.seq_num, r.timestamp, bytes(r.body))
@@ -717,7 +748,10 @@ def test_sim_soak_script_wiring():
     import re as _re
 
     names = _re.findall(r'\("([a-z_]+)", (T\.[A-Za-z_0-9]+|_[A-Za-z_0-9]+)\)', src)
-    assert len(names) >= 11, "the soak should sweep all eleven scenarios"
+    # exact roster size (ADVICE r12): a silently dropped scenario must
+    # fail here, not vanish from the sweep — update in lockstep with
+    # scripts/sim_soak.py
+    assert len(names) == 18, f"soak roster drifted: {len(names)} scenarios"
     import tests.test_sim as T  # the module the script resolves against
 
     for label, ref in names:
@@ -897,12 +931,26 @@ def test_sim_append_during_compaction_churn(spark, tmp_path, seed):
     stream's visible log must be exactly its acked bodies in order,
     and a COLD recovery store must agree (the manifest protocol holds
     across the durability boundary, not just in hot state)."""
+    _append_during_churn(spark, tmp_path, seed, manifest=False)
+
+
+@pytest.mark.parametrize("seed", [41, 6161])
+def test_sim_append_during_compaction_churn_manifest(spark, tmp_path, seed):
+    """The same churn on the MANIFEST layout, where append survival is
+    structural (an append publishes its own generation; compaction's
+    remove-set is its pinned input, so post-capture generations are
+    untouched) — no _CONSUMED/trash machinery, no swap latch. A
+    zero-grace vacuum after the churn must change nothing visible."""
+    _append_during_churn(spark, tmp_path, seed, manifest=True)
+
+
+def _append_during_churn(spark, tmp_path, seed, manifest: bool):
     import threading
 
     from s2_spark.catalog import BasinConfig
 
     rng = random.Random(seed)
-    store = StreamStore(spark, str(tmp_path / "records"))
+    store = StreamStore(spark, str(tmp_path / "records"), manifest=manifest)
     store.catalog.create_basin(
         BASIN, BasinConfig(create_stream_on_append=True)
     )
@@ -962,6 +1010,282 @@ def test_sim_append_during_compaction_churn(spark, tmp_path, seed):
             assert tail == len(want)
 
     check(store)
+    if manifest:
+        # GC of delisted files must be invisible (no reader in flight)
+        store.vacuum(grace_ms=0)
+        check(store)
     cold = StreamStore(spark, str(tmp_path / "records"))
+    assert cold.manifest == manifest  # the on-disk log is authoritative
     cold.recover_state()
     check(cold)
+
+
+@pytest.mark.parametrize("seed", [31, 909])
+def test_sim_differential_with_compaction_crashes_manifest(spark, tmp_path, seed):
+    """The compaction-crash chaos on the MANIFEST layout: rewrites
+    crash at a random protocol step — a staged-output rename or the
+    generation-publish rename itself (the single commit point). A
+    crash before the publish discards the rewrite (orphaned invisible
+    files only); after it, the rewrite is committed. Either way the
+    rebuilt store — and, on a random subset of rounds, a zero-grace
+    vacuum — must keep every stream's visible rows, tails, fence
+    tokens, and trim points exactly equal to the shadow model."""
+    clockbox = {"ms": 1_000_000}
+    base = str(tmp_path / "records")
+    cat = Catalog(spark, clock=lambda: clockbox["ms"])
+    cat.create_basin(BASIN)
+    for s in STREAMS:
+        cat.create_stream(BASIN, s)
+
+    def rebuild():
+        return StreamStore(
+            spark, base, catalog=cat, clock=lambda: clockbox["ms"],
+            manifest=True,
+        )
+
+    _run_workload(
+        rebuild(),
+        clockbox,
+        seed,
+        n_ops=25,
+        chaos=True,
+        rebuild=rebuild,
+        compaction=True,
+        manifest=True,
+    )
+
+
+@pytest.mark.parametrize("seed", [55])
+def test_sim_differential_compaction_crashes_manifest_bucketed(
+    spark, tmp_path, seed
+):
+    """Manifest compaction-crash chaos over the bucketed layout — the
+    generation log must be layout-invisible too (bucket=N dirs carry
+    partition pruning; the manifest carries visibility)."""
+    clockbox = {"ms": 1_000_000}
+    base = str(tmp_path / "records")
+    cat = Catalog(spark, clock=lambda: clockbox["ms"])
+    cat.create_basin(BASIN)
+    for s in STREAMS:
+        cat.create_stream(BASIN, s)
+
+    def rebuild():
+        return StreamStore(
+            spark, base, catalog=cat, clock=lambda: clockbox["ms"],
+            bucket_count=8, manifest=True,
+        )
+
+    _run_workload(
+        rebuild(),
+        clockbox,
+        seed,
+        n_ops=20,
+        chaos=True,
+        rebuild=rebuild,
+        compaction=True,
+        manifest=True,
+    )
+
+
+@pytest.mark.parametrize("seed", [88, 7707])
+def test_sim_compaction_during_cc_loop_manifest_no_pause(spark, tmp_path, seed):
+    """The round-12 CC scenario WITHOUT the disclosed workaround: on
+    the manifest layout a long batch analytics loop runs DIRECTLY on a
+    store-backed plan (no compaction_paused(), no localCheckpoint
+    pinning) while compaction churns concurrently. The plan's file
+    list is pinned to one generation whose files compaction delists
+    but never deletes, so every evaluation — including the CC loop's
+    repeated passes — must succeed with exact results. This is the
+    structural claim that retires the pause/snapshot pattern."""
+    import threading
+
+    from pyspark.sql import functions as F
+
+    from s2_spark.catalog import BasinConfig
+    from s2_spark.functions.dedup import neardup_clusters
+    from tests.test_functions import _cluster_replay
+
+    rng = random.Random(seed)
+    store = StreamStore(spark, str(tmp_path / "records"), manifest=True)
+    store.catalog.create_basin(
+        BASIN, BasinConfig(create_stream_on_append=True)
+    )
+    store.catalog.create_stream(BASIN, "docs")
+    words = [
+        "alpha", "beta", "gamma", "delta", "epsilon",
+        "zeta", "eta", "theta", "iota", "kappa",
+    ]
+    texts = []
+    for i in range(30):
+        base = rng.sample(words, 5)
+        texts.append(" ".join(base))
+        if rng.random() < 0.5:
+            texts.append(" ".join(base + [f"x{i % 7}"]))
+    for tx in texts:
+        store.append(BASIN, "docs", [Record(body=tx.encode())])
+    rows = [
+        (r.seq_num, bytes(r.body).decode())
+        for r in store.read(BASIN, "docs").select("seq_num", "body").collect()
+    ]
+    expected = _cluster_replay(rows)
+
+    stop = threading.Event()
+    errs: list = []
+
+    def churn():
+        while not stop.is_set():
+            try:
+                store.compact()
+            except Exception as e:  # pragma: no cover - the assertion
+                errs.append(e)
+                return
+
+    th = threading.Thread(target=churn)
+    th.start()
+    try:
+        # the raw store-backed plan, unpinned and unpaused
+        snap = store.read(BASIN, "docs").select(
+            F.col("seq_num").alias("doc_id"),
+            F.col("body").cast("string").alias("text"),
+        )
+        got = sorted(
+            (r["doc_id"], r["cluster"])
+            for r in neardup_clusters(
+                snap, checkpoint_dir=str(tmp_path / "cc_ckpt")
+            ).collect()
+        )
+    finally:
+        stop.set()
+        th.join()
+    assert not errs, errs
+    assert got == expected
+
+
+@pytest.mark.parametrize("seed", [17, 5150])
+def test_sim_staged_append_kill_point(spark, tmp_path, seed):
+    """Kill-point chaos for _staged_append_write's multi-file rename
+    loop (r12's staged private write): a bulk_append batch spanning
+    both streams is interrupted between per-file renames at a random
+    point, while readers poll and a compaction races. The batch was
+    never acked, so the unknown-outcome envelope allows any PER-FILE
+    subset to be durable — but recovery must stay self-consistent:
+    reads never crash, each stream's visible rows are its pre-batch
+    acked rows plus a seq-contiguous run of the batch's rows with NO
+    hole below the recovered tail, check_tail equals the visible
+    count, and subsequent appends continue from the recovered tail
+    without duplicating or skipping seq_nums."""
+    import os as _os
+    import threading
+
+    from s2_spark.catalog import BasinConfig
+
+    rng = random.Random(seed)
+    base = str(tmp_path / "records")
+    store = StreamStore(spark, base, bucket_count=8)
+    store.catalog.create_basin(BASIN, BasinConfig(create_stream_on_append=True))
+    pre: dict[str, list] = {s: [] for s in STREAMS}
+    for s in STREAMS:
+        store.catalog.create_stream(BASIN, s)
+        for i in range(rng.randint(1, 4)):
+            body = f"{s}-pre{i}".encode()
+            store.append(BASIN, s, [Record(body=body)])
+            pre[s].append(body)
+
+    batch: dict[str, list] = {s: [] for s in STREAMS}
+    rows = []
+    for s in STREAMS:
+        for j in range(rng.randint(4, 9)):
+            body = f"{s}-bulk{j}".encode()
+            batch[s].append(body)
+            rows.append((BASIN, s, None, [], body, j))
+    df = spark.createDataFrame(
+        rows,
+        "basin string, stream string, timestamp long, "
+        "headers array<struct<name binary, value binary>>, body binary, "
+        "ingest_order long",
+    )
+
+    stop = threading.Event()
+    reader_errs: list = []
+
+    def poll_reads():
+        while not stop.is_set():
+            try:
+                for s in STREAMS:
+                    got = [
+                        r.seq_num
+                        for r in store.read(BASIN, s).select("seq_num").collect()
+                    ]
+                    assert got == sorted(got)
+            except Exception as e:  # noqa: BLE001 - surfaced below
+                msg = f"{type(e).__name__}: {e}"
+                if not any(
+                    pat in msg
+                    for pat in (
+                        "FileNotFound", "fileNotExist", "does not exist",
+                        "PATH_NOT_FOUND", "FAILED_READ_FILE",
+                    )
+                ):
+                    reader_errs.append(e)
+                    return
+
+    def churn():
+        while not stop.is_set():
+            try:
+                store.compact()
+            except Exception as e:  # pragma: no cover - the assertion
+                reader_errs.append(e)
+                return
+
+    th_r = threading.Thread(target=poll_reads)
+    th_c = threading.Thread(target=churn)
+    th_r.start()
+    th_c.start()
+
+    real_replace = _os.replace
+    calls = {"n": 0, "limit": rng.randint(1, 4)}
+
+    def bomb(src, dst):
+        if "_stage-" in str(src):
+            calls["n"] += 1
+            if calls["n"] >= calls["limit"]:
+                raise RuntimeError("injected kill point")
+        return real_replace(src, dst)
+
+    _os.replace = bomb
+    try:
+        with pytest.raises(RuntimeError, match="injected kill point"):
+            store.bulk_append(df, order_col="ingest_order")
+    except BaseException:
+        # the kill point may land after the batch's last rename on
+        # some seeds — then the append simply succeeds; both outcomes
+        # are inside the envelope
+        pass
+    finally:
+        _os.replace = real_replace
+        stop.set()
+        th_r.join()
+        th_c.join()
+    assert not reader_errs, reader_errs
+
+    cold = StreamStore(spark, base, bucket_count=8)
+    cold.recover_state()
+    for s in STREAMS:
+        visible = [
+            bytes(r.body)
+            for r in cold.read(BASIN, s).select("seq_num", "body")
+            .orderBy("seq_num").collect()
+        ]
+        n_pre = len(pre[s])
+        assert visible[:n_pre] == pre[s], f"{s}: pre-batch rows damaged"
+        landed = visible[n_pre:]
+        # durable subset must be a seq-contiguous PREFIX of the batch:
+        # recovery serves [0, tail) with no holes
+        assert landed == batch[s][: len(landed)], (
+            f"{s}: non-prefix durable subset {landed} vs {batch[s]}"
+        )
+        tail, _ = cold.check_tail(BASIN, s)
+        assert tail == len(visible)
+        # the store keeps working past the kill
+        ack = cold.append(BASIN, s, [Record(body=b"after")])
+        assert ack.start_seq == tail
