@@ -87,23 +87,17 @@ _R03_BACKLOG = frozenset({
 # so their prior hash-matches predate the current code and they re-enter
 # the scoring prefix ahead of untouched proven entries until a fresh
 # proof lands.
-_R12_RESCORE = frozenset({
-    # round 12 re-planned: x60's DuckDB oracle moved from truncating
-    # `//` to true floor (ADVICE r11 medium) — the r11 proof predates
-    # the shipped oracle; x68 dropped a dead column from its projection
-    "x60_gapfill_locf", "x68_decontamination_overlap",
-    # round 12 touched store.py's durable-commit path (staged private
-    # parquet write replacing the shared Hadoop committer — the
-    # multi-stream soak find) and source.py (sidecar-tmp glob
-    # exclusion, checkpointLocation-derived admission namespaces) —
-    # the st/str families exercise both surfaces end-to-end
-    "st1_check_tail", "st2_list_paginated", "st3_tail_offset",
-    "st4_clamp", "st5_trim_visibility", "st6_retention_cutoff",
-    "st7_append_ack", "st8_combined_read_limits",
-    "str1_tumbling_window", "str2_sliding_window", "str3_session_window",
-    "str4_watermark_survivors", "str5_stateful_dedup",
-    "str6_command_fold", "str7_stream_static_join", "str8_interval_join",
-})
+#
+# Round 13 is empty: the round's code changes are the manifest-MVCC
+# store mode (opt-in; no registry query constructs a StreamStore — the
+# st/str families are relational shapes over the events parquet), the
+# listing-layout swap hardening (consumed-set normalization, marker
+# ordering — compaction paths no registry query exercises), and bench
+# instrumentation. The r12 rescore set (x60/x68 + the full st/str
+# families) was re-proven in CORRECTNESS_r12 and graduates to the aged
+# tail, which this round rotates the r3/r4 backlog (f1-f5, x8, x19,
+# x21-x24, tpch2/7/8/9/11-22) to the front of.
+_R13_RESCORE: frozenset[str] = frozenset()
 
 
 def _prioritized(names: list[str]) -> list[str]:
@@ -144,8 +138,8 @@ def _prioritized(names: list[str]) -> list[str]:
 
     backlog = [n for n in fresh if n in _R03_BACKLOG]
     newer = [n for n in fresh if n not in _R03_BACKLOG]
-    rescore = [n for n in proven if n in _R12_RESCORE]
-    stable = [n for n in proven if n not in _R12_RESCORE]
+    rescore = [n for n in proven if n in _R13_RESCORE]
+    stable = [n for n in proven if n not in _R13_RESCORE]
     # age the stable tail: oldest proof round first, families
     # round-robined within each round so one big old family can't
     # monopolize the refresh budget

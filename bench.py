@@ -523,6 +523,11 @@ X100_PROBE = [
     # the normalized sibling (r12): first decade 3.65 — the steepest
     # of the r12 cohort, same gram-occurrence-bound defense as x68
     ("q_norm_contamination", "x79_normalized_contamination"),
+    # the winnowing-sampled variant (r13, VERDICT task 5): same
+    # normalization + semi-join skeleton but only ~2/(w+1) of the gram
+    # digests cross the shuffle — its decade should sit MATERIALLY
+    # below x79's 8.5x, which is the whole point of the sampling knob
+    ("q_winnow_contamination", "x82_winnowed_contamination"),
 ]
 
 

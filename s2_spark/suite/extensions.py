@@ -4530,3 +4530,120 @@ def x81(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@query(
+    "x82_winnowed_contamination",
+    oracle=(
+        "WITH d AS (SELECT doc_id, "
+        f"{_SPLIT_SQL} AS split, "
+        "list_filter(string_split(trim(regexp_replace(regexp_replace("
+        "lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), ' '), "
+        "x -> x <> '') AS tk FROM documents), "
+        "grams AS (SELECT doc_id, split, i, "
+        "md5(array_to_string(tk[i:i+7], ' ')) AS g "
+        "FROM d, unnest(range(1, len(tk) - 6)) AS r(i) "
+        "WHERE len(tk) >= 8), "
+        "fps AS (SELECT doc_id, split, min(g) OVER (PARTITION BY doc_id "
+        "ORDER BY i ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp "
+        "FROM grams), "
+        "dfp AS (SELECT DISTINCT doc_id, split, fp FROM fps), "
+        "tg AS (SELECT DISTINCT fp FROM dfp WHERE split = 'train'), "
+        "ev AS (SELECT doc_id, split, fp FROM dfp "
+        "WHERE split <> 'train'), "
+        "hit AS (SELECT ev.doc_id, ev.split, ev.fp FROM ev "
+        "JOIN tg USING (fp)) "
+        "SELECT split, "
+        "(SELECT CAST(count(DISTINCT doc_id) AS BIGINT) FROM ev e2 "
+        " WHERE e2.split = s.split) AS n_docs, "
+        "CAST(count(DISTINCT doc_id) AS BIGINT) AS n_contaminated, "
+        "CAST(count(DISTINCT fp) AS BIGINT) AS n_shared_fps "
+        "FROM hit s GROUP BY split ORDER BY split"
+    ),
+    doc=(
+        "winnowing-SAMPLED normalized decontamination — the tunable-"
+        "cost production variant of x79 (VERDICT r12 task 5). x79 "
+        "semi-joins EVERY canonical 8-gram digest; on a dup-dense "
+        "corpus its gram-occurrence volume made the steepest second "
+        "decade of the cohort (8.5x/decade). Here each document's "
+        "canonical gram-hash stream passes x48's winnowing selection "
+        "first (window w=4, keep each window's min), cutting the "
+        "joined volume to a deterministic ~2/(w+1) sample WITH the "
+        "window guarantee as a recall floor: any shared canonical run "
+        "of >= w+8-1 = 11 tokens between a train and an eval document "
+        "shares a selected fingerprint on BOTH sides (Schleimer/"
+        "Wilkerson/Aiken), so long verbatim leakage cannot escape — "
+        "only sub-11-token overlaps may, which is the knob production "
+        "decontamination actually turns at 100 TB. Plan shape: "
+        "normalization + gram hashing + min-in-window all in-row (one "
+        "shuffle-free projection, the x48 device), array_distinct "
+        "BEFORE the explode so the exploded row count is the sampled "
+        "fingerprint count, then the same dedup/semi-join skeleton as "
+        "x79 — equi-shuffle on digests, no pair expansion."
+    ),
+)
+def x82(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    b = F.expr(
+        "(locate(substr(md5(CAST(doc_id AS STRING)), 1, 1), "
+        "'0123456789abcdef') - 1) * 16 + "
+        "(locate(substr(md5(CAST(doc_id AS STRING)), 2, 1), "
+        "'0123456789abcdef') - 1)"
+    )
+    split = (
+        F.when(b < 204, "train").when(b < 230, "val").otherwise("test")
+    )
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+            " +",
+            " ",
+        )
+    )
+    tk = F.filter(F.split(norm, " "), lambda x: x != F.lit(""))
+    docs = d.select("doc_id", split.alias("split"), tk.alias("tk")).filter(
+        F.size("tk") >= 8
+    )
+    # canonical 8-gram md5 stream, in document order (x79's gram law)
+    hs = docs.select(
+        "doc_id",
+        "split",
+        F.expr(
+            "transform(sequence(1, size(tk) - 7), "
+            "i -> md5(concat_ws(' ', slice(tk, i, 8))))"
+        ).alias("hs"),
+    )
+    # winnow: fp_i = min(hs[i .. i+3]), trailing windows clamped by
+    # slice — matching ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING (the
+    # x48 device; `hs` is a bound column, so no re-hash per position)
+    pos = F.slice(
+        F.sequence(F.lit(1), F.greatest(F.size("hs"), F.lit(1))),
+        F.lit(1),
+        F.size("hs"),
+    )
+    fps = hs.select(
+        "doc_id",
+        "split",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    pos, lambda i: F.array_min(F.slice("hs", i, F.lit(4)))
+                )
+            )
+        ).alias("fp"),
+    )
+    tg = fps.filter(F.col("split") == "train").select("fp").distinct()
+    ev = fps.filter(F.col("split") != "train")
+    hit = ev.join(tg, "fp")
+    n_docs = ev.groupBy("split").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    rep = hit.groupBy("split").agg(
+        F.countDistinct("doc_id").alias("n_contaminated"),
+        F.countDistinct("fp").alias("n_shared_fps"),
+    )
+    return (
+        n_docs.join(rep, "split")
+        .select("split", "n_docs", "n_contaminated", "n_shared_fps")
+        .orderBy("split")
+    )
