@@ -275,6 +275,10 @@ class StreamStore:
         # refreshed to live SQL views on the first append (see
         # attach_views)
         self._stale_view_prefixes: set[str] = set()
+        # prefixes with live record-derived views attached; manifest
+        # mode re-attaches these on every write-side invalidation (the
+        # views snapshot one generation's file list)
+        self._attached_view_prefixes: set[str] = set()
         # ops audit meta-stream: one row per served read / session /
         # control op — the input the read-side metric sets aggregate
         # (api/src/v1/metrics.rs:110-130 ReadOps/ReadThroughput/BasinOps).
@@ -546,6 +550,14 @@ class StreamStore:
         with self._records_mu:
             self._records_epoch += 1
             self._records_cache = None
+        # manifest-mode SQL views snapshot one generation's file list
+        # (a raw path view would double-count delisted files), so each
+        # write-side invalidation re-attaches them — this store object
+        # is the directory's only writer, so the refresh keeps them
+        # exactly as live as the listing layout's path views
+        if self.manifest and self._attached_view_prefixes:
+            for prefix in list(self._attached_view_prefixes):
+                self.attach_views(prefix)
 
     @staticmethod
     def _state_agg(df: DataFrame) -> DataFrame:
@@ -1349,6 +1361,16 @@ class StreamStore:
         the prefix). Catalog views are snapshots of driver metadata;
         with a durable catalog they can be re-attached after config
         changes.
+
+        MANIFEST mode cannot use a raw ``parquet.`path``` view — after
+        a compaction (before vacuum) the directory holds both the
+        originals and the compacted copies, and only the generation
+        log says which are visible, so a path view would double-count
+        every record. There the records view is built from
+        :meth:`records_df` (the CURRENT generation's explicit file
+        list) and the store re-attaches it on every write-side
+        invalidation — same observable liveness, since this store
+        object is the directory's only writer.
         """
         if not self._has_data():
             empty = self.spark.createDataFrame([], RECORD_SCHEMA)
@@ -1360,13 +1382,19 @@ class StreamStore:
             self._stale_view_prefixes.add(prefix)
         else:
             self._stale_view_prefixes.discard(prefix)
+            self._attached_view_prefixes.add(prefix)
             p = self.base_dir
             is_cmd = "(size(headers) = 1 AND length(headers[0].name) = 0)"
-            self.spark.sql(
-                f"CREATE OR REPLACE TEMP VIEW {prefix}records AS "
-                f"SELECT basin, stream, seq_num, timestamp, headers, body "
-                f"FROM parquet.`{p}`"
-            )
+            if self.manifest:
+                self.records_df().select(
+                    "basin", "stream", "seq_num", "timestamp", "headers", "body"
+                ).createOrReplaceTempView(f"{prefix}records")
+            else:
+                self.spark.sql(
+                    f"CREATE OR REPLACE TEMP VIEW {prefix}records AS "
+                    f"SELECT basin, stream, seq_num, timestamp, headers, body "
+                    f"FROM parquet.`{p}`"
+                )
             # final trim point per stream, re-derived per query: max over
             # trim commands of min(payload, own seq+1) (streamer.rs:369-389)
             self.spark.sql(

@@ -576,3 +576,71 @@ def test_compaction_preserves_append_landed_after_listing(spark, tmp_path):
     r.recover_state()
     assert r.check_tail(BASIN, "s1")[0] == 6
     assert _all_seqs(r, "s1") == [0, 1, 2, 3, 4, 5]
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=_ops_st, crash_at=st.integers(0, 5))
+def test_any_trim_sequence_recovers_exactly_manifest_publish_crash(
+    spark, ops, crash_at
+):
+    """Manifest-mode property form of the trim-keeper rule, with the
+    compaction rewrite crashing at the ``crash_at``-th protocol step —
+    a staged-output rename or the generation PUBLISH itself (the
+    single commit point; VERDICT r13 task 1). Whether the publish
+    landed (rewrite committed) or not (rewrite discarded, orphans
+    invisible), cold recovery plus a zero-grace vacuum must reproduce
+    exactly the monotone-max trim point, the tail, and the visible
+    suffix, and the next append must take the recovered tail. When
+    ``crash_at`` exceeds the protocol's step count the rewrite simply
+    completes — both outcomes are inside the property."""
+    import os as _os
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="mftrimprop_")
+    s1 = StreamStore(spark, base, manifest=True)
+    s1.catalog.create_basin(
+        BASIN,
+        BasinConfig(create_stream_on_append=True, create_stream_on_read=True),
+    )
+    tail, trim = 0, 0
+    for kind, v in ops:
+        if kind == "append":
+            s1.append(BASIN, "s", [Record(body=bytes([i])) for i in range(v)])
+            tail += v
+        else:
+            s1.trim(BASIN, "s", v)
+            trim = max(trim, min(v, tail + 1))
+            tail += 1
+
+    real_replace, real_rename = _os.replace, _os.rename
+    calls = {"n": 0}
+
+    def _step(src, dst, real):
+        if "_compact-stage-" in str(src) or f"_manifest{_os.sep}" in str(dst):
+            calls["n"] += 1
+            if calls["n"] > crash_at:
+                raise _Boom("injected manifest protocol crash")
+        return real(src, dst)
+
+    _os.replace = lambda src, dst: _step(src, dst, real_replace)
+    _os.rename = lambda src, dst: _step(src, dst, real_rename)
+    try:
+        s1.apply_trim_and_retention()
+    except _Boom:
+        pass
+    finally:
+        _os.replace, _os.rename = real_replace, real_rename
+
+    s2 = StreamStore(spark, base)
+    assert s2.manifest
+    s2.vacuum(grace_ms=0)
+    s2.recover_state()
+    st_ = s2._st(BASIN, "s")
+    assert (st_.tail_seq, st_.trim_point) == (tail, trim)
+    assert _all_seqs(s2, "s") == [s for s in range(tail) if s >= trim]
+    ack = s2.append(BASIN, "s", [Record(body=b"next")])
+    assert ack.start_seq == tail

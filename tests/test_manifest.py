@@ -362,3 +362,26 @@ def test_manifest_fold_ignores_tmp_staging_files(tmp_path):
     assert mf.fold(base) == (1, {"a"})
     mf.prune_log(base)
     assert not os.path.exists(stale)
+
+
+def test_manifest_attach_views_no_double_count_and_live(spark, tmp_path):
+    """A raw parquet.`path` view would double-count after a manifest
+    compaction (originals + compacted copies coexist until vacuum);
+    manifest-mode views snapshot the current generation and the store
+    re-attaches them on every write-side invalidation, so they stay
+    exactly as live as the listing layout's path views."""
+    store = _mkstore(spark, tmp_path)
+    for i in range(4):
+        store.append(B, "s1", [Record(body=f"v{i}".encode())])
+    store.attach_views("mfv_")
+    assert spark.sql("SELECT count(*) AS n FROM mfv_records").first()["n"] == 4
+    store.compact()  # delisted originals still on disk
+    assert spark.sql("SELECT count(*) AS n FROM mfv_records").first()["n"] == 4
+    store.append(B, "s1", [Record(body=b"v4")])  # liveness via re-attach
+    assert spark.sql("SELECT count(*) AS n FROM mfv_records").first()["n"] == 5
+    assert (
+        spark.sql("SELECT next_seq_num FROM mfv_tails").first()["next_seq_num"]
+        == 5
+    )
+    store.vacuum(grace_ms=0)
+    assert spark.sql("SELECT count(*) AS n FROM mfv_records").first()["n"] == 5
