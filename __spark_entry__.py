@@ -88,16 +88,20 @@ _R03_BACKLOG = frozenset({
 # the scoring prefix ahead of untouched proven entries until a fresh
 # proof lands.
 #
-# Round 13 is empty: the round's code changes are the manifest-MVCC
-# store mode (opt-in; no registry query constructs a StreamStore — the
-# st/str families are relational shapes over the events parquet), the
-# listing-layout swap hardening (consumed-set normalization, marker
-# ordering — compaction paths no registry query exercises), and bench
+# Round 13: x79 was RE-PLANNED (the tg/ev/hit diamond re-evaluated the
+# tokenize+md5-gram projection four times; now one projection feeds one
+# gram-keyed aggregation — results identical, but the r12 proof
+# predates the shipped plan). Everything else this round is the
+# manifest-MVCC store mode (opt-in; no registry query constructs a
+# StreamStore — the st/str families are relational shapes over the
+# events parquet), the listing-layout swap hardening, and bench
 # instrumentation. The r12 rescore set (x60/x68 + the full st/str
 # families) was re-proven in CORRECTNESS_r12 and graduates to the aged
 # tail, which this round rotates the r3/r4 backlog (f1-f5, x8, x19,
 # x21-x24, tpch2/7/8/9/11-22) to the front of.
-_R13_RESCORE: frozenset[str] = frozenset()
+_R13_RESCORE: frozenset[str] = frozenset({
+    "x79_normalized_contamination",
+})
 
 
 def _prioritized(names: list[str]) -> list[str]:

