@@ -101,6 +101,7 @@ _R03_BACKLOG = frozenset({
 # x21-x24, tpch2/7/8/9/11-22) to the front of.
 _R13_RESCORE: frozenset[str] = frozenset({
     "x79_normalized_contamination",
+    "x68_decontamination_overlap",  # same diamond, same rewrite
 })
 
 

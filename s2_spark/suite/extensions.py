@@ -3446,23 +3446,14 @@ def x68(spark, sf_dir):
             )
         ).alias("g"),
     )
-    tg = grams.filter(F.col("split") == "train").select("g").distinct()
-    ev = (
-        grams.filter(F.col("split") != "train")
-        .select("doc_id", "split", "g")
-        .distinct()
-    )
-    hit = ev.join(tg, "g")
-    n_docs = ev.groupBy("split").agg(
-        F.countDistinct("doc_id").alias("n_docs")
-    )
-    rep = hit.groupBy("split").agg(
-        F.countDistinct("doc_id").alias("n_contaminated"),
-        F.countDistinct("g").alias("n_shared_grams"),
-    )
+    # single-projection rollup (r13): the old tg/ev/hit diamond
+    # re-evaluated the tokenize+md5-gram projection per branch
     return (
-        n_docs.join(rep, "split")
-        .select("split", "n_docs", "n_contaminated", "n_shared_grams")
+        _contamination_report(grams, docs)
+        .select(
+            "split", "n_docs", "n_contaminated",
+            F.col("n_shared").alias("n_shared_grams"),
+        )
         .orderBy("split")
     )
 
