@@ -86,6 +86,19 @@ def _manifest_linearizability_scenario(spark, tmp_path, seed):
     L._history_under_compaction(store, seed, retry_reads=False)
 
 
+def _manifest_multi_stream_scenario(spark, tmp_path, seed):
+    """r13: cross-stream isolation on the manifest layout under
+    compaction churn — every stream's appends serialize generation
+    publishes on one manifest lock while compaction publishes
+    remove-generations on the same log; each stream's Wing & Gong
+    history checked independently, reads never retried."""
+    import tests.test_linearizability as L
+
+    L.test_concurrent_multi_stream_histories_manifest_under_compaction(
+        spark, tmp_path, seed
+    )
+
+
 def main() -> int:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 12
     base = int(sys.argv[2]) if len(sys.argv) > 2 else random.SystemRandom().randrange(1 << 30)
@@ -114,6 +127,7 @@ def main() -> int:
         ("manifest_append_during_churn", T.test_sim_append_during_compaction_churn_manifest),
         ("manifest_cc_no_pause", T.test_sim_compaction_during_cc_loop_manifest_no_pause),
         ("manifest_linearizability", _manifest_linearizability_scenario),
+        ("manifest_multi_stream", _manifest_multi_stream_scenario),
         # r13: kill-point chaos for the staged multi-file append commit
         ("staged_append_kill_point", T.test_sim_staged_append_kill_point),
     ]

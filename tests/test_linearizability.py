@@ -777,3 +777,65 @@ def test_concurrent_history_linearizable_under_compaction_manifest(
     store = StreamStore(spark, str(tmp_path / "records"), catalog=cat,
                         manifest=True)
     _history_under_compaction(store, seed, retry_reads=False)
+
+
+@pytest.mark.parametrize("seed", [13, 5150])
+def test_concurrent_multi_stream_histories_manifest_under_compaction(
+    spark, tmp_path, seed
+):
+    """Cross-stream isolation on the MANIFEST layout under compaction
+    churn — the round-13 protocol's hottest concurrency surface: every
+    append on EVERY stream serializes its generation publish on one
+    manifest lock while compaction publishes remove-generations on the
+    same log, so a lost or misordered publish would surface as a
+    non-linearizable history (a hole below an acked tail, a trim the
+    stream never set). Reads never retry: no swap window may exist.
+    Each stream's Wing & Gong history is checked independently."""
+    import threading
+
+    cat = Catalog(spark)
+    cat.create_basin(BASIN, BasinConfig(create_stream_on_append=True))
+    cat.create_stream(BASIN, STREAM)
+    cat.create_stream(BASIN, STREAM2)
+    store = StreamStore(spark, str(tmp_path / "records"), catalog=cat,
+                        manifest=True)
+    recs = {STREAM: _Recorder(), STREAM2: _Recorder()}
+    kinds = [_plain_client, _cas_client, _fencing_client, _trim_client]
+    clients, n_ops = 8, 6
+
+    stop = threading.Event()
+    churn_errs: list = []
+
+    def churn():
+        while not stop.is_set():
+            try:
+                store.compact()
+            except Exception as e:  # pragma: no cover - the assertion
+                churn_errs.append(e)
+                return
+
+    def run(cid):
+        s = STREAM if cid % 2 == 0 else STREAM2
+        kinds[(cid // 2) % 4](
+            store, recs[s], cid, random.Random(seed * 100 + cid), n_ops,
+            stream=s,
+        )
+
+    th = threading.Thread(target=churn)
+    th.start()
+    try:
+        with ThreadPoolExecutor(clients) as ex:
+            for f in [ex.submit(run, c) for c in range(clients)]:
+                f.result()
+    finally:
+        stop.set()
+        th.join()
+    assert not churn_errs, churn_errs
+    for s, rec in recs.items():
+        call = rec.clock.tick()
+        got = _read_result(store, stream=s)
+        rec.record(client=99, call=call, ret=rec.clock.tick(), kind="read",
+                   result=("ok", got))
+        assert check_linearizable(rec.events), f"stream {s} history"
+    for rec in recs.values():
+        assert any(o.result[0] == "ok" for o in rec.events)

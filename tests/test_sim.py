@@ -751,7 +751,7 @@ def test_sim_soak_script_wiring():
     # exact roster size (ADVICE r12): a silently dropped scenario must
     # fail here, not vanish from the sweep — update in lockstep with
     # scripts/sim_soak.py
-    assert len(names) == 18, f"soak roster drifted: {len(names)} scenarios"
+    assert len(names) == 19, f"soak roster drifted: {len(names)} scenarios"
     import tests.test_sim as T  # the module the script resolves against
 
     for label, ref in names:
