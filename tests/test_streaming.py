@@ -2187,3 +2187,37 @@ def test_reader_hwm_autonamespace_from_checkpoint_location(spark, store):
     assert mk(hwmns="shared").latestOffset()[k] == [0, 24]
     # and query-a's namespace was not polluted by the override
     assert mk(checkpointlocation="/ckpt/query-a").latestOffset()[k] == [0, 12]
+
+
+def test_source_manifest_store_live_tail_across_compaction(spark, tmp_path):
+    """r13: the source's footer scanner lists MANIFEST stores from the
+    generation log (source._parquet_files), so a compaction mid-query
+    — which leaves the delisted originals on disk beside the compacted
+    copies until vacuum — must neither double-deliver the catch-up
+    records nor stall the live tail. The follow query sees exactly
+    each record once across catch-up, a compaction, a vacuum, and a
+    post-churn append."""
+    cat = Catalog(spark)
+    cat.create_basin(BASIN)
+    cat.create_stream(BASIN, "s1")
+    store = StreamStore(
+        spark, str(tmp_path / "records"), catalog=cat, manifest=True
+    )
+    store.append(BASIN, "s1", _recs(10))
+    q = _start_tail_query(spark, store, "mftail")
+    try:
+        q.processAllAvailable()
+        got = spark.sql("SELECT seq_num FROM mftail ORDER BY seq_num").collect()
+        assert [r.seq_num for r in got] == list(range(10))
+        store.compact()  # originals + compacted copies now coexist
+        store.append(BASIN, "s1", _recs(5, start=10))
+        q.processAllAvailable()
+        got = spark.sql("SELECT seq_num FROM mftail ORDER BY seq_num").collect()
+        assert [r.seq_num for r in got] == list(range(15))  # no dupes
+        store.vacuum(grace_ms=0)
+        store.append(BASIN, "s1", _recs(3, start=15))
+        q.processAllAvailable()
+        got = spark.sql("SELECT seq_num FROM mftail ORDER BY seq_num").collect()
+        assert [r.seq_num for r in got] == list(range(18))
+    finally:
+        q.stop()
