@@ -398,6 +398,17 @@ class StreamStore:
             ckpt = sorted(files) if gen % _mf.CHECKPOINT_EVERY == 0 else None
             _mf.write_gen(self.base_dir, gen, add, remove, ckpt)
             self._mf_gen, self._mf_files = gen, files
+            # stamp DELIST time onto removed files: vacuum's grace
+            # window is time-since-delisting (the reader-pinning
+            # contract), and a file's write mtime may be arbitrarily
+            # older than the generation that removed it — aging by
+            # write time would let vacuum delete a long-lived file
+            # seconds after its delist, under a freshly pinned reader
+            for rel in remove:
+                try:
+                    os.utime(os.path.join(self.base_dir, rel))
+                except OSError:
+                    pass  # already gone (re-published remove) — moot
             return gen
 
     def vacuum(self, grace_ms: int = 15 * 60 * 1000) -> int:

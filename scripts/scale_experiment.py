@@ -46,11 +46,22 @@ def main() -> None:
     src.count()
     mib = N * (BODY + 20) / 2**20
     probe = f"st-{STREAMS // 2}"
-    for bucket_count, label in [(0, "flat"), (64, "bucketed(64)")]:
+    layouts = [
+        (0, False, "flat"),
+        (64, False, "bucketed(64)"),
+        # manifest-MVCC (r13): same data paths, visibility via the
+        # generation log — measures the per-batch publish overhead on
+        # ingest and the manifest-listed read; vacuum timed after
+        # compaction (the delisted-originals GC)
+        (0, True, "flat+manifest"),
+        (64, True, "bucketed(64)+manifest"),
+    ]
+    for bucket_count, manifest, label in layouts:
         cat = Catalog(spark)
         cat.create_basin("exp-basin-01", BasinConfig(create_stream_on_append=True))
         store = StreamStore(
-            spark, tempfile.mkdtemp() + "/r", catalog=cat, bucket_count=bucket_count
+            spark, tempfile.mkdtemp() + "/r", catalog=cat,
+            bucket_count=bucket_count, manifest=manifest,
         )
         t0 = time.perf_counter()
         store.bulk_append(src)
@@ -71,10 +82,16 @@ def main() -> None:
             "exp-basin-01", probe, ReadStart(seq_num=10_000), ReadLimit(count=1000)
         ).count()
         t_read2 = time.perf_counter() - t0
+        vac = ""
+        if manifest:
+            t0 = time.perf_counter()
+            n_vac = store.vacuum(grace_ms=0)
+            vac = f", vacuum {time.perf_counter() - t0:.1f}s ({n_vac} files)"
         print(
             f"{label}: append {t_append:.1f}s ({mib / t_append:.0f} MiB/s), "
             f"range-read(1k) {t_read1:.2f}s, full-stream {t_full:.2f}s ({n_full} rows), "
-            f"compact {t_comp:.1f}s, range-read-after {t_read2:.2f}s"
+            f"compact {t_comp:.1f}s, range-read-after {t_read2:.2f}s{vac}",
+            flush=True,
         )
 
 

@@ -385,3 +385,26 @@ def test_manifest_attach_views_no_double_count_and_live(spark, tmp_path):
     )
     store.vacuum(grace_ms=0)
     assert spark.sql("SELECT count(*) AS n FROM mfv_records").first()["n"] == 5
+
+
+def test_manifest_vacuum_grace_runs_from_delisting_not_write(spark, tmp_path):
+    """The grace window is time-since-DELISTING (the reader-pinning
+    contract), not time-since-write: a file written long ago but
+    delisted a moment ago must survive a generous-grace vacuum — a
+    reader may have pinned it seconds before the delist. The publish
+    stamps removed files' mtime for exactly this reason."""
+    import time as _time
+
+    store = _mkstore(spark, tmp_path)
+    for i in range(3):
+        store.append(B, "s1", [Record(body=f"g{i}".encode())])
+    # backdate every data file: written "an hour ago"
+    old = _time.time() - 3600
+    for p in _data_files(store.base_dir):
+        os.utime(p, (old, old))
+    store.compact()  # delists the backdated originals NOW
+    # generous grace: nothing may be deleted — the delist just happened
+    assert store.vacuum(grace_ms=30 * 60 * 1000) == 0
+    # zero grace: the delisted originals (and only they) go
+    assert store.vacuum(grace_ms=0) == 3
+    assert _rows(store) == [(i, f"g{i}".encode()) for i in range(3)]
