@@ -356,7 +356,9 @@ def _latency_probe(
     measuring per-batch ack latency (append durable + acked) and e2e
     latency (append start → records served back by a read). The
     reference's standard-class target is <500 ms ack (api/src/v1/
-    config.rs:11-14); this records where the Spark-job floor puts us."""
+    config.rs:11-14); this records where the Spark-job floor puts us.
+    Returns the RAW per-batch samples — the repeated-median wrapper
+    pools them across reps before computing percentiles."""
     from s2_spark.model import Record
     from s2_spark.store import ReadLimit, ReadStart
 
@@ -640,7 +642,11 @@ def main() -> None:
     # BENCH record rather than poison the round series — unless
     # explicitly overridden.
     max_load = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "8"))
-    idle_wait_s = int(os.environ.get("SPARK_GRAFT_BENCH_IDLE_WAIT_S", "300"))
+    # 600 s default: a 1-minute loadavg decays ~e^(-t/60) once the
+    # co-tenant goes idle, so 10 minutes rides out a prior heavy phase
+    # (e.g. the driver's own correctness run) without sacrificing the
+    # refusal for genuinely persistent load
+    idle_wait_s = int(os.environ.get("SPARK_GRAFT_BENCH_IDLE_WAIT_S", "600"))
     force = os.environ.get("SPARK_GRAFT_BENCH_FORCE", "0") == "1"
     waited = 0
     while os.getloadavg()[0] > max_load and waited < idle_wait_s:

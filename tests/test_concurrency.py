@@ -610,7 +610,7 @@ def test_records_cache_lost_invalidation_is_fenced(store):
     reader.join(10)
     # the racing reader must NOT have cached: its snapshot began before
     # the append's invalidation
-    assert store._records_cache is None
+    assert store._records_cache == {}  # per-bucket dict since r13
     # and a post-append read serves the acked record
     rows = [bytes(r.body) for r in store.read(BASIN, "s1").collect()]
     assert rows == [b"a", b"late"]
