@@ -4,16 +4,18 @@ With ``StreamStore(..., manifest=True)`` record visibility is defined
 by a monotonically numbered generation log under ``<base>/_manifest``
 instead of the data directory's listing. Each generation file
 ``gen-%012d.json`` holds ``{"gen": N, "add": [relpaths], "remove":
-[relpaths]}`` and every :data:`CHECKPOINT_EVERY`-th generation also
-embeds ``"files"`` — the complete visible set AFTER this generation —
-so a cold reader folds at most ``CHECKPOINT_EVERY`` delta files.
+[relpaths], "ts_ms": publish-time}`` and every
+:data:`CHECKPOINT_EVERY`-th generation also embeds ``"files"`` — the
+complete visible set AFTER this generation — so a cold reader folds at
+most ``CHECKPOINT_EVERY`` delta files.
 
-Publishing a generation is ONE atomic file creation (write-temp +
-rename here; a conditional/compare-and-set PUT on an object store),
-which is the whole point of the layout: an append or compaction
-commits by publishing a generation, never by renaming data files out
-from under readers. Consequences, relative to the rename-swap
-protocol (store._swap_in):
+Publishing a generation is ONE atomic create-if-absent of the next
+generation number — a hard-linked O_EXCL create locally, a
+conditional PUT (``If-None-Match: *``) on an object store — which is
+the whole point of the layout: an append or compaction commits by
+publishing a generation, never by renaming data files out from under
+readers. Consequences, relative to the rename-swap protocol
+(store._swap_in):
 
 - no swap window exists — a reader's file list is immutable once
   captured, and files a later generation delists stay on disk until
@@ -26,16 +28,36 @@ protocol (store._swap_in):
   crash after it leaves a fully committed generation. There is no
   multi-file rename sequence to recover;
 - object-store portability — nothing in the protocol needs an atomic
-  rename over existing data, only "create this object if absent".
+  rename over existing data, only "create this object if absent",
+  which every major object store now offers natively. The
+  :class:`PublishBackend` seam isolates exactly that operation (plus
+  list/read/delete) so an object-store port swaps one small class.
+
+**Multi-writer.** :func:`publish` is a compare-and-set retry loop: a
+writer folds the current head, attempts to create generation N+1, and
+on losing the race re-folds and re-publishes on top of the winner.
+Plain appends commute (their ``add`` sets are disjoint UUID-named
+files), so a retry is always safe; a publish that DELISTS files (a
+compaction or trim rewrite) passes ``require_visible=True`` and
+aborts with :class:`PublishConflict` if a racing publish already
+delisted any of its consumed files — the caller must discard its
+output and re-plan from the new generation. This makes one store
+directory safe for many concurrent *jobs*; per-STREAM sequencing
+(seq_num allocation, CAS/fencing) still requires the appends to one
+stream to go through one writer, exactly as the reference routes a
+stream's appends through one streamer actor (core.rs:214-298).
+
+**Delist times ride the log.** Every generation entry carries its
+publish wall-clock ``ts_ms``; a file delisted by generation G was
+delisted at G's ``ts_ms``. Vacuum reads delist ages from the log
+(:func:`delisted_entries`) rather than from file mtimes — object
+stores cannot set mtimes, and a file's write time may be arbitrarily
+older than its delist.
 
 This is the manifest/MVCC shape SlateDB's LSM gives the reference for
 free (lite/src/backend/kv/mod.rs:55-95: state is defined by manifest
-+ WAL, never by bucket listings), re-expressed for a parquet layout.
-
-Single writer per store directory is assumed (as for the rename
-protocol — the store's driver-side locks do not span processes); on
-an object store the final rename becomes a conditional PUT and a
-concurrent writer loses the race loudly instead of clobbering.
++ WAL, never by bucket listings; manifest updates are conditional
+PUTs), re-expressed for a parquet layout.
 """
 
 from __future__ import annotations
@@ -43,6 +65,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import time
 import uuid
 
 #: every Nth generation embeds the full visible file set, bounding a
@@ -52,76 +75,204 @@ import uuid
 #: write size and may change freely (folding handles any spacing).
 CHECKPOINT_EVERY = 32
 
+#: publish CAS attempts before giving up. Contention at this depth
+#: means pathologically many writers on one directory — fail loudly
+#: rather than spin.
+MAX_PUBLISH_ATTEMPTS = 64
+
 _GEN_RE = re.compile(r"^gen-(\d{12})\.json$")
+
+
+class PublishConflict(RuntimeError):
+    """A ``require_visible`` publish lost a delist race: some file in
+    its ``remove`` set was already delisted by a racing publish. The
+    caller's rewrite consumed inputs that are no longer current — its
+    output must be discarded and the rewrite re-planned from the new
+    generation (appends never hit this; their remove set is empty)."""
+
+
+class LocalBackend:
+    """Filesystem :class:`PublishBackend`: the atomic create-if-absent
+    is ``os.link`` from a staged temp file — link fails ``EEXIST``
+    atomically (no TOCTOU window, and unlike ``os.rename`` it never
+    silently overwrites a committed generation), which is the local
+    equivalent of a conditional PUT."""
+
+    def list_dir(self, d: str) -> list[str]:
+        try:
+            return os.listdir(d)
+        except OSError:
+            return []
+
+    def read(self, path: str) -> bytes:
+        with open(path, "rb") as f:
+            return f.read()
+
+    def put_if_absent(self, path: str, data: bytes) -> bool:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        try:
+            os.link(tmp, path)
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            os.unlink(tmp)
+
+    def delete(self, path: str) -> None:
+        try:
+            os.remove(path)
+        except FileNotFoundError:
+            pass
+
+    def mtime_ms(self, path: str) -> int | None:
+        try:
+            return int(os.path.getmtime(path) * 1000)
+        except OSError:
+            return None
+
+
+class InMemoryCASBackend:
+    """In-memory conditional-PUT object store — the reference
+    implementation of the :class:`PublishBackend` contract an S3/GCS
+    port must satisfy (create-if-absent = ``If-None-Match: *``). Used
+    by tests and the concurrency soak to drive the publish CAS loop
+    through object-store semantics: no rename, no link, no mtime —
+    just atomic first-writer-wins puts. ``on_put`` (optional) fires
+    inside the lock just before a successful put, letting tests
+    inject a racing writer at the exact CAS boundary."""
+
+    def __init__(self, clock=None):
+        import threading
+
+        self._mu = threading.Lock()
+        self._objects: dict[str, tuple[bytes, int]] = {}
+        self._clock = clock or (lambda: int(time.time() * 1000))
+        self.on_put = None
+        self.puts = 0
+        self.conflicts = 0
+
+    def list_dir(self, d: str) -> list[str]:
+        prefix = d.rstrip("/") + "/"
+        with self._mu:
+            return [
+                k[len(prefix):]
+                for k in self._objects
+                if k.startswith(prefix) and "/" not in k[len(prefix):]
+            ]
+
+    def read(self, path: str) -> bytes:
+        with self._mu:
+            if path not in self._objects:
+                raise FileNotFoundError(path)
+            return self._objects[path][0]
+
+    def put_if_absent(self, path: str, data: bytes) -> bool:
+        hook = None
+        with self._mu:
+            if path in self._objects:
+                self.conflicts += 1
+                return False
+            if self.on_put is not None:
+                hook, self.on_put = self.on_put, None
+            self._objects[path] = (data, self._clock())
+            self.puts += 1
+        if hook is not None:
+            hook(path)
+        return True
+
+    def delete(self, path: str) -> None:
+        with self._mu:
+            self._objects.pop(path, None)
+
+    def mtime_ms(self, path: str) -> int | None:
+        with self._mu:
+            obj = self._objects.get(path)
+            return obj[1] if obj else None
+
+
+LOCAL = LocalBackend()
 
 
 def manifest_dir(base_dir: str) -> str:
     return os.path.join(base_dir, "_manifest")
 
 
-def is_manifest_store(base_dir: str) -> bool:
+def is_manifest_store(base_dir: str, backend: LocalBackend = LOCAL) -> bool:
     """True if ``base_dir`` carries a generation log — the on-disk
     marker every reader (including the streaming source's footer
     scanner, which has no store object) keys visibility on."""
-    d = manifest_dir(base_dir)
-    try:
-        return any(_GEN_RE.match(f) for f in os.listdir(d))
-    except OSError:
-        return False
+    return any(_GEN_RE.match(f) for f in backend.list_dir(manifest_dir(base_dir)))
 
 
-def _gen_numbers(d: str) -> list[int]:
-    try:
-        names = os.listdir(d)
-    except OSError:
-        return []
-    return sorted(int(m.group(1)) for f in names if (m := _GEN_RE.match(f)))
+def _gen_numbers(d: str, backend: LocalBackend = LOCAL) -> list[int]:
+    return sorted(
+        int(m.group(1)) for f in backend.list_dir(d) if (m := _GEN_RE.match(f))
+    )
 
 
-def _read_gen(d: str, gen: int) -> dict:
-    with open(os.path.join(d, f"gen-{gen:012d}.json")) as f:
-        return json.load(f)
+def _gen_path(d: str, gen: int) -> str:
+    return os.path.join(d, f"gen-{gen:012d}.json")
 
 
-def fold(base_dir: str) -> tuple[int, set[str]]:
+def _read_gen(d: str, gen: int, backend: LocalBackend = LOCAL) -> dict:
+    return json.loads(backend.read(_gen_path(d, gen)))
+
+
+def fold(
+    base_dir: str, backend: LocalBackend = LOCAL, _relist_retries: int = 5
+) -> tuple[int, set[str]]:
     """Current ``(generation, visible relpath set)``.
 
     Reads backward from the head to the nearest checkpoint, then folds
     the deltas forward — at most :data:`CHECKPOINT_EVERY` + 1 small
     JSON reads regardless of log length. Generation files are
-    immutable once renamed into place, so no locking is needed; a
-    concurrently publishing writer's new generation is either visible
-    (and complete) or not yet listed — both are consistent snapshots.
+    immutable once published, so no locking is needed; a concurrently
+    publishing writer's new generation is either visible (and
+    complete) or not yet listed — both are consistent snapshots.
 
-    Vacuum may prune log entries below the newest checkpoint, so the
-    fold treats "missing generation below a checkpoint" as normal and
-    only a gap ABOVE the newest checkpoint as corruption (loud)."""
+    A lock-free fold can race vacuum's log prune: it lists head H, a
+    writer publishes a checkpoint C > H, and vacuum prunes entries
+    below C — the walk from the stale head now hits a pruned
+    generation before reaching any checkpoint. That is a HEALTHY log
+    seen through a stale listing, so the fold re-lists and retries
+    from the fresh head (which reaches C immediately); only a gap
+    that persists across re-lists is real corruption (loud)."""
     d = manifest_dir(base_dir)
-    gens = _gen_numbers(d)
-    if not gens:
-        return 0, set()
-    head = gens[-1]
-    # walk back from the head collecting deltas until a checkpoint
-    chain: list[dict] = []
-    files: set[str] = set()
-    for g in range(head, 0, -1):
-        try:
-            entry = _read_gen(d, g)
-        except FileNotFoundError:
-            raise RuntimeError(
-                f"manifest gap: generation {g} missing below head {head} "
-                f"with no checkpoint in between — the log is corrupt"
-            ) from None
-        chain.append(entry)
-        if entry.get("files") is not None:
-            files = set(entry["files"])
-            # the checkpoint already includes its own add/remove
-            chain.pop()
-            break
-    for entry in reversed(chain):
-        files -= set(entry.get("remove", ()))
-        files |= set(entry.get("add", ()))
-    return head, files
+    for _ in range(_relist_retries + 1):
+        gens = _gen_numbers(d, backend)
+        if not gens:
+            return 0, set()
+        head = gens[-1]
+        # walk back from the head collecting deltas until a checkpoint
+        chain: list[dict] = []
+        files: set[str] = set()
+        gap = False
+        for g in range(head, 0, -1):
+            try:
+                entry = _read_gen(d, g, backend)
+            except FileNotFoundError:
+                gap = True  # stale head raced a prune — re-list
+                break
+            chain.append(entry)
+            if entry.get("files") is not None:
+                files = set(entry["files"])
+                # the checkpoint already includes its own add/remove
+                chain.pop()
+                break
+        if gap:
+            continue
+        for entry in reversed(chain):
+            files -= set(entry.get("remove", ()))
+            files |= set(entry.get("add", ()))
+        return head, files
+    raise RuntimeError(
+        f"manifest gap: a generation below head is missing with no "
+        f"checkpoint in between, persisting across {_relist_retries} "
+        f"re-lists — the log is corrupt"
+    )
 
 
 def write_gen(
@@ -130,39 +281,125 @@ def write_gen(
     add: list[str],
     remove: list[str],
     files: list[str] | None,
-) -> None:
-    """Atomically create generation ``gen``. Raises if it already
-    exists (two writers raced — the single-writer assumption was
-    violated; an object-store port would get this from the
-    conditional PUT itself)."""
-    d = manifest_dir(base_dir)
-    os.makedirs(d, exist_ok=True)
-    final = os.path.join(d, f"gen-{gen:012d}.json")
-    entry: dict = {"gen": gen, "add": sorted(add), "remove": sorted(remove)}
+    ts_ms: int | None = None,
+    backend: LocalBackend = LOCAL,
+) -> bool:
+    """Attempt to atomically create generation ``gen``; returns False
+    if it already exists (a racing writer won — callers CAS-retry via
+    :func:`publish`). ``ts_ms`` is the publish timestamp recorded in
+    the entry; files in ``remove`` are delisted AS OF this time, which
+    is the clock vacuum's grace window runs on."""
+    entry: dict = {
+        "gen": gen,
+        "add": sorted(add),
+        "remove": sorted(remove),
+        "ts_ms": int(time.time() * 1000) if ts_ms is None else int(ts_ms),
+    }
     if files is not None:
         entry["files"] = sorted(files)
-    tmp = final + f".tmp.{uuid.uuid4().hex}"
-    with open(tmp, "w") as f:
-        json.dump(entry, f)
-    if os.path.exists(final):
-        os.remove(tmp)
-        raise RuntimeError(
-            f"manifest generation {gen} already exists — concurrent "
-            f"writers on one store directory are not supported"
-        )
-    os.rename(tmp, final)
+    final = _gen_path(manifest_dir(base_dir), gen)
+    return backend.put_if_absent(final, json.dumps(entry).encode())
 
 
-def prune_log(base_dir: str) -> int:
-    """Drop log entries strictly below the newest checkpoint (the fold
-    never reads past one) and sweep stale ``.tmp.`` staging files.
-    Returns entries removed. Part of vacuum, split out for testing."""
+def publish(
+    base_dir: str,
+    add=(),
+    remove=(),
+    *,
+    require_visible: bool = False,
+    known: tuple[int, set[str]] | None = None,
+    ts_ms: int | None = None,
+    backend: LocalBackend = LOCAL,
+    max_attempts: int = MAX_PUBLISH_ATTEMPTS,
+) -> tuple[int, set[str]]:
+    """Publish one generation via the CAS loop; returns the committed
+    ``(generation, visible file set)``.
+
+    ``known`` seeds the loop with a cached ``(gen, files)`` snapshot
+    (saving a fold when the caller is the only writer — the common
+    case); on a create collision the loop re-folds from the backend
+    and retries on top of the winner. ``require_visible=True`` (set
+    by delisting publishes: compaction/trim rewrites) re-validates on
+    every attempt that the full ``remove`` set is still visible and
+    raises :class:`PublishConflict` otherwise — the rewrite's inputs
+    were consumed by a racing publish and its output is stale."""
+    add, remove = sorted(set(add)), sorted(set(remove))
+    for attempt in range(max_attempts):
+        if known is None:
+            known = fold(base_dir, backend)
+        gen, files = known
+        if require_visible:
+            missing = [r for r in remove if r not in files]
+            if missing:
+                raise PublishConflict(
+                    f"publish delists files no longer visible at generation "
+                    f"{gen} (a racing publish consumed them): {missing[:3]} — "
+                    f"discard this rewrite's output and re-plan"
+                )
+        new_gen = gen + 1
+        new_files = (set(files) - set(remove)) | set(add)
+        ckpt = sorted(new_files) if new_gen % CHECKPOINT_EVERY == 0 else None
+        if write_gen(base_dir, new_gen, add, remove, ckpt, ts_ms, backend):
+            return new_gen, new_files
+        known = None  # lost the CAS — re-fold on top of the winner
+        if attempt >= 8:
+            time.sleep(0.001 * (attempt - 7))  # contention backoff
+    raise RuntimeError(
+        f"manifest publish contention: {max_attempts} CAS attempts lost on "
+        f"{base_dir!r} — pathologically many concurrent writers"
+    )
+
+
+def delisted_entries(
+    base_dir: str, backend: LocalBackend = LOCAL
+) -> list[tuple[int, str, int]]:
+    """Every ``(generation, relpath, delisted_at_ms)`` still recorded
+    in the log — vacuum's worklist. The delist clock is the publishing
+    generation's ``ts_ms`` (object stores cannot stamp file mtimes;
+    a pre-ts_ms-era entry falls back to the generation file's own
+    mtime, which is the same publish instant). Entries pruned from the
+    log are gone precisely because a prior vacuum confirmed their
+    removed files deleted (:func:`prune_log` ``keep_gens``)."""
     d = manifest_dir(base_dir)
-    gens = _gen_numbers(d)
+    out: list[tuple[int, str, int]] = []
+    for g in _gen_numbers(d, backend):
+        try:
+            entry = _read_gen(d, g, backend)
+        except FileNotFoundError:  # pragma: no cover - raced a prune
+            continue
+        removes = entry.get("remove", ())
+        if not removes:
+            continue
+        ts = entry.get("ts_ms")
+        if ts is None:
+            ts = backend.mtime_ms(_gen_path(d, g)) or 0
+        for rel in removes:
+            out.append((g, rel, ts))
+    return out
+
+
+def prune_log(
+    base_dir: str,
+    backend: LocalBackend = LOCAL,
+    keep_gens: frozenset[int] | set[int] = frozenset(),
+    tmp_grace_ms: int = 3_600_000,
+    now_ms: int | None = None,
+) -> int:
+    """Drop log entries strictly below the newest checkpoint (the fold
+    never reads past one), EXCEPT generations in ``keep_gens`` — vacuum
+    passes the generations whose delisted files still await their
+    grace window, so the delist record (the only copy of the delist
+    time) outlives the file it names. Also sweeps ``.tmp.`` staging
+    files, age-gated by ``tmp_grace_ms``: a fresh tmp may belong to a
+    publish IN FLIGHT on another thread (staged but not yet linked),
+    so only tmps old enough to be crash debris are removed. Returns
+    entries removed. Part of vacuum, split out for testing."""
+    d = manifest_dir(base_dir)
+    gens = _gen_numbers(d, backend)
     newest_ckpt = None
     for g in reversed(gens):
         try:
-            if _read_gen(d, g).get("files") is not None:
+            if _read_gen(d, g, backend).get("files") is not None:
                 newest_ckpt = g
                 break
         except FileNotFoundError:  # pragma: no cover - raced prune
@@ -170,16 +407,14 @@ def prune_log(base_dir: str) -> int:
     n = 0
     if newest_ckpt is not None:
         for g in gens:
-            if g < newest_ckpt:
-                try:
-                    os.remove(os.path.join(d, f"gen-{g:012d}.json"))
-                    n += 1
-                except FileNotFoundError:  # pragma: no cover
-                    pass
-    try:
-        for f in os.listdir(d):
-            if ".tmp." in f:
-                os.remove(os.path.join(d, f))
-    except OSError:  # pragma: no cover
-        pass
+            if g < newest_ckpt and g not in keep_gens:
+                backend.delete(_gen_path(d, g))
+                n += 1
+    now = int(time.time() * 1000) if now_ms is None else now_ms
+    for f in backend.list_dir(d):
+        if ".tmp." in f:
+            p = os.path.join(d, f)
+            age_ref = backend.mtime_ms(p)
+            if age_ref is not None and now - age_ref >= tmp_grace_ms:
+                backend.delete(p)
     return n

@@ -176,6 +176,7 @@ class StreamStore:
         clock=None,
         bucket_count: int = 0,
         manifest: bool = False,
+        manifest_backend=None,
     ):
         """``bucket_count > 0`` enables the partitioned physical layout:
         records land under ``bucket=crc32(basin\\0stream) % N`` directory
@@ -197,12 +198,21 @@ class StreamStore:
         manifest mode regardless of the flag — the on-disk log, not
         the constructor argument, is authoritative once created
         (a listing-mode reopen over a compacted manifest store would
-        see delisted duplicates)."""
+        see delisted duplicates).
+
+        ``manifest_backend`` swaps the generation log's storage
+        (:class:`s2_spark.manifest.LocalBackend` by default) — the
+        conditional-PUT seam an object-store port plugs into. Data
+        files remain local parquet either way; only the ``_manifest``
+        protocol objects go through the backend."""
         from s2_spark import manifest as _mf
 
         self.spark = spark
         self.base_dir = base_dir
-        self.manifest = bool(manifest) or _mf.is_manifest_store(base_dir)
+        self._mf_backend = manifest_backend or _mf.LOCAL
+        self.manifest = bool(manifest) or _mf.is_manifest_store(
+            base_dir, self._mf_backend
+        )
         # manifest-mode cache: current (generation, visible relpaths).
         # Guarded by _manifest_mu; gen None = not yet folded from disk
         self._manifest_mu = threading.Lock()
@@ -247,7 +257,7 @@ class StreamStore:
         # finish (or discard) any interrupted _rewrite swap before the
         # first storage probe below reads base_dir
         self._swap_recover()
-        if self.manifest and not _mf.is_manifest_store(base_dir):
+        if self.manifest and not _mf.is_manifest_store(base_dir, self._mf_backend):
             # migrating an existing listing-mode directory: the flag
             # alone must never make existing records invisible
             self._manifest_bootstrap()
@@ -371,55 +381,82 @@ class StreamStore:
 
     # --- manifest-MVCC visibility (manifest=True) -----------------------
 
-    def _manifest_current(self) -> tuple[int, frozenset]:
+    def _manifest_current(self, refresh: bool = False) -> tuple[int, frozenset]:
         """Current (generation, visible relpath set), folding the log on
-        first touch and served from the in-process cache afterwards —
-        this store is the directory's only writer, so every publish
-        updates the cache in place."""
+        first touch and served from the in-process cache afterwards.
+        The cache is write-through for this store's own publishes and
+        absorbs OTHER writers' generations whenever a publish loses a
+        CAS round (the retry re-folds); ``refresh=True`` forces a
+        re-fold for readers that must observe concurrent writers'
+        commits without publishing anything themselves."""
         from s2_spark import manifest as _mf
 
         with self._manifest_mu:
-            if self._mf_gen is None:
-                self._mf_gen, self._mf_files = _mf.fold(self.base_dir)
+            if self._mf_gen is None or refresh:
+                self._mf_gen, self._mf_files = _mf.fold(
+                    self.base_dir, self._mf_backend
+                )
             return self._mf_gen, frozenset(self._mf_files)
 
-    def _manifest_publish(self, add=(), remove=()) -> int:
+    def manifest_refresh(self) -> int:
+        """Re-fold the generation log and drop cached listings — makes
+        generations published by OTHER writers (concurrent jobs on the
+        same store directory, committing through the CAS loop) visible
+        to this store's subsequent reads. Returns the generation seen.
+        A single-writer store never needs this; its cache is
+        write-through."""
+        gen, _ = self._manifest_current(refresh=True)
+        self._invalidate_records()
+        return gen
+
+    def _manifest_publish(self, add=(), remove=(), require_visible=False) -> int:
         """Publish generation N+1 — THE commit point for manifest-mode
-        appends and compactions. One atomic file creation; data files
-        named by ``add`` become visible and ``remove`` files invisible
-        in the same instant, for every reader whose listing starts
-        after this returns (in-flight readers keep their pinned
-        generation's files, which stay on disk until :meth:`vacuum`)."""
+        appends and compactions. One atomic create-if-absent through
+        the publish backend (:func:`s2_spark.manifest.publish` CAS
+        loop); data files named by ``add`` become visible and
+        ``remove`` files invisible in the same instant, for every
+        reader whose listing starts after this returns (in-flight
+        readers keep their pinned generation's files, which stay on
+        disk until :meth:`vacuum`). A concurrent writer on the same
+        directory loses at most the CAS round, never the commit —
+        plain appends commute; delisting publishes pass
+        ``require_visible=True`` and surface
+        :class:`~s2_spark.manifest.PublishConflict` when a racing
+        publish consumed their inputs (the caller re-plans). The
+        entry's ``ts_ms`` (this store's clock) is the delist time
+        vacuum's grace window runs on."""
         from s2_spark import manifest as _mf
 
-        add, remove = list(add), list(remove)
         with self._manifest_mu:
-            if self._mf_gen is None:
-                self._mf_gen, self._mf_files = _mf.fold(self.base_dir)
-            gen = self._mf_gen + 1
-            files = (self._mf_files - set(remove)) | set(add)
-            ckpt = sorted(files) if gen % _mf.CHECKPOINT_EVERY == 0 else None
-            _mf.write_gen(self.base_dir, gen, add, remove, ckpt)
+            known = (
+                (self._mf_gen, set(self._mf_files))
+                if self._mf_gen is not None
+                else None
+            )
+            gen, files = _mf.publish(
+                self.base_dir,
+                add,
+                remove,
+                require_visible=require_visible,
+                known=known,
+                ts_ms=self._clock(),
+                backend=self._mf_backend,
+            )
             self._mf_gen, self._mf_files = gen, files
-            # stamp DELIST time onto removed files: vacuum's grace
-            # window is time-since-delisting (the reader-pinning
-            # contract), and a file's write mtime may be arbitrarily
-            # older than the generation that removed it — aging by
-            # write time would let vacuum delete a long-lived file
-            # seconds after its delist, under a freshly pinned reader
-            for rel in remove:
-                try:
-                    os.utime(os.path.join(self.base_dir, rel))
-                except OSError:
-                    pass  # already gone (re-published remove) — moot
             return gen
 
     def vacuum(self, grace_ms: int = 15 * 60 * 1000) -> int:
-        """Manifest-mode garbage collection: delete data files the
-        CURRENT generation no longer references and whose delisting has
-        aged past ``grace_ms`` (file mtime vs wall clock — Delta's
-        ``VACUUM ... RETAIN`` shape), then prune manifest log entries
-        below the newest checkpoint. Returns files deleted.
+        """Manifest-mode garbage collection, driven by the generation
+        LOG: the ``remove`` entries name every delisted file together
+        with its delist time (the publishing generation's ``ts_ms``),
+        so the hot path deletes from the log — no directory walk, no
+        file mtimes (object stores cannot set them) — and entries
+        whose files still await grace keep their log record alive
+        across the prune (``keep_gens``). A bounded walk remains only
+        for ORPHANS: files a crashed writer staged and renamed in but
+        never published — invisible to every reader from birth and
+        absent from the log, aged by their own write time (object
+        creation time on an object store). Returns files deleted.
 
         The grace window is the reader-pinning contract: an in-flight
         DataFrame holds the file list of the generation it started on,
@@ -427,25 +464,51 @@ class StreamStore:
         against a live store (at 1000-executor scale this would be a
         lease registry; a retention horizon is the standard practical
         answer). It also covers the append path's tiny
-        rename-into-place → publish window. Runs under the rewrite
-        latch so it never races a compaction's own staging."""
+        rename-into-place → publish window. Delist ages are measured
+        on the store's own clock (the same clock that stamped
+        ``ts_ms``); orphan/stage ages on wall clock, their only
+        timestamp. Runs under the rewrite latch so it never races a
+        compaction's own staging."""
         if not self.manifest:
             raise RuntimeError("vacuum() requires manifest mode")
         from s2_spark import manifest as _mf
 
         _, visible = self._manifest_current()
+        now_ms = self._clock()
         now = time.time()
         grace_s = grace_ms / 1000.0
         removed = 0
         with self._rewrite_mu:
+            delisted: set[str] = set()
+            pending_gens: set[int] = set()
+            for gen, rel, ts in _mf.delisted_entries(
+                self.base_dir, self._mf_backend
+            ):
+                delisted.add(rel)
+                if rel in visible:
+                    continue  # re-added by a later generation — live
+                p = os.path.join(self.base_dir, rel)
+                if not os.path.exists(p):
+                    continue  # already vacuumed
+                if now_ms - ts >= grace_ms:
+                    try:
+                        os.remove(p)
+                        removed += 1
+                    except FileNotFoundError:  # pragma: no cover
+                        pass
+                else:
+                    # within grace: the file stays, and so must its
+                    # delist record (the only copy of the delist time)
+                    pending_gens.add(gen)
             for root, dirs, files in os.walk(self.base_dir):
                 dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
                 for f in files:
                     if f.startswith(("_", ".")) or not f.endswith(".parquet"):
                         continue
                     p = os.path.join(root, f)
-                    if os.path.relpath(p, self.base_dir) in visible:
-                        continue
+                    rel = os.path.relpath(p, self.base_dir)
+                    if rel in visible or rel in delisted:
+                        continue  # live, or the log path owns it
                     try:
                         if now - os.path.getmtime(p) >= grace_s:
                             os.remove(p)
@@ -464,7 +527,9 @@ class StreamStore:
                             shutil.rmtree(p, ignore_errors=True)
                     except FileNotFoundError:  # pragma: no cover
                         pass
-            _mf.prune_log(self.base_dir)
+            _mf.prune_log(
+                self.base_dir, self._mf_backend, keep_gens=pending_gens
+            )
         return removed
 
     def _manifest_bootstrap(self) -> None:
@@ -1716,15 +1781,38 @@ class StreamStore:
         Appends produce one small file per batch; compaction folds them
         into few files whose row-group (min, max) on the key columns are
         disjoint, so range reads prune precisely."""
-        self._swap_recover()  # before capturing the df's file listing
-        df = self.records_df()
-        n = files_per_partition_hint or max(
-            1, self.spark.sparkContext.defaultParallelism // 4
-        )
-        clustered = df.repartitionByRange(n, "basin", "stream", "seq_num").sortWithinPartitions(
-            "basin", "stream", "seq_num"
-        )
-        self._rewrite(clustered)
+
+        def build() -> DataFrame:
+            self._swap_recover()  # before capturing the df's file listing
+            df = self.records_df()
+            n = files_per_partition_hint or max(
+                1, self.spark.sparkContext.defaultParallelism // 4
+            )
+            return df.repartitionByRange(
+                n, "basin", "stream", "seq_num"
+            ).sortWithinPartitions("basin", "stream", "seq_num")
+
+        self._rewrite_replanned(build)
+
+    def _rewrite_replanned(self, build, attempts: int = 3) -> None:
+        """Run ``self._rewrite(build())``, re-planning on
+        :class:`~s2_spark.manifest.PublishConflict`: the conflict means
+        a racing rewrite in ANOTHER process delisted files this plan
+        consumed (in-process rewrites serialize on the rewrite latch),
+        so the correct response — per the CAS protocol — is to rebuild
+        the plan from the fresh generation and try again. Appends that
+        landed meanwhile are picked up by the rebuilt listing; bounded
+        attempts keep a pathological rewrite storm loud."""
+        from s2_spark.manifest import PublishConflict
+
+        for attempt in range(attempts):
+            try:
+                self._rewrite(build())
+                return
+            except PublishConflict:
+                if attempt == attempts - 1:
+                    raise
+                self.manifest_refresh()
 
     def compaction_paused(self):
         """Context manager that blocks physical rewrites (compaction,
@@ -1865,9 +1953,18 @@ class StreamStore:
         Concurrent appends publish their own generations in between;
         their files are not in the consumed set and survive untouched,
         which is the acked-data-loss guarantee the listing layout
-        needed the ``_CONSUMED``/trash machinery for."""
+        needed the ``_CONSUMED``/trash machinery for. A concurrent
+        REWRITE (another process compacting the same directory) is
+        detected at the publish: ``require_visible=True`` raises
+        :class:`~s2_spark.manifest.PublishConflict` if any consumed
+        file was already delisted by the racing rewrite, and this
+        rewrite's never-published output files are deleted before the
+        conflict propagates (the caller re-plans from the new
+        generation)."""
         import shutil
         import uuid
+
+        from s2_spark.manifest import PublishConflict
 
         consumed = self._consumed_files(df)
         stage = os.path.join(
@@ -1891,12 +1988,32 @@ class StreamStore:
                     )
                     os.makedirs(dest_dir, exist_ok=True)
                     dst = os.path.join(dest_dir, f)
-                    assert not os.path.exists(dst), (
-                        f"compacted part name collides with a live file: {dst}"
-                    )
+                    if os.path.exists(dst):
+                        # UUID part names make this structurally
+                        # impossible; clobbering a live file silently
+                        # would be acked-data loss, so fail loudly (a
+                        # RuntimeError, not assert — python -O must not
+                        # strip the guard)
+                        raise RuntimeError(
+                            f"compacted part name collides with a live "
+                            f"file: {dst}"
+                        )
                     os.replace(os.path.join(root, f), dst)
                     added.append(os.path.relpath(dst, self.base_dir))
-            self._manifest_publish(add=added, remove=consumed)
+            try:
+                self._manifest_publish(
+                    add=added, remove=consumed, require_visible=True
+                )
+            except PublishConflict:
+                # never published → invisible to every reader: safe to
+                # delete the staged-in files rather than leave them as
+                # vacuum-aged orphans
+                for rel in added:
+                    try:
+                        os.remove(os.path.join(self.base_dir, rel))
+                    except FileNotFoundError:  # pragma: no cover
+                        pass
+                raise
         finally:
             shutil.rmtree(stage, ignore_errors=True)
         self._invalidate_records()
@@ -1968,9 +2085,12 @@ class StreamStore:
                     # file — structurally impossible today (UUID part
                     # names) and silently clobbering an acked append
                     # would be data loss, so fail loudly if it ever is
-                    assert not os.path.exists(dst), (
-                        f"swap phase-3 collision with a live file: {dst}"
-                    )
+                    # (RuntimeError, not assert: python -O strips
+                    # asserts and os.rename would silently clobber)
+                    if os.path.exists(dst):
+                        raise RuntimeError(
+                            f"swap phase-3 collision with a live file: {dst}"
+                        )
                     os.rename(os.path.join(root, f), dst)
         # trash FIRST: the completion markers must outlive the trash,
         # else a crash mid-rmtree(tmp) could strand an old-data trash
@@ -2089,6 +2209,16 @@ class StreamStore:
         keeper): the purge path for DELETED streams, whose names must
         become recreatable as fresh streams starting at seq 0.
         """
+        def build() -> DataFrame:
+            return self._build_trim_retention_plan(drop_streams)
+
+        self._rewrite_replanned(build)
+        if drop_streams:
+            self._record_purges(drop_streams)
+
+    def _build_trim_retention_plan(
+        self, drop_streams: list[tuple[str, str]] | None
+    ) -> DataFrame:
         self._swap_recover()  # before capturing the df's file listing
         df = self.records_df()
         # trim points come from storage, not the hot-state cache — the
@@ -2163,9 +2293,7 @@ class StreamStore:
                     [f"{b}\x00{s}" for b, s in drop_streams]
                 )
             )
-        self._rewrite(keep)
-        if drop_streams:
-            self._record_purges(drop_streams)
+        return keep
 
     def _record_purges(self, drop_streams: list[tuple[str, str]]) -> None:
         """Generation tombstones for physically purged streams, written

@@ -130,6 +130,9 @@ def main() -> int:
         ("manifest_multi_stream", _manifest_multi_stream_scenario),
         # r13: kill-point chaos for the staged multi-file append commit
         ("staged_append_kill_point", T.test_sim_staged_append_kill_point),
+        # r14: multi-writer CAS publish protocol + vacuum grace boundary
+        ("manifest_cas_two_writer", T.test_sim_manifest_cas_two_writer_publish_race),
+        ("manifest_vacuum_grace", T.test_sim_manifest_vacuum_pinned_reader_grace),
     ]
     print(f"sim_soak: {n} seeds per scenario, base_seed={base}", flush=True)
     failures = []

@@ -113,11 +113,11 @@ def test_manifest_append_during_compaction_survives(spark, tmp_path, monkeypatch
     real_publish = store._manifest_publish
     fired = {"n": 0}
 
-    def racing_publish(add=(), remove=()):
+    def racing_publish(add=(), remove=(), **kw):
         if fired["n"] == 0 and remove:  # the compaction's publish
             fired["n"] += 1
             store.append(B, "s1", [Record(body=b"racer")])
-        return real_publish(add=add, remove=remove)
+        return real_publish(add=add, remove=remove, **kw)
 
     monkeypatch.setattr(store, "_manifest_publish", racing_publish)
     store.compact()
@@ -323,15 +323,28 @@ def test_consumed_files_foreign_input_aborts_loudly(spark, tmp_path):
         store._consumed_files(df)
 
 
-def test_manifest_publish_gen_collision_is_loud(spark, tmp_path):
-    """Two writers racing one generation number fail loudly (the
-    single-writer contract; an object-store port gets this from the
-    conditional PUT)."""
+def test_manifest_write_gen_collision_returns_false_and_publish_retries(
+    spark, tmp_path
+):
+    """The conditional-PUT contract: creating an existing generation
+    returns False (atomically — os.link EEXIST locally, If-None-Match
+    on an object store) and never clobbers the committed entry; the
+    publish CAS loop absorbs the loss by re-folding on top of the
+    winner."""
     store = _mkstore(spark, tmp_path)
     store.append(B, "s1", [Record(body=b"x")])
-    gen, _ = store._manifest_current()
-    with pytest.raises(RuntimeError, match="already exists"):
-        mf.write_gen(store.base_dir, gen, ["a"], [], None)
+    gen, files = store._manifest_current()
+    committed = mf._read_gen(mf.manifest_dir(store.base_dir), gen)
+    assert not mf.write_gen(store.base_dir, gen, ["intruder"], [], None)
+    # the committed entry is byte-identical — no silent overwrite
+    assert mf._read_gen(mf.manifest_dir(store.base_dir), gen) == committed
+    # a publish seeded with a STALE known snapshot (gen-1) loses the
+    # CAS for gen, re-folds, and commits gen+1 on top of the winner
+    new_gen, new_files = mf.publish(
+        store.base_dir, add=["extra.parquet"], known=(gen - 1, set())
+    )
+    assert new_gen == gen + 1
+    assert new_files == set(files) | {"extra.parquet"}
 
 
 def test_manifest_vacuum_requires_manifest_mode(spark, tmp_path):
@@ -360,7 +373,12 @@ def test_manifest_fold_ignores_tmp_staging_files(tmp_path):
     with open(stale, "w") as f:
         json.dump({"gen": 2, "add": ["z"], "remove": []}, f)
     assert mf.fold(base) == (1, {"a"})
+    # the tmp sweep is AGE-GATED (ADVICE r13): a fresh tmp may belong
+    # to a publish in flight on another thread (staged, not yet
+    # linked) — sweeping it would fail that publish mid-commit
     mf.prune_log(base)
+    assert os.path.exists(stale)
+    mf.prune_log(base, tmp_grace_ms=0)
     assert not os.path.exists(stale)
 
 
@@ -408,3 +426,229 @@ def test_manifest_vacuum_grace_runs_from_delisting_not_write(spark, tmp_path):
     # zero grace: the delisted originals (and only they) go
     assert store.vacuum(grace_ms=0) == 3
     assert _rows(store) == [(i, f"g{i}".encode()) for i in range(3)]
+
+
+# --- round 14: CAS publish protocol (multi-writer / object store) -------
+
+
+def test_publish_cas_two_threads_local_backend(tmp_path):
+    """Two writer threads CAS-publishing disjoint appends onto one log:
+    every publish commits (losing a CAS round only costs a retry),
+    generations are contiguous, and the final fold is the union."""
+    import threading
+
+    base = str(tmp_path)
+    barrier = threading.Barrier(2)
+    errs: list[Exception] = []
+
+    def writer(w: int) -> None:
+        barrier.wait()
+        try:
+            for i in range(20):
+                mf.publish(base, add=[f"w{w}-{i}.parquet"])
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    ts = [threading.Thread(target=writer, args=(w,)) for w in range(2)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs
+    gen, files = mf.fold(base)
+    assert gen == 40
+    assert files == {f"w{w}-{i}.parquet" for w in range(2) for i in range(20)}
+
+
+def test_publish_require_visible_conflict(tmp_path):
+    """A delisting publish seeded with a stale snapshot must NOT commit
+    once a racing publish consumed its inputs: the CAS loss forces a
+    re-fold, the re-validation sees the missing file, and
+    PublishConflict aborts the rewrite."""
+    base = str(tmp_path)
+    mf.publish(base, add=["a", "b"])  # gen 1
+    mf.publish(base, add=["c"], remove=["a"])  # gen 2: a racing rewrite
+    with pytest.raises(mf.PublishConflict, match="no longer visible"):
+        mf.publish(
+            base, add=["d"], remove=["a"], require_visible=True,
+            known=(1, {"a", "b"}),
+        )
+    # nothing was committed by the conflicted attempt
+    assert mf.fold(base) == (2, {"b", "c"})
+    # appends never conflict: the same stale seed without a delist lands
+    gen, files = mf.publish(base, add=["d"], known=(1, {"a", "b"}))
+    assert (gen, files) == (3, {"b", "c", "d"})
+
+
+def test_inmemory_cas_backend_full_store_roundtrip(spark, tmp_path):
+    """The PublishBackend seam end-to-end: a store whose generation log
+    lives in the in-memory conditional-PUT object store (no rename, no
+    link, no mtime) runs the full append → compact → vacuum cycle.
+    Data parquet stays local; every protocol object goes through
+    put-if-absent — exactly the split an S3/GCS port keeps."""
+    backend = mf.InMemoryCASBackend()
+    cat = Catalog(spark)
+    cat.create_basin(B, BasinConfig(create_stream_on_append=True))
+    cat.create_stream(B, "s1")
+    store = StreamStore(
+        spark, str(tmp_path / "records"), catalog=cat,
+        manifest=True, manifest_backend=backend,
+    )
+    for i in range(4):
+        store.append(B, "s1", [Record(body=f"o{i}".encode())])
+    want = [(i, f"o{i}".encode()) for i in range(4)]
+    assert _rows(store) == want
+    n_before = len(_data_files(store.base_dir))
+    store.compact()
+    assert _rows(store) == want
+    assert store.vacuum(grace_ms=0) == n_before
+    assert _rows(store) == want
+    assert backend.puts == store._manifest_current()[0]  # 1 put per gen
+    # nothing protocol-shaped leaked onto the local filesystem
+    assert not os.path.isdir(mf.manifest_dir(store.base_dir))
+    # a second store over the same backend CAS-publishes (stale-seed
+    # retry) instead of clobbering
+    other = StreamStore(
+        spark, store.base_dir, catalog=cat,
+        manifest=True, manifest_backend=backend,
+    )
+    other.append(B, "s1", [Record(body=b"o4")])
+    assert backend.conflicts == 0  # no contention in this sequence
+    gen, files = mf.fold(store.base_dir, backend)
+    assert gen == store._manifest_current()[0] + 1
+
+
+def test_two_streamstore_objects_race_appends(spark, tmp_path):
+    """TWO StreamStore objects (simulating two processes / jobs) over
+    ONE directory, appending concurrently to different streams: the
+    CAS publish loop commits every append — the round-13 single-writer
+    hard-fail is gone — and a cold reopen sees all records."""
+    import threading
+
+    cat = Catalog(spark)
+    cat.create_basin(B, BasinConfig(create_stream_on_append=True))
+    cat.create_stream(B, "s1")
+    cat.create_stream(B, "s2")
+    base = str(tmp_path / "records")
+    stores = [
+        StreamStore(spark, base, catalog=cat, manifest=True) for _ in range(2)
+    ]
+    barrier = threading.Barrier(2)
+    errs: list[Exception] = []
+
+    def writer(w: int) -> None:
+        barrier.wait()
+        try:
+            for i in range(5):
+                stores[w].append(
+                    B, f"s{w + 1}", [Record(body=f"w{w}-{i}".encode())]
+                )
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    ts = [threading.Thread(target=writer, args=(w,)) for w in range(2)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs
+    gen, files = mf.fold(base)
+    assert gen == 10 and len(files) == 10
+    cold = StreamStore(spark, base, catalog=cat)
+    assert _rows(cold, "s1") == [(i, f"w0-{i}".encode()) for i in range(5)]
+    assert _rows(cold, "s2") == [(i, f"w1-{i}".encode()) for i in range(5)]
+
+
+def test_compaction_conflict_replans_against_racing_rewrite(spark, tmp_path):
+    """A compaction whose consumed set was delisted by a racing rewrite
+    (second store object = second process) hits PublishConflict at its
+    publish, discards its staged output, and re-plans from the fresh
+    generation — converging instead of clobbering or duplicating."""
+    cat = Catalog(spark)
+    cat.create_basin(B, BasinConfig(create_stream_on_append=True))
+    cat.create_stream(B, "s1")
+    base = str(tmp_path / "records")
+    a = StreamStore(spark, base, catalog=cat, manifest=True)
+    for i in range(4):
+        a.append(B, "s1", [Record(body=f"r{i}".encode())])
+    want = [(i, f"r{i}".encode()) for i in range(4)]
+    b = StreamStore(spark, base, catalog=cat)  # folds gen 4 now
+    assert b._manifest_current()[0] == 4
+    a.compact()  # gen 5: delists the four originals
+    # b's cache is stale: its rewrite consumes the delisted originals,
+    # loses the CAS, re-validates, conflicts, and re-plans
+    b.compact()
+    gen, files = mf.fold(base)
+    assert gen == 6  # a's compact + b's re-planned compact (no orphan gen)
+    cold = StreamStore(spark, base, catalog=cat)
+    assert _rows(cold) == want
+    cold.vacuum(grace_ms=0)
+    assert _rows(cold) == want
+    # the conflicted attempt's staged-in output was deleted, not left
+    # as orphans: every remaining data file is visible
+    remaining = {
+        os.path.relpath(p, base) for p in _data_files(base)
+    }
+    assert remaining == set(files)
+
+
+def test_vacuum_pending_delist_record_survives_log_prune(spark, tmp_path):
+    """Vacuum runs from the LOG: a delist record whose file is still
+    inside the grace window must survive the log prune (it is the only
+    copy of the delist time), then go — file and record — once aged.
+    Driven by a fake clock: no mtimes involved (ADVICE r13 / VERDICT
+    task 1b: object stores cannot set mtimes)."""
+    clockbox = {"ms": 1_000_000}
+    store = _mkstore(spark, tmp_path, clockbox=clockbox)
+    for i in range(3):
+        store.append(B, "s1", [Record(body=f"g{i}".encode())])
+    store.compact()  # gen 4 delists the three originals at t=1_000_000
+    delist_gen = store._manifest_current()[0]
+    # push a checkpoint PAST the delist generation so prune_log would
+    # normally drop it
+    for i in range(mf.CHECKPOINT_EVERY):
+        store.append(B, "s1", [Record(body=f"h{i}".encode())])
+    assert store._manifest_current()[0] > mf.CHECKPOINT_EVERY
+    grace = 60_000
+    clockbox["ms"] += grace // 2  # half the grace window elapses
+    assert store.vacuum(grace_ms=grace) == 0
+    d = mf.manifest_dir(store.base_dir)
+    assert os.path.exists(os.path.join(d, f"gen-{delist_gen:012d}.json"))
+    clockbox["ms"] += grace  # now past the window
+    assert store.vacuum(grace_ms=grace) == 3
+    assert not os.path.exists(os.path.join(d, f"gen-{delist_gen:012d}.json"))
+    rows = _rows(store)
+    assert [r for r in rows if r[1].startswith(b"g")] == [
+        (i, f"g{i}".encode()) for i in range(3)
+    ]
+
+
+def test_fold_retries_stale_head_across_prune_race(tmp_path):
+    """ADVICE r13 (medium): a lock-free fold that listed a stale head,
+    then raced a checkpoint + prune, must re-list and retry instead of
+    declaring a healthy log corrupt."""
+    base = str(tmp_path)
+    for i in range(mf.CHECKPOINT_EVERY + 2):
+        mf.publish(base, add=[f"f{i}"])
+    d = mf.manifest_dir(base)
+    stale_listing = [
+        f for f in os.listdir(d)
+        if mf._GEN_RE.match(f) and int(f[4:16]) < mf.CHECKPOINT_EVERY
+    ]
+    mf.prune_log(base)  # drops everything below the checkpoint
+
+    class StaleOnceBackend(mf.LocalBackend):
+        def __init__(self):
+            self.fired = False
+
+        def list_dir(self, path):
+            if not self.fired and path == d:
+                self.fired = True
+                return stale_listing  # head below the (pruned-to) ckpt
+            return super().list_dir(path)
+
+    backend = StaleOnceBackend()
+    gen, files = mf.fold(base, backend)
+    assert backend.fired
+    assert gen == mf.CHECKPOINT_EVERY + 2
+    assert files == {f"f{i}" for i in range(mf.CHECKPOINT_EVERY + 2)}

@@ -751,7 +751,7 @@ def test_sim_soak_script_wiring():
     # exact roster size (ADVICE r12): a silently dropped scenario must
     # fail here, not vanish from the sweep — update in lockstep with
     # scripts/sim_soak.py
-    assert len(names) == 19, f"soak roster drifted: {len(names)} scenarios"
+    assert len(names) == 21, f"soak roster drifted: {len(names)} scenarios"
     import tests.test_sim as T  # the module the script resolves against
 
     for label, ref in names:
@@ -1289,3 +1289,168 @@ def test_sim_staged_append_kill_point(spark, tmp_path, seed):
         # the store keeps working past the kill
         ack = cold.append(BASIN, s, [Record(body=b"after")])
         assert ack.start_seq == tail
+
+
+@pytest.mark.parametrize("seed", [11, 4242])
+def test_sim_manifest_cas_two_writer_publish_race(spark, tmp_path, seed):
+    """Randomized multi-writer CAS publish chaos (VERDICT r13 task 5):
+    three writer threads race appends and delisting rewrites onto ONE
+    generation log through :func:`s2_spark.manifest.publish`, with
+    crash injection between fold and publish (a writer folds, prepares
+    an op, and dies — committing nothing) and deliberately STALE
+    ``known`` snapshots on every rewrite. Half the seeds run the local
+    os.link backend, half the in-memory conditional-PUT object store.
+
+    Invariants checked at the end, in commit (generation) order:
+    generations are contiguous with no duplicates (every CAS winner is
+    unique), every committed rewrite's remove set was visible when it
+    committed (the ``require_visible`` guarantee), and replaying the
+    writers' recorded successes reproduces the folded visible set
+    exactly — no lost publish, no phantom."""
+    import threading
+
+    from s2_spark import manifest as mf
+
+    rng = random.Random(seed)
+    backend = mf.InMemoryCASBackend() if rng.random() < 0.5 else mf.LOCAL
+    base = str(tmp_path / "cas")
+    committed: list[tuple[int, tuple, tuple]] = []
+    mu = threading.Lock()
+    n_writers = 3
+    barrier = threading.Barrier(n_writers)
+    errs: list = []
+
+    def writer(w: int) -> None:
+        wrng = random.Random(seed * 1000 + w)
+        barrier.wait()
+        for i in range(15):
+            op = wrng.random()
+            try:
+                if op < 0.15:
+                    # crash between fold and publish: prepares, then dies
+                    mf.fold(base, backend)
+                    continue
+                if op < 0.75:
+                    add = (f"w{w}-{i}.parquet",)
+                    gen, _ = mf.publish(base, add=add, backend=backend)
+                    with mu:
+                        committed.append((gen, add, ()))
+                else:
+                    # rewrite seeded with a (possibly already stale)
+                    # snapshot; PublishConflict = correct abort
+                    snap_gen, snap = mf.fold(base, backend)
+                    if not snap:
+                        continue
+                    consumed = tuple(
+                        sorted(
+                            wrng.sample(
+                                sorted(snap),
+                                k=min(len(snap), wrng.randint(1, 3)),
+                            )
+                        )
+                    )
+                    out = (f"w{w}-compact-{i}.parquet",)
+                    try:
+                        gen, _ = mf.publish(
+                            base, add=out, remove=consumed,
+                            require_visible=True, known=(snap_gen, set(snap)),
+                            backend=backend,
+                        )
+                        with mu:
+                            committed.append((gen, out, consumed))
+                    except mf.PublishConflict:
+                        pass
+            except Exception as e:  # pragma: no cover - surfaced below
+                errs.append((w, i, repr(e)))
+
+    threads = [
+        threading.Thread(target=writer, args=(w,)) for w in range(n_writers)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+    head, visible = mf.fold(base, backend)
+    committed.sort()
+    gens = [g for g, _, _ in committed]
+    assert gens == list(range(1, len(gens) + 1)), "gens not contiguous/unique"
+    assert head == len(gens)
+    replay: set[str] = set()
+    for _g, add, remove in committed:
+        assert set(remove) <= replay, "rewrite committed over a delisted input"
+        replay -= set(remove)
+        replay |= set(add)
+    assert replay == visible
+
+
+@pytest.mark.parametrize("seed", [5, 909])
+def test_sim_manifest_vacuum_pinned_reader_grace(spark, tmp_path, seed):
+    """Vacuum racing pinned readers at the grace boundary (VERDICT r13
+    task 5): randomized append/compact/vacuum churn on a fake-clock
+    manifest store, with reader plans pinned at random generations and
+    collected within strictly less than the grace window. The
+    reader-pinning contract says such a collect may NEVER lose a file
+    to vacuum, no matter how close delist ages run to the boundary —
+    the delist clock is the generation log's ``ts_ms`` on the store's
+    own clock, so the bound is exact, not mtime-approximate. A final
+    past-the-boundary vacuum then reclaims everything delisted and the
+    live rows must be intact."""
+    from s2_spark.catalog import BasinConfig
+
+    rng = random.Random(seed)
+    box = {"ms": 1_000_000}
+    clock = lambda: box["ms"]  # noqa: E731
+    cat = Catalog(spark, clock=clock)
+    cat.create_basin(BASIN, BasinConfig(create_stream_on_append=True))
+    cat.create_stream(BASIN, STREAMS[0])
+    store = StreamStore(
+        spark, str(tmp_path / "records"), catalog=cat, clock=clock,
+        manifest=True,
+    )
+    GRACE = 10_000
+    expected: list[bytes] = []
+    pins: list[tuple] = []  # (df, snapshot of expected at pin time)
+    n = 0
+    for _round in range(rng.randint(5, 8)):
+        for _ in range(rng.randint(1, 3)):
+            op = rng.choice(["append", "append", "compact", "vacuum", "pin"])
+            if op == "append":
+                body = f"b{n}".encode()
+                n += 1
+                store.append(BASIN, STREAMS[0], [Record(body=body)])
+                expected.append(body)
+            elif op == "compact":
+                store.compact()
+            elif op == "vacuum":
+                store.vacuum(grace_ms=GRACE)
+            else:
+                pins.append(
+                    (
+                        store.read(BASIN, STREAMS[0]).select("seq_num", "body"),
+                        list(expected),
+                    )
+                )
+        # collect every pin within ONE round of its birth: clock
+        # advance per round is < GRACE/2, so pin-to-collect age < GRACE
+        # and the grace contract guarantees the collect succeeds
+        for df, snap in pins:
+            got = [(r.seq_num, bytes(r.body)) for r in df.collect()]
+            assert got == list(enumerate(snap)), "pinned plan lost rows"
+        pins.clear()
+        box["ms"] += rng.randint(1_000, 4_500)
+    # past the boundary: everything delisted is reclaimable, live rows
+    # intact, and the log prune keeps the fold consistent
+    box["ms"] += GRACE + 1
+    store.vacuum(grace_ms=GRACE)
+    got = [
+        (r.seq_num, bytes(r.body))
+        for r in store.read(BASIN, STREAMS[0]).select("seq_num", "body").collect()
+    ]
+    assert got == list(enumerate(expected))
+    cold = StreamStore(spark, store.base_dir, catalog=cat, clock=clock)
+    got_cold = [
+        (r.seq_num, bytes(r.body))
+        for r in cold.read(BASIN, STREAMS[0]).select("seq_num", "body").collect()
+    ]
+    assert got_cold == list(enumerate(expected))
