@@ -68,7 +68,11 @@ def f2(spark, sf_dir):
         "round(l_extendedprice * (1-l_discount) * (1+l_tax), 4) AS chg, "
         "CAST(floor(l_quantity) AS BIGINT) AS fq, "
         "abs(l_discount - 0.05) < 1e-9 AS d5 "
-        "FROM lineitem ORDER BY 1, 2 LIMIT 500"
+        # ORDER BY every output column: the fixtures hold duplicate
+        # (l_orderkey, l_linenumber) pairs, so a two-key order is not
+        # total and a LIMIT cutting a tie group could select different
+        # row multisets per engine (judge co-execution, r13)
+        "FROM lineitem ORDER BY 1, 2, 3, 4, 5 LIMIT 500"
     ),
     doc="arithmetic / round / floor / abs",
 )
@@ -76,14 +80,14 @@ def f3(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem")
     chg = F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
     return (
-        li.orderBy("l_orderkey", "l_linenumber")
-        .select(
+        li.select(
             "l_orderkey",
             "l_linenumber",
             r4(chg).alias("chg"),
             F.floor("l_quantity").cast("long").alias("fq"),
             (F.abs(F.col("l_discount") - 0.05) < 1e-9).alias("d5"),
         )
+        .orderBy("l_orderkey", "l_linenumber", "chg", "fq", "d5")
         .limit(500)
     )
 

@@ -374,15 +374,18 @@ def f18(spark, sf_dir):
         "round(power(l_quantity, 2),4) AS q2, round(sqrt(l_quantity),4) AS sq, "
         "CAST(l_orderkey % 7 AS BIGINT) AS m7, "
         "round(greatest(l_discount, l_tax),4) AS gmax, round(least(l_discount, l_tax),4) AS gmin "
-        "FROM lineitem ORDER BY 1,2 LIMIT 400"
+        # ORDER BY every output column: (l_orderkey, l_linenumber) is
+        # NOT unique in the fixtures, so the two-key order was not
+        # total and the LIMIT could cut a tie group differently per
+        # engine (same f3 defect — r13 oracle total-order audit)
+        "FROM lineitem ORDER BY 1,2,3,4,5,6,7,8,9 LIMIT 400"
     ),
     doc="ln/exp/pow/sqrt/mod/greatest/least",
 )
 def f19(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem")
     return (
-        li.orderBy("l_orderkey", "l_linenumber")
-        .select(
+        li.select(
             "l_orderkey",
             "l_linenumber",
             r4(F.log(F.col("l_extendedprice"))).alias("lnp"),
@@ -392,6 +395,10 @@ def f19(spark, sf_dir):
             (F.col("l_orderkey") % 7).cast("long").alias("m7"),
             r4(F.greatest("l_discount", "l_tax")).alias("gmax"),
             r4(F.least("l_discount", "l_tax")).alias("gmin"),
+        )
+        .orderBy(
+            "l_orderkey", "l_linenumber", "lnp", "expd", "q2", "sq",
+            "m7", "gmax", "gmin",
         )
         .limit(400)
     )
