@@ -88,20 +88,25 @@ _R03_BACKLOG = frozenset({
 # the scoring prefix ahead of untouched proven entries until a fresh
 # proof lands.
 #
-# Round 13: x79 was RE-PLANNED (the tg/ev/hit diamond re-evaluated the
-# tokenize+md5-gram projection four times; now one projection feeds one
-# gram-keyed aggregation — results identical, but the r12 proof
-# predates the shipped plan). Everything else this round is the
-# manifest-MVCC store mode (opt-in; no registry query constructs a
-# StreamStore — the st/str families are relational shapes over the
-# events parquet), the listing-layout swap hardening, and bench
-# instrumentation. The r12 rescore set (x60/x68 + the full st/str
-# families) was re-proven in CORRECTNESS_r12 and graduates to the aged
-# tail, which this round rotates the r3/r4 backlog (f1-f5, x8, x19,
-# x21-x24, tpch2/7/8/9/11-22) to the front of.
-_R13_RESCORE: frozenset[str] = frozenset({
+# Round 14: the shared `_contamination_report` rollup was RE-PLANNED
+# again (the r13 collect_set concentrated unbounded per-gram reducer
+# state on hot boilerplate grams — ADVICE r13; now a partitioned-window
+# flag over one gram-keyed exchange: same single projection, bounded
+# spillable state), so all three users re-enter the prefix: x68, x79,
+# x82. f3_math and f19_math_extra changed their ORACLES (total-order
+# fix: ORDER BY every output column under the LIMIT), so their r13
+# proofs predate the shipped contract and they rescore too. The store
+# changes (CAS publish, vacuum-from-log, manifest default flip) touch
+# no registry query plan. The r13 rotation (r3/r4 backlog) graduates;
+# the aged tail now fronts the remaining r8/r9 proofs (x11, x12, x15,
+# x16, x17, x18, x20, x25, x27, x33, x35, x38, x39, x40, x41-x47,
+# x50), which sorted-by-proof-age places first automatically.
+_R14_RESCORE: frozenset[str] = frozenset({
     "x79_normalized_contamination",
-    "x68_decontamination_overlap",  # same diamond, same rewrite
+    "x68_decontamination_overlap",
+    "x82_winnowed_contamination",
+    "f3_math",
+    "f19_math_extra",
 })
 
 
@@ -143,8 +148,8 @@ def _prioritized(names: list[str]) -> list[str]:
 
     backlog = [n for n in fresh if n in _R03_BACKLOG]
     newer = [n for n in fresh if n not in _R03_BACKLOG]
-    rescore = [n for n in proven if n in _R13_RESCORE]
-    stable = [n for n in proven if n not in _R13_RESCORE]
+    rescore = [n for n in proven if n in _R14_RESCORE]
+    stable = [n for n in proven if n not in _R14_RESCORE]
     # age the stable tail: oldest proof round first, families
     # round-robined within each round so one big old family can't
     # monopolize the refresh budget

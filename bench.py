@@ -146,15 +146,28 @@ S2BENCH_REPS = int(os.environ.get("SPARK_GRAFT_S2BENCH_REPS", "3"))
 
 
 def s2_bench_equivalent(
-    spark, n_records: int = 8000, record_bytes: int = 8192, reps: int | None = None
+    spark,
+    n_records: int = 8000,
+    record_bytes: int = 8192,
+    reps: int | None = None,
+    manifest: bool = True,
 ) -> dict:
     """Repeated-median wrapper over the single-run bench: each rep gets
     a fresh temp store; append/read legs report the MEDIAN of
     ``reps`` (spread kept alongside), verification must pass on EVERY
     rep, and the ack/e2e latency percentiles pool the raw samples of
-    all reps (3x16 batches instead of 16)."""
+    all reps (3x16 batches instead of 16).
+
+    ``manifest`` selects the store layout. The default measures the
+    manifest-MVCC layout — the one you'd run at object-store scale
+    (r14: manifest became the benched and default path); main() also
+    records one listing-layout series for round-over-round
+    continuity."""
     reps = S2BENCH_REPS if reps is None else reps
-    runs = [_s2_bench_once(spark, n_records, record_bytes) for _ in range(reps)]
+    runs = [
+        _s2_bench_once(spark, n_records, record_bytes, manifest=manifest)
+        for _ in range(reps)
+    ]
 
     def med_by(key):
         return sorted(runs, key=lambda r: r[key])[len(runs) // 2]
@@ -183,7 +196,12 @@ def s2_bench_equivalent(
     }
 
 
-def _s2_bench_once(spark, n_records: int = 8000, record_bytes: int = 8192) -> dict:
+def _s2_bench_once(
+    spark,
+    n_records: int = 8000,
+    record_bytes: int = 8192,
+    manifest: bool = True,
+) -> dict:
     """One run of the reference bench workload (cli/src/cli.rs:702-736
     defaults: 8 KiB records, ~60 MiB): bulk-append through the store's
     distributed sequencing, then catch-up read; verify count +
@@ -196,7 +214,9 @@ def _s2_bench_once(spark, n_records: int = 8000, record_bytes: int = 8192) -> di
         cat = Catalog(spark)
         cat.create_basin("bench-basin")
         cat.create_stream("bench-basin", "bench")
-        store = StreamStore(spark, os.path.join(base, "records"), catalog=cat)
+        store = StreamStore(
+            spark, os.path.join(base, "records"), catalog=cat, manifest=manifest
+        )
 
         def chain_over(df, order_col):
             # collect (order, hash) pairs, sort in-array (struct sort is
@@ -418,7 +438,9 @@ def skew_probe(
             cat.create_basin("skew-basin")
             for s in range(10):
                 cat.create_stream("skew-basin", f"s{s}")
-            store = StreamStore(spark, os.path.join(base, "records"), catalog=cat)
+            store = StreamStore(
+                spark, os.path.join(base, "records"), catalog=cat, manifest=True
+            )
             stream = F.when(F.col("id") % 10 != 0, F.lit("s0")).otherwise(
                 F.concat(F.lit("s"), ((F.col("id") % 90) % 9 + 1).cast("string"))
             )
@@ -669,7 +691,13 @@ def main() -> None:
             spark.read.parquet(p).count()
 
     queries, queries_min, queries_first = run_queries(spark)
+    # the HEADLINE s2bench legs measure the manifest-MVCC layout — the
+    # default store and the one you'd run at object-store scale (r14)
     bench = s2_bench_equivalent(spark)
+    # one listing-layout series rides along (non-headline) so the
+    # round-over-round comparison across the r14 layout switch stays
+    # interpretable
+    bench_listing = s2_bench_equivalent(spark, manifest=False)
     for d in (queries, queries_min, queries_first):
         d["q_s2bench_append"] = bench["append_sec"]
         d["q_s2bench_read"] = bench["read_sec"]
@@ -698,6 +726,12 @@ def main() -> None:
         "queries_min": queries_min,
         "queries_first": queries_first,
         "s2bench": bench,
+        # continuity series: same legs on the legacy listing layout
+        "s2bench_listing": {
+            k: bench_listing[k]
+            for k in ("append_sec", "read_sec", "append_spread",
+                      "read_spread", "reps", "verified")
+        },
         # hot-key probe: chunked vs single-chunk bulk_append
         "skew_probe": skew,
         # x10 + x100 trend probes — excluded from `value` so

@@ -175,7 +175,7 @@ class StreamStore:
         catalog: Catalog | None = None,
         clock=None,
         bucket_count: int = 0,
-        manifest: bool = False,
+        manifest: bool = True,
         manifest_backend=None,
     ):
         """``bucket_count > 0`` enables the partitioned physical layout:
@@ -188,12 +188,18 @@ class StreamStore:
         both the driver-side and distributed paths compute the same
         bucket.
 
-        ``manifest=True`` switches visibility from directory listings
-        to the manifest-MVCC generation log (:mod:`s2_spark.manifest`):
-        appends and compactions commit by atomically publishing a
-        generation, compaction needs no rename-over-readers swap (and
-        therefore no ``compaction_paused()`` coordination), and
-        delisted files are garbage-collected by :meth:`vacuum`. A
+        ``manifest`` (the DEFAULT since r14) defines visibility by the
+        manifest-MVCC generation log (:mod:`s2_spark.manifest`) instead
+        of directory listings: appends and compactions commit by
+        atomically publishing a generation (multi-writer-safe via the
+        CAS publish loop), compaction needs no rename-over-readers
+        swap (and therefore no ``compaction_paused()`` coordination),
+        and delisted files are garbage-collected by :meth:`vacuum`.
+        ``manifest=False`` keeps the legacy listing layout (simpler on
+        a plain POSIX directory you never share; the bootstrap
+        migration source). Opening an existing listing-layout
+        directory with the default migrates it in place (a one-time
+        checkpoint publish; no records are rewritten or lost). A
         directory that already carries a generation log reopens in
         manifest mode regardless of the flag — the on-disk log, not
         the constructor argument, is authoritative once created

@@ -18,6 +18,7 @@ shape), never an O(n²) cross join. The cosine top-k broadcast-joins a
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from s2_spark.registry import query
 from s2_spark.suite._util import r4
@@ -4342,28 +4343,40 @@ def x79(spark, sf_dir):
 
 
 def _contamination_report(grams, docs):
-    """Single-projection contamination rollup shared by x79/x82:
+    """Single-projection contamination rollup shared by x68/x79/x82:
     ``grams`` is the exploded (doc_id, split, g) relation — evaluated
-    exactly ONCE into one gram-keyed aggregation whose rows carry a
-    train-membership flag and the distinct eval (split, doc_id) set,
-    replacing the tg/ev/hit diamond that re-ran the expensive
-    tokenize+hash projection per branch. ``docs`` (doc_id, split, ...)
-    supplies the eval-doc census — tokenize-only, no gram hashing."""
-    per_gram = grams.groupBy("g").agg(
+    exactly ONCE into one gram-keyed exchange, on which a PARTITIONED
+    WINDOW computes each gram's train-membership flag; eval rows whose
+    gram carries the flag are the hits. ``docs`` (doc_id, split, ...)
+    supplies the eval-doc census — tokenize-only, no gram hashing.
+
+    Plan shape (verified via explain: ONE Generate, ONE gram-keyed
+    Exchange): scan → project+explode → exchange(g) → sort(g) →
+    window max → filter → countDistinct rollup. Two hazards this
+    shape avoids, both found the hard way:
+
+    - the r12 tg/ev/hit diamond re-ran the tokenize+hash projection
+      per branch (Spark reuses exchanges, not scans — 4x the dominant
+      cost); a semi-join rewrite stays a diamond because AQE's
+      broadcast conversion re-plans the small side from the scan,
+      dropping the shared exchange (measured r14);
+    - the r13 collect_set rollup concentrated an UNBOUNDED struct set
+      in one aggregation buffer for a gram shared by many eval docs —
+      exactly the boilerplate-gram hot key a dup-dense corpus feeds it
+      (ADVICE r13). The window's per-partition sort spills to disk, so
+      a hot gram streams instead of resident-accumulating."""
+    w = Window.partitionBy("g")
+    flagged = grams.withColumn(
+        "in_train",
         F.max(
             F.when(F.col("split") == "train", F.lit(1)).otherwise(F.lit(0))
-        ).alias("in_train"),
-        F.collect_set(
-            F.when(
-                F.col("split") != "train", F.struct("split", "doc_id")
-            )
-        ).alias("ev_docs"),
+        ).over(w),
     )
-    hits = per_gram.filter(
-        (F.col("in_train") == 1) & (F.size("ev_docs") > 0)
-    ).select("g", F.explode("ev_docs").alias("sd"))
-    rep = hits.groupBy(F.col("sd.split").alias("split")).agg(
-        F.countDistinct("sd.doc_id").alias("n_contaminated"),
+    hits = flagged.filter(
+        (F.col("split") != "train") & (F.col("in_train") == 1)
+    )
+    rep = hits.groupBy("split").agg(
+        F.countDistinct("doc_id").alias("n_contaminated"),
         F.countDistinct("g").alias("n_shared"),
     )
     n_docs = (

@@ -372,14 +372,20 @@ def _swap_rename_bomb(monkeypatch, trigger):
 
 
 def _seed(spark, base):
-    s = _fresh(spark, base)
+    # the swap-protocol tests below target the LISTING layout's
+    # rename-swap machinery (legacy since the r14 manifest default
+    # flip, still fully supported as the migration source) — pin it
+    s = StreamStore(spark, base, manifest=False)
+    s.catalog.create_basin(
+        BASIN, BasinConfig(create_stream_on_append=True, create_stream_on_read=True)
+    )
     s.append(BASIN, "s1", [Record(body=f"r{i}".encode()) for i in range(5)])
     s.append(BASIN, "s2", [Record(body=b"x"), Record(body=b"y")])
     return s
 
 
 def _assert_intact(spark, base):
-    r = StreamStore(spark, base)
+    r = StreamStore(spark, base, manifest=False)
     r.recover_state()
     assert r.check_tail(BASIN, "s1")[0] == 5
     assert r.check_tail(BASIN, "s2")[0] == 2
@@ -515,7 +521,7 @@ def test_compaction_crash_bucketed_layout_recovers(spark, tmp_path, monkeypatch)
     data, unlike part files) — the trash-first ordering is what makes
     the swap safe, and recovery must restore every bucket."""
     base = str(tmp_path / "records")
-    s = StreamStore(spark, base, bucket_count=4)
+    s = StreamStore(spark, base, bucket_count=4, manifest=False)
     s.catalog.create_basin(
         BASIN, BasinConfig(create_stream_on_append=True, create_stream_on_read=True)
     )
@@ -526,7 +532,7 @@ def test_compaction_crash_bucketed_layout_recovers(spark, tmp_path, monkeypatch)
     with pytest.raises(_Boom):
         s.compact()
     monkeypatch.undo()
-    r = StreamStore(spark, base, bucket_count=4)
+    r = StreamStore(spark, base, bucket_count=4, manifest=False)
     r.recover_state()
     assert r.check_tail(BASIN, "s1")[0] == 5
     assert r.check_tail(BASIN, "s2")[0] == 2
@@ -572,7 +578,7 @@ def test_compaction_preserves_append_landed_after_listing(spark, tmp_path):
     assert bytes(
         s.read(BASIN, "s1").filter("seq_num = 5").collect()[0]["body"]
     ) == b"landed-late"
-    r = StreamStore(spark, base)
+    r = StreamStore(spark, base, manifest=False)
     r.recover_state()
     assert r.check_tail(BASIN, "s1")[0] == 6
     assert _all_seqs(r, "s1") == [0, 1, 2, 3, 4, 5]

@@ -230,7 +230,7 @@ def test_manifest_bootstrap_migrates_listing_store(spark, tmp_path):
     cat.create_basin(B, BasinConfig(create_stream_on_append=True))
     cat.create_stream(B, "s1")
     base = str(tmp_path / "records")
-    legacy = StreamStore(spark, base, catalog=cat)
+    legacy = StreamStore(spark, base, catalog=cat, manifest=False)
     for i in range(3):
         legacy.append(B, "s1", [Record(body=f"m{i}".encode())])
     assert not legacy.manifest
@@ -350,7 +350,9 @@ def test_manifest_write_gen_collision_returns_false_and_publish_retries(
 def test_manifest_vacuum_requires_manifest_mode(spark, tmp_path):
     cat = Catalog(spark)
     cat.create_basin(B, BasinConfig(create_stream_on_append=True))
-    store = StreamStore(spark, str(tmp_path / "records"), catalog=cat)
+    store = StreamStore(
+        spark, str(tmp_path / "records"), catalog=cat, manifest=False
+    )
     with pytest.raises(RuntimeError, match="manifest mode"):
         store.vacuum()
 

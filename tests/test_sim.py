@@ -1014,7 +1014,9 @@ def _append_during_churn(spark, tmp_path, seed, manifest: bool):
         # GC of delisted files must be invisible (no reader in flight)
         store.vacuum(grace_ms=0)
         check(store)
-    cold = StreamStore(spark, str(tmp_path / "records"))
+    # cold reopen pinned to the scenario's layout (the r14 default
+    # would MIGRATE a listing directory on open, changing the subject)
+    cold = StreamStore(spark, str(tmp_path / "records"), manifest=manifest)
     assert cold.manifest == manifest  # the on-disk log is authoritative
     cold.recover_state()
     check(cold)
