@@ -418,3 +418,78 @@ def prune_log(
             if age_ref is not None and now - age_ref >= tmp_grace_ms:
                 backend.delete(p)
     return n
+
+
+# --- reader leases ------------------------------------------------------
+#
+# The grace window is a TIME answer to reader pinning: vacuum must not
+# delete a delisted file while a plan that captured it may still run,
+# so grace_ms must exceed the longest plan. At 1000-executor scale a
+# fixed horizon is either wastefully long or silently short; the
+# structural answer is a lease REGISTRY: a reader declares "I am
+# pinned to generation G until T", and vacuum keeps every file whose
+# delisting generation is NEWER than any active lease's pinned
+# generation (such a file was visible at G). Leases are advisory
+# crash-safe objects — an expired lease is garbage-collected by
+# vacuum, so a crashed reader delays GC by at most its TTL. This is
+# the same shape as SlateDB's checkpoint-pinned reads
+# (lite/src/backend/kv/mod.rs:55-95: readers operate against a pinned
+# manifest state).
+
+_LEASE_RE = re.compile(r"^lease-([0-9a-f]{32})\.json$")
+
+
+def acquire_lease(
+    base_dir: str,
+    gen: int,
+    ttl_ms: int,
+    now_ms: int | None = None,
+    backend: LocalBackend = LOCAL,
+) -> str:
+    """Register a reader lease pinning generation ``gen`` until
+    ``now + ttl_ms``. Returns the lease id (pass to
+    :func:`release_lease`). One small object create; no CAS needed —
+    lease ids are unique."""
+    lease_id = uuid.uuid4().hex
+    now = int(time.time() * 1000) if now_ms is None else int(now_ms)
+    path = os.path.join(manifest_dir(base_dir), f"lease-{lease_id}.json")
+    data = json.dumps(
+        {"gen": int(gen), "expires_at_ms": now + int(ttl_ms)}
+    ).encode()
+    if not backend.put_if_absent(path, data):  # pragma: no cover - uuid
+        raise RuntimeError(f"lease id collision: {lease_id}")
+    return lease_id
+
+
+def release_lease(
+    base_dir: str, lease_id: str, backend: LocalBackend = LOCAL
+) -> None:
+    backend.delete(os.path.join(manifest_dir(base_dir), f"lease-{lease_id}.json"))
+
+
+def active_lease_floor(
+    base_dir: str,
+    now_ms: int | None = None,
+    backend: LocalBackend = LOCAL,
+) -> int | None:
+    """The oldest generation any ACTIVE lease pins, or None when no
+    active lease exists. Expired leases are deleted as they are seen
+    (vacuum calls this, making it the lease GC too)."""
+    d = manifest_dir(base_dir)
+    now = int(time.time() * 1000) if now_ms is None else int(now_ms)
+    floor: int | None = None
+    for f in backend.list_dir(d):
+        if not _LEASE_RE.match(f):
+            continue
+        path = os.path.join(d, f)
+        try:
+            entry = json.loads(backend.read(path))
+        except (FileNotFoundError, ValueError):  # pragma: no cover - raced
+            continue
+        if entry.get("expires_at_ms", 0) <= now:
+            backend.delete(path)  # expired: crashed reader, GC it
+            continue
+        g = int(entry.get("gen", 0))
+        if floor is None or g < floor:
+            floor = g
+    return floor

@@ -485,6 +485,13 @@ class StreamStore:
         grace_s = grace_ms / 1000.0
         removed = 0
         with self._rewrite_mu:
+            # reader leases trump the grace clock: a lease pinning
+            # generation G keeps every file delisted by a LATER
+            # generation (it was visible at G), however old the delist.
+            # Expired leases (crashed readers) are GC'd by this call.
+            lease_floor = _mf.active_lease_floor(
+                self.base_dir, now_ms, self._mf_backend
+            )
             delisted: set[str] = set()
             pending_gens: set[int] = set()
             for gen, rel, ts in _mf.delisted_entries(
@@ -496,7 +503,9 @@ class StreamStore:
                 p = os.path.join(self.base_dir, rel)
                 if not os.path.exists(p):
                     continue  # already vacuumed
-                if now_ms - ts >= grace_ms:
+                if lease_floor is not None and gen > lease_floor:
+                    pending_gens.add(gen)  # pinned by an active lease
+                elif now_ms - ts >= grace_ms:
                     try:
                         os.remove(p)
                         removed += 1
@@ -537,6 +546,44 @@ class StreamStore:
                 self.base_dir, self._mf_backend, keep_gens=pending_gens
             )
         return removed
+
+    def reader_lease(self, ttl_ms: int = 15 * 60 * 1000):
+        """Context manager pinning the CURRENT generation against
+        :meth:`vacuum` — the lease-registry answer to reader pinning
+        that a fixed grace window only approximates (a fixed horizon is
+        either wastefully long or silently short for a 1000-executor
+        batch plan). While the lease is active, vacuum keeps every file
+        delisted by a generation NEWER than the pinned one, regardless
+        of delist age; the grace window still covers lease-less
+        readers. Leases are crash-safe advisory objects: a reader that
+        dies without releasing delays GC by at most ``ttl_ms`` (vacuum
+        garbage-collects expired leases). Yields the pinned generation.
+
+        Usage::
+
+            with store.reader_lease(ttl_ms=2 * 3600 * 1000):
+                df = store.read(basin, stream)
+                ...  # hours-long plan; vacuum cannot pull its files
+        """
+        if not self.manifest:
+            raise RuntimeError("reader_lease() requires manifest mode")
+        from contextlib import contextmanager
+
+        from s2_spark import manifest as _mf
+
+        @contextmanager
+        def _lease():
+            gen, _ = self._manifest_current()
+            lease_id = _mf.acquire_lease(
+                self.base_dir, gen, ttl_ms,
+                now_ms=self._clock(), backend=self._mf_backend,
+            )
+            try:
+                yield gen
+            finally:
+                _mf.release_lease(self.base_dir, lease_id, self._mf_backend)
+
+        return _lease()
 
     def _manifest_bootstrap(self) -> None:
         """First manifest-mode open over a directory with existing

@@ -654,3 +654,76 @@ def test_fold_retries_stale_head_across_prune_race(tmp_path):
     assert backend.fired
     assert gen == mf.CHECKPOINT_EVERY + 2
     assert files == {f"f{i}" for i in range(mf.CHECKPOINT_EVERY + 2)}
+
+
+# --- round 14: reader leases (generation pinning vs vacuum) --------------
+
+
+def test_reader_lease_pins_delisted_files_against_zero_grace_vacuum(
+    spark, tmp_path
+):
+    """A lease pinning generation G keeps every file delisted by a
+    LATER generation alive through vacuum — even at grace 0 — so an
+    arbitrarily long plan pinned under the lease never loses a file;
+    release + re-vacuum then reclaims everything."""
+    store = _mkstore(spark, tmp_path)
+    for i in range(4):
+        store.append(B, "s1", [Record(body=f"L{i}".encode())])
+    want = [(i, f"L{i}".encode()) for i in range(4)]
+    with store.reader_lease(ttl_ms=3_600_000) as gen:
+        pinned = store.read(B, "s1").select("seq_num", "body")
+        store.compact()
+        store.compact()  # churn twice past the pinned generation
+        assert store.vacuum(grace_ms=0) == 0  # lease floor holds
+        got = [(r.seq_num, bytes(r.body)) for r in pinned.collect()]
+        assert got == want
+        assert gen == 4
+    # lease released: zero-grace vacuum reclaims all delisted files
+    assert store.vacuum(grace_ms=0) > 0
+    assert _rows(store) == want
+
+
+def test_expired_lease_is_gced_and_files_reclaimed(spark, tmp_path):
+    """A crashed reader's lease delays GC by at most its TTL: once the
+    store clock passes expires_at_ms, vacuum garbage-collects the lease
+    object itself and reclaims the files it pinned."""
+    clockbox = {"ms": 5_000_000}
+    store = _mkstore(spark, tmp_path, clockbox=clockbox)
+    for i in range(3):
+        store.append(B, "s1", [Record(body=f"E{i}".encode())])
+    gen, _ = store._manifest_current()
+    # acquire WITHOUT the context manager: the reader "crashes"
+    mf.acquire_lease(store.base_dir, gen, ttl_ms=60_000,
+                     now_ms=clockbox["ms"])
+    store.compact()
+    assert store.vacuum(grace_ms=0) == 0  # active lease pins
+    d = mf.manifest_dir(store.base_dir)
+    assert any(f.startswith("lease-") for f in os.listdir(d))
+    clockbox["ms"] += 60_001  # past the TTL
+    assert store.vacuum(grace_ms=0) == 3  # reclaimed
+    assert not any(f.startswith("lease-") for f in os.listdir(d))
+    assert _rows(store) == [(i, f"E{i}".encode()) for i in range(3)]
+
+
+def test_reader_lease_requires_manifest_mode(spark, tmp_path):
+    cat = Catalog(spark)
+    cat.create_basin(B, BasinConfig(create_stream_on_append=True))
+    store = StreamStore(
+        spark, str(tmp_path / "records"), catalog=cat, manifest=False
+    )
+    with pytest.raises(RuntimeError, match="manifest mode"):
+        store.reader_lease()
+
+
+def test_lease_does_not_pin_files_delisted_before_it(spark, tmp_path):
+    """Correct floor semantics: a lease acquired at generation G pins
+    only what was visible AT G — files delisted by generations <= G
+    were already invisible to the leaseholder and age out normally."""
+    store = _mkstore(spark, tmp_path)
+    for i in range(3):
+        store.append(B, "s1", [Record(body=f"P{i}".encode())])
+    store.compact()  # delists the 3 originals BEFORE the lease
+    with store.reader_lease(ttl_ms=3_600_000):
+        # the pre-lease delists are not pinned: zero grace reclaims them
+        assert store.vacuum(grace_ms=0) == 3
+        assert _rows(store) == [(i, f"P{i}".encode()) for i in range(3)]
