@@ -410,9 +410,22 @@ class StreamStore:
         same store directory, committing through the CAS loop) visible
         to this store's subsequent reads. Returns the generation seen.
         A single-writer store never needs this; its cache is
-        write-through."""
+        write-through.
+
+        Hot stream state (tails) is evicted too: reads serve exactly
+        the ``[trim, tail)`` snapshot, so a stale cached tail would
+        hide another writer's records even after the file list
+        refreshed. Eviction follows the dormancy discipline (streams
+        with an append in flight are skipped — their state advances
+        past the refresh anyway), and unknown streams re-probe
+        storage on next touch."""
         gen, _ = self._manifest_current(refresh=True)
         self._invalidate_records()
+        self.evict_dormant(max_age_ms=0)
+        with self._meta_mu:
+            self._probe_unknown_streams = self._probe_unknown_streams or bool(
+                self._mf_files
+            )
         return gen
 
     def _manifest_publish(self, add=(), remove=(), require_visible=False) -> int:

@@ -727,3 +727,23 @@ def test_lease_does_not_pin_files_delisted_before_it(spark, tmp_path):
         # the pre-lease delists are not pinned: zero grace reclaims them
         assert store.vacuum(grace_ms=0) == 3
         assert _rows(store) == [(i, f"P{i}".encode()) for i in range(3)]
+
+
+def test_manifest_refresh_sees_other_writers_generations(spark, tmp_path):
+    """A store's manifest cache is write-through for its OWN publishes;
+    generations committed by another writer become visible to its
+    reads after manifest_refresh() (cross-writer read visibility is
+    pull-based, like any snapshot client)."""
+    cat = Catalog(spark)
+    cat.create_basin(B, BasinConfig(create_stream_on_append=True))
+    cat.create_stream(B, "s1")
+    cat.create_stream(B, "s2")
+    base = str(tmp_path / "records")
+    a = StreamStore(spark, base, catalog=cat, manifest=True)
+    b = StreamStore(spark, base, catalog=cat)
+    a.append(B, "s1", [Record(body=b"from-a")])
+    assert b._manifest_current()[0] == 0  # b folded the empty log at open
+    assert _rows(b, "s1") == []  # snapshot semantics: not yet visible
+    gen = b.manifest_refresh()
+    assert gen == 1
+    assert _rows(b, "s1") == [(0, b"from-a")]
