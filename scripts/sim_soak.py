@@ -133,6 +133,7 @@ def main() -> int:
         # r14: multi-writer CAS publish protocol + vacuum grace boundary
         ("manifest_cas_two_writer", T.test_sim_manifest_cas_two_writer_publish_race),
         ("manifest_vacuum_grace", T.test_sim_manifest_vacuum_pinned_reader_grace),
+        ("manifest_two_store_churn", T.test_sim_manifest_two_store_churn),
     ]
     print(f"sim_soak: {n} seeds per scenario, base_seed={base}", flush=True)
     failures = []

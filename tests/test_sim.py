@@ -751,7 +751,7 @@ def test_sim_soak_script_wiring():
     # exact roster size (ADVICE r12): a silently dropped scenario must
     # fail here, not vanish from the sweep — update in lockstep with
     # scripts/sim_soak.py
-    assert len(names) == 21, f"soak roster drifted: {len(names)} scenarios"
+    assert len(names) == 22, f"soak roster drifted: {len(names)} scenarios"
     import tests.test_sim as T  # the module the script resolves against
 
     for label, ref in names:
@@ -1456,3 +1456,70 @@ def test_sim_manifest_vacuum_pinned_reader_grace(spark, tmp_path, seed):
         for r in cold.read(BASIN, STREAMS[0]).select("seq_num", "body").collect()
     ]
     assert got_cold == list(enumerate(expected))
+
+
+@pytest.mark.parametrize("seed", [17, 6006])
+def test_sim_manifest_two_store_churn(spark, tmp_path, seed):
+    """Store-LEVEL multi-writer chaos (the round-14 CAS protocol end to
+    end): two StreamStore objects — two simulated processes — over one
+    directory, each appending to its own stream while one also runs
+    compactions; the other store's rewrites race them through
+    PublishConflict re-plans. Every acked append must survive into a
+    cold reopen after a zero-grace vacuum, with contiguous seq_nums
+    per stream (per-stream sequencing stays single-writer; the STORE
+    is what's shared)."""
+    import threading
+
+    from s2_spark.catalog import BasinConfig, Catalog
+
+    rng = random.Random(seed)
+    cat = Catalog(spark)
+    cat.create_basin(BASIN, BasinConfig(create_stream_on_append=True))
+    base = str(tmp_path / "records")
+    stores = [
+        StreamStore(spark, base, catalog=cat, manifest=True) for _ in range(2)
+    ]
+    for w in range(2):
+        cat.create_stream(BASIN, f"mw-{w}")
+    counts = [rng.randint(6, 12) for _ in range(2)]
+    barrier = threading.Barrier(2)
+    errs: list = []
+
+    def writer(w: int) -> None:
+        wrng = random.Random(seed * 77 + w)
+        barrier.wait()
+        try:
+            for i in range(counts[w]):
+                stores[w].append(
+                    BASIN, f"mw-{w}", [Record(body=f"w{w}-{i}".encode())]
+                )
+                # writer 0 also compacts sometimes: its rewrite may
+                # consume files writer 1's rewrite just delisted —
+                # the PublishConflict re-plan must absorb it
+                if w == 0 and wrng.random() < 0.3:
+                    stores[w].compact()
+                elif w == 1 and wrng.random() < 0.15:
+                    stores[w].compact()
+        except Exception as e:  # pragma: no cover - surfaced below
+            errs.append((w, repr(e)))
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+    cold = StreamStore(spark, base, catalog=cat)
+    cold.vacuum(grace_ms=0)
+    for w in range(2):
+        rows = [
+            (r.seq_num, bytes(r.body))
+            for r in cold.read(BASIN, f"mw-{w}")
+            .select("seq_num", "body")
+            .collect()
+        ]
+        assert rows == [
+            (i, f"w{w}-{i}".encode()) for i in range(counts[w])
+        ], f"writer {w}: {rows[:6]}..."
+        tail, _ = cold.check_tail(BASIN, f"mw-{w}")
+        assert tail == counts[w]
