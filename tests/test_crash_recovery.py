@@ -622,7 +622,10 @@ def test_any_trim_sequence_recovers_exactly_manifest_publish_crash(
             trim = max(trim, min(v, tail + 1))
             tail += 1
 
-    real_replace, real_rename = _os.replace, _os.rename
+    # the publish commit point is os.link since r14 (create-if-absent);
+    # intercepting only rename/replace would silently stop covering
+    # the "crash at the publish itself" arm of the property
+    real_replace, real_rename, real_link = _os.replace, _os.rename, _os.link
     calls = {"n": 0}
 
     def _step(src, dst, real):
@@ -634,12 +637,15 @@ def test_any_trim_sequence_recovers_exactly_manifest_publish_crash(
 
     _os.replace = lambda src, dst: _step(src, dst, real_replace)
     _os.rename = lambda src, dst: _step(src, dst, real_rename)
+    _os.link = lambda src, dst: _step(src, dst, real_link)
     try:
         s1.apply_trim_and_retention()
     except _Boom:
         pass
     finally:
-        _os.replace, _os.rename = real_replace, real_rename
+        _os.replace, _os.rename, _os.link = (
+            real_replace, real_rename, real_link,
+        )
 
     s2 = StreamStore(spark, base)
     assert s2.manifest

@@ -747,3 +747,26 @@ def test_manifest_refresh_sees_other_writers_generations(spark, tmp_path):
     gen = b.manifest_refresh()
     assert gen == 1
     assert _rows(b, "s1") == [(0, b"from-a")]
+
+
+def test_publish_commit_point_is_os_link(tmp_path, monkeypatch):
+    """The sim crash injectors aim their bombs at the publish COMMIT
+    operation. When that op changed from os.rename to os.link (r14
+    create-if-absent), the crash-at-publish arm of two scenarios went
+    silently unreachable until review caught it — pin the commit op so
+    a future change fails HERE instead of degrading coverage."""
+    fired = {"n": 0}
+    real = os.link
+
+    def spy(src, dst):
+        if f"_manifest{os.sep}" in str(dst):
+            fired["n"] += 1
+        return real(src, dst)
+
+    monkeypatch.setattr(os, "link", spy)
+    mf.publish(str(tmp_path), add=["a.parquet"])
+    assert fired["n"] == 1, (
+        "manifest publish no longer commits via os.link into _manifest/ — "
+        "update the crash injectors in tests/test_sim.py and "
+        "tests/test_crash_recovery.py to target the new commit op"
+    )

@@ -148,11 +148,13 @@ def _run_workload(
             if rng.random() < 0.6:
                 real_rename = _os.rename
                 real_replace = _os.replace
+                real_link = _os.link
                 if manifest:
                     # manifest protocol steps: staged-output moves
-                    # (os.replace) and the publish rename (os.rename
-                    # into _manifest/) — crash anywhere before the
-                    # publish discards the rewrite, after it commits it
+                    # (os.replace) and the publish CREATE (os.link into
+                    # _manifest/ since the r14 create-if-absent commit)
+                    # — crash anywhere before the publish discards the
+                    # rewrite, after it commits it
                     def _hit(src, dst):
                         return "_compact-stage-" in str(src) or (
                             f"_manifest{_os.sep}" in str(dst)
@@ -178,9 +180,13 @@ def _run_workload(
                 def bomb_replace(src, dst):
                     return bomb(src, dst, _real=real_replace)
 
+                def bomb_link(src, dst):
+                    return bomb(src, dst, _real=real_link)
+
                 _os.rename = bomb
                 if manifest:
                     _os.replace = bomb_replace
+                    _os.link = bomb_link
                 try:
                     store.apply_trim_and_retention()
                 except RuntimeError as e:
@@ -190,6 +196,7 @@ def _run_workload(
                 finally:
                     _os.rename = real_rename
                     _os.replace = real_replace
+                    _os.link = real_link
             else:
                 store.apply_trim_and_retention()
             store = rebuild()  # recovery completes/discards the swap
