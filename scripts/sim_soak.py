@@ -66,8 +66,12 @@ def _compaction_linearizability_scenario(spark, tmp_path, seed):
     cat = Catalog(spark)
     cat.create_basin(L.BASIN, BasinConfig(create_stream_on_append=True))
     cat.create_stream(L.BASIN, L.STREAM)
-    store = StreamStore(spark, str(tmp_path / "records"), catalog=cat)
-    L.test_concurrent_history_linearizable_under_compaction(store, seed)
+    # listing layout pinned: the subject is the swap-window FNF retry,
+    # which the manifest layout (the r14 default) retires structurally
+    store = StreamStore(
+        spark, str(tmp_path / "records"), catalog=cat, manifest=False
+    )
+    L._history_under_compaction(store, seed, retry_reads=True)
 
 
 def _manifest_linearizability_scenario(spark, tmp_path, seed):

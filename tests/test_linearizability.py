@@ -749,7 +749,9 @@ def _history_under_compaction(store, seed, retry_reads: bool) -> None:
 
 
 @pytest.mark.parametrize("seed", [29, 6006])
-def test_concurrent_history_linearizable_under_compaction(store, seed):
+def test_concurrent_history_linearizable_under_compaction(
+    spark, tmp_path, seed
+):
     """Listing layout: linearizable under compaction churn, with the
     documented loud-FNF retry for reads that execute mid-swap. The
     round-12 swap work makes three claims this scenario checks live:
@@ -757,8 +759,16 @@ def test_concurrent_history_linearizable_under_compaction(store, seed):
     manifest), reads never silently observe a hole below an acked
     tail (the swap latch over listing creation), and trim visibility
     stays exactly the monotone-clamp model even while rewrites
-    physically delete trimmed records."""
-    _history_under_compaction(store, seed, retry_reads=True)
+    physically delete trimmed records. The listing layout is pinned
+    explicitly — the shared fixture follows the r14 manifest default,
+    which would retire this scenario's very subject."""
+    cat = Catalog(spark)
+    cat.create_basin(BASIN, BasinConfig(create_stream_on_append=True))
+    cat.create_stream(BASIN, STREAM)
+    listing = StreamStore(
+        spark, str(tmp_path / "records"), catalog=cat, manifest=False
+    )
+    _history_under_compaction(listing, seed, retry_reads=True)
 
 
 @pytest.mark.parametrize("seed", [29, 6006])

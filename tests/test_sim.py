@@ -412,7 +412,13 @@ def test_sim_differential_with_compaction_crashes(spark, tmp_path, seed):
         cat.create_stream(BASIN, s)
 
     def rebuild():
-        return StreamStore(spark, base, catalog=cat, clock=lambda: clockbox["ms"])
+        # listing layout pinned: this scenario's crash bombs target the
+        # rename-swap (.compact/.trash); the r14 manifest default would
+        # silently retire them (manifest variants exist separately)
+        return StreamStore(
+            spark, base, catalog=cat, clock=lambda: clockbox["ms"],
+            manifest=False,
+        )
 
     _run_workload(
         rebuild(),
@@ -556,12 +562,14 @@ def test_sim_differential_compaction_crashes_bucketed(spark, tmp_path, seed):
         cat.create_stream(BASIN, s)
 
     def rebuild():
+        # listing layout pinned (see test_sim_differential_with_compaction_crashes)
         return StreamStore(
             spark,
             base,
             catalog=cat,
             clock=lambda: clockbox["ms"],
             bucket_count=8,
+            manifest=False,
         )
 
     _run_workload(
@@ -790,7 +798,9 @@ def test_sim_compaction_during_cc_loop(spark, tmp_path, seed):
     from tests.test_functions import _cluster_replay
 
     rng = random.Random(seed)
-    store = StreamStore(spark, str(tmp_path / "records"))
+    # listing layout pinned: the scenario's subject is the swap window
+    # + compaction_paused() coordination, which manifest mode retires
+    store = StreamStore(spark, str(tmp_path / "records"), manifest=False)
     store.catalog.create_basin(
         BASIN, BasinConfig(create_stream_on_append=True)
     )
@@ -1190,7 +1200,10 @@ def test_sim_staged_append_kill_point(spark, tmp_path, seed):
 
     rng = random.Random(seed)
     base = str(tmp_path / "records")
-    store = StreamStore(spark, base, bucket_count=8)
+    # listing layout pinned: the per-FILE durable-subset envelope this
+    # scenario chaoses exists only there (manifest appends are atomic
+    # at the publish; test_manifest covers that envelope)
+    store = StreamStore(spark, base, bucket_count=8, manifest=False)
     store.catalog.create_basin(BASIN, BasinConfig(create_stream_on_append=True))
     pre: dict[str, list] = {s: [] for s in STREAMS}
     for s in STREAMS:
@@ -1277,7 +1290,7 @@ def test_sim_staged_append_kill_point(spark, tmp_path, seed):
         th_c.join()
     assert not reader_errs, reader_errs
 
-    cold = StreamStore(spark, base, bucket_count=8)
+    cold = StreamStore(spark, base, bucket_count=8, manifest=False)
     cold.recover_state()
     for s in STREAMS:
         visible = [
