@@ -2008,10 +2008,13 @@ def test_reader_hwm_namespace_isolates_queries(spark, store):
     assert mk().latestOffset()[k] == [0, 8]
 
 
-def test_source_exactly_once_under_live_concurrent_compaction(spark, store):
+def test_source_exactly_once_under_live_concurrent_compaction(spark, tmp_path):
     """Live race of the round-10 tails-scan hardening: a reader
     triggers continuously while the store compacts in a loop (the
     `.trash` swap window repeatedly opens and closes under the scan).
+    LISTING layout pinned explicitly — this scenario's subject is the
+    swap window, which the r14 manifest default retires (the manifest
+    E2E source test covers that layout's compaction+vacuum race).
     Offsets must never regress within a generation — a mid-swap
     listing is skipped, not trusted — and every appended record is
     delivered exactly once. Appends and compactions serialize against
@@ -2022,6 +2025,12 @@ def test_source_exactly_once_under_live_concurrent_compaction(spark, store):
 
     from s2_spark.streaming.source import SEP, S2StreamReader
 
+    cat = Catalog(spark)
+    cat.create_basin(BASIN)
+    cat.create_stream(BASIN, "s1")
+    store = StreamStore(
+        spark, str(tmp_path / "records"), catalog=cat, manifest=False
+    )
     k = f"{BASIN}{SEP}s1"
     mu = threading.Lock()
     stop = threading.Event()
