@@ -770,3 +770,88 @@ def test_publish_commit_point_is_os_link(tmp_path, monkeypatch):
         "update the crash injectors in tests/test_sim.py and "
         "tests/test_crash_recovery.py to target the new commit op"
     )
+
+
+def test_fold_and_prune_race_live_publisher(tmp_path):
+    """Live three-way race on one log: a writer CAS-publishes across
+    several checkpoint boundaries (with occasional delists), a pruner
+    loops prune_log, and a reader folds continuously with no lock —
+    the ADVICE-r13 stale-head scenario as a real race instead of the
+    deterministic StaleOnceBackend replay. No fold may ever error or
+    return a state inconsistent with some prefix of the publish
+    history; the final fold equals the replay of every publish."""
+    import threading
+
+    base = str(tmp_path)
+    n_gens = mf.CHECKPOINT_EVERY * 2 + 10
+    committed: list[tuple[int, str, str | None]] = []
+    live = set()
+    errs: list = []
+    done = threading.Event()
+
+    def publisher():
+        try:
+            import random as _r
+
+            rng = _r.Random(42)
+            for i in range(n_gens):
+                fname = f"f{i}"
+                rm = None
+                if live and rng.random() < 0.3:
+                    rm = sorted(live)[0]
+                    live.discard(rm)
+                gen, _files = mf.publish(
+                    base, add=[fname], remove=[rm] if rm else []
+                )
+                live.add(fname)
+                committed.append((gen, fname, rm))
+        except Exception as e:  # pragma: no cover
+            errs.append(("pub", repr(e)))
+        finally:
+            done.set()
+
+    def pruner():
+        while not done.is_set():
+            try:
+                mf.prune_log(base)
+            except Exception as e:  # pragma: no cover
+                errs.append(("prune", repr(e)))
+                return
+
+    def reader():
+        seen_gen = 0
+        while not done.is_set():
+            try:
+                gen, files = mf.fold(base)
+                assert gen >= seen_gen, "fold went backwards"
+                seen_gen = gen
+                # every fold must equal the replay of the first `gen`
+                # committed publishes (single publisher => gen order
+                # == commit order)
+                replay: set = set()
+                for g, add, rm in committed[:gen]:
+                    if rm:
+                        replay.discard(rm)
+                    replay.add(add)
+                if len(committed) >= gen:
+                    assert files == replay, (gen, files ^ replay)
+            except Exception as e:  # pragma: no cover
+                errs.append(("read", repr(e)))
+                return
+
+    ts = [
+        threading.Thread(target=f) for f in (publisher, pruner, reader)
+    ]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs, errs
+    gen, files = mf.fold(base)
+    assert gen == n_gens
+    replay: set = set()
+    for _g, add, rm in committed:
+        if rm:
+            replay.discard(rm)
+        replay.add(add)
+    assert files == replay
