@@ -140,9 +140,7 @@ class InMemoryCASBackend:
     port must satisfy (create-if-absent = ``If-None-Match: *``). Used
     by tests and the concurrency soak to drive the publish CAS loop
     through object-store semantics: no rename, no link, no mtime —
-    just atomic first-writer-wins puts. ``on_put`` (optional) fires
-    inside the lock just before a successful put, letting tests
-    inject a racing writer at the exact CAS boundary."""
+    just atomic first-writer-wins puts."""
 
     def __init__(self, clock=None):
         import threading
@@ -150,7 +148,6 @@ class InMemoryCASBackend:
         self._mu = threading.Lock()
         self._objects: dict[str, tuple[bytes, int]] = {}
         self._clock = clock or (lambda: int(time.time() * 1000))
-        self.on_put = None
         self.puts = 0
         self.conflicts = 0
 
@@ -170,17 +167,12 @@ class InMemoryCASBackend:
             return self._objects[path][0]
 
     def put_if_absent(self, path: str, data: bytes) -> bool:
-        hook = None
         with self._mu:
             if path in self._objects:
                 self.conflicts += 1
                 return False
-            if self.on_put is not None:
-                hook, self.on_put = self.on_put, None
             self._objects[path] = (data, self._clock())
             self.puts += 1
-        if hook is not None:
-            hook(path)
         return True
 
     def delete(self, path: str) -> None:
@@ -270,8 +262,8 @@ def fold(
         return head, files
     raise RuntimeError(
         f"manifest gap: a generation below head is missing with no "
-        f"checkpoint in between, persisting across {_relist_retries} "
-        f"re-lists — the log is corrupt"
+        f"checkpoint in between, persisting across {_relist_retries + 1} "
+        f"list-and-walk attempts — the log is corrupt"
     )
 
 
@@ -322,8 +314,25 @@ def publish(
     by delisting publishes: compaction/trim rewrites) re-validates on
     every attempt that the full ``remove`` set is still visible and
     raises :class:`PublishConflict` otherwise — the rewrite's inputs
-    were consumed by a racing publish and its output is stale."""
+    were consumed by a racing publish and its output is stale.
+
+    **Pruned-number resurrection guard.** A writer whose ``known``
+    snapshot is very stale can win the create for a generation number
+    the log already PASSED and pruned (head advanced beyond a
+    checkpoint; prune_log deleted the old delta entries; the number is
+    free again) — such an entry is unreachable from every fold (the
+    walk stops at the newer checkpoint) and its acked data would be
+    silently lost. After every create the loop therefore re-lists: if
+    the head moved past the created generation, a fresh fold must show
+    the publish ABSORBED (its adds visible / its removes gone — UUID
+    file names make this unambiguous for add-carrying publishes);
+    otherwise the zombie entry is deleted and the publish retries on
+    top of the real head. The zombie exists only for the instant
+    between create and validation, and is never on any fold path
+    except the degenerate stale-reader-at-the-exact-pruned-checkpoint
+    corner, which self-heals on that reader's next fold."""
     add, remove = sorted(set(add)), sorted(set(remove))
+    d = manifest_dir(base_dir)
     for attempt in range(max_attempts):
         if known is None:
             known = fold(base_dir, backend)
@@ -340,6 +349,16 @@ def publish(
         new_files = (set(files) - set(remove)) | set(add)
         ckpt = sorted(new_files) if new_gen % CHECKPOINT_EVERY == 0 else None
         if write_gen(base_dir, new_gen, add, remove, ckpt, ts_ms, backend):
+            gens = _gen_numbers(d, backend)
+            if gens and gens[-1] > new_gen:
+                head2, files2 = fold(base_dir, backend)
+                absorbed = set(add) <= files2 and not (set(remove) & files2)
+                if not absorbed:
+                    # resurrected a pruned number: unreachable zombie
+                    backend.delete(_gen_path(d, new_gen))
+                    known = (head2, files2)
+                    continue
+                return head2, files2
             return new_gen, new_files
         known = None  # lost the CAS — re-fold on top of the winner
         if attempt >= 8:
@@ -493,3 +512,24 @@ def active_lease_floor(
         if floor is None or g < floor:
             floor = g
     return floor
+
+
+#: local breadcrumb dropped by a store whose manifest log lives in a
+#: NON-local backend (object store): path-only readers (the streaming
+#: source's footer scanner) and backend-less reopens cannot see that
+#: log — without the marker they would silently fall back to directory
+#: listings and double-count every compaction's delisted originals.
+EXTERNAL_BACKEND_MARKER = ".external-backend"
+
+
+def mark_external_backend(base_dir: str) -> None:
+    d = manifest_dir(base_dir)
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, EXTERNAL_BACKEND_MARKER), "w") as f:
+        f.write("manifest log lives in a non-local PublishBackend\n")
+
+
+def has_external_backend_marker(base_dir: str) -> bool:
+    return os.path.exists(
+        os.path.join(manifest_dir(base_dir), EXTERNAL_BACKEND_MARKER)
+    )

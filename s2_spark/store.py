@@ -216,9 +216,26 @@ class StreamStore:
         self.spark = spark
         self.base_dir = base_dir
         self._mf_backend = manifest_backend or _mf.LOCAL
+        if manifest_backend is None and _mf.has_external_backend_marker(
+            base_dir
+        ):
+            # this directory's generation log lives in a NON-local
+            # backend: opening it without that backend would fall back
+            # to listings and double-count every compaction's delisted
+            # originals — fail loudly instead
+            raise RuntimeError(
+                f"store {base_dir!r} uses an external manifest backend "
+                f"(marker {_mf.EXTERNAL_BACKEND_MARKER!r}); pass the "
+                f"matching manifest_backend to open it"
+            )
         self.manifest = bool(manifest) or _mf.is_manifest_store(
             base_dir, self._mf_backend
         )
+        if manifest_backend is not None and self.manifest:
+            # breadcrumb for path-only readers (streaming footer
+            # scanner) and backend-less reopens: the visibility log is
+            # not on the local filesystem
+            _mf.mark_external_backend(base_dir)
         # manifest-mode cache: current (generation, visible relpaths).
         # Guarded by _manifest_mu; gen None = not yet folded from disk
         self._manifest_mu = threading.Lock()
@@ -492,7 +509,13 @@ class StreamStore:
             raise RuntimeError("vacuum() requires manifest mode")
         from s2_spark import manifest as _mf
 
-        _, visible = self._manifest_current()
+        # FRESH fold, never the write-through cache: on a shared
+        # directory another writer's files are live-but-absent from a
+        # stale cache — the orphan sweep would delete acked head-visible
+        # records, and a delisted-within-grace file still present in the
+        # stale `visible` would lose its delist record to the prune
+        # (code-review r14, acked-data-loss class)
+        _, visible = self._manifest_current(refresh=True)
         now_ms = self._clock()
         now = time.time()
         grace_s = grace_ms / 1000.0
@@ -586,7 +609,12 @@ class StreamStore:
 
         @contextmanager
         def _lease():
-            gen, _ = self._manifest_current()
+            # pin a FRESH generation: a stale cached one may already
+            # have been compacted past and its files vacuumed — a lease
+            # on it would promise protection for files already gone.
+            # Files delisted between this fold and the acquire are
+            # still inside the grace window, which covers the gap.
+            gen, _ = self._manifest_current(refresh=True)
             lease_id = _mf.acquire_lease(
                 self.base_dir, gen, ttl_ms,
                 now_ms=self._clock(), backend=self._mf_backend,

@@ -75,6 +75,15 @@ def _parquet_files(path: str) -> list[str]:
     store's own ``records_df`` uses."""
     from s2_spark import manifest as _mf
 
+    if _mf.has_external_backend_marker(path):
+        # the generation log lives in a non-local PublishBackend this
+        # path-only scanner cannot reach — a listing fallback would
+        # double-count delisted originals after a compaction
+        raise RuntimeError(
+            f"store {path!r} uses an external manifest backend; the "
+            f"streaming source's footer scanner requires the local "
+            f"backend (read through the owning StreamStore instead)"
+        )
     if _mf.is_manifest_store(path):
         _, visible = _mf.fold(path)
         return sorted(

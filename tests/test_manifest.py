@@ -506,8 +506,11 @@ def test_inmemory_cas_backend_full_store_roundtrip(spark, tmp_path):
     assert store.vacuum(grace_ms=0) == n_before
     assert _rows(store) == want
     assert backend.puts == store._manifest_current()[0]  # 1 put per gen
-    # nothing protocol-shaped leaked onto the local filesystem
-    assert not os.path.isdir(mf.manifest_dir(store.base_dir))
+    # no generation objects leaked onto the local filesystem — only the
+    # external-backend breadcrumb that keeps path-only readers and
+    # backend-less reopens from silently falling back to listings
+    assert not mf.is_manifest_store(store.base_dir, mf.LOCAL)
+    assert mf.has_external_backend_marker(store.base_dir)
     # a second store over the same backend CAS-publishes (stale-seed
     # retry) instead of clobbering
     other = StreamStore(
@@ -855,3 +858,113 @@ def test_fold_and_prune_race_live_publisher(tmp_path):
             replay.discard(rm)
         replay.add(add)
     assert files == replay
+
+
+# --- round 14 code-review regressions (multi-writer staleness class) -----
+
+
+def test_publish_detects_and_retries_pruned_number_resurrection(tmp_path):
+    """Code-review r14 (acked-data-loss): a writer with a VERY stale
+    `known` snapshot can win the create for a generation number the
+    log already passed and pruned — the entry would be unreachable
+    from every fold and its acked data silently lost. The publish loop
+    must detect the zombie (its adds absent from a fresh fold), delete
+    it, and retry on top of the real head."""
+    base = str(tmp_path)
+    n = mf.CHECKPOINT_EVERY + 3  # head 35, checkpoint at 32
+    for i in range(n):
+        mf.publish(base, add=[f"f{i}"])
+    assert mf.prune_log(base) == mf.CHECKPOINT_EVERY - 1  # gens 1..31 gone
+    head, files = mf.fold(base)
+    assert head == n
+    # stale writer thinks the head is 5 → attempts gen 6 (now free)
+    gen, files2 = mf.publish(base, add=["late.parquet"], known=(5, {"f0"}))
+    assert gen == head + 1  # committed on the REAL head, not a zombie
+    assert "late.parquet" in files2 and files < files2
+    d = mf.manifest_dir(base)
+    assert 6 not in mf._gen_numbers(d)  # zombie cleaned up
+    assert mf.fold(base) == (head + 1, files2)
+
+
+def test_vacuum_folds_fresh_never_deletes_other_writers_live_files(
+    spark, tmp_path
+):
+    """Code-review r14 (acked-data-loss): vacuum must compute the
+    visible set from a FRESH fold — a stale write-through cache would
+    classify another writer's live head-visible files as orphans and
+    the mtime-aged sweep would delete acked records."""
+    import time as _time
+
+    cat = Catalog(spark)
+    cat.create_basin(B, BasinConfig(create_stream_on_append=True))
+    cat.create_stream(B, "s1")
+    cat.create_stream(B, "s2")
+    base = str(tmp_path / "records")
+    a = StreamStore(spark, base, catalog=cat, manifest=True)
+    a.append(B, "s1", [Record(body=b"a0")])  # a's cache: gen 1
+    b = StreamStore(spark, base, catalog=cat)
+    for i in range(2):
+        b.append(B, "s2", [Record(body=f"b{i}".encode())])  # gens 2-3
+    # make b's files LOOK old (the orphan sweep ages by mtime)
+    old = _time.time() - 7200
+    for p in _data_files(base):
+        os.utime(p, (old, old))
+    assert a.vacuum(grace_ms=0) == 0  # fresh fold: everything is live
+    cold = StreamStore(spark, base, catalog=cat)
+    assert _rows(cold, "s1") == [(0, b"a0")]
+    assert _rows(cold, "s2") == [(0, b"b0"), (1, b"b1")]
+
+
+def test_reader_lease_pins_fresh_generation_not_stale_cache(spark, tmp_path):
+    """Code-review r14: a lease must pin a FRESH generation — pinning
+    the stale cached one would promise protection for files that may
+    already be delisted-and-vacuumed. The lease generation equals the
+    real head at acquire time, and files delisted AFTER it survive a
+    zero-grace vacuum while the lease is active."""
+    cat = Catalog(spark)
+    cat.create_basin(B, BasinConfig(create_stream_on_append=True))
+    cat.create_stream(B, "s1")
+    base = str(tmp_path / "records")
+    a = StreamStore(spark, base, catalog=cat, manifest=True)
+    a.append(B, "s1", [Record(body=b"x0")])  # a's cache: gen 1
+    b = StreamStore(spark, base, catalog=cat)
+    b.append(B, "s1", [Record(body=b"x1")])  # gen 2 — a's cache stale
+    head = mf.fold(base)[0]
+    with a.reader_lease(ttl_ms=3_600_000) as gen:
+        assert gen == head  # fresh, not a's cached gen 1
+        b.compact()  # delists at gen head+1 > lease floor
+        assert b.vacuum(grace_ms=0) == 0  # pinned by a's lease
+        pinned_rows = _rows(b)
+        assert pinned_rows == [(0, b"x0"), (1, b"x1")]
+    assert b.vacuum(grace_ms=0) > 0  # released → reclaimable
+    assert _rows(b) == [(0, b"x0"), (1, b"x1")]
+
+
+def test_external_backend_marker_guards_path_readers_and_reopen(
+    spark, tmp_path
+):
+    """Code-review r14: a store whose manifest log lives in a
+    non-local backend leaves a local breadcrumb; the streaming
+    source's path-only footer scanner and a backend-less reopen both
+    fail loudly instead of silently falling back to a directory
+    listing that double-counts delisted originals."""
+    from s2_spark.streaming.source import _parquet_files
+
+    backend = mf.InMemoryCASBackend()
+    cat = Catalog(spark)
+    cat.create_basin(B, BasinConfig(create_stream_on_append=True))
+    cat.create_stream(B, "s1")
+    base = str(tmp_path / "records")
+    store = StreamStore(
+        spark, base, catalog=cat, manifest=True, manifest_backend=backend
+    )
+    store.append(B, "s1", [Record(body=b"m0")])
+    with pytest.raises(RuntimeError, match="external manifest backend"):
+        _parquet_files(base)
+    with pytest.raises(RuntimeError, match="external manifest backend"):
+        StreamStore(spark, base, catalog=cat)
+    # reopening WITH the backend works and reads through the log
+    again = StreamStore(
+        spark, base, catalog=cat, manifest=True, manifest_backend=backend
+    )
+    assert _rows(again) == [(0, b"m0")]
