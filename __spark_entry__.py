@@ -88,26 +88,19 @@ _R03_BACKLOG = frozenset({
 # the scoring prefix ahead of untouched proven entries until a fresh
 # proof lands.
 #
-# Round 14: the shared `_contamination_report` rollup was RE-PLANNED
-# again (the r13 collect_set concentrated unbounded per-gram reducer
-# state on hot boilerplate grams — ADVICE r13; now a partitioned-window
-# flag over one gram-keyed exchange: same single projection, bounded
-# spillable state), so all three users re-enter the prefix: x68, x79,
-# x82. f3_math and f19_math_extra changed their ORACLES (total-order
-# fix: ORDER BY every output column under the LIMIT), so their r13
-# proofs predate the shipped contract and they rescore too. The store
-# changes (CAS publish, vacuum-from-log, manifest default flip) touch
-# no registry query plan. The r13 rotation (r3/r4 backlog) graduates;
-# the aged tail now fronts the remaining r8/r9 proofs (x11, x12, x15,
-# x16, x17, x18, x20, x25, x27, x33, x35, x38, x39, x40, x41-x47,
-# x50), which sorted-by-proof-age places first automatically.
-_R14_RESCORE: frozenset[str] = frozenset({
-    "x79_normalized_contamination",
-    "x68_decontamination_overlap",
-    "x82_winnowed_contamination",
-    "f3_math",
-    "f19_math_extra",
-})
+# Round 15: EMPTY — every change this round is store-protocol
+# (structural resurrection guard, data-plane backend seam, sandbox
+# object store, cross-process soak) or bench-harness (interleaved
+# s2bench legs, per-section loadavg gates); no registry query plan or
+# oracle changed, so nothing's proof predates its code. The scoring
+# prefix therefore falls straight through to the aged tail, which
+# fronts the 15 remaining r10 proofs (ag10, ag16-ag21, x51-x53,
+# x55-x59) then the r11 cohort — exactly the VERDICT r14 task-5
+# rotation (done = nothing older than r11 after this round).
+#
+# (Round 14 rescored x68/x79/x82 — contamination window re-plan — and
+# f3/f19 — total-order oracle fix; all five re-proved in r14.)
+_R15_RESCORE: frozenset[str] = frozenset()
 
 
 def _prioritized(names: list[str]) -> list[str]:
@@ -148,8 +141,8 @@ def _prioritized(names: list[str]) -> list[str]:
 
     backlog = [n for n in fresh if n in _R03_BACKLOG]
     newer = [n for n in fresh if n not in _R03_BACKLOG]
-    rescore = [n for n in proven if n in _R14_RESCORE]
-    stable = [n for n in proven if n not in _R14_RESCORE]
+    rescore = [n for n in proven if n in _R15_RESCORE]
+    stable = [n for n in proven if n not in _R15_RESCORE]
     # age the stable tail: oldest proof round first, families
     # round-robined within each round so one big old family can't
     # monopolize the refresh budget

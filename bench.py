@@ -168,6 +168,40 @@ def s2_bench_equivalent(
         _s2_bench_once(spark, n_records, record_bytes, manifest=manifest)
         for _ in range(reps)
     ]
+    return _s2_agg(runs, n_records, record_bytes, reps)
+
+
+def s2_bench_interleaved(
+    spark,
+    n_records: int = 8000,
+    record_bytes: int = 8192,
+    reps: int | None = None,
+) -> tuple[dict, dict]:
+    """BOTH layouts, A/B-INTERLEAVED per rep (VERDICT r14 task 3): each
+    iteration runs one fresh manifest store then one fresh listing
+    store back-to-back, so ambient drift (co-tenant load, the bench's
+    own accumulated self-load, page-cache temperature) hits the two
+    legs equally. The r14 record ran three manifest reps then three
+    listing reps, which is exactly the sequencing mistake the round-12
+    postmortem recorded — the judge's idle run measured the manifest
+    read leg +31% with NON-overlapping spreads where the sequential
+    harness had claimed +4%. Returns (manifest_agg, listing_agg)."""
+    reps = S2BENCH_REPS if reps is None else reps
+    runs_m, runs_l = [], []
+    for _ in range(reps):
+        runs_m.append(
+            _s2_bench_once(spark, n_records, record_bytes, manifest=True)
+        )
+        runs_l.append(
+            _s2_bench_once(spark, n_records, record_bytes, manifest=False)
+        )
+    return (
+        _s2_agg(runs_m, n_records, record_bytes, reps),
+        _s2_agg(runs_l, n_records, record_bytes, reps),
+    )
+
+
+def _s2_agg(runs: list[dict], n_records: int, record_bytes: int, reps: int) -> dict:
 
     def med_by(key):
         return sorted(runs, key=lambda r: r[key])[len(runs) // 2]
@@ -351,6 +385,33 @@ def _s2_bench_once(
         }
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def _gate(section: str, budget_s: int | None = None) -> dict:
+    """Per-SECTION co-tenant gate (VERDICT r14 task 4): wait for the
+    1-minute loadavg to decay below the threshold before a measurement
+    section starts. The t=0 guard alone let r14's probe rows run at
+    loadavg 16-28 — the bench's OWN earlier sections — which poisoned
+    the decade-ratio series (untouched plans "regressed" 15-60% in
+    lockstep). Loadavg decays ~e^(-t/60) once work stops, so a
+    120-240 s budget rides out self-load; a co-tenant that never goes
+    idle shows up as passed=False stamped on the section rather than
+    as a silent bad number. Returns the stamp dict recorded with the
+    section's output."""
+    max_load = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "8"))
+    if budget_s is None:
+        budget_s = int(os.environ.get("SPARK_GRAFT_BENCH_GATE_S", "240"))
+    waited = 0
+    while os.getloadavg()[0] > max_load and waited < budget_s:
+        time.sleep(5)
+        waited += 5
+    la = os.getloadavg()
+    return {
+        "section": section,
+        "passed": la[0] <= max_load,
+        "loadavg": [round(x, 2) for x in la],
+        "waited_s": waited,
+    }
 
 
 def _percentiles(xs: list[float]) -> dict:
@@ -584,17 +645,23 @@ def _build_x100(spark, from10: str, out_dir: str) -> None:
         out.write.mode("overwrite").parquet(os.path.join(out_dir, f"{name}.parquet"))
 
 
-def scale_probe(spark) -> tuple[dict, dict]:
+def scale_probe(spark, gates: list | None = None) -> tuple[dict, dict]:
     """Heaviest scan/agg/join entries at ~10x the bench SF (seconds and
     the x10/x1 runtime ratio: ideal ~10 for scans at fixed cores, less
     with pruning; superlinear growth flags a scale bottleneck), plus a
     second decade (~100x) for the three X100_PROBE representatives —
-    the curve, not just one point."""
+    the curve, not just one point. ``gates`` collects per-section
+    loadavg-gate stamps; every x100 row additionally carries its own
+    gate (VERDICT r14 task 4: the r14 rows ran at loadavg 16-28 from
+    the bench's own earlier sections)."""
     qs = all_queries()
     tmp10 = tempfile.mkdtemp(prefix="s2scale10_")
     tmp100 = tempfile.mkdtemp(prefix="s2scale100_")
+    if gates is None:
+        gates = []
     try:
         _build_x10(spark, tmp10)
+        gates.append(_gate("scale_probe_x10"))
         def best_of(fn, sf_dir, reps: int = 2) -> float:
             # min over reps: the first execution of a plan in a session
             # pays whole-stage-codegen + JIT compilation (observed 17x
@@ -620,6 +687,7 @@ def scale_probe(spark) -> tuple[dict, dict]:
         x100 = {}
         if os.environ.get("SPARK_GRAFT_X100", "1") != "0":
             _build_x100(spark, tmp10, tmp100)
+            gates.append(_gate("scale_probe_x100"))
             for label, name in X100_PROBE:
                 # plans are already codegen/JIT-warm from the x1/x10
                 # runs above. MEDIAN of 3 + min/max spread + loadavg,
@@ -629,7 +697,9 @@ def scale_probe(spark) -> tuple[dict, dict]:
                 # minhash run read 10.87x/decade — above ideal linear —
                 # on code untouched since round 6, while the same
                 # query's warm headline median IMPROVED).
-                la = os.getloadavg()
+                # per-ROW gate (shorter budget): the previous row's
+                # own 32-thread work is the dominant load source here
+                row_gate = _gate(f"x100:{label}", budget_s=120)
                 # a label probed only at the second decade (not in
                 # SCALE_PROBE's x1/x10 sweep) measures its own x10
                 # here — reps=2 doubles as the codegen/JIT warm-up
@@ -645,7 +715,9 @@ def scale_probe(spark) -> tuple[dict, dict]:
                     "x10_sec": x10_sec,
                     "x100_sec": round(times[1], 3),
                     "x100_spread": [round(times[0], 3), round(times[-1], 3)],
-                    "loadavg": [round(x, 2) for x in la],
+                    "loadavg": row_gate["loadavg"],
+                    "gate_passed": row_gate["passed"],
+                    "gate_waited_s": row_gate["waited_s"],
                     # per-decade growth at fixed cores: ~10 is ideal
                     # linear; compare with the first decade's ratio
                     "ratio_x100_x10": round(times[1] / x10_sec, 2),
@@ -691,13 +763,15 @@ def main() -> None:
             spark.read.parquet(p).count()
 
     queries, queries_min, queries_first = run_queries(spark)
+    gates = []
     # the HEADLINE s2bench legs measure the manifest-MVCC layout — the
-    # default store and the one you'd run at object-store scale (r14)
-    bench = s2_bench_equivalent(spark)
-    # one listing-layout series rides along (non-headline) so the
-    # round-over-round comparison across the r14 layout switch stays
-    # interpretable
-    bench_listing = s2_bench_equivalent(spark, manifest=False)
+    # default store and the one you'd run at object-store scale (r14).
+    # The listing-layout continuity series runs INTERLEAVED with it
+    # (one manifest rep, one listing rep, repeat) so the layout
+    # comparison shares ambient conditions; the section is gated on
+    # loadavg decay so the query suite's self-load doesn't ride in.
+    gates.append(_gate("s2bench"))
+    bench, bench_listing = s2_bench_interleaved(spark)
     for d in (queries, queries_min, queries_first):
         d["q_s2bench_append"] = bench["append_sec"]
         d["q_s2bench_read"] = bench["read_sec"]
@@ -712,8 +786,13 @@ def main() -> None:
     # repeated headline measurements (noise triage on a co-tenant
     # machine) never clobber a full run's probe record
     probes = os.environ.get("SPARK_GRAFT_PROBES", "1") != "0"
-    skew = skew_probe(spark) if probes else {"speedup": None}
-    probe10, probe100 = scale_probe(spark) if probes else ({}, {})
+    if probes:
+        gates.append(_gate("skew_probe"))
+        skew = skew_probe(spark)
+        probe10, probe100 = scale_probe(spark, gates)
+    else:
+        skew = {"speedup": None}
+        probe10, probe100 = {}, {}
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     # Detail record FIRST (big: per-query min/first, probes, latency
     # percentiles), compact headline record LAST: the driver artifact
@@ -732,6 +811,9 @@ def main() -> None:
             for k in ("append_sec", "read_sec", "append_spread",
                       "read_spread", "reps", "verified")
         },
+        # per-section loadavg gates (r15): passed=False marks a section
+        # that started under residual load despite the decay wait
+        "gates": gates,
         # hot-key probe: chunked vs single-chunk bulk_append
         "skew_probe": skew,
         # x10 + x100 trend probes — excluded from `value` so
@@ -764,6 +846,10 @@ def main() -> None:
                 # instead of masquerading as an engine regression
                 "loadavg_start": [round(x, 2) for x in load_start],
                 "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+                # r15: per-section loadavg gates all green? (details in
+                # BENCH_DETAIL.json "gates"; False = some section ran
+                # under residual load past the decay budget)
+                "gates_passed": all(g["passed"] for g in gates),
                 "sf": float(sf),
                 "verified": bench["verified"],
                 "live_verified": bench["live_verified"],

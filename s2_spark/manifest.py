@@ -96,7 +96,26 @@ class LocalBackend:
     is ``os.link`` from a staged temp file — link fails ``EEXIST``
     atomically (no TOCTOU window, and unlike ``os.rename`` it never
     silently overwrites a committed generation), which is the local
-    equivalent of a conditional PUT."""
+    equivalent of a conditional PUT.
+
+    Since r15 the backend covers BOTH planes: the manifest-log
+    protocol objects (list/read/conditional-create/delete) AND the
+    record DATA files (:meth:`spark_path`, :meth:`finalize_data`,
+    :meth:`walk_files`, :meth:`exists`, :meth:`remove_tree`) — the
+    store performs every data-file operation through the backend, so
+    an object-store port swaps one class and the data path needs no
+    POSIX rename/link/walk at all (visibility is manifest-governed,
+    so the data plane only needs PUT/GET/LIST/DELETE/COPY)."""
+
+    #: local backends need no external-backend breadcrumb: a path-only
+    #: reader (the streaming footer scanner) can reach this log
+    is_local = True
+
+    def spec(self) -> str:
+        """Picklable string identity, reconstructable on a Spark
+        executor via :func:`backend_from_spec` (live objects cannot
+        ride DataSource options)."""
+        return "local"
 
     def list_dir(self, d: str) -> list[str]:
         try:
@@ -133,6 +152,45 @@ class LocalBackend:
         except OSError:
             return None
 
+    # --- data plane -----------------------------------------------------
+
+    def spark_path(self, path: str) -> str:
+        """The location Spark reads/writes for logical path ``path``
+        (an ``s3a://…`` URL on a real object store; identity here)."""
+        return path
+
+    def exists(self, path: str) -> bool:
+        return os.path.exists(path)
+
+    def finalize_data(self, src: str, dst: str) -> None:
+        """Move one staged data file to its final key. Local: an
+        atomic rename. Object store: server-side COPY + DELETE —
+        atomicity is NOT required, because a data file is invisible
+        until the manifest generation naming it publishes."""
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        os.replace(src, dst)
+
+    def walk_files(self, root: str):
+        """Yield ``(relpath, mtime_ms)`` for every data file under
+        ``root``, skipping hidden (``_``/``.``-prefixed) path
+        components — one recursive LIST on an object store."""
+        for d, dirs, fs in os.walk(root):
+            dirs[:] = [x for x in dirs if not x.startswith(("_", "."))]
+            for f in fs:
+                if f.startswith(("_", ".")):
+                    continue
+                p = os.path.join(d, f)
+                try:
+                    mt = int(os.path.getmtime(p) * 1000)
+                except OSError:
+                    continue  # raced a delete
+                yield os.path.relpath(p, root), mt
+
+    def remove_tree(self, path: str) -> None:
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+
 
 class InMemoryCASBackend:
     """In-memory conditional-PUT object store — the reference
@@ -140,7 +198,11 @@ class InMemoryCASBackend:
     port must satisfy (create-if-absent = ``If-None-Match: *``). Used
     by tests and the concurrency soak to drive the publish CAS loop
     through object-store semantics: no rename, no link, no mtime —
-    just atomic first-writer-wins puts."""
+    just atomic first-writer-wins puts. Manifest plane only (its
+    objects are not reachable by Spark executors; use
+    :class:`SandboxObjectBackend` for whole-store object semantics)."""
+
+    is_local = False
 
     def __init__(self, clock=None):
         import threading
@@ -183,6 +245,172 @@ class InMemoryCASBackend:
         with self._mu:
             obj = self._objects.get(path)
             return obj[1] if obj else None
+
+    # data plane: local-filesystem delegation — this backend models the
+    # r14 SPLIT deployment (protocol objects in the object store,
+    # record parquet on a shared filesystem); a whole-store object
+    # deployment is SandboxObjectBackend
+    spark_path = LocalBackend.spark_path
+    exists = LocalBackend.exists
+    finalize_data = LocalBackend.finalize_data
+    walk_files = LocalBackend.walk_files
+    remove_tree = LocalBackend.remove_tree
+
+
+class SandboxObjectBackend:
+    """Tmpdir-sandboxed OBJECT STORE covering both planes — the
+    end-to-end test double for an S3/GCS deployment. Every logical
+    store path (``<base_dir>/…``) maps to an object key under this
+    backend's own ``root``; the store's base_dir POSIX tree is never
+    touched, and the store reaches records and manifest objects ONLY
+    through the object API surface a real bucket offers:
+
+    - conditional PUT (``put_if_absent`` = ``If-None-Match: *``) for
+      generation publishes — created with ``O_CREAT|O_EXCL``, no
+      link, no rename;
+    - PUT/GET/LIST/DELETE for leases, log reads, and vacuum;
+    - server-side COPY + DELETE (``finalize_data``) to land staged
+      part files on their final keys (a production port would use a
+      direct-write committer or multipart upload addressed at the
+      final key; COPY models the conservative fallback);
+    - ``mtime_ms`` = object creation time (the bucket's
+      ``LastModified``), the only timestamp object stores provide;
+    - ``spark_path`` maps a logical path to the object location —
+      the local-filesystem stand-in for an ``s3a://`` URL, which is
+      how Spark executors read record parquet and write stage output
+      directly against the bucket.
+
+    Operation counters (``puts``/``copies``/``deletes``/``lists``)
+    let tests assert the store's traffic shape. Instances are
+    picklable (root path + counters) and round-trip through
+    :func:`backend_from_spec` (``"sandbox:<root>"``) so Spark
+    executors — the streaming source's partition readers — can
+    reconstruct the backend from a plain option string."""
+
+    is_local = False
+
+    def __init__(self, root: str):
+        self.root = os.path.abspath(root)
+        os.makedirs(self.root, exist_ok=True)
+        self.puts = 0
+        self.conflicts = 0
+        self.copies = 0
+        self.deletes = 0
+        self.lists = 0
+
+    def spec(self) -> str:
+        return f"sandbox:{self.root}"
+
+    def _key(self, path: str) -> str:
+        return os.path.join(self.root, os.path.abspath(path).lstrip(os.sep))
+
+    # --- manifest plane -------------------------------------------------
+
+    def list_dir(self, d: str) -> list[str]:
+        self.lists += 1
+        try:
+            return os.listdir(self._key(d))
+        except OSError:
+            return []
+
+    def read(self, path: str) -> bytes:
+        with open(self._key(path), "rb") as f:
+            return f.read()
+
+    def put_if_absent(self, path: str, data: bytes) -> bool:
+        key = self._key(path)
+        os.makedirs(os.path.dirname(key), exist_ok=True)
+        try:
+            fd = os.open(key, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            self.conflicts += 1
+            return False
+        with os.fdopen(fd, "wb") as f:
+            f.write(data)
+        self.puts += 1
+        return True
+
+    def delete(self, path: str) -> None:
+        self.deletes += 1
+        try:
+            os.remove(self._key(path))
+        except FileNotFoundError:
+            pass
+
+    def mtime_ms(self, path: str) -> int | None:
+        try:
+            return int(os.path.getmtime(self._key(path)) * 1000)
+        except OSError:
+            return None
+
+    # --- data plane -----------------------------------------------------
+
+    def spark_path(self, path: str) -> str:
+        return self._key(path)
+
+    def exists(self, path: str) -> bool:
+        return os.path.exists(self._key(path))
+
+    def finalize_data(self, src: str, dst: str) -> None:
+        # server-side CopyObject + DeleteObject — never a rename.
+        # src is already an OBJECT location (Spark wrote the stage
+        # through spark_path), so both ends live in the bucket.
+        import shutil
+
+        skey, dkey = self._key(src), self._key(dst)
+        os.makedirs(os.path.dirname(dkey), exist_ok=True)
+        shutil.copyfile(skey, dkey)
+        os.remove(skey)
+        self.copies += 1
+
+    def walk_files(self, root: str):
+        self.lists += 1
+        rkey = self._key(root)
+        for d, dirs, fs in os.walk(rkey):
+            dirs[:] = [x for x in dirs if not x.startswith(("_", "."))]
+            for f in fs:
+                if f.startswith(("_", ".")):
+                    continue
+                p = os.path.join(d, f)
+                try:
+                    mt = int(os.path.getmtime(p) * 1000)
+                except OSError:
+                    continue
+                yield os.path.relpath(p, rkey), mt
+
+    def remove_tree(self, path: str) -> None:
+        # prefix DELETE: list the keys under the prefix, delete each
+        key = self._key(path)
+        for d, _dirs, fs in os.walk(key, topdown=False):
+            for f in fs:
+                self.deletes += 1
+                try:
+                    os.remove(os.path.join(d, f))
+                except FileNotFoundError:
+                    pass
+        import shutil
+
+        shutil.rmtree(key, ignore_errors=True)
+
+    def __getstate__(self):
+        return {"root": self.root}
+
+    def __setstate__(self, state):
+        self.__init__(state["root"])
+
+
+def backend_from_spec(spec: str):
+    """Reconstruct a backend from its :meth:`~LocalBackend.spec`
+    string — the serialization seam for Spark executors (DataSource
+    options are plain strings; live backend objects cannot ride
+    them). ``"local"`` → the shared :data:`LOCAL`;
+    ``"sandbox:<root>"`` → a :class:`SandboxObjectBackend`. An s3/gcs
+    port registers its scheme here."""
+    if spec == "local":
+        return LOCAL
+    if spec.startswith("sandbox:"):
+        return SandboxObjectBackend(spec.split(":", 1)[1])
+    raise ValueError(f"unknown manifest backend spec: {spec!r}")
 
 
 LOCAL = LocalBackend()
@@ -316,24 +544,52 @@ def publish(
     raises :class:`PublishConflict` otherwise — the rewrite's inputs
     were consumed by a racing publish and its output is stale.
 
-    **Pruned-number resurrection guard.** A writer whose ``known``
-    snapshot is very stale can win the create for a generation number
-    the log already PASSED and pruned (head advanced beyond a
-    checkpoint; prune_log deleted the old delta entries; the number is
-    free again) — such an entry is unreachable from every fold (the
-    walk stops at the newer checkpoint) and its acked data would be
-    silently lost. After every create the loop therefore re-lists: if
-    the head moved past the created generation, a fresh fold must show
-    the publish ABSORBED (its adds visible / its removes gone — UUID
-    file names make this unambiguous for add-carrying publishes);
-    otherwise the zombie entry is deleted and the publish retries on
-    top of the real head. The zombie exists only for the instant
-    between create and validation, and is never on any fold path
-    except the degenerate stale-reader-at-the-exact-pruned-checkpoint
-    corner, which self-heals on that reader's next fold."""
+    **Pruned-number resurrection is prevented, not detected.** A
+    writer with a very stale ``known`` snapshot could otherwise win
+    the create for a generation number the log already PASSED and
+    pruned (head advanced beyond a checkpoint; :func:`prune_log`
+    deleted the old delta entries; the number is free again) — such
+    an entry is unreachable from every fold and its acked data would
+    be silently lost. Round 14 detected the zombie after the fact by
+    checking the publish's content against a fresh fold, but that
+    check false-positives on a COMMITTED generation whose adds a
+    racing compaction already consumed — deleting it breaks the fold
+    chain, and retrying duplicates acked records (ADVICE r14). The
+    guard is now structural, in two parts:
+
+    1. **Head verification.** A caller-supplied ``known`` is used
+       only after one LIST confirms its generation is still the
+       listed head. The max listed generation number is MONOTONE
+       non-decreasing (``prune_log`` deletes strictly below the
+       newest checkpoint, so the checkpoint — numbered above every
+       entry it prunes — always remains listed); therefore a head
+       verified as ``N-1`` proves no generation ``N`` has EVER
+       existed, and winning the create of ``N`` commits it.
+    2. **Prune entry-age gate.** The residual window — another
+       writer creates ``N``, 32+ more generations and a checkpoint
+       land, and a prune frees ``N`` again, all between this
+       writer's LIST and its create — is closed by
+       :func:`prune_log`'s ``entry_grace_ms``: an entry is never
+       pruned until it is at least that old (default 1 h), so a
+       number freed by prune was committed far outside any live
+       publish's list→create window. (Cross-writer clock skew
+       approaching ``entry_grace_ms`` would re-open the window —
+       the same skew bound vacuum's grace documents.)
+
+    Consequently a successful create is committed by construction:
+    if the listing has already moved past it, racing writers folded
+    THROUGH it (or a checkpoint absorbed it) and the loop simply
+    returns the fresh fold — there is no delete branch, so no
+    false-positive can lose a committed generation."""
     add, remove = sorted(set(add)), sorted(set(remove))
     d = manifest_dir(base_dir)
     for attempt in range(max_attempts):
+        if known is not None:
+            # head verification: the snapshot seeds the CAS only while
+            # it is provably current — one LIST, no entry reads
+            gens = _gen_numbers(d, backend)
+            if (gens[-1] if gens else 0) != known[0]:
+                known = None
         if known is None:
             known = fold(base_dir, backend)
         gen, files = known
@@ -351,14 +607,11 @@ def publish(
         if write_gen(base_dir, new_gen, add, remove, ckpt, ts_ms, backend):
             gens = _gen_numbers(d, backend)
             if gens and gens[-1] > new_gen:
-                head2, files2 = fold(base_dir, backend)
-                absorbed = set(add) <= files2 and not (set(remove) & files2)
-                if not absorbed:
-                    # resurrected a pruned number: unreachable zombie
-                    backend.delete(_gen_path(d, new_gen))
-                    known = (head2, files2)
-                    continue
-                return head2, files2
+                # committed, and racing writers already built past it
+                # (they folded through this generation, or a checkpoint
+                # absorbed it — see docstring): return the fresh fold
+                # so the caller's cache absorbs their publishes too
+                return fold(base_dir, backend)
             return new_gen, new_files
         known = None  # lost the CAS — re-fold on top of the winner
         if attempt >= 8:
@@ -403,17 +656,28 @@ def prune_log(
     keep_gens: frozenset[int] | set[int] = frozenset(),
     tmp_grace_ms: int = 3_600_000,
     now_ms: int | None = None,
+    entry_grace_ms: int = 3_600_000,
 ) -> int:
     """Drop log entries strictly below the newest checkpoint (the fold
     never reads past one), EXCEPT generations in ``keep_gens`` — vacuum
     passes the generations whose delisted files still await their
     grace window, so the delist record (the only copy of the delist
-    time) outlives the file it names. Also sweeps ``.tmp.`` staging
-    files, age-gated by ``tmp_grace_ms``: a fresh tmp may belong to a
-    publish IN FLIGHT on another thread (staged but not yet linked),
-    so only tmps old enough to be crash debris are removed. Returns
-    entries removed. Part of vacuum, split out for testing."""
+    time) outlives the file it names — and EXCEPT entries younger
+    than ``entry_grace_ms``: freeing a recently-committed generation
+    NUMBER is what would let a concurrent publish's list→create race
+    resurrect it (see :func:`publish`'s guard), so a number is only
+    recycled long after every live publish attempt against it has
+    resolved. Entry ages run on the publisher-stamped ``ts_ms``
+    against the caller's ``now_ms`` — cross-writer clock skew
+    approaching ``entry_grace_ms`` would defeat the gate, the same
+    skew bound vacuum's grace window documents. Also sweeps ``.tmp.``
+    staging files, age-gated by ``tmp_grace_ms``: a fresh tmp may
+    belong to a publish IN FLIGHT on another thread (staged but not
+    yet linked), so only tmps old enough to be crash debris are
+    removed. Returns entries removed. Part of vacuum, split out for
+    testing."""
     d = manifest_dir(base_dir)
+    now = int(time.time() * 1000) if now_ms is None else now_ms
     gens = _gen_numbers(d, backend)
     newest_ckpt = None
     for g in reversed(gens):
@@ -426,10 +690,20 @@ def prune_log(
     n = 0
     if newest_ckpt is not None:
         for g in gens:
-            if g < newest_ckpt and g not in keep_gens:
-                backend.delete(_gen_path(d, g))
-                n += 1
-    now = int(time.time() * 1000) if now_ms is None else now_ms
+            if g >= newest_ckpt or g in keep_gens:
+                continue
+            if entry_grace_ms:
+                try:
+                    entry = _read_gen(d, g, backend)
+                except FileNotFoundError:  # pragma: no cover - raced
+                    continue
+                ts = entry.get("ts_ms")
+                if ts is None:
+                    ts = backend.mtime_ms(_gen_path(d, g)) or 0
+                if now - ts < entry_grace_ms:
+                    continue  # too young: its number must not recycle yet
+            backend.delete(_gen_path(d, g))
+            n += 1
     for f in backend.list_dir(d):
         if ".tmp." in f:
             p = os.path.join(d, f)

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import threading
 import time
 from collections import defaultdict
@@ -51,6 +52,21 @@ from s2_spark.model import (
     SeqNumMismatch,
     metered_size_col,
 )
+
+
+def _pid_alive(pid: int) -> bool:
+    """True if ``pid`` is a live process on THIS host (signal-0 probe;
+    EPERM means alive-but-not-ours). Vacuum's stage sweep uses it to
+    skip another live process's in-flight staging dir."""
+    if pid <= 0:
+        return False
+    try:
+        os.kill(pid, 0)
+        return True
+    except ProcessLookupError:
+        return False
+    except PermissionError:  # pragma: no cover - alive, other user
+        return True
 
 
 def _lit_rows_df(spark: SparkSession, rows: list[tuple], fields: list[tuple[str, str]]) -> DataFrame:
@@ -231,10 +247,28 @@ class StreamStore:
         self.manifest = bool(manifest) or _mf.is_manifest_store(
             base_dir, self._mf_backend
         )
-        if manifest_backend is not None and self.manifest:
+        if not self.manifest and not getattr(
+            self._mf_backend, "is_local", False
+        ) and manifest_backend is not None:
+            # the listing layout defines visibility by the LOCAL
+            # directory tree — over an object-store backend the two
+            # planes would silently diverge (appends land in the
+            # bucket, reads list the empty local dir)
+            raise RuntimeError(
+                "a non-local manifest_backend requires manifest mode "
+                "(listing visibility cannot span an object store)"
+            )
+        if (
+            manifest_backend is not None
+            and self.manifest
+            and not getattr(manifest_backend, "is_local", False)
+        ):
             # breadcrumb for path-only readers (streaming footer
             # scanner) and backend-less reopens: the visibility log is
-            # not on the local filesystem
+            # not on the local filesystem. An explicitly passed LOCAL
+            # backend must NOT drop it — the log IS reachable by path,
+            # and the marker would permanently lock out backend-less
+            # reopens (ADVICE r14)
             _mf.mark_external_backend(base_dir)
         # manifest-mode cache: current (generation, visible relpaths).
         # Guarded by _manifest_mu; gen None = not yet folded from disk
@@ -436,12 +470,15 @@ class StreamStore:
         with an append in flight are skipped — their state advances
         past the refresh anyway), and unknown streams re-probe
         storage on next touch."""
-        gen, _ = self._manifest_current(refresh=True)
+        # the frozenset returned by _manifest_current was captured
+        # inside _manifest_mu — never re-read self._mf_files here,
+        # where a concurrent publish's cache write would race it
+        gen, files = self._manifest_current(refresh=True)
         self._invalidate_records()
         self.evict_dormant(max_age_ms=0)
         with self._meta_mu:
             self._probe_unknown_streams = self._probe_unknown_streams or bool(
-                self._mf_files
+                files
             )
         return gen
 
@@ -481,7 +518,12 @@ class StreamStore:
             self._mf_gen, self._mf_files = gen, files
             return gen
 
-    def vacuum(self, grace_ms: int = 15 * 60 * 1000) -> int:
+    def vacuum(
+        self,
+        grace_ms: int = 15 * 60 * 1000,
+        log_entry_grace_ms: int = 3_600_000,
+        stage_grace_ms: int | None = None,
+    ) -> int:
         """Manifest-mode garbage collection, driven by the generation
         LOG: the ``remove`` entries name every delisted file together
         with its delist time (the publishing generation's ``ts_ms``),
@@ -501,10 +543,27 @@ class StreamStore:
         lease registry; a retention horizon is the standard practical
         answer). It also covers the append path's tiny
         rename-into-place → publish window. Delist ages are measured
-        on the store's own clock (the same clock that stamped
-        ``ts_ms``); orphan/stage ages on wall clock, their only
-        timestamp. Runs under the rewrite latch so it never races a
-        compaction's own staging."""
+        on the store's own clock against the PUBLISHING writer's
+        ``ts_ms`` stamp — on a single-writer directory the same
+        clock; on a SHARED directory another writer's clock, so
+        cross-writer skew directly shrinks (or inflates) the grace
+        window for files that writer delisted. The deployment
+        contract is NTP-class skew ≪ ``grace_ms``; pad ``grace_ms``
+        by the worst skew you tolerate (the reference carries the
+        same assumption in its retention clocks). Orphan/stage ages
+        run on wall clock, their only timestamp.
+
+        ``log_entry_grace_ms`` bounds how young a log entry may be
+        pruned (:func:`s2_spark.manifest.prune_log` — recycling a
+        fresh generation number is what would re-open the publish
+        resurrection race). ``stage_grace_ms`` is the sweep horizon
+        for stranded ``_stage-*`` dirs — it defaults to
+        ``max(grace_ms, 1h)`` because another LIVE process's
+        compaction Spark write may legitimately run longer than the
+        file grace, and its stage dir is additionally skipped
+        outright while that pid is alive on this host. Runs under
+        the rewrite latch so it never races a compaction's own
+        staging."""
         if not self.manifest:
             raise RuntimeError("vacuum() requires manifest mode")
         from s2_spark import manifest as _mf
@@ -516,8 +575,10 @@ class StreamStore:
         # stale `visible` would lose its delist record to the prune
         # (code-review r14, acked-data-loss class)
         _, visible = self._manifest_current(refresh=True)
+        bk = self._mf_backend
         now_ms = self._clock()
         now = time.time()
+        wall_ms = int(now * 1000)
         grace_s = grace_ms / 1000.0
         removed = 0
         with self._rewrite_mu:
@@ -537,49 +598,57 @@ class StreamStore:
                 if rel in visible:
                     continue  # re-added by a later generation — live
                 p = os.path.join(self.base_dir, rel)
-                if not os.path.exists(p):
+                if not bk.exists(p):
                     continue  # already vacuumed
                 if lease_floor is not None and gen > lease_floor:
                     pending_gens.add(gen)  # pinned by an active lease
                 elif now_ms - ts >= grace_ms:
-                    try:
-                        os.remove(p)
-                        removed += 1
-                    except FileNotFoundError:  # pragma: no cover
-                        pass
+                    bk.delete(p)
+                    removed += 1
                 else:
                     # within grace: the file stays, and so must its
                     # delist record (the only copy of the delist time)
                     pending_gens.add(gen)
-            for root, dirs, files in os.walk(self.base_dir):
-                dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
-                for f in files:
-                    if f.startswith(("_", ".")) or not f.endswith(".parquet"):
-                        continue
-                    p = os.path.join(root, f)
-                    rel = os.path.relpath(p, self.base_dir)
-                    if rel in visible or rel in delisted:
-                        continue  # live, or the log path owns it
-                    try:
-                        if now - os.path.getmtime(p) >= grace_s:
-                            os.remove(p)
-                            removed += 1
-                    except FileNotFoundError:  # pragma: no cover
-                        pass
+            # orphan sweep: one recursive LIST through the backend —
+            # files never published (crashed writer) age by their own
+            # write time (object creation time on an object store)
+            for rel, mt in bk.walk_files(self.base_dir):
+                if not rel.endswith(".parquet"):
+                    continue
+                if rel in visible or rel in delisted:
+                    continue  # live, or the log path owns it
+                if wall_ms - mt >= grace_ms:
+                    bk.delete(os.path.join(self.base_dir, rel))
+                    removed += 1
             # stage dirs stranded by a crashed process (invisible to
-            # every reader; their files were never published)
-            import shutil
-
-            for entry in os.listdir(self.base_dir):
+            # every reader; their files were never published). Swept on
+            # a DEDICATED horizon ≥1h — another live process's
+            # compaction Spark write may legitimately outlive the file
+            # grace, and rmtree'ing its in-flight stage fails that
+            # rewrite — and a dir whose embedded pid is still alive on
+            # this host is never touched regardless of age (stage
+            # names are `_stage-{pid}-{uuid}`; a foreign host's pid
+            # cannot collide because stages are host-local scratch)
+            stage_grace = (
+                stage_grace_ms
+                if stage_grace_ms is not None
+                else max(grace_ms, 3_600_000)
+            )
+            for entry in bk.list_dir(self.base_dir):
                 if entry.startswith(("_stage-", "_compact-stage-")):
                     p = os.path.join(self.base_dir, entry)
-                    try:
-                        if now - os.path.getmtime(p) >= grace_s:
-                            shutil.rmtree(p, ignore_errors=True)
-                    except FileNotFoundError:  # pragma: no cover
-                        pass
+                    m = re.search(r"-stage-(\d+)-", entry)
+                    if m and _pid_alive(int(m.group(1))):
+                        continue  # owner still running: in flight
+                    mt = bk.mtime_ms(p)
+                    if mt is not None and wall_ms - mt >= stage_grace:
+                        bk.remove_tree(p)
             _mf.prune_log(
-                self.base_dir, self._mf_backend, keep_gens=pending_gens
+                self.base_dir,
+                self._mf_backend,
+                keep_gens=pending_gens,
+                now_ms=now_ms,
+                entry_grace_ms=log_entry_grace_ms,
             )
         return removed
 
@@ -631,14 +700,11 @@ class StreamStore:
         listing-mode data: publish generation 1 as a checkpoint of the
         current data files, migrating visibility into the log (the
         flag alone must never make existing records invisible)."""
-        existing: list[str] = []
-        for root, dirs, files in os.walk(self.base_dir):
-            dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
-            for f in files:
-                if f.endswith(".parquet") and not f.startswith(("_", ".")):
-                    existing.append(
-                        os.path.relpath(os.path.join(root, f), self.base_dir)
-                    )
+        existing = [
+            rel
+            for rel, _mt in self._mf_backend.walk_files(self.base_dir)
+            if rel.endswith(".parquet")
+        ]
         if existing:
             self._manifest_publish(add=existing)
 
@@ -703,9 +769,18 @@ class StreamStore:
                 )
             if not visible:
                 return self.spark.createDataFrame([], schema)
-            paths = [os.path.join(self.base_dir, rel) for rel in sorted(visible)]
+            # spark_path maps each visible file to the location Spark
+            # reads it from — identity locally, the object location
+            # (s3a-style URL) on an object-store backend
+            bk = self._mf_backend
+            paths = [
+                bk.spark_path(os.path.join(self.base_dir, rel))
+                for rel in sorted(visible)
+            ]
             df = (
-                self.spark.read.option("basePath", self.base_dir)
+                self.spark.read.option(
+                    "basePath", bk.spark_path(self.base_dir)
+                )
                 .schema(schema)
                 .parquet(*paths)
             )
@@ -1026,9 +1101,9 @@ class StreamStore:
         orphaned (invisible) files for vacuum — a strictly smaller
         unknown-outcome envelope than the listing layout's durable
         prefix."""
-        import shutil
         import uuid
 
+        bk = self._mf_backend
         stage = os.path.join(
             self.base_dir, f"_stage-{os.getpid()}-{uuid.uuid4().hex}"
         )
@@ -1037,25 +1112,25 @@ class StreamStore:
             writer = writer.partitionBy(*partition_cols)
         renamed: list[str] = []
         try:
-            writer.parquet(stage)
-            for root, _dirs, files in os.walk(stage):
-                for f in files:
-                    if not f.endswith(".parquet") or f.startswith(("_", ".")):
-                        continue
-                    rel = os.path.relpath(root, stage)
-                    dest_dir = (
-                        self.base_dir
-                        if rel == "."
-                        else os.path.join(self.base_dir, rel)
-                    )
-                    os.makedirs(dest_dir, exist_ok=True)
-                    dst = os.path.join(dest_dir, f)
-                    os.replace(os.path.join(root, f), dst)
-                    renamed.append(os.path.relpath(dst, self.base_dir))
+            # Spark writes the stage THROUGH the backend location
+            # (executors PUT part files directly against the bucket on
+            # an object store); the finalize loop then lands each part
+            # on its final key — an atomic rename locally, a
+            # server-side COPY+DELETE on an object store (atomicity is
+            # not needed there: visibility is the manifest publish)
+            writer.parquet(bk.spark_path(stage))
+            for rel, _mt in bk.walk_files(stage):
+                if not rel.endswith(".parquet"):
+                    continue
+                bk.finalize_data(
+                    os.path.join(stage, rel),
+                    os.path.join(self.base_dir, rel),
+                )
+                renamed.append(rel)
             if self.manifest and renamed:
                 self._manifest_publish(add=renamed)
         finally:
-            shutil.rmtree(stage, ignore_errors=True)
+            bk.remove_tree(stage)
 
     def _local_records_df(self, rows: list[tuple]) -> DataFrame:
         """Sequenced record rows as a DataFrame, via an Arrow-backed
@@ -1973,7 +2048,12 @@ class StreamStore:
         one means the normalization (not the plan) is wrong."""
         from urllib.parse import unquote, urlparse
 
-        base = os.path.realpath(self.base_dir.rstrip("/"))
+        # containment is checked against the backend's READ location
+        # (identity locally; the bucket-mapped root on an object-store
+        # backend, since inputFiles() reports what Spark actually read)
+        base = os.path.realpath(
+            self._mf_backend.spark_path(self.base_dir).rstrip("/")
+        )
         consumed, foreign = [], []
         for uri in df.inputFiles():
             parsed = urlparse(uri)
@@ -2055,11 +2135,11 @@ class StreamStore:
         rewrite's never-published output files are deleted before the
         conflict propagates (the caller re-plans from the new
         generation)."""
-        import shutil
         import uuid
 
         from s2_spark.manifest import PublishConflict
 
+        bk = self._mf_backend
         consumed = self._consumed_files(df)
         stage = os.path.join(
             self.base_dir, f"_compact-stage-{os.getpid()}-{uuid.uuid4().hex}"
@@ -2069,31 +2149,23 @@ class StreamStore:
             writer = writer.partitionBy("bucket")
         added: list[str] = []
         try:
-            writer.parquet(stage)
-            for root, _dirs, files in os.walk(stage):
-                for f in files:
-                    if not f.endswith(".parquet") or f.startswith(("_", ".")):
-                        continue
-                    rel = os.path.relpath(root, stage)
-                    dest_dir = (
-                        self.base_dir
-                        if rel == "."
-                        else os.path.join(self.base_dir, rel)
+            writer.parquet(bk.spark_path(stage))
+            for rel, _mt in bk.walk_files(stage):
+                if not rel.endswith(".parquet"):
+                    continue
+                dst = os.path.join(self.base_dir, rel)
+                if bk.exists(dst):
+                    # UUID part names make this structurally
+                    # impossible; clobbering a live file silently
+                    # would be acked-data loss, so fail loudly (a
+                    # RuntimeError, not assert — python -O must not
+                    # strip the guard)
+                    raise RuntimeError(
+                        f"compacted part name collides with a live "
+                        f"file: {dst}"
                     )
-                    os.makedirs(dest_dir, exist_ok=True)
-                    dst = os.path.join(dest_dir, f)
-                    if os.path.exists(dst):
-                        # UUID part names make this structurally
-                        # impossible; clobbering a live file silently
-                        # would be acked-data loss, so fail loudly (a
-                        # RuntimeError, not assert — python -O must not
-                        # strip the guard)
-                        raise RuntimeError(
-                            f"compacted part name collides with a live "
-                            f"file: {dst}"
-                        )
-                    os.replace(os.path.join(root, f), dst)
-                    added.append(os.path.relpath(dst, self.base_dir))
+                bk.finalize_data(os.path.join(stage, rel), dst)
+                added.append(rel)
             try:
                 self._manifest_publish(
                     add=added, remove=consumed, require_visible=True
@@ -2103,13 +2175,10 @@ class StreamStore:
                 # delete the staged-in files rather than leave them as
                 # vacuum-aged orphans
                 for rel in added:
-                    try:
-                        os.remove(os.path.join(self.base_dir, rel))
-                    except FileNotFoundError:  # pragma: no cover
-                        pass
+                    bk.delete(os.path.join(self.base_dir, rel))
                 raise
         finally:
-            shutil.rmtree(stage, ignore_errors=True)
+            bk.remove_tree(stage)
         self._invalidate_records()
 
     def _swap_in(self, tmp: str, resume: bool = False) -> None:

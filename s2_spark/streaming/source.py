@@ -61,7 +61,7 @@ class _StreamSlice(InputPartition):
         self.end = end
 
 
-def _parquet_files(path: str) -> list[str]:
+def _parquet_files(path: str, backend=None) -> list[str]:
     """Data files only — hidden/metadata entries (underscore or dot
     prefixed, e.g. the store's ``_meta`` catalog) are skipped, matching
     Spark's and pyarrow's hidden-path filters.
@@ -72,33 +72,40 @@ def _parquet_files(path: str) -> list[str]:
     compacted copies until vacuum, so a raw directory walk would
     double-count every record. The fold is lock-free (generation files
     are immutable once published) — exactly the reader protocol the
-    store's own ``records_df`` uses."""
+    store's own ``records_df`` uses.
+
+    ``backend`` reads a store whose log (and data) live in a
+    non-local :mod:`s2_spark.manifest` backend — wired from the
+    reader's ``backend`` option (a :func:`~s2_spark.manifest
+    .backend_from_spec` string, since only strings cross the
+    DataSource option boundary). Returned paths are the backend's
+    READ locations, consumable by pyarrow and Spark alike."""
     from s2_spark import manifest as _mf
 
-    if _mf.has_external_backend_marker(path):
+    bk = backend or _mf.LOCAL
+    if getattr(bk, "is_local", False) and _mf.has_external_backend_marker(
+        path
+    ):
         # the generation log lives in a non-local PublishBackend this
-        # path-only scanner cannot reach — a listing fallback would
+        # local-backend scanner cannot reach — a listing fallback would
         # double-count delisted originals after a compaction
         raise RuntimeError(
-            f"store {path!r} uses an external manifest backend; the "
-            f"streaming source's footer scanner requires the local "
-            f"backend (read through the owning StreamStore instead)"
+            f"store {path!r} uses an external manifest backend; pass "
+            f"the matching spec via .option('backend', …) so the "
+            f"source can read the generation log"
         )
-    if _mf.is_manifest_store(path):
-        _, visible = _mf.fold(path)
+    if _mf.is_manifest_store(path, bk):
+        _, visible = _mf.fold(path, bk)
         return sorted(
-            p
+            bk.spark_path(p)
             for rel in visible
-            if os.path.exists(p := os.path.join(path, rel))
+            if bk.exists(p := os.path.join(path, rel))
         )
-    out = []
-    for d, dirs, fs in os.walk(path):
-        dirs[:] = [x for x in dirs if not x.startswith(("_", "."))]
-        out.extend(
-            os.path.join(d, f)
-            for f in fs
-            if f.endswith(".parquet") and not f.startswith(("_", "."))
-        )
+    out = [
+        bk.spark_path(os.path.join(path, rel))
+        for rel, _mt in bk.walk_files(path)
+        if rel.endswith(".parquet")
+    ]
     return sorted(out)
 
 
@@ -152,6 +159,7 @@ def _tails(
     path: str,
     cache: dict[str, tuple[tuple, dict[str, int]]] | None = None,
     stats: dict | None = None,
+    backend=None,
 ) -> dict[str, int] | None:
     """Per-stream next_seq for the whole store — footer statistics only
     (no data pages for single-stream row groups), incremental via
@@ -186,7 +194,7 @@ def _tails(
             stats["trash_timeouts"] = stats.get("trash_timeouts", 0) + 1
         return None
     tails: dict[str, int] = {}
-    listed = _parquet_files(path)
+    listed = _parquet_files(path, backend)
     if cache is not None:
         # evict entries for files removed by compaction/trim rewrites —
         # a long-running query over a periodically-compacted store must
@@ -381,7 +389,16 @@ def _reader_hwm_write_max(path: str, key: str, gen: int, end: int) -> None:
 
 class S2StreamReader(DataSourceStreamReader):
     def __init__(self, options: dict):
+        from s2_spark import manifest as _mf
+
         self.path = options["path"]
+        # a store whose manifest log + data live in a non-local
+        # backend passes its spec string here ("sandbox:<root>", an
+        # s3/gcs scheme in a production port) — only strings cross
+        # the DataSource option boundary, and the reconstructed
+        # backend object pickles with this reader to the executors
+        # that run read()
+        self._backend = _mf.backend_from_spec(options.get("backend", "local"))
         self.basin = options.get("basin")
         self.stream = options.get("stream")
         self.start_seq = int(options.get("startseq", 0))
@@ -507,7 +524,7 @@ class S2StreamReader(DataSourceStreamReader):
         # A mid-swap directory (None) is safe to treat as empty here:
         # every stream it hides is discovered by the first clean scan
         # and still starts at start_seq.
-        tails = _tails(self.path, self._tails_cache, self.tails_stats)
+        tails = _tails(self.path, self._tails_cache, self.tails_stats, self._backend)
         out = {self._VKEY: self.OFFSET_VERSION}
         for k in self._filtered(tails or {}):
             out[k] = [self._gen_seen.get(k, 0), self.start_seq]
@@ -535,7 +552,7 @@ class S2StreamReader(DataSourceStreamReader):
         # diagnostic.
         gens = _purge_gens(self.path, self._purge_cache)
         for attempt in range(32):
-            scanned = _tails(self.path, self._tails_cache, self.tails_stats)
+            scanned = _tails(self.path, self._tails_cache, self.tails_stats, self._backend)
             if scanned is None:
                 # mid-compaction-swap past the wait budget: the listing
                 # is inconsistent — reuse the previous tails for this
@@ -700,7 +717,7 @@ class S2StreamReader(DataSourceStreamReader):
         # explicit file list for the same reason as read(): dir-level
         # discovery walks Spark's `_temporary` staging and races its
         # removal under concurrent appends
-        dataset = ds.dataset(_parquet_files(self.path), format="parquet")
+        dataset = ds.dataset(_parquet_files(self.path, self._backend), format="parquet")
         while nxt < tail:
             hi = min(nxt + self._BYTES_SCAN_WINDOW, tail)
             flt = (
@@ -845,7 +862,7 @@ class S2StreamReader(DataSourceStreamReader):
         for _ in range(80):
             saw = os.path.isdir(trash)
             try:
-                files = _parquet_files(partition.path)
+                files = _parquet_files(partition.path, self._backend)
                 t = (
                     ds.dataset(files, format="parquet").to_table(
                         filter=flt, columns=cols

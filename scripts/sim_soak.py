@@ -138,6 +138,9 @@ def main() -> int:
         ("manifest_cas_two_writer", T.test_sim_manifest_cas_two_writer_publish_race),
         ("manifest_vacuum_grace", T.test_sim_manifest_vacuum_pinned_reader_grace),
         ("manifest_two_store_churn", T.test_sim_manifest_two_store_churn),
+        # r15: multi-writer across OS processes (the topology the CAS
+        # loop exists for — in-process mutexes protect nothing here)
+        ("manifest_cas_multiprocess", T.test_sim_manifest_cas_multiprocess),
     ]
     print(f"sim_soak: {n} seeds per scenario, base_seed={base}", flush=True)
     failures = []

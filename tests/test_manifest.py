@@ -215,7 +215,10 @@ def test_manifest_checkpoint_and_prune(spark, tmp_path):
     assert gen == n
     ckpt = mf._read_gen(mf.manifest_dir(store.base_dir), mf.CHECKPOINT_EVERY)
     assert ckpt.get("files") is not None
-    dropped = mf.prune_log(store.base_dir)
+    # entry_grace_ms=0: production pruning age-gates entries (the
+    # publish resurrection guard); this test targets the prune/fold
+    # mechanics themselves
+    dropped = mf.prune_log(store.base_dir, entry_grace_ms=0)
     assert dropped == mf.CHECKPOINT_EVERY - 1
     assert mf.fold(store.base_dir) == (gen, files)
     cold = StreamStore(spark, store.base_dir, catalog=store.catalog)
@@ -619,7 +622,10 @@ def test_vacuum_pending_delist_record_survives_log_prune(spark, tmp_path):
     assert store.vacuum(grace_ms=grace) == 0
     d = mf.manifest_dir(store.base_dir)
     assert os.path.exists(os.path.join(d, f"gen-{delist_gen:012d}.json"))
-    clockbox["ms"] += grace  # now past the window
+    # past the file grace AND the log's entry-age gate (r15: a fresh
+    # entry's generation number must not recycle while a concurrent
+    # publish could still race it — see prune_log entry_grace_ms)
+    clockbox["ms"] += 3_600_000 + grace
     assert store.vacuum(grace_ms=grace) == 3
     assert not os.path.exists(os.path.join(d, f"gen-{delist_gen:012d}.json"))
     rows = _rows(store)
@@ -640,7 +646,7 @@ def test_fold_retries_stale_head_across_prune_race(tmp_path):
         f for f in os.listdir(d)
         if mf._GEN_RE.match(f) and int(f[4:16]) < mf.CHECKPOINT_EVERY
     ]
-    mf.prune_log(base)  # drops everything below the checkpoint
+    mf.prune_log(base, entry_grace_ms=0)  # drops everything below the checkpoint
 
     class StaleOnceBackend(mf.LocalBackend):
         def __init__(self):
@@ -816,7 +822,7 @@ def test_fold_and_prune_race_live_publisher(tmp_path):
     def pruner():
         while not done.is_set():
             try:
-                mf.prune_log(base)
+                mf.prune_log(base, entry_grace_ms=0)
             except Exception as e:  # pragma: no cover
                 errs.append(("prune", repr(e)))
                 return
@@ -864,17 +870,23 @@ def test_fold_and_prune_race_live_publisher(tmp_path):
 
 
 def test_publish_detects_and_retries_pruned_number_resurrection(tmp_path):
-    """Code-review r14 (acked-data-loss): a writer with a VERY stale
-    `known` snapshot can win the create for a generation number the
-    log already passed and pruned — the entry would be unreachable
-    from every fold and its acked data silently lost. The publish loop
-    must detect the zombie (its adds absent from a fresh fold), delete
-    it, and retry on top of the real head."""
+    """Code-review r14 / ADVICE r14 (acked-data-loss): a writer with a
+    VERY stale `known` snapshot could win the create for a generation
+    number the log already passed and pruned — the entry would be
+    unreachable from every fold and its acked data silently lost.
+    Since r15 the guard is PREVENTIVE: publish head-verifies the
+    caller snapshot with one LIST (max listed generation is monotone,
+    so head==known.gen proves the next number was never used) and
+    discards a stale one, so the zombie is never created at all —
+    there is no detect-and-delete branch left to false-positive on a
+    committed generation."""
     base = str(tmp_path)
     n = mf.CHECKPOINT_EVERY + 3  # head 35, checkpoint at 32
     for i in range(n):
         mf.publish(base, add=[f"f{i}"])
-    assert mf.prune_log(base) == mf.CHECKPOINT_EVERY - 1  # gens 1..31 gone
+    assert (
+        mf.prune_log(base, entry_grace_ms=0) == mf.CHECKPOINT_EVERY - 1
+    )  # gens 1..31 gone
     head, files = mf.fold(base)
     assert head == n
     # stale writer thinks the head is 5 → attempts gen 6 (now free)
@@ -968,3 +980,134 @@ def test_external_backend_marker_guards_path_readers_and_reopen(
         spark, base, catalog=cat, manifest=True, manifest_backend=backend
     )
     assert _rows(again) == [(0, b"m0")]
+
+
+# --- round 15: structural resurrection guard (ADVICE r14 medium) ---------
+
+
+def test_descheduled_writer_committed_gen_survives_racing_rewrite(tmp_path):
+    """ADVICE r14 (medium): writer creates generation N (genuinely
+    committed — N was head+1), is descheduled, and a racing rewrite
+    folds AT N, consumes (delists) its just-added file, and publishes
+    N+1 — all before the writer's post-create re-list. The r14
+    content-based zombie check false-positived here (adds absent from
+    the fresh fold → "zombie" → delete committed N, breaking the fold
+    chain, then retry duplicating acked records). The r15 guard has no
+    delete branch: the writer must observe its publish as committed,
+    leave N in place, and NOT re-publish."""
+    base = str(tmp_path)
+    mf.publish(base, add=["seed.parquet"])  # gen 1
+
+    class RacingBackend(mf.LocalBackend):
+        """After the writer's successful create of gen N, runs the
+        racing rewrite through a plain backend BEFORE the writer's
+        validation re-list executes."""
+
+        def __init__(self):
+            self.raced = False
+
+        def put_if_absent(self, path, data):
+            ok = super().put_if_absent(path, data)
+            if ok and not self.raced and path.endswith("gen-000000000002.json"):
+                self.raced = True
+                # racing compactor: folds at N=2 (sees new.parquet),
+                # consumes it, publishes N+1
+                head, files = mf.fold(base)
+                assert head == 2 and "new.parquet" in files
+                mf.publish(
+                    base,
+                    add=["compacted.parquet"],
+                    remove=sorted(files),
+                    require_visible=True,
+                    known=(head, files),
+                )
+            return ok
+
+    bk = RacingBackend()
+    gen, files = mf.publish(base, add=["new.parquet"], known=(1, {"seed.parquet"}), backend=bk)
+    assert bk.raced
+    # the writer observed the race winner's fold — its own publish is
+    # committed (the rewrite consumed it), never deleted, never retried
+    assert (gen, files) == (3, {"compacted.parquet"})
+    d = mf.manifest_dir(base)
+    assert mf._gen_numbers(d) == [1, 2, 3]  # N=2 intact: no chain gap
+    entry2 = mf._read_gen(d, 2)
+    assert entry2["add"] == ["new.parquet"]  # exactly one publish of it
+    assert mf.fold(base) == (3, {"compacted.parquet"})
+
+
+def test_publish_head_verifies_stale_known_without_prune(tmp_path):
+    """The stale-known path with NO prune involved: a cached snapshot
+    one generation behind must be discarded by the head-verification
+    LIST (not trusted into a create that would lose the CAS anyway) —
+    publish lands on the real head first try."""
+    base = str(tmp_path)
+    mf.publish(base, add=["a"])  # gen 1
+    mf.publish(base, add=["b"])  # gen 2
+
+    class CountingBackend(mf.LocalBackend):
+        def __init__(self):
+            self.creates = 0
+
+        def put_if_absent(self, path, data):
+            self.creates += 1
+            return super().put_if_absent(path, data)
+
+    bk = CountingBackend()
+    gen, files = mf.publish(base, add=["c"], known=(1, {"a"}), backend=bk)
+    assert (gen, files) == (3, {"a", "b", "c"})
+    assert bk.creates == 1  # no lost-CAS retry: stale known never used
+
+
+def test_prune_entry_age_gate_blocks_fresh_number_recycling(tmp_path):
+    """The residual list→create race window is closed by prune_log's
+    entry-age gate: entries younger than entry_grace_ms are never
+    pruned (their numbers must not recycle while a live publish could
+    still race them), while aged entries prune normally."""
+    base = str(tmp_path)
+    n = mf.CHECKPOINT_EVERY + 2
+    for i in range(n):
+        mf.publish(base, add=[f"f{i}"], ts_ms=1_000_000 + i)
+    d = mf.manifest_dir(base)
+    # young entries (now barely after publish): nothing pruned
+    assert mf.prune_log(base, now_ms=1_000_000 + n + 1) == 0
+    assert len(mf._gen_numbers(d)) == n
+    # aged an hour: everything below the checkpoint goes
+    assert (
+        mf.prune_log(base, now_ms=1_000_000 + 3_600_000 + n)
+        == mf.CHECKPOINT_EVERY - 1
+    )
+
+
+def test_vacuum_stage_sweep_pid_liveness_and_dedicated_grace(
+    spark, tmp_path
+):
+    """ADVICE r14 (low): vacuum's stage sweep must not rmtree another
+    LIVE process's in-flight staging dir — a compaction Spark write
+    can legitimately run longer than the file grace. Stage dirs whose
+    embedded pid is alive are skipped regardless of age; dead-pid dirs
+    sweep only past a DEDICATED horizon (≥1h by default, not the file
+    grace_ms)."""
+    import time as _time
+
+    store = _mkstore(spark, tmp_path)
+    store.append(B, "s1", [Record(body=b"x")])
+    base = store.base_dir
+    old = _time.time() - 7200  # 2h: past even the dedicated horizon
+    live = os.path.join(base, f"_compact-stage-{os.getpid()}-deadbeef")
+    dead = os.path.join(base, "_compact-stage-999999999-cafebabe")
+    young_dead = os.path.join(base, "_stage-999999998-feedface")
+    for d in (live, dead, young_dead):
+        os.makedirs(d)
+    os.utime(live, (old, old))
+    os.utime(dead, (old, old))  # dead pid + old → sweep
+    # young_dead keeps its fresh mtime → survives grace_ms=0 because
+    # the stage horizon is dedicated (max(grace, 1h)), not grace_ms
+    store.vacuum(grace_ms=0)
+    assert os.path.isdir(live), "live-pid stage dir was swept"
+    assert not os.path.isdir(dead), "dead-pid aged stage dir survived"
+    assert os.path.isdir(young_dead), "fresh stage dir swept on file grace"
+    # explicit stage_grace_ms=0 reclaims dead-pid dirs immediately
+    store.vacuum(grace_ms=0, stage_grace_ms=0)
+    assert not os.path.isdir(young_dead)
+    assert os.path.isdir(live), "live-pid guard must hold at any grace"

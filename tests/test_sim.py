@@ -766,7 +766,7 @@ def test_sim_soak_script_wiring():
     # exact roster size (ADVICE r12): a silently dropped scenario must
     # fail here, not vanish from the sweep — update in lockstep with
     # scripts/sim_soak.py
-    assert len(names) == 22, f"soak roster drifted: {len(names)} scenarios"
+    assert len(names) == 23, f"soak roster drifted: {len(names)} scenarios"
     import tests.test_sim as T  # the module the script resolves against
 
     for label, ref in names:
@@ -1543,3 +1543,189 @@ def test_sim_manifest_two_store_churn(spark, tmp_path, seed):
         ], f"writer {w}: {rows[:6]}..."
         tail, _ = cold.check_tail(BASIN, f"mw-{w}")
         assert tail == counts[w]
+
+
+# --- round 15: multi-writer across OS PROCESSES (VERDICT r14 task 2) -----
+#
+# The CAS publish loop exists for the topology where the in-process
+# mutexes protect nothing: separate OS processes (in production,
+# separate hosts) publishing onto one generation log. These workers run
+# the manifest protocol directly — no Spark in the children — because
+# the property under test is the log protocol itself: os.link
+# create-if-absent arbitration, head-verified snapshots, prune racing
+# live publishers, lease GC, and crash debris.
+
+
+def _mp_cas_worker(args):
+    """One writer PROCESS: seeded op mix of append publishes, delisting
+    rewrites (require_visible), folds, short-TTL leases, prune_log
+    sweeps, and two crash modes — 'stage crash' (leaves a manifest
+    `.tmp.` debris file and dies before any commit attempt, the
+    between-stage-and-link kill point) and 'post-commit crash' (dies
+    after the publish committed but before the ack record lands; the
+    checker accepts such adds as crash-committed). Acks are fsync'd
+    JSON lines — a publish is 'acked' only once its line is durable."""
+    import json as _json
+    import os as _os
+    import random as _random
+
+    from s2_spark import manifest as _mf
+
+    base, seed, w, n_ops, ack_path, entry_grace_ms = args
+    rng = _random.Random(seed * 7919 + w)
+    known = None
+    with open(ack_path, "a") as ack:
+        def record(op, gen, add, remove):
+            ack.write(_json.dumps(
+                {"op": op, "gen": gen, "add": sorted(add),
+                 "remove": sorted(remove)}) + "\n")
+            ack.flush()
+            _os.fsync(ack.fileno())
+
+        for i in range(n_ops):
+            r = rng.random()
+            try:
+                if r < 0.50:
+                    add = (f"w{w}-{i}.parquet",)
+                    gen, files = _mf.publish(base, add=add, known=known)
+                    known = (gen, files)
+                    record("append", gen, add, ())
+                elif r < 0.70:
+                    snap_gen, snap = _mf.fold(base)
+                    if not snap:
+                        continue
+                    consumed = tuple(sorted(rng.sample(
+                        sorted(snap), k=min(len(snap), rng.randint(1, 3)))))
+                    out = (f"w{w}-compact-{i}.parquet",)
+                    try:
+                        gen, files = _mf.publish(
+                            base, add=out, remove=consumed,
+                            require_visible=True,
+                            known=(snap_gen, set(snap)),
+                        )
+                        known = (gen, files)
+                        record("rewrite", gen, out, consumed)
+                    except _mf.PublishConflict:
+                        known = None  # correct abort: re-plan next op
+                elif r < 0.78:
+                    known = _mf.fold(base)  # reader: pure fold
+                elif r < 0.86:
+                    # maintenance racing the writers: prune with a
+                    # SMALL-but-nonzero entry grace (the resurrection
+                    # gate stays on, at soak timescale), plus lease GC
+                    _mf.prune_log(base, entry_grace_ms=entry_grace_ms)
+                    _mf.active_lease_floor(base)
+                elif r < 0.93:
+                    g = (known or _mf.fold(base))[0]
+                    lid = _mf.acquire_lease(base, g, ttl_ms=rng.choice([1, 50]))
+                    if rng.random() < 0.7:
+                        _mf.release_lease(base, lid)
+                elif r < 0.97 and i > 0:
+                    # stage crash: manifest tmp debris, no commit, die
+                    d = _mf.manifest_dir(base)
+                    _os.makedirs(d, exist_ok=True)
+                    with open(_os.path.join(
+                            d, f"gen-x.json.tmp.crash{w}-{i}"), "w") as f:
+                        f.write("{}")
+                    _os._exit(0)
+                else:
+                    # post-commit crash: committed, never acked
+                    add = (f"w{w}-crash-{i}.parquet",)
+                    _mf.publish(base, add=add, known=known)
+                    _os._exit(0)
+            except Exception:
+                import traceback as _tb
+
+                with open(ack_path + ".err", "a") as ef:
+                    ef.write(_tb.format_exc())
+                _os._exit(1)
+    _os._exit(0)
+
+
+@pytest.mark.parametrize("seed", [31, 62017])
+def test_sim_manifest_cas_multiprocess(spark, tmp_path, seed):
+    """N OS processes CAS-publish appends + delisting rewrites onto ONE
+    local generation log, racing prune sweeps, lease GC, and crash
+    injection (stage debris + post-commit death). Invariants over the
+    fsync'd ack logs and the final fold:
+
+    - the final fold succeeds (no chain gap — the r15 guard means no
+      committed generation is ever deleted);
+    - no generation number was acked twice (os.link arbitration);
+    - every acked rewrite consumed only files that existed (add'd by
+      an acked op, or crash-committed);
+    - file accounting: every acked add is visible XOR consumed by
+      exactly one acked rewrite; visible files nobody acked must be
+      crash-committed appends (the post-commit kill window's
+      documented unknown-outcome envelope);
+    - replaying acked ops in generation order reproduces the final
+      visible set up to crash-committed extras."""
+    import json
+    import multiprocessing as mp
+    import os
+
+    from s2_spark import manifest as mf
+
+    base = str(tmp_path / "mpcas")
+    n_workers, n_ops = 3, 40
+    ctx = mp.get_context("spawn")  # never fork the JVM-bearing parent
+    acks = [str(tmp_path / f"ack-{w}.jsonl") for w in range(n_workers)]
+    procs = [
+        ctx.Process(
+            target=_mp_cas_worker,
+            args=((base, seed, w, n_ops, acks[w], 250),),
+        )
+        for w in range(n_workers)
+    ]
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join(timeout=240)
+        assert p.exitcode is not None, "worker hung"
+    for w in range(n_workers):
+        err = acks[w] + ".err"
+        assert not os.path.exists(err), open(err).read()
+
+    head, visible = mf.fold(base)
+    ops = []
+    for w in range(n_workers):
+        if os.path.exists(acks[w]):
+            with open(acks[w]) as f:
+                ops.extend(json.loads(line) for line in f if line.strip())
+    gens = [o["gen"] for o in ops]
+    assert len(gens) == len(set(gens)), "two acks share a generation"
+    assert head >= (max(gens) if gens else 0)
+
+    acked_adds = {a for o in ops for a in o["add"]}
+    consumed: dict[str, int] = {}
+    for o in ops:
+        for rmv in o["remove"]:
+            consumed[rmv] = consumed.get(rmv, 0) + 1
+    assert all(n == 1 for n in consumed.values()), (
+        "a file was consumed by two committed rewrites"
+    )
+    crash_committed = visible - acked_adds
+    assert all("-crash-" in f for f in crash_committed), crash_committed
+    # every acked add is visible XOR consumed (no lost publish)
+    for o in ops:
+        for a in o["add"]:
+            assert (a in visible) != (a in consumed), (
+                f"acked add {a!r}: visible={a in visible}, "
+                f"consumed={a in consumed}"
+            )
+    # rewrites only ever consumed files some committed op produced —
+    # an acked add, a still-visible file, or a crash-committed append
+    # (identifiable by name: it was folded in by the consumer's own
+    # require_visible snapshot, proving it committed)
+    producible = acked_adds | visible | {
+        f for f in consumed if "-crash-" in f
+    }
+    for o in ops:
+        assert set(o["remove"]) <= producible, o
+    # replay acked ops in generation order == final visible minus the
+    # crash-committed extras (which never enter the acked replay)
+    replay: set = set()
+    for o in sorted(ops, key=lambda o: o["gen"]):
+        replay -= set(o["remove"])
+        replay |= set(o["add"])
+    assert replay == visible - crash_committed

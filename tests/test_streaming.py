@@ -1752,8 +1752,8 @@ def test_latest_offset_purge_racing_tails_scan_rescans(spark, store, monkeypatch
     real = src._tails
     fired = {"n": 0}
 
-    def racing(path, cache=None, stats=None):
-        out = real(path, cache, stats)
+    def racing(path, cache=None, stats=None, backend=None):
+        out = real(path, cache, stats, backend)
         if fired["n"] == 0:
             fired["n"] = 1
             # the purge lands AFTER the scan read the old files but
