@@ -235,21 +235,33 @@ def _s2_bench_once(
     n_records: int = 8000,
     record_bytes: int = 8192,
     manifest: bool = True,
+    sandbox: bool = False,
 ) -> dict:
     """One run of the reference bench workload (cli/src/cli.rs:702-736
     defaults: 8 KiB records, ~60 MiB): bulk-append through the store's
     distributed sequencing, then catch-up read; verify count +
-    order-sensitive chain hash on both sides."""
+    order-sensitive chain hash on both sides.
+
+    ``sandbox=True`` runs the whole store against the
+    SandboxObjectBackend (r15: data + manifest + catalog through the
+    object API — COPY-finalized parts, conditional-PUT publishes), the
+    honest cost model for a bucket-backed deployment minus network."""
     from s2_spark.catalog import Catalog
     from s2_spark.store import StreamStore
 
     base = tempfile.mkdtemp(prefix="s2bench_")
     try:
+        backend = None
+        if sandbox:
+            from s2_spark.manifest import SandboxObjectBackend
+
+            backend = SandboxObjectBackend(os.path.join(base, "bucket"))
         cat = Catalog(spark)
         cat.create_basin("bench-basin")
         cat.create_stream("bench-basin", "bench")
         store = StreamStore(
-            spark, os.path.join(base, "records"), catalog=cat, manifest=manifest
+            spark, os.path.join(base, "records"), catalog=cat,
+            manifest=manifest, manifest_backend=backend,
         )
 
         def chain_over(df, order_col):
@@ -772,6 +784,7 @@ def main() -> None:
     # loadavg decay so the query suite's self-load doesn't ride in.
     gates.append(_gate("s2bench"))
     bench, bench_listing = s2_bench_interleaved(spark)
+    bench_sandbox = _s2_bench_once(spark, sandbox=True)
     for d in (queries, queries_min, queries_first):
         d["q_s2bench_append"] = bench["append_sec"]
         d["q_s2bench_read"] = bench["read_sec"]
@@ -810,6 +823,15 @@ def main() -> None:
             k: bench_listing[k]
             for k in ("append_sec", "read_sec", "append_spread",
                       "read_spread", "reps", "verified")
+        },
+        # whole-store-on-object-backend series (r15): one rep against
+        # the SandboxObjectBackend — COPY-finalized parts,
+        # conditional-PUT publishes, catalog in the bucket. The honest
+        # local cost model for a bucket deployment (minus network);
+        # non-headline, recorded for the round-over-round trend.
+        "s2bench_sandbox": {
+            k: bench_sandbox[k]
+            for k in ("append_sec", "read_sec", "verified", "live_verified")
         },
         # per-section loadavg gates (r15): passed=False marks a section
         # that started under residual load despite the decay wait

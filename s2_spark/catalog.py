@@ -140,13 +140,26 @@ def validate_stream_name(name: str) -> None:
 
 
 class Catalog:
-    def __init__(self, spark: SparkSession, clock=None, meta_dir: str | None = None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        clock=None,
+        meta_dir: str | None = None,
+        backend=None,
+    ):
         """``meta_dir`` makes the catalog durable: every mutation writes
         the full (tiny) metadata table to ``meta_dir/catalog.parquet``
         atomically, and a new session pointed at the same dir loads it —
         the Spark analogue of the reference's BasinMeta/StreamMeta
         keyspaces (lite/src/backend/kv/mod.rs:55-95). Without it the
-        catalog is session-local (in-memory)."""
+        catalog is session-local (in-memory).
+
+        ``backend`` routes the metadata object through an
+        :mod:`s2_spark.manifest` backend (an unconditional atomic
+        ``put`` + ``read``), so a store whose records live in an
+        object store keeps its control plane there too — a cold open
+        against the bucket alone recovers basins/streams/configs.
+        Default: the local filesystem (unchanged layout)."""
         import threading
         import time
 
@@ -160,6 +173,11 @@ class Catalog:
         # not interleave writes to the same file.
         self._mu = threading.RLock()
         self.meta_dir = meta_dir
+        if backend is None:
+            from s2_spark import manifest as _mf
+
+            backend = _mf.LOCAL
+        self._backend = backend
         # optional OpsAudit sink (wired by the owning StreamStore): the
         # BasinOps metric set (api/src/v1/metrics.rs:110-130) counts
         # control-plane RPCs, which live here
@@ -199,9 +217,6 @@ class Catalog:
             self._save_locked()
 
     def _save_locked(self) -> None:
-        import os
-        import tempfile
-
         import pyarrow as pa
         import pyarrow.parquet as pq
 
@@ -257,27 +272,23 @@ class Catalog:
             ]
         )
         table = pa.Table.from_pylist(rows, schema=schema)
-        os.makedirs(self.meta_dir, exist_ok=True)
-        # Unique temp name per saver: a shared fixed .tmp path would let
-        # two concurrent saves (threads, or two stores on one dir)
-        # interleave writes and os.replace a torn file.
-        fd, tmp = tempfile.mkstemp(dir=self.meta_dir, suffix=".catalog.tmp")
-        os.close(fd)
-        try:
-            pq.write_table(table, tmp)
-            os.replace(tmp, self._path())
-        finally:
-            if os.path.exists(tmp):
-                os.unlink(tmp)
+        # one atomic object PUT through the backend (the local backend
+        # stages a unique tmp and renames — two concurrent savers can
+        # never interleave into a torn file; an object store's PUT is
+        # atomic per object by contract)
+        buf = pa.BufferOutputStream()
+        pq.write_table(table, buf)
+        self._backend.put(self._path(), buf.getvalue().to_pybytes())
 
     def _load(self) -> None:
-        import os
-
+        import pyarrow as pa
         import pyarrow.parquet as pq
 
-        if not os.path.exists(self._path()):
+        try:
+            data = self._backend.read(self._path())
+        except FileNotFoundError:
             return
-        for row in pq.read_table(self._path()).to_pylist():
+        for row in pq.read_table(pa.BufferReader(data)).to_pylist():
             cfg = StreamConfig(**{f: row[f] for f in self._CFG_FIELDS})
             if row["kind"] == "basin":
                 self.basins[row["basin"]] = BasinMeta(

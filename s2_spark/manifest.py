@@ -146,6 +146,16 @@ class LocalBackend:
         except FileNotFoundError:
             pass
 
+    def put(self, path: str, data: bytes) -> None:
+        """Unconditional overwrite PUT (atomic per object, like S3):
+        the control-plane write primitive (catalog metadata). Locally
+        a unique-tmp + rename so readers never see a torn file."""
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, path)
+
     def mtime_ms(self, path: str) -> int | None:
         try:
             return int(os.path.getmtime(path) * 1000)
@@ -240,6 +250,11 @@ class InMemoryCASBackend:
     def delete(self, path: str) -> None:
         with self._mu:
             self._objects.pop(path, None)
+
+    def put(self, path: str, data: bytes) -> None:
+        with self._mu:
+            self._objects[path] = (data, self._clock())
+            self.puts += 1
 
     def mtime_ms(self, path: str) -> int | None:
         with self._mu:
@@ -336,6 +351,17 @@ class SandboxObjectBackend:
             os.remove(self._key(path))
         except FileNotFoundError:
             pass
+
+    def put(self, path: str, data: bytes) -> None:
+        # unconditional overwrite PUT — atomic per object on a real
+        # store; simulated with a unique tmp + rename in the sandbox
+        key = self._key(path)
+        os.makedirs(os.path.dirname(key), exist_ok=True)
+        tmp = key + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, key)
+        self.puts += 1
 
     def mtime_ms(self, path: str) -> int | None:
         try:

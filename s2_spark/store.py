@@ -280,7 +280,11 @@ class StreamStore:
         # so basins/streams/configs survive a session restart alongside
         # the record data (kv/mod.rs:55-95 BasinMeta/StreamMeta)
         self.catalog = catalog or Catalog(
-            spark, meta_dir=os.path.join(base_dir, "_meta")
+            spark,
+            meta_dir=os.path.join(base_dir, "_meta"),
+            # control plane rides the same backend as records: a store
+            # living in a bucket keeps basins/streams/configs there too
+            backend=self._mf_backend,
         )
         self._clock = clock or (lambda: int(time.time() * 1000))
         self.bucket_count = bucket_count
@@ -2468,19 +2472,21 @@ class StreamStore:
         (streaming/source.py latestOffset)."""
         import hashlib
 
+        bk = self._mf_backend
         d = os.path.join(self.base_dir, "_purges")
-        os.makedirs(d, exist_ok=True)
         for b, s in drop_streams:
             name = hashlib.sha1(f"{b}\x00{s}".encode()).hexdigest()[:24] + ".json"
             p = os.path.join(d, name)
             gen = 0
-            if os.path.exists(p):
-                try:
-                    with open(p) as f:
-                        gen = int(json.load(f).get("gen", 0))
-                except (OSError, ValueError):
-                    pass
-            tmp = p + ".tmp"
-            with open(tmp, "w") as f:
-                json.dump({"basin": b, "stream": s, "gen": gen + 1}, f)
-            os.replace(tmp, p)  # atomic: readers see old or new, never torn
+            try:
+                gen = int(json.loads(bk.read(p)).get("gen", 0))
+            except (OSError, ValueError):
+                pass
+            # one atomic object PUT (tmp+rename locally): readers see
+            # old or new, never torn — and on a bucket store the
+            # tombstone lives beside the records, so a reader on
+            # ANOTHER host still observes the purge generation bump
+            bk.put(
+                p,
+                json.dumps({"basin": b, "stream": s, "gen": gen + 1}).encode(),
+            )

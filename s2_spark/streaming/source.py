@@ -228,7 +228,7 @@ def _purges_dir(path: str) -> str:
 
 
 def _purge_gens(
-    path: str, cache: dict | None = None
+    path: str, cache: dict | None = None, backend=None
 ) -> dict[str, int]:
     """Per-stream purge-generation tombstones written by
     ``StreamStore._record_purges`` after a deleted stream's records are
@@ -243,7 +243,25 @@ def _purge_gens(
     not N file opens. Inode membership makes the key tick-proof: every
     tombstone rewrite is tmp+rename, which always lands a fresh inode,
     so a generation bump within one coarse filesystem-timestamp tick
-    (where mtime alone would serve stale) still misses the cache."""
+    (where mtime alone would serve stale) still misses the cache.
+
+    ``backend`` (non-local): tombstones are read through the object
+    API — one LIST plus a GET per tombstone, uncached. Purges are
+    rare (stream delete + physical purge), so the prefix is empty or
+    tiny on almost every trigger, and skipping the stat-key cache
+    avoids depending on object timestamps for staleness."""
+    if backend is not None and not getattr(backend, "is_local", False):
+        d = _purges_dir(path)
+        out: dict[str, int] = {}
+        for f in backend.list_dir(d):
+            if not f.endswith(".json"):
+                continue
+            try:
+                m = json.loads(backend.read(os.path.join(d, f)))
+                out[f"{m['basin']}{SEP}{m['stream']}"] = int(m["gen"])
+            except (OSError, ValueError, KeyError):
+                continue  # torn/foreign object: next trigger retries
+        return out
     d = _purges_dir(path)
     try:
         names = [f for f in os.listdir(d) if f.endswith(".json")]
@@ -470,7 +488,7 @@ class S2StreamReader(DataSourceStreamReader):
         # pinned to the generation current at restart — exactly the
         # old semantics (pre-existing tombstones are history) for
         # checkpoints that predate the v2 format.
-        self._gen_seen: dict[str, int] = _purge_gens(self.path, self._purge_cache)
+        self._gen_seen: dict[str, int] = _purge_gens(self.path, self._purge_cache, self._backend)
         self._init_gens: dict[str, int] = dict(self._gen_seen)
         # high-water mark: per key the max (gen, seq) ever planned or
         # committed — generation-aware, so a dead generation's late
@@ -550,7 +568,7 @@ class S2StreamReader(DataSourceStreamReader):
         # keeps perturbing tombstone stat keys) must stall this
         # trigger loudly, not wedge the driver forever with no
         # diagnostic.
-        gens = _purge_gens(self.path, self._purge_cache)
+        gens = _purge_gens(self.path, self._purge_cache, self._backend)
         for attempt in range(32):
             scanned = _tails(self.path, self._tails_cache, self.tails_stats, self._backend)
             if scanned is None:
@@ -578,7 +596,7 @@ class S2StreamReader(DataSourceStreamReader):
                 tails = dict(self._max_seen)
                 break
             tails = self._filtered(scanned)
-            gens2 = _purge_gens(self.path, self._purge_cache)
+            gens2 = _purge_gens(self.path, self._purge_cache, self._backend)
             if gens2 == gens:
                 break
             gens = gens2

@@ -107,6 +107,32 @@ def test_sandbox_full_lifecycle_no_local_data(spark, tmp_path):
     assert _rows(cold) == want
 
 
+def test_sandbox_catalog_control_plane_in_bucket(spark, tmp_path):
+    """The control plane rides the backend too (r15): a store built
+    with the DEFAULT catalog persists basins/streams/configs as an
+    object in the bucket, so a cold open against the bucket ALONE — a
+    fresh default catalog, nothing under the local base_dir —
+    recovers metadata and records both."""
+    backend = mf.SandboxObjectBackend(str(tmp_path / "bucket"))
+    base = str(tmp_path / "records")
+    store = StreamStore(
+        spark, base, manifest=True, manifest_backend=backend
+    )
+    store.catalog.create_basin(B, BasinConfig(create_stream_on_append=True))
+    store.catalog.create_stream(B, "s1")
+    store.append(B, "s1", [Record(body=b"c0")])
+    # no catalog parquet on the local filesystem — it is in the bucket
+    assert not os.path.exists(os.path.join(base, "_meta", "catalog.parquet"))
+    cold = StreamStore(
+        spark,
+        base,
+        manifest=True,
+        manifest_backend=mf.SandboxObjectBackend(backend.root),
+    )
+    assert cold.catalog.get_stream(B, "s1").name == "s1"
+    assert _rows(cold) == [(0, b"c0")]
+
+
 def test_sandbox_streaming_follow(spark, tmp_path):
     """The streaming source follows an object-backend store via the
     `backend` option (spec string — reconstructed on executors),
@@ -140,6 +166,29 @@ def test_sandbox_streaming_follow(spark, tmp_path):
     finally:
         q.stop()
     assert _local_parquet(store.base_dir) == []
+
+
+def test_sandbox_purge_tombstones_ride_the_bucket(spark, tmp_path):
+    """Purge tombstones (the generation bump a streaming reader needs
+    to rebase a deleted+recreated stream to seq 0) are written through
+    the backend, so on a bucket store a reader on ANOTHER host — here:
+    a fresh backend object, nothing on the local base_dir — observes
+    the purge."""
+    from s2_spark.operators.maintenance import deletion_purge_sweep
+    from s2_spark.streaming.source import SEP, _purge_gens
+
+    store, backend = _mkstore(spark, tmp_path)
+    store.append(B, "s1", [Record(body=b"old0"), Record(body=b"old1")])
+    store.catalog.delete_stream(B, "s1")
+    deletion_purge_sweep(store)
+    store.catalog.create_stream(B, "s1")
+    ack = store.append(B, "s1", [Record(body=b"new0")])
+    assert ack.start_seq == 0  # recreated stream restarts at 0
+    # nothing under the local _purges dir — the tombstone is an object
+    assert not os.path.isdir(os.path.join(store.base_dir, "_purges"))
+    other_host = mf.SandboxObjectBackend(backend.root)
+    gens = _purge_gens(store.base_dir, None, other_host)
+    assert gens.get(f"{B}{SEP}s1") == 1
 
 
 def test_source_requires_backend_spec_for_external_store(spark, tmp_path):

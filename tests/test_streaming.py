@@ -1838,7 +1838,7 @@ def test_latest_offset_purge_churn_bounded_retry_raises(spark, store, monkeypatc
     r = _reader(store)
     tick = {"n": 0}
 
-    def churning(path, cache=None):
+    def churning(path, cache=None, backend=None):
         tick["n"] += 1
         return {f"{BASIN}\x00s1": tick["n"]}  # never stable
 
