@@ -249,3 +249,91 @@ def test_backend_spec_roundtrip(tmp_path):
     assert bk2.root == bk.root
     with pytest.raises(ValueError):
         mf.backend_from_spec("s3://not-wired-yet")
+
+
+def _child_spark_appender(args):
+    """Child PROCESS with its OWN SparkSession (own JVM) appending to a
+    shared store directory — the real two-jobs-one-store topology the
+    CAS publish loop exists for (each job's in-process locks protect
+    nothing against the other)."""
+    import os as _os
+    import traceback as _tb
+
+    base, bucket_root, stream, n, err_path = args
+    try:
+        from s2_spark import manifest as _mf
+        from s2_spark.model import Record as _Record
+        from s2_spark.session import get_spark as _get_spark
+        from s2_spark.store import StreamStore as _StreamStore
+
+        spark = _get_spark("child-writer", cpus=2, shuffle_partitions=2)
+        backend = _mf.SandboxObjectBackend(bucket_root)
+        st = _StreamStore(
+            spark, base, manifest=True, manifest_backend=backend
+        )
+        for i in range(n):
+            st.append(B, stream, [_Record(body=f"child-{i}".encode())])
+        # cross-process compaction: the child's rewrite CAS-publishes
+        # (require_visible) against whatever the parent has committed
+        # meanwhile; a PublishConflict would re-plan inside compact()
+        st.manifest_refresh()
+        st.compact()
+        spark.stop()
+        _os._exit(0)
+    except Exception:
+        with open(err_path, "w") as f:
+            f.write(_tb.format_exc())
+        _os._exit(1)
+
+
+def test_two_spark_processes_one_bucket_store(spark, tmp_path):
+    """TWO OS processes, each with its OWN SparkSession/JVM, append to
+    one bucket-backed store concurrently (different streams — the
+    reference's per-stream single-writer discipline; the DIRECTORY is
+    multi-writer via CAS publishes). Both sides' acked records are
+    visible after a manifest_refresh, and a cold reader over the
+    bucket alone sees a consistent store."""
+    import multiprocessing as mp
+    import os
+
+    backend = mf.SandboxObjectBackend(str(tmp_path / "bucket"))
+    base = str(tmp_path / "records")
+    store = StreamStore(spark, base, manifest=True, manifest_backend=backend)
+    store.catalog.create_basin(B, BasinConfig(create_stream_on_append=True))
+    store.catalog.create_stream(B, "parent-s")
+    store.catalog.create_stream(B, "child-s")
+
+    err = str(tmp_path / "child.err")
+    ctx = mp.get_context("spawn")
+    child = ctx.Process(
+        target=_child_spark_appender,
+        args=((base, backend.root, "child-s", 4, err),),
+    )
+    child.start()
+    # parent appends concurrently with the child's JVM
+    for i in range(4):
+        store.append(B, "parent-s", [Record(body=f"parent-{i}".encode())])
+    child.join(timeout=300)
+    assert child.exitcode == 0, (
+        open(err).read() if os.path.exists(err) else "child died silently"
+    )
+    # absorb the child's generations (publishes went through CAS; the
+    # parent's cache is refreshed, not trusted)
+    store.manifest_refresh()
+    assert _rows(store, "parent-s") == [
+        (i, f"parent-{i}".encode()) for i in range(4)
+    ]
+    assert _rows(store, "child-s") == [
+        (i, f"child-{i}".encode()) for i in range(4)
+    ]
+    # cold open over the bucket alone agrees
+    cold = StreamStore(
+        spark,
+        base,
+        manifest=True,
+        manifest_backend=mf.SandboxObjectBackend(backend.root),
+    )
+    assert _rows(cold, "child-s") == [
+        (i, f"child-{i}".encode()) for i in range(4)
+    ]
+    assert cold.check_tail(B, "parent-s")[0] == 4

@@ -1621,13 +1621,32 @@ def _mp_cas_worker(args):
                     if rng.random() < 0.7:
                         _mf.release_lease(base, lid)
                 elif r < 0.97 and i > 0:
-                    # stage crash: manifest tmp debris, no commit, die
-                    d = _mf.manifest_dir(base)
-                    _os.makedirs(d, exist_ok=True)
-                    with open(_os.path.join(
-                            d, f"gen-x.json.tmp.crash{w}-{i}"), "w") as f:
-                        f.write("{}")
-                    _os._exit(0)
+                    # kill BETWEEN STAGE AND LINK (the VERDICT r14
+                    # task-2 kill point): the backend stages the tmp
+                    # exactly as a real publish would, then the process
+                    # dies before the os.link commit — leaving genuine
+                    # crash debris and no generation
+                    class _KillAtLink(_mf.LocalBackend):
+                        def put_if_absent(self, path, data):
+                            import uuid as _uuid
+
+                            tmp = path + f".tmp.{_uuid.uuid4().hex}"
+                            _os.makedirs(
+                                _os.path.dirname(path), exist_ok=True
+                            )
+                            with open(tmp, "wb") as f:
+                                f.write(data)
+                            _os._exit(0)
+
+                    try:
+                        _mf.publish(
+                            base,
+                            add=(f"w{w}-stagekill-{i}.parquet",),
+                            known=known,
+                            backend=_KillAtLink(),
+                        )
+                    finally:  # pragma: no cover - never reached
+                        _os._exit(0)
                 else:
                     # post-commit crash: committed, never acked
                     add = (f"w{w}-crash-{i}.parquet",)
