@@ -182,6 +182,10 @@ class Catalog:
         # BasinOps metric set (api/src/v1/metrics.rs:110-130) counts
         # control-plane RPCs, which live here
         self.audit = None
+        #: version of the newest persisted catalog object this instance
+        #: has observed — the CAS base for the next save (0 = legacy
+        #: unversioned file or nothing persisted yet)
+        self._meta_version = 0
         if meta_dir:
             self._load()
 
@@ -199,24 +203,73 @@ class Catalog:
         "delete_on_empty_min_age_secs",
     )
 
-    def _path(self) -> str:
+    #: versioned metadata objects: ``catalog-%012d.parquet``. The
+    #: version rides the object NAME so a save can be a conditional
+    #: PUT — two stores sharing one bucket can both mutate the control
+    #: plane without last-PUT-wins losing a creation (code-review r15).
+    _CAT_RE = re.compile(r"^catalog-(\d{12})\.parquet$")
+
+    #: versioned catalog objects kept behind the head (readers race
+    #: version GC; the retry re-lists)
+    _KEEP_VERSIONS = 3
+
+    def _legacy_path(self) -> str:
         import os
 
         return os.path.join(self.meta_dir, "catalog.parquet")
 
-    def _save(self) -> None:
-        """Persist all metadata in one atomic parquet write (driver-side
-        pyarrow — the control plane is tiny; no Spark job needed).
+    def _version_path(self, v: int) -> str:
+        import os
 
-        Callers mutating ``basins``/``streams`` hold ``_mu`` around the
-        mutation + save; ``_save`` re-acquires it (reentrant) so a direct
-        call also snapshots consistently."""
-        if not self.meta_dir:
-            return
+        return os.path.join(self.meta_dir, f"catalog-{v:012d}.parquet")
+
+    def _commit(self, fn):
+        """Run one idempotent metadata mutation and persist it with a
+        versioned conditional PUT — the control-plane analogue of the
+        manifest publish CAS. On losing the race to another store's
+        save, the freshest table is reloaded and ``fn`` re-applies on
+        top of the winner (every mutator is a pure function of the
+        current table: a concurrent same-name create correctly
+        surfaces as AlreadyExists on the re-apply instead of silently
+        clobbering the other writer's row). In-memory-only catalogs
+        (no ``meta_dir``) just run ``fn``."""
         with self._mu:
-            self._save_locked()
+            if not self.meta_dir:
+                return fn()
+            for _ in range(32):
+                out = fn()
+                if self._save_cas():
+                    return out
+                self._reload()  # lost the CAS: absorb winner, re-apply
+            raise S2Error(
+                "catalog CAS contention: 32 save attempts lost — "
+                "pathologically many concurrent control-plane writers"
+            )
 
-    def _save_locked(self) -> None:
+    def _reload(self) -> None:
+        """Drop the in-memory table and re-read the freshest persisted
+        version (meta objects are replaced wholesale — mutators look
+        rows up fresh inside their closure, never across a reload)."""
+        with self._mu:
+            self.basins.clear()
+            self.streams.clear()
+            self._load()
+
+    def _save_cas(self) -> bool:
+        """One conditional PUT of the full (tiny) table at the next
+        version; True = committed (version advanced, older versions
+        GC'd past a keep window), False = a racing writer took the
+        number and the caller must reload + re-apply."""
+        data = self._serialize_locked()
+        nxt = self._meta_version + 1
+        if not self._backend.put_if_absent(self._version_path(nxt), data):
+            return False
+        self._meta_version = nxt
+        for v in range(max(0, nxt - 64), nxt - self._KEEP_VERSIONS + 1):
+            self._backend.delete(self._version_path(v))
+        return True
+
+    def _serialize_locked(self) -> bytes:
         import pyarrow as pa
         import pyarrow.parquet as pq
 
@@ -272,21 +325,40 @@ class Catalog:
             ]
         )
         table = pa.Table.from_pylist(rows, schema=schema)
-        # one atomic object PUT through the backend (the local backend
-        # stages a unique tmp and renames — two concurrent savers can
-        # never interleave into a torn file; an object store's PUT is
-        # atomic per object by contract)
         buf = pa.BufferOutputStream()
         pq.write_table(table, buf)
-        self._backend.put(self._path(), buf.getvalue().to_pybytes())
+        return buf.getvalue().to_pybytes()
 
     def _load(self) -> None:
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        try:
-            data = self._backend.read(self._path())
-        except FileNotFoundError:
+        # freshest versioned object wins; the pre-r15 unversioned
+        # `catalog.parquet` is read as version 0 (upgraded in place by
+        # the first CAS save). A read can race version GC, so a
+        # missing max-version re-lists.
+        data = None
+        for _ in range(8):
+            versions = sorted(
+                int(m.group(1))
+                for f in self._backend.list_dir(self.meta_dir)
+                if (m := self._CAT_RE.match(f))
+            )
+            try:
+                if versions:
+                    self._meta_version = versions[-1]
+                    data = self._backend.read(
+                        self._version_path(versions[-1])
+                    )
+                else:
+                    self._meta_version = 0
+                    data = self._backend.read(self._legacy_path())
+                break
+            except FileNotFoundError:
+                if not versions:
+                    return  # brand-new store: nothing persisted yet
+                continue  # raced GC: re-list
+        if data is None:
             return
         for row in pq.read_table(pa.BufferReader(data)).to_pylist():
             cfg = StreamConfig(**{f: row[f] for f in self._CFG_FIELDS})
@@ -328,7 +400,7 @@ class Catalog:
         key_hash = (
             _creation_idempotency_key(request_token, config) if request_token else None
         )
-        with self._mu:
+        def _fn():
             existing = self.basins.get(name)
             if existing is not None:
                 if existing.deleted_at is not None:
@@ -342,8 +414,9 @@ class Catalog:
                 name, config or BasinConfig(), self._clock(), idempotency_key=key_hash
             )
             self.basins[name] = meta
-            self._save()
             return meta
+
+        return self._commit(_fn)
 
     def provision_basin(
         self,
@@ -370,20 +443,20 @@ class Catalog:
         validate_basin_name(name)
         desired = config or BasinConfig()
         validate_cipher(desired)
-        with self._mu:
+        def _fn():
             existing = self.basins.get(name)
             if existing is not None and existing.deleted_at is not None:
                 raise DeletionPending(name)
             if existing is None:
                 meta = BasinMeta(name, desired, self._clock())
                 self.basins[name] = meta
-                self._save()
                 return meta, "created"
             if existing.config == desired:
                 return existing, "noop"
             existing.config = desired
-            self._save()
             return existing, "updated"
+
+        return self._commit(_fn)
 
     def get_basin(self, name: str) -> BasinMeta:
         """Missing → NotFound; present but deletion-pending →
@@ -397,17 +470,20 @@ class Catalog:
         return meta
 
     def delete_basin(self, name: str) -> None:
-        with self._mu:
+        def _fn():
             self.get_basin(name).deleted_at = self._clock()
-            self._save()
+
+        self._commit(_fn)
 
     def reconfigure_basin(self, name: str, config: BasinConfig) -> BasinMeta:
         validate_cipher(config)
-        with self._mu:
+
+        def _fn():
             meta = self.get_basin(name)
             meta.config = config
-            self._save()
             return meta
+
+        return self._commit(_fn)
 
     # --- streams (A22/A23) ----------------------------------------------
 
@@ -428,7 +504,7 @@ class Catalog:
         key_hash = (
             _creation_idempotency_key(request_token, config) if request_token else None
         )
-        with self._mu:
+        def _fn():
             existing = self.streams.get(key)
             if existing is not None:
                 if existing.deleted_at is not None:
@@ -436,7 +512,6 @@ class Catalog:
                     # (streams.rs:115-121 StreamDeletionPendingError)
                     raise DeletionPending(f"{basin}/{name}")
                 if key_hash is not None and existing.idempotency_key == key_hash:
-                    self._audit_op("create_stream", basin)
                     return existing  # retried create: no-op
                 raise AlreadyExists(f"{basin}/{name}")
             meta = StreamMeta(
@@ -448,9 +523,11 @@ class Catalog:
                 cipher=basin_cfg.stream_cipher,
             )
             self.streams[key] = meta
-            self._save()
-            self._audit_op("create_stream", basin)
             return meta
+
+        meta = self._commit(_fn)
+        self._audit_op("create_stream", basin)
+        return meta
 
     def provision_stream(
         self,
@@ -474,7 +551,7 @@ class Catalog:
         if mode != "ensure":
             raise S2Error(f"unknown provision mode {mode!r}")
         validate_stream_name(name)
-        with self._mu:
+        def _fn():
             basin_meta = self.get_basin(basin)
             existing = self.streams.get((basin, name))
             if existing is not None and existing.deleted_at is not None:
@@ -491,19 +568,19 @@ class Catalog:
                     cipher=basin_meta.config.stream_cipher,
                 )
                 self.streams[(basin, name)] = meta
-                self._save()
                 return meta, "created"
             if existing.config == desired:
                 return existing, "noop"
             existing.config = desired
-            self._save()
             return existing, "updated"
+
+        return self._commit(_fn)
 
     def purge_deleted(self) -> list[str]:
         """Complete async deletions: physically drop metadata rows whose
         deleted_at is set (the reference's deletion task removing the
         meta key), after which the names become creatable again."""
-        with self._mu:
+        def _fn():
             purged = []
             for key, m in list(self.streams.items()):
                 if m.deleted_at is not None:
@@ -515,9 +592,9 @@ class Catalog:
                 ):
                     del self.basins[bname]
                     purged.append(bname)
-            if purged:
-                self._save()
             return purged
+
+        return self._commit(_fn)
 
     def get_stream(self, basin: str, name: str) -> StreamMeta:
         """Missing → NotFound; present but deletion-pending →
@@ -533,9 +610,10 @@ class Catalog:
         return meta
 
     def delete_stream(self, basin: str, name: str) -> None:
-        with self._mu:
+        def _fn():
             self.get_stream(basin, name).deleted_at = self._clock()
-            self._save()
+
+        self._commit(_fn)
         self._audit_op("delete_stream", basin)
 
     def reconfigure_stream(
@@ -546,10 +624,12 @@ class Catalog:
         field-mask semantics of stream.rs:515-586). A replace with None
         fields clears them back to basin/system defaults at resolve
         time (stream.rs:587-673)."""
-        with self._mu:
+        def _fn():
             meta = self.get_stream(basin, name)
             meta.config = config.merge_over(meta.config) if merge else config
-            self._save()
+            return meta
+
+        meta = self._commit(_fn)
         self._audit_op("reconfigure_stream", basin)
         return meta
 

@@ -164,10 +164,26 @@ class LocalBackend:
 
     # --- data plane -----------------------------------------------------
 
+    #: True when the DATA plane is this host's filesystem (may differ
+    #: from is_local: InMemoryCASBackend keeps the log in memory but
+    #: data local). Gates host-local heuristics like vacuum's stage
+    #: pid-liveness check.
+    data_is_local = True
+
     def spark_path(self, path: str) -> str:
         """The location Spark reads/writes for logical path ``path``
         (an ``s3a://…`` URL on a real object store; identity here)."""
         return path
+
+    def list_data_dir(self, d: str) -> list[str]:
+        """Immediate entries of a DATA-plane directory (vacuum's stage
+        sweep). Distinct from :meth:`list_dir`, which addresses the
+        MANIFEST plane — on a split backend the two planes live in
+        different stores."""
+        try:
+            return os.listdir(d)
+        except OSError:
+            return []
 
     def exists(self, path: str) -> bool:
         return os.path.exists(path)
@@ -265,11 +281,13 @@ class InMemoryCASBackend:
     # r14 SPLIT deployment (protocol objects in the object store,
     # record parquet on a shared filesystem); a whole-store object
     # deployment is SandboxObjectBackend
+    data_is_local = True
     spark_path = LocalBackend.spark_path
     exists = LocalBackend.exists
     finalize_data = LocalBackend.finalize_data
     walk_files = LocalBackend.walk_files
     remove_tree = LocalBackend.remove_tree
+    list_data_dir = LocalBackend.list_data_dir
 
 
 class SandboxObjectBackend:
@@ -371,8 +389,13 @@ class SandboxObjectBackend:
 
     # --- data plane -----------------------------------------------------
 
+    data_is_local = False
+
     def spark_path(self, path: str) -> str:
         return self._key(path)
+
+    def list_data_dir(self, d: str) -> list[str]:
+        return self.list_dir(d)  # one store: both planes in the bucket
 
     def exists(self, path: str) -> bool:
         return os.path.exists(self._key(path))
@@ -390,19 +413,11 @@ class SandboxObjectBackend:
         self.copies += 1
 
     def walk_files(self, root: str):
+        # one recursive LIST over the mapped prefix; the walk itself
+        # delegates to LocalBackend so the hidden-path and mtime rules
+        # live in exactly one place (code-review r15)
         self.lists += 1
-        rkey = self._key(root)
-        for d, dirs, fs in os.walk(rkey):
-            dirs[:] = [x for x in dirs if not x.startswith(("_", "."))]
-            for f in fs:
-                if f.startswith(("_", ".")):
-                    continue
-                p = os.path.join(d, f)
-                try:
-                    mt = int(os.path.getmtime(p) * 1000)
-                except OSError:
-                    continue
-                yield os.path.relpath(p, rkey), mt
+        yield from LocalBackend.walk_files(self, self._key(root))
 
     def remove_tree(self, path: str) -> None:
         # prefix DELETE: list the keys under the prefix, delete each
@@ -730,11 +745,17 @@ def prune_log(
                     continue  # too young: its number must not recycle yet
             backend.delete(_gen_path(d, g))
             n += 1
+    # tmp debris ages on WALL clock unconditionally: mtime_ms is a
+    # filesystem/object timestamp, and mixing it with a caller-supplied
+    # logical now_ms (vacuum passes the store clock for ENTRY aging)
+    # would delete another thread's in-flight staging tmp when the
+    # logical clock runs ahead of wall time (code-review r15)
+    wall = int(time.time() * 1000)
     for f in backend.list_dir(d):
         if ".tmp." in f:
             p = os.path.join(d, f)
             age_ref = backend.mtime_ms(p)
-            if age_ref is not None and now - age_ref >= tmp_grace_ms:
+            if age_ref is not None and wall - age_ref >= tmp_grace_ms:
                 backend.delete(p)
     return n
 

@@ -222,11 +222,18 @@ class StreamStore:
         (a listing-mode reopen over a compacted manifest store would
         see delisted duplicates).
 
-        ``manifest_backend`` swaps the generation log's storage
-        (:class:`s2_spark.manifest.LocalBackend` by default) — the
-        conditional-PUT seam an object-store port plugs into. Data
-        files remain local parquet either way; only the ``_manifest``
-        protocol objects go through the backend."""
+        ``manifest_backend`` swaps the WHOLE store's storage
+        (:class:`s2_spark.manifest.LocalBackend` by default): since
+        r15 the backend carries the generation log (conditional-PUT
+        publishes), the record data plane (Spark read/write locations,
+        staged-part finalize, vacuum deletes, the orphan sweep), and
+        the control plane (catalog metadata, purge tombstones) — a
+        whole-store object deployment swaps this one object
+        (:class:`~s2_spark.manifest.SandboxObjectBackend` is the test
+        double). Split deployments (log in an object store, data on a
+        shared filesystem — :class:`~s2_spark.manifest
+        .InMemoryCASBackend`'s shape) remain supported: the data-plane
+        methods delegate to the local filesystem."""
         from s2_spark import manifest as _mf
 
         self.spark = spark
@@ -319,6 +326,23 @@ class StreamStore:
         # first storage probe below reads base_dir
         self._swap_recover()
         if self.manifest and not _mf.is_manifest_store(base_dir, self._mf_backend):
+            if not getattr(self._mf_backend, "data_is_local", False) and any(
+                rel.endswith(".parquet")
+                for rel, _mt in _mf.LOCAL.walk_files(base_dir)
+            ):
+                # an existing LOCAL listing-layout directory cannot be
+                # adopted into a backend whose DATA plane is a bucket:
+                # the bootstrap would checkpoint the (empty) bucket and
+                # silently hide every local record — migrate on the
+                # local backend first, then copy the objects
+                # (code-review r15; a SPLIT backend with local data,
+                # e.g. InMemoryCASBackend, bootstraps fine)
+                raise RuntimeError(
+                    f"store {base_dir!r} holds local listing-layout data "
+                    f"but the manifest_backend's data plane is non-local; "
+                    f"migrate with the local backend before pointing it "
+                    f"at a bucket"
+                )
             # migrating an existing listing-mode directory: the flag
             # alone must never make existing records invisible
             self._manifest_bootstrap()
@@ -581,9 +605,7 @@ class StreamStore:
         _, visible = self._manifest_current(refresh=True)
         bk = self._mf_backend
         now_ms = self._clock()
-        now = time.time()
-        wall_ms = int(now * 1000)
-        grace_s = grace_ms / 1000.0
+        wall_ms = int(time.time() * 1000)
         removed = 0
         with self._rewrite_mu:
             # reader leases trump the grace clock: a lease pinning
@@ -629,20 +651,30 @@ class StreamStore:
             # a DEDICATED horizon ≥1h — another live process's
             # compaction Spark write may legitimately outlive the file
             # grace, and rmtree'ing its in-flight stage fails that
-            # rewrite — and a dir whose embedded pid is still alive on
-            # this host is never touched regardless of age (stage
-            # names are `_stage-{pid}-{uuid}`; a foreign host's pid
-            # cannot collide because stages are host-local scratch)
+            # rewrite. On a LOCAL backend a dir whose embedded pid
+            # (stage names are `_stage-{pid}-{uuid}` /
+            # `_compact-stage-{pid}-{uuid}`) is still alive on this
+            # host is never touched regardless of age; on a non-local
+            # backend the stages live in the shared bucket where a pid
+            # means nothing across hosts, so only the long horizon
+            # protects in-flight cross-host rewrites — keep
+            # stage_grace_ms above your longest compaction write
+            # (code-review r15)
             stage_grace = (
                 stage_grace_ms
                 if stage_grace_ms is not None
                 else max(grace_ms, 3_600_000)
             )
-            for entry in bk.list_dir(self.base_dir):
+            backend_local = getattr(bk, "data_is_local", False)
+            for entry in bk.list_data_dir(self.base_dir):
                 if entry.startswith(("_stage-", "_compact-stage-")):
                     p = os.path.join(self.base_dir, entry)
-                    m = re.search(r"-stage-(\d+)-", entry)
-                    if m and _pid_alive(int(m.group(1))):
+                    m = re.search(r"stage-(\d+)-", entry)
+                    if (
+                        backend_local
+                        and m
+                        and _pid_alive(int(m.group(1)))
+                    ):
                         continue  # owner still running: in flight
                     mt = bk.mtime_ms(p)
                     if mt is not None and wall_ms - mt >= stage_grace:

@@ -174,25 +174,33 @@ def _tails(
     trigger rather than scan — a COLD reader checkpointing a regressed
     tail from a mid-swap listing was exactly the hole the wait was
     added to cover, and proceeding after the timeout re-opened it."""
-    if not os.path.isdir(path):
-        return {}
-    # a compaction swap in progress can make a listing transiently MISS
-    # records: a warm reader's monotone guard absorbs that, but a COLD
-    # reader would emit the regressed tail into the offset log. The
-    # trash dir exists exactly for the swap window (store._swap_in),
-    # so wait it out. A trash dir stranded by a CRASHED swap outlives
-    # the wait (only the next store open recovers it) — skipping the
-    # trigger is the non-destructive answer: racing the store's own
-    # swap recovery from a reader could fight a live compactor.
-    trash = path.rstrip("/") + ".trash"
-    for _ in range(40):
-        if not os.path.isdir(trash):
-            break
-        time.sleep(0.05)
+    if backend is not None and not getattr(backend, "is_local", False):
+        # non-local backend: the store is manifest-mode by construction
+        # (no swap protocol, no .trash window) and the LOCAL base_dir
+        # may not even exist on this host — every local-filesystem gate
+        # below would silently report an empty store (code-review r15)
+        pass
     else:
-        if stats is not None:
-            stats["trash_timeouts"] = stats.get("trash_timeouts", 0) + 1
-        return None
+        if not os.path.isdir(path):
+            return {}
+        # a compaction swap in progress can make a listing transiently
+        # MISS records: a warm reader's monotone guard absorbs that,
+        # but a COLD reader would emit the regressed tail into the
+        # offset log. The trash dir exists exactly for the swap window
+        # (store._swap_in), so wait it out. A trash dir stranded by a
+        # CRASHED swap outlives the wait (only the next store open
+        # recovers it) — skipping the trigger is the non-destructive
+        # answer: racing the store's own swap recovery from a reader
+        # could fight a live compactor.
+        trash = path.rstrip("/") + ".trash"
+        for _ in range(40):
+            if not os.path.isdir(trash):
+                break
+            time.sleep(0.05)
+        else:
+            if stats is not None:
+                stats["trash_timeouts"] = stats.get("trash_timeouts", 0) + 1
+            return None
     tails: dict[str, int] = {}
     listed = _parquet_files(path, backend)
     if cache is not None:

@@ -1094,20 +1094,27 @@ def test_vacuum_stage_sweep_pid_liveness_and_dedicated_grace(
     store.append(B, "s1", [Record(body=b"x")])
     base = store.base_dir
     old = _time.time() - 7200  # 2h: past even the dedicated horizon
+    # BOTH stage name shapes must be pid-guarded: code-review r15
+    # found the guard regex demanded a hyphen before "stage", so plain
+    # `_stage-{pid}-` append stages (underscore prefix) never matched
+    # and a live process's bulk-append stage could be swept
     live = os.path.join(base, f"_compact-stage-{os.getpid()}-deadbeef")
+    live_append = os.path.join(base, f"_stage-{os.getpid()}-0badc0de")
     dead = os.path.join(base, "_compact-stage-999999999-cafebabe")
     young_dead = os.path.join(base, "_stage-999999998-feedface")
-    for d in (live, dead, young_dead):
+    for d in (live, live_append, dead, young_dead):
         os.makedirs(d)
-    os.utime(live, (old, old))
-    os.utime(dead, (old, old))  # dead pid + old → sweep
+    for d in (live, live_append, dead):
+        os.utime(d, (old, old))
     # young_dead keeps its fresh mtime → survives grace_ms=0 because
     # the stage horizon is dedicated (max(grace, 1h)), not grace_ms
     store.vacuum(grace_ms=0)
-    assert os.path.isdir(live), "live-pid stage dir was swept"
+    assert os.path.isdir(live), "live-pid compact stage dir was swept"
+    assert os.path.isdir(live_append), "live-pid append stage dir was swept"
     assert not os.path.isdir(dead), "dead-pid aged stage dir survived"
     assert os.path.isdir(young_dead), "fresh stage dir swept on file grace"
     # explicit stage_grace_ms=0 reclaims dead-pid dirs immediately
     store.vacuum(grace_ms=0, stage_grace_ms=0)
     assert not os.path.isdir(young_dead)
     assert os.path.isdir(live), "live-pid guard must hold at any grace"
+    assert os.path.isdir(live_append), "live-pid guard must hold at any grace"

@@ -337,3 +337,76 @@ def test_two_spark_processes_one_bucket_store(spark, tmp_path):
         (i, f"child-{i}".encode()) for i in range(4)
     ]
     assert cold.check_tail(B, "parent-s")[0] == 4
+
+
+def test_catalog_cas_concurrent_mutators_lose_nothing(spark, tmp_path):
+    """Code-review r15: catalog persistence was a read-modify-write
+    full-table overwrite, so two stores sharing one bucket could lose
+    each other's control-plane mutations (last PUT wins). Saves are
+    now versioned conditional PUTs with reload-and-reapply: interleaved
+    creates from two catalog objects both survive, and a racing
+    same-name create surfaces as AlreadyExists instead of clobbering."""
+    root = str(tmp_path / "bucket")
+    meta = str(tmp_path / "records/_meta")
+    a = Catalog(spark, meta_dir=meta, backend=mf.SandboxObjectBackend(root))
+    b = Catalog(spark, meta_dir=meta, backend=mf.SandboxObjectBackend(root))
+    a.create_basin(B, BasinConfig(create_stream_on_append=True))
+    # b's snapshot predates the basin — its create must CAS-retry on
+    # top of a's save, not overwrite it
+    b.create_basin("other-basin-x")
+    # interleave stream creates without either reloading explicitly
+    a.create_stream(B, "from-a")
+    b.create_stream("other-basin-x", "from-b")
+    a.create_stream(B, "from-a2")
+    fresh = Catalog(
+        spark, meta_dir=meta, backend=mf.SandboxObjectBackend(root)
+    )
+    assert fresh.get_stream(B, "from-a").name == "from-a"
+    assert fresh.get_stream(B, "from-a2").name == "from-a2"
+    assert fresh.get_stream("other-basin-x", "from-b").name == "from-b"
+    # racing same-name create is a loud conflict, not a silent clobber
+    with pytest.raises(Exception):
+        b.create_stream(B, "from-a")
+
+
+def test_catalog_legacy_unversioned_file_upgrades_in_place(spark, tmp_path):
+    """A pre-r15 store's unversioned catalog.parquet loads as version
+    0, and the first CAS save writes catalog-000000000001.parquet."""
+    meta = str(tmp_path / "_meta")
+    old = Catalog(spark, meta_dir=meta)
+    old.create_basin(B, BasinConfig(create_stream_on_append=True))
+    # simulate the legacy layout: collapse versioned objects into the
+    # unversioned name
+    import glob as _glob
+
+    versioned = sorted(_glob.glob(os.path.join(meta, "catalog-*.parquet")))
+    assert versioned, "expected versioned saves"
+    os.replace(versioned[-1], os.path.join(meta, "catalog.parquet"))
+    for p in versioned[:-1]:
+        if os.path.exists(p):
+            os.remove(p)
+    upgraded = Catalog(spark, meta_dir=meta)
+    assert upgraded.get_basin(B).name == B
+    upgraded.create_stream(B, "s-new")
+    assert os.path.exists(
+        os.path.join(meta, "catalog-000000000001.parquet")
+    )
+    again = Catalog(spark, meta_dir=meta)
+    assert again.get_stream(B, "s-new").name == "s-new"
+
+
+def test_tails_scan_works_without_local_base_dir(spark, tmp_path):
+    """Code-review r15: _tails gated on LOCAL filesystem state
+    (os.path.isdir, the .trash swap wait) even with a non-local
+    backend, so a reader host without the local base_dir silently
+    planned an empty stream forever. With the backend passed, the scan
+    must come from the bucket alone."""
+    import shutil
+
+    from s2_spark.streaming.source import SEP, _tails
+
+    store, backend = _mkstore(spark, tmp_path)
+    store.append(B, "s1", [Record(body=f"t{i}".encode()) for i in range(3)])
+    shutil.rmtree(store.base_dir)  # the "other host" has no local dir
+    tails = _tails(store.base_dir, None, None, backend)
+    assert tails == {f"{B}{SEP}s1": 3}
