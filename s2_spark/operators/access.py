@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import json
 import os
-import tempfile
+import re
 import threading
 from dataclasses import dataclass, field
 
@@ -151,12 +151,26 @@ class TokenStore:
     tmp+replace discipline so tokens survive session restarts.
     """
 
-    def __init__(self, meta_dir: str | None = None):
+    #: versioned token objects (`tokens-%012d.json`): saves are
+    #: conditional PUTs with reload-and-reapply, the same
+    #: lost-update-proof control-plane discipline as the catalog's
+    #: versioned saves (code-review r15) — two stores sharing one
+    #: bucket cannot clobber each other's issues/revokes. The legacy
+    #: unversioned `tokens.json` loads as version 0.
+    _TOK_RE = re.compile(r"^tokens-(\d{12})\.json$")
+    _KEEP_VERSIONS = 3
+
+    def __init__(self, meta_dir: str | None = None, backend=None):
         self.meta_dir = meta_dir
         self._tokens: dict[str, IssuedToken] = {}
         self._mu = threading.RLock()
+        if backend is None:
+            from s2_spark import manifest as _mf
+
+            backend = _mf.LOCAL
+        self._backend = backend
+        self._meta_version = 0
         if meta_dir:
-            os.makedirs(meta_dir, exist_ok=True)
             self._load()
 
     # --- lifecycle -----------------------------------------------------
@@ -190,12 +204,13 @@ class TokenStore:
             ),
             auto_prefix_streams=auto_prefix_streams,
         )
-        with self._mu:
+        def _fn():
             if token_id in self._tokens:
                 raise AlreadyExists(f"access token {token_id!r}")  # 409
             self._tokens[token_id] = tok
-            self._save_locked()
-        return tok
+            return tok
+
+        return self._commit(_fn)
 
     def get(self, token_id: str) -> IssuedToken:
         with self._mu:
@@ -206,12 +221,13 @@ class TokenStore:
 
     def revoke(self, token_id: str) -> IssuedToken:
         """DELETE returning the revoked token's info."""
-        with self._mu:
+        def _fn():
             tok = self._tokens.pop(token_id, None)
             if tok is None:
                 raise TokenNotFound(token_id)
-            self._save_locked()
-        return tok
+            return tok
+
+        return self._commit(_fn)
 
     def list(
         self, prefix: str = "", start_after: str = "", limit: int | None = None
@@ -235,7 +251,7 @@ class TokenStore:
     def expiry_sweep(self, now_ms: int) -> list[str]:
         """Drop expired tokens (the maintenance-tick analogue of the
         reference enforcing expiry at auth time); returns dropped ids."""
-        with self._mu:
+        def _fn():
             dead = [
                 i
                 for i, t in self._tokens.items()
@@ -244,9 +260,9 @@ class TokenStore:
             ]
             for i in dead:
                 del self._tokens[i]
-            if dead:
-                self._save_locked()
-        return dead
+            return dead
+
+        return self._commit(_fn)
 
     # --- enforcement ---------------------------------------------------
 
@@ -280,12 +296,33 @@ class TokenStore:
 
     # --- persistence ---------------------------------------------------
 
-    def _path(self) -> str:
+    def _legacy_path(self) -> str:
         return os.path.join(self.meta_dir, "tokens.json")
 
-    def _save_locked(self) -> None:
-        if not self.meta_dir:
-            return
+    def _version_path(self, v: int) -> str:
+        return os.path.join(self.meta_dir, f"tokens-{v:012d}.json")
+
+    def _commit(self, fn):
+        """One idempotent mutation + versioned conditional-PUT save;
+        on losing the save race, reload the winner and re-apply (see
+        Catalog._commit — identical CAS discipline)."""
+        with self._mu:
+            if not self.meta_dir:
+                return fn()
+            for _ in range(32):
+                out = fn()
+                data = self._serialize_locked()
+                nxt = self._meta_version + 1
+                if self._backend.put_if_absent(self._version_path(nxt), data):
+                    self._meta_version = nxt
+                    for v in range(max(0, nxt - 64), nxt - self._KEEP_VERSIONS + 1):
+                        self._backend.delete(self._version_path(v))
+                    return out
+                self._tokens.clear()
+                self._load()
+            raise RuntimeError("token store CAS contention: 32 saves lost")
+
+    def _serialize_locked(self) -> bytes:
         blob = [
             {
                 "id": t.id,
@@ -298,20 +335,33 @@ class TokenStore:
             }
             for t in self._tokens.values()
         ]
-        fd, tmp = tempfile.mkstemp(dir=self.meta_dir, suffix=".tokens.tmp")
-        try:
-            with os.fdopen(fd, "w") as f:
-                json.dump(blob, f)
-            os.replace(tmp, self._path())
-        finally:
-            if os.path.exists(tmp):
-                os.unlink(tmp)
+        return json.dumps(blob).encode()
 
     def _load(self) -> None:
-        try:
-            with open(self._path()) as f:
-                blob = json.load(f)
-        except (OSError, json.JSONDecodeError):
+        blob = None
+        for _ in range(8):
+            versions = sorted(
+                int(m.group(1))
+                for f in self._backend.list_dir(self.meta_dir)
+                if (m := self._TOK_RE.match(f))
+            )
+            try:
+                if versions:
+                    self._meta_version = versions[-1]
+                    blob = json.loads(
+                        self._backend.read(self._version_path(versions[-1]))
+                    )
+                else:
+                    self._meta_version = 0
+                    blob = json.loads(self._backend.read(self._legacy_path()))
+                break
+            except FileNotFoundError:
+                if not versions:
+                    return
+                continue  # raced version GC: re-list
+            except (OSError, json.JSONDecodeError):
+                return
+        if blob is None:
             return
         for row in blob:
             self._tokens[row["id"]] = IssuedToken(

@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 from s2_spark.catalog import Catalog
 from s2_spark.formats import decode_json, encode_json
 from s2_spark.model import Record
-from s2_spark.operators.access import AccessToken, ResourceMatcher
+from s2_spark.operators.access import AccessToken, ResourceMatcher, TokenStore
 from s2_spark.store import ReadStart, StreamStore
 
 BASIN = "test-basin"
@@ -253,3 +253,39 @@ def test_read_wait_wakes_on_append(store):
     rows = store.read_wait(BASIN, "s1", ReadStart(seq_num=0), wait_s=10).collect()
     th.join()
     assert [bytes(r.body) for r in rows] == [b"late"]
+
+
+def test_token_store_cas_two_writers_lose_nothing(tmp_path):
+    """r15: like the catalog, token persistence is a versioned
+    conditional PUT with reload-and-reapply — two stores over one
+    meta location cannot clobber each other's issues/revokes."""
+    a = TokenStore(meta_dir=str(tmp_path))
+    b = TokenStore(meta_dir=str(tmp_path))
+    a.issue("tok-from-a")
+    b.issue("tok-from-b")  # stale snapshot: must CAS-retry, not clobber
+    a.issue("tok-from-a2")
+    fresh = TokenStore(meta_dir=str(tmp_path))
+    ids = {t.id for t in fresh.list()[0]}
+    assert ids == {"tok-from-a", "tok-from-b", "tok-from-a2"}
+
+
+def test_token_store_legacy_file_upgrades(tmp_path):
+    """A pre-r15 unversioned tokens.json loads as version 0; the first
+    save writes tokens-000000000001.json."""
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(tmp_path, "tokens.json"), "w") as f:
+        _json.dump(
+            [{"id": "tok-old", "basins": [["", True]],
+              "streams": [["", True]], "can_read": True,
+              "can_write": False, "expires_at_ms": None,
+              "auto_prefix_streams": False}], f)
+    ts = TokenStore(meta_dir=str(tmp_path))
+    assert ts.get("tok-old").id == "tok-old"
+    ts.issue("tok-new")
+    assert _os.path.exists(
+        _os.path.join(tmp_path, "tokens-000000000001.json")
+    )
+    again = TokenStore(meta_dir=str(tmp_path))
+    assert {t.id for t in again.list()[0]} == {"tok-old", "tok-new"}
