@@ -213,6 +213,13 @@ class Catalog:
     #: version GC; the retry re-lists)
     _KEEP_VERSIONS = 3
 
+    #: a version object is GC'd only past this age — recycling a FRESH
+    #: version number would let a stale writer's conditional PUT land
+    #: below the head and vanish (the same resurrection class the
+    #: manifest publish head-verifies against; found live by the
+    #: two-thread catalog hammer test)
+    _GC_MIN_AGE_MS = 600_000
+
     def _legacy_path(self) -> str:
         import os
 
@@ -259,14 +266,37 @@ class Catalog:
         """One conditional PUT of the full (tiny) table at the next
         version; True = committed (version advanced, older versions
         GC'd past a keep window), False = a racing writer took the
-        number and the caller must reload + re-apply."""
+        number — or the head already moved past this snapshot — and
+        the caller must reload + re-apply.
+
+        Head verification first: max LISTED version is monotone (GC
+        only deletes strictly below the head, age-gated), so a PUT is
+        attempted only when this snapshot IS the head — otherwise a
+        stale writer could conditional-PUT onto a GC'd version number
+        BELOW the head and its mutation would be invisible to every
+        reader (they read the max version). The residual list→put
+        window is closed by the GC age gate: a number is only
+        recycled long after any in-flight save against it resolved."""
+        import time as _time
+
         data = self._serialize_locked()
+        versions = [
+            int(m.group(1))
+            for f in self._backend.list_dir(self.meta_dir)
+            if (m := self._CAT_RE.match(f))
+        ]
+        if versions and max(versions) != self._meta_version:
+            return False  # stale snapshot: reload + re-apply
         nxt = self._meta_version + 1
         if not self._backend.put_if_absent(self._version_path(nxt), data):
             return False
         self._meta_version = nxt
+        wall = int(_time.time() * 1000)
         for v in range(max(0, nxt - 64), nxt - self._KEEP_VERSIONS + 1):
-            self._backend.delete(self._version_path(v))
+            p = self._version_path(v)
+            mt = self._backend.mtime_ms(p)
+            if mt is not None and wall - mt >= self._GC_MIN_AGE_MS:
+                self._backend.delete(p)
         return True
 
     def _serialize_locked(self) -> bytes:
@@ -458,11 +488,34 @@ class Catalog:
 
         return self._commit(_fn)
 
+    def _refresh_if_stale(self) -> bool:
+        """One LIST: if a NEWER catalog version exists (another store
+        mutated the shared control plane since this snapshot), reload
+        it. Called on read MISSES only — a hit never pays the LIST, a
+        miss is rare (first touch of a name), and without this a
+        catalog opened before another host's create would
+        NotFound forever (the stale-read face of the shared-bucket
+        topology; the CAS loop covers the write face)."""
+        if not self.meta_dir:
+            return False
+        with self._mu:
+            versions = [
+                int(m.group(1))
+                for f in self._backend.list_dir(self.meta_dir)
+                if (m := self._CAT_RE.match(f))
+            ]
+            if versions and max(versions) > self._meta_version:
+                self._reload()
+                return True
+        return False
+
     def get_basin(self, name: str) -> BasinMeta:
         """Missing → NotFound; present but deletion-pending →
         DeletionPending, so data/control ops against a deleting basin
         report the pending state, not absence (basin.rs:371-430)."""
         meta = self.basins.get(name)
+        if meta is None and self._refresh_if_stale():
+            meta = self.basins.get(name)
         if meta is None:
             raise BasinNotFound(name)
         if meta.deleted_at is not None:
@@ -499,12 +552,15 @@ class Catalog:
         returning the live stream; any other create on a live stream
         raises (lite/src/backend/streams.rs:115-175)."""
         validate_stream_name(name)
-        basin_cfg = self.get_basin(basin).config
         key = (basin, name)
         key_hash = (
             _creation_idempotency_key(request_token, config) if request_token else None
         )
+
         def _fn():
+            # basin resolved INSIDE the CAS closure: a re-apply after
+            # losing a save race must see the freshest basin config
+            basin_cfg = self.get_basin(basin).config
             existing = self.streams.get(key)
             if existing is not None:
                 if existing.deleted_at is not None:
@@ -603,6 +659,8 @@ class Catalog:
         test_delete_stream_blocks_data_operations,
         test_get_stream_config_for_deleting_stream_returns_pending)."""
         meta = self.streams.get((basin, name))
+        if meta is None and self._refresh_if_stale():
+            meta = self.streams.get((basin, name))
         if meta is None:
             raise StreamNotFound(f"{basin}/{name}")
         if meta.deleted_at is not None:

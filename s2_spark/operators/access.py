@@ -302,22 +302,44 @@ class TokenStore:
     def _version_path(self, v: int) -> str:
         return os.path.join(self.meta_dir, f"tokens-{v:012d}.json")
 
+    #: version GC age gate — recycling a fresh number would let a
+    #: stale writer's conditional PUT land below the head, invisible
+    #: to readers (see Catalog._save_cas, same resurrection class)
+    _GC_MIN_AGE_MS = 600_000
+
     def _commit(self, fn):
         """One idempotent mutation + versioned conditional-PUT save;
-        on losing the save race, reload the winner and re-apply (see
-        Catalog._commit — identical CAS discipline)."""
+        on losing the save race — or finding the head moved past this
+        snapshot (head verification, see Catalog._save_cas) — reload
+        the winner and re-apply (identical CAS discipline)."""
+        import time as _time
+
         with self._mu:
             if not self.meta_dir:
                 return fn()
             for _ in range(32):
                 out = fn()
-                data = self._serialize_locked()
-                nxt = self._meta_version + 1
-                if self._backend.put_if_absent(self._version_path(nxt), data):
-                    self._meta_version = nxt
-                    for v in range(max(0, nxt - 64), nxt - self._KEEP_VERSIONS + 1):
-                        self._backend.delete(self._version_path(v))
-                    return out
+                versions = [
+                    int(m.group(1))
+                    for f in self._backend.list_dir(self.meta_dir)
+                    if (m := self._TOK_RE.match(f))
+                ]
+                if not versions or max(versions) == self._meta_version:
+                    data = self._serialize_locked()
+                    nxt = self._meta_version + 1
+                    if self._backend.put_if_absent(
+                        self._version_path(nxt), data
+                    ):
+                        self._meta_version = nxt
+                        wall = int(_time.time() * 1000)
+                        for v in range(
+                            max(0, nxt - 64), nxt - self._KEEP_VERSIONS + 1
+                        ):
+                            p = self._version_path(v)
+                            mt = self._backend.mtime_ms(p)
+                            if mt is not None and wall - mt >= self._GC_MIN_AGE_MS:
+                                self._backend.delete(p)
+                        return out
                 self._tokens.clear()
                 self._load()
             raise RuntimeError("token store CAS contention: 32 saves lost")

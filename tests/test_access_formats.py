@@ -289,3 +289,34 @@ def test_token_store_legacy_file_upgrades(tmp_path):
     )
     again = TokenStore(meta_dir=str(tmp_path))
     assert {t.id for t in again.list()[0]} == {"tok-old", "tok-new"}
+
+
+def test_token_store_cas_hammer_two_threads(tmp_path):
+    """Two TokenStore objects hammer interleaved issues from two
+    threads; every issue must survive (head-verified versioned saves —
+    a stale writer must never land on a GC'd version number below the
+    head, where readers would never see it)."""
+    a = TokenStore(meta_dir=str(tmp_path))
+    b = TokenStore(meta_dir=str(tmp_path))
+    errs = []
+
+    def writer(ts, tag):
+        try:
+            for i in range(15):
+                ts.issue(f"tok-{tag}-{i}")
+        except Exception as e:  # pragma: no cover
+            errs.append((tag, repr(e)))
+
+    ths = [
+        threading.Thread(target=writer, args=(a, "a")),
+        threading.Thread(target=writer, args=(b, "b")),
+    ]
+    for t in ths:
+        t.start()
+    for t in ths:
+        t.join()
+    assert not errs, errs
+    fresh = TokenStore(meta_dir=str(tmp_path))
+    ids = {t.id for t in fresh.list()[0]}
+    want = {f"tok-a-{i}" for i in range(15)} | {f"tok-b-{i}" for i in range(15)}
+    assert ids == want, want - ids

@@ -410,3 +410,41 @@ def test_tails_scan_works_without_local_base_dir(spark, tmp_path):
     shutil.rmtree(store.base_dir)  # the "other host" has no local dir
     tails = _tails(store.base_dir, None, None, backend)
     assert tails == {f"{B}{SEP}s1": 3}
+
+
+def test_catalog_cas_hammer_two_threads(spark, tmp_path):
+    """Two Catalog objects (distinct in-memory snapshots, shared
+    bucket) hammer interleaved creates from two threads: every create
+    must survive — the CAS loop absorbs the races that the old
+    read-modify-write overwrite silently lost."""
+    import threading
+
+    root = str(tmp_path / "bucket")
+    meta = str(tmp_path / "records/_meta")
+    a = Catalog(spark, meta_dir=meta, backend=mf.SandboxObjectBackend(root))
+    b = Catalog(spark, meta_dir=meta, backend=mf.SandboxObjectBackend(root))
+    a.create_basin(B, BasinConfig(create_stream_on_append=True))
+    errs = []
+
+    def writer(cat, tag):
+        try:
+            for i in range(20):
+                cat.create_stream(B, f"{tag}-{i}")
+        except Exception as e:  # pragma: no cover
+            errs.append((tag, repr(e)))
+
+    ts = [
+        threading.Thread(target=writer, args=(a, "ta")),
+        threading.Thread(target=writer, args=(b, "tb")),
+    ]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs, errs
+    fresh = Catalog(
+        spark, meta_dir=meta, backend=mf.SandboxObjectBackend(root)
+    )
+    names = {s.name for s in fresh.streams.values()}
+    want = {f"ta-{i}" for i in range(20)} | {f"tb-{i}" for i in range(20)}
+    assert names == want, want - names
