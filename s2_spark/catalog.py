@@ -182,11 +182,14 @@ class Catalog:
         # BasinOps metric set (api/src/v1/metrics.rs:110-130) counts
         # control-plane RPCs, which live here
         self.audit = None
-        #: version of the newest persisted catalog object this instance
-        #: has observed — the CAS base for the next save (0 = legacy
-        #: unversioned file or nothing persisted yet)
-        self._meta_version = 0
         if meta_dir:
+            from s2_spark.manifest import VersionedBlob
+
+            #: shared versioned-CAS persistence (head-verified saves,
+            #: age-gated GC, no-op skip, legacy upgrade)
+            self._blob = VersionedBlob(
+                meta_dir, "catalog", ".parquet", backend=self._backend
+            )
             self._load()
 
     def _audit_op(self, op: str, basin: str) -> None:
@@ -203,49 +206,25 @@ class Catalog:
         "delete_on_empty_min_age_secs",
     )
 
-    #: versioned metadata objects: ``catalog-%012d.parquet``. The
-    #: version rides the object NAME so a save can be a conditional
-    #: PUT — two stores sharing one bucket can both mutate the control
-    #: plane without last-PUT-wins losing a creation (code-review r15).
-    _CAT_RE = re.compile(r"^catalog-(\d{12})\.parquet$")
-
-    #: versioned catalog objects kept behind the head (readers race
-    #: version GC; the retry re-lists)
-    _KEEP_VERSIONS = 3
-
-    #: a version object is GC'd only past this age — recycling a FRESH
-    #: version number would let a stale writer's conditional PUT land
-    #: below the head and vanish (the same resurrection class the
-    #: manifest publish head-verifies against; found live by the
-    #: two-thread catalog hammer test)
-    _GC_MIN_AGE_MS = 600_000
-
-    def _legacy_path(self) -> str:
-        import os
-
-        return os.path.join(self.meta_dir, "catalog.parquet")
-
-    def _version_path(self, v: int) -> str:
-        import os
-
-        return os.path.join(self.meta_dir, f"catalog-{v:012d}.parquet")
-
     def _commit(self, fn):
         """Run one idempotent metadata mutation and persist it with a
         versioned conditional PUT — the control-plane analogue of the
-        manifest publish CAS. On losing the race to another store's
-        save, the freshest table is reloaded and ``fn`` re-applies on
-        top of the winner (every mutator is a pure function of the
-        current table: a concurrent same-name create correctly
-        surfaces as AlreadyExists on the re-apply instead of silently
-        clobbering the other writer's row). In-memory-only catalogs
-        (no ``meta_dir``) just run ``fn``."""
+        manifest publish CAS, shared machinery in
+        :class:`s2_spark.manifest.VersionedBlob` (head-verified saves,
+        age-gated version GC over the listed set, byte-identical
+        no-op skip, legacy upgrade). On losing the race to another
+        store's save, the freshest table is reloaded and ``fn``
+        re-applies on top of the winner (every mutator is a pure
+        function of the current table: a concurrent same-name create
+        correctly surfaces as AlreadyExists on the re-apply instead
+        of silently clobbering the other writer's row).
+        In-memory-only catalogs (no ``meta_dir``) just run ``fn``."""
         with self._mu:
             if not self.meta_dir:
                 return fn()
             for _ in range(32):
                 out = fn()
-                if self._save_cas():
+                if self._blob.save_cas(self._serialize_locked()):
                     return out
                 self._reload()  # lost the CAS: absorb winner, re-apply
             raise S2Error(
@@ -254,50 +233,15 @@ class Catalog:
             )
 
     def _reload(self) -> None:
-        """Drop the in-memory table and re-read the freshest persisted
-        version (meta objects are replaced wholesale — mutators look
-        rows up fresh inside their closure, never across a reload)."""
+        """Re-read the freshest persisted version into FRESH dicts and
+        swap the references atomically — lock-free readers
+        (get_basin's fast path, maintenance sweeps iterating
+        ``streams``) see either the old or the new table, never a
+        mid-repopulation window (code-review r15: an in-place
+        clear+refill made an existing basin transiently NotFound and
+        could crash a concurrent iteration)."""
         with self._mu:
-            self.basins.clear()
-            self.streams.clear()
             self._load()
-
-    def _save_cas(self) -> bool:
-        """One conditional PUT of the full (tiny) table at the next
-        version; True = committed (version advanced, older versions
-        GC'd past a keep window), False = a racing writer took the
-        number — or the head already moved past this snapshot — and
-        the caller must reload + re-apply.
-
-        Head verification first: max LISTED version is monotone (GC
-        only deletes strictly below the head, age-gated), so a PUT is
-        attempted only when this snapshot IS the head — otherwise a
-        stale writer could conditional-PUT onto a GC'd version number
-        BELOW the head and its mutation would be invisible to every
-        reader (they read the max version). The residual list→put
-        window is closed by the GC age gate: a number is only
-        recycled long after any in-flight save against it resolved."""
-        import time as _time
-
-        data = self._serialize_locked()
-        versions = [
-            int(m.group(1))
-            for f in self._backend.list_dir(self.meta_dir)
-            if (m := self._CAT_RE.match(f))
-        ]
-        if versions and max(versions) != self._meta_version:
-            return False  # stale snapshot: reload + re-apply
-        nxt = self._meta_version + 1
-        if not self._backend.put_if_absent(self._version_path(nxt), data):
-            return False
-        self._meta_version = nxt
-        wall = int(_time.time() * 1000)
-        for v in range(max(0, nxt - 64), nxt - self._KEEP_VERSIONS + 1):
-            p = self._version_path(v)
-            mt = self._backend.mtime_ms(p)
-            if mt is not None and wall - mt >= self._GC_MIN_AGE_MS:
-                self._backend.delete(p)
-        return True
 
     def _serialize_locked(self) -> bytes:
         import pyarrow as pa
@@ -363,37 +307,17 @@ class Catalog:
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        # freshest versioned object wins; the pre-r15 unversioned
-        # `catalog.parquet` is read as version 0 (upgraded in place by
-        # the first CAS save). A read can race version GC, so a
-        # missing max-version re-lists.
-        data = None
-        for _ in range(8):
-            versions = sorted(
-                int(m.group(1))
-                for f in self._backend.list_dir(self.meta_dir)
-                if (m := self._CAT_RE.match(f))
-            )
-            try:
-                if versions:
-                    self._meta_version = versions[-1]
-                    data = self._backend.read(
-                        self._version_path(versions[-1])
-                    )
-                else:
-                    self._meta_version = 0
-                    data = self._backend.read(self._legacy_path())
-                break
-            except FileNotFoundError:
-                if not versions:
-                    return  # brand-new store: nothing persisted yet
-                continue  # raced GC: re-list
+        data = self._blob.load()
         if data is None:
             return
+        # FRESH dicts, atomic reference swap: lock-free readers see
+        # the old or the new table, never a half-built one
+        basins: dict[str, BasinMeta] = {}
+        streams: dict[tuple[str, str], StreamMeta] = {}
         for row in pq.read_table(pa.BufferReader(data)).to_pylist():
             cfg = StreamConfig(**{f: row[f] for f in self._CFG_FIELDS})
             if row["kind"] == "basin":
-                self.basins[row["basin"]] = BasinMeta(
+                basins[row["basin"]] = BasinMeta(
                     name=row["basin"],
                     config=BasinConfig(
                         default_stream_config=cfg,
@@ -406,7 +330,7 @@ class Catalog:
                     idempotency_key=row["idempotency_key"],
                 )
             else:
-                self.streams[(row["basin"], row["name"])] = StreamMeta(
+                streams[(row["basin"], row["name"])] = StreamMeta(
                     basin=row["basin"],
                     name=row["name"],
                     config=cfg,
@@ -415,6 +339,7 @@ class Catalog:
                     idempotency_key=row["idempotency_key"],
                     cipher=row.get("stream_cipher"),
                 )
+        self.basins, self.streams = basins, streams
 
     # --- basins (A20) --------------------------------------------------
 
@@ -499,12 +424,7 @@ class Catalog:
         if not self.meta_dir:
             return False
         with self._mu:
-            versions = [
-                int(m.group(1))
-                for f in self._backend.list_dir(self.meta_dir)
-                if (m := self._CAT_RE.match(f))
-            ]
-            if versions and max(versions) > self._meta_version:
+            if self._blob.head_version() > self._blob.version:
                 self._reload()
                 return True
         return False
@@ -514,7 +434,12 @@ class Catalog:
         DeletionPending, so data/control ops against a deleting basin
         report the pending state, not absence (basin.rs:371-430)."""
         meta = self.basins.get(name)
-        if meta is None and self._refresh_if_stale():
+        if meta is None:
+            # re-read regardless of the refresh outcome: the miss may
+            # have raced another thread's in-flight reload (by the
+            # time the refresh holds the lock the table is current
+            # and it returns False — but the dict has repopulated)
+            self._refresh_if_stale()
             meta = self.basins.get(name)
         if meta is None:
             raise BasinNotFound(name)
@@ -659,7 +584,8 @@ class Catalog:
         test_delete_stream_blocks_data_operations,
         test_get_stream_config_for_deleting_stream_returns_pending)."""
         meta = self.streams.get((basin, name))
-        if meta is None and self._refresh_if_stale():
+        if meta is None:
+            self._refresh_if_stale()  # see get_basin: re-read either way
             meta = self.streams.get((basin, name))
         if meta is None:
             raise StreamNotFound(f"{basin}/{name}")

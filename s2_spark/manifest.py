@@ -440,6 +440,114 @@ class SandboxObjectBackend:
         self.__init__(state["root"])
 
 
+class VersionedBlob:
+    """Small control-plane blob with lost-update-proof persistence —
+    the shared machinery behind the catalog's and the token store's
+    versioned saves (code-review r15: two near-verbatim copies of this
+    protocol had already drifted).
+
+    One logical blob is stored as ``{stem}-%012d{ext}`` objects; a
+    save is a conditional PUT of the NEXT version, attempted only
+    after one LIST confirms the writer's snapshot is the current head
+    (max listed version is monotone — GC deletes strictly below the
+    head, age-gated, so a stale writer can never land on a recycled
+    number below the head where readers would miss it). Losing the
+    race returns False; the owner reloads and re-applies its mutation.
+    A byte-identical save is skipped entirely (no-op mutations — an
+    empty purge sweep, an idempotent create retry — must not churn
+    versions). GC runs over the LISTED versions (not a fixed lookback
+    window, which would leak under sustained write rates) and only
+    deletes objects older than ``gc_min_age_ms``. The legacy
+    unversioned ``{stem}{ext}`` object loads as version 0 and is
+    deleted after the first successful versioned save."""
+
+    KEEP_VERSIONS = 3
+
+    def __init__(
+        self,
+        meta_dir: str,
+        stem: str,
+        ext: str,
+        backend=None,
+        gc_min_age_ms: int = 600_000,
+    ):
+        self.meta_dir = meta_dir
+        self.stem = stem
+        self.ext = ext
+        self.backend = backend or LOCAL
+        self.gc_min_age_ms = gc_min_age_ms
+        self._re = re.compile(
+            rf"^{re.escape(stem)}-(\d{{12}}){re.escape(ext)}$"
+        )
+        self.version = 0
+        #: bytes of the version this holder last observed persisted —
+        #: the no-op-save comparator
+        self._last_blob: bytes | None = None
+
+    def _vpath(self, v: int) -> str:
+        return os.path.join(self.meta_dir, f"{self.stem}-{v:012d}{self.ext}")
+
+    def _legacy(self) -> str:
+        return os.path.join(self.meta_dir, f"{self.stem}{self.ext}")
+
+    def _versions(self) -> list[int]:
+        return sorted(
+            int(m.group(1))
+            for f in self.backend.list_dir(self.meta_dir)
+            if (m := self._re.match(f))
+        )
+
+    def head_version(self) -> int:
+        vs = self._versions()
+        return vs[-1] if vs else 0
+
+    def load(self) -> bytes | None:
+        """Freshest persisted bytes, or None if nothing persisted. A
+        read can race version GC; a missing max-version re-lists."""
+        for _ in range(8):
+            vs = self._versions()
+            try:
+                if vs:
+                    self.version = vs[-1]
+                    self._last_blob = self.backend.read(self._vpath(vs[-1]))
+                else:
+                    self.version = 0
+                    self._last_blob = self.backend.read(self._legacy())
+                return self._last_blob
+            except FileNotFoundError:
+                if not vs:
+                    self.version = 0
+                    self._last_blob = None
+                    return None
+                continue  # raced GC: re-list
+        return self._last_blob  # pragma: no cover - sustained GC race
+
+    def save_cas(self, data: bytes) -> bool:
+        """True = persisted (or byte-identical, skipped); False = the
+        head moved (stale snapshot or lost PUT) — reload + re-apply."""
+        vs = self._versions()
+        if (vs[-1] if vs else 0) != self.version:
+            return False  # stale snapshot: never PUT below the head
+        if data == self._last_blob:
+            return True  # no-op mutation at the head: nothing to persist
+        nxt = self.version + 1
+        if not self.backend.put_if_absent(self._vpath(nxt), data):
+            return False
+        self.version = nxt
+        self._last_blob = data
+        wall = int(time.time() * 1000)
+        for v in vs:
+            if v <= nxt - self.KEEP_VERSIONS:
+                p = self._vpath(v)
+                mt = self.backend.mtime_ms(p)
+                if mt is not None and wall - mt >= self.gc_min_age_ms:
+                    self.backend.delete(p)
+        # the pre-versioning unversioned object is now a permanently
+        # stale snapshot — remove it so nothing resurrects it
+        self.backend.delete(self._legacy())
+        return True
+
+
 def backend_from_spec(spec: str):
     """Reconstruct a backend from its :meth:`~LocalBackend.spec`
     string — the serialization seam for Spark executors (DataSource
@@ -646,13 +754,16 @@ def publish(
         new_files = (set(files) - set(remove)) | set(add)
         ckpt = sorted(new_files) if new_gen % CHECKPOINT_EVERY == 0 else None
         if write_gen(base_dir, new_gen, add, remove, ckpt, ts_ms, backend):
-            gens = _gen_numbers(d, backend)
-            if gens and gens[-1] > new_gen:
-                # committed, and racing writers already built past it
-                # (they folded through this generation, or a checkpoint
-                # absorbed it — see docstring): return the fresh fold
-                # so the caller's cache absorbs their publishes too
-                return fold(base_dir, backend)
+            # committed — and the returned generation must be THE ONE
+            # THIS CALL CREATED, even if racing writers have already
+            # built past it. (The r14 guard re-listed here and, when
+            # the head had moved, returned the fresh fold instead —
+            # misattributing the commit: two writers could then both
+            # report the same generation number, observed live as a
+            # 1-in-~100 'gens not contiguous' soak failure. The
+            # returned file set is the visible set AS OF this
+            # generation; a caller caching it re-verifies against the
+            # listed head on its next publish anyway.)
             return new_gen, new_files
         known = None  # lost the CAS — re-fold on top of the winner
         if attempt >= 8:

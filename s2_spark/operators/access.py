@@ -21,8 +21,6 @@ scope algebra.
 from __future__ import annotations
 
 import json
-import os
-import re
 import threading
 from dataclasses import dataclass, field
 
@@ -151,15 +149,6 @@ class TokenStore:
     tmp+replace discipline so tokens survive session restarts.
     """
 
-    #: versioned token objects (`tokens-%012d.json`): saves are
-    #: conditional PUTs with reload-and-reapply, the same
-    #: lost-update-proof control-plane discipline as the catalog's
-    #: versioned saves (code-review r15) — two stores sharing one
-    #: bucket cannot clobber each other's issues/revokes. The legacy
-    #: unversioned `tokens.json` loads as version 0.
-    _TOK_RE = re.compile(r"^tokens-(\d{12})\.json$")
-    _KEEP_VERSIONS = 3
-
     def __init__(self, meta_dir: str | None = None, backend=None):
         self.meta_dir = meta_dir
         self._tokens: dict[str, IssuedToken] = {}
@@ -169,8 +158,18 @@ class TokenStore:
 
             backend = _mf.LOCAL
         self._backend = backend
-        self._meta_version = 0
         if meta_dir:
+            from s2_spark.manifest import VersionedBlob
+
+            #: shared versioned-CAS persistence (`tokens-%012d.json`,
+            #: head-verified conditional-PUT saves, age-gated version
+            #: GC, byte-identical no-op skip, legacy `tokens.json`
+            #: upgrade) — the same lost-update-proof discipline as the
+            #: catalog; two stores over one bucket cannot clobber each
+            #: other's issues/revokes (code-review r15)
+            self._blob = VersionedBlob(
+                meta_dir, "tokens", ".json", backend=self._backend
+            )
             self._load()
 
     # --- lifecycle -----------------------------------------------------
@@ -296,53 +295,20 @@ class TokenStore:
 
     # --- persistence ---------------------------------------------------
 
-    def _legacy_path(self) -> str:
-        return os.path.join(self.meta_dir, "tokens.json")
-
-    def _version_path(self, v: int) -> str:
-        return os.path.join(self.meta_dir, f"tokens-{v:012d}.json")
-
-    #: version GC age gate — recycling a fresh number would let a
-    #: stale writer's conditional PUT land below the head, invisible
-    #: to readers (see Catalog._save_cas, same resurrection class)
-    _GC_MIN_AGE_MS = 600_000
-
     def _commit(self, fn):
-        """One idempotent mutation + versioned conditional-PUT save;
-        on losing the save race — or finding the head moved past this
-        snapshot (head verification, see Catalog._save_cas) — reload
-        the winner and re-apply (identical CAS discipline)."""
-        import time as _time
-
+        """One idempotent mutation + versioned conditional-PUT save
+        through the shared :class:`s2_spark.manifest.VersionedBlob`
+        machinery; on losing the save race, reload the winner and
+        re-apply (the catalog's identical CAS discipline)."""
         with self._mu:
             if not self.meta_dir:
                 return fn()
             for _ in range(32):
                 out = fn()
-                versions = [
-                    int(m.group(1))
-                    for f in self._backend.list_dir(self.meta_dir)
-                    if (m := self._TOK_RE.match(f))
-                ]
-                if not versions or max(versions) == self._meta_version:
-                    data = self._serialize_locked()
-                    nxt = self._meta_version + 1
-                    if self._backend.put_if_absent(
-                        self._version_path(nxt), data
-                    ):
-                        self._meta_version = nxt
-                        wall = int(_time.time() * 1000)
-                        for v in range(
-                            max(0, nxt - 64), nxt - self._KEEP_VERSIONS + 1
-                        ):
-                            p = self._version_path(v)
-                            mt = self._backend.mtime_ms(p)
-                            if mt is not None and wall - mt >= self._GC_MIN_AGE_MS:
-                                self._backend.delete(p)
-                        return out
-                self._tokens.clear()
-                self._load()
-            raise RuntimeError("token store CAS contention: 32 saves lost")
+                if self._blob.save_cas(self._serialize_locked()):
+                    return out
+                self._load()  # lost the CAS: absorb winner, re-apply
+            raise S2Error("token store CAS contention: 32 saves lost")
 
     def _serialize_locked(self) -> bytes:
         blob = [
@@ -360,33 +326,19 @@ class TokenStore:
         return json.dumps(blob).encode()
 
     def _load(self) -> None:
-        blob = None
-        for _ in range(8):
-            versions = sorted(
-                int(m.group(1))
-                for f in self._backend.list_dir(self.meta_dir)
-                if (m := self._TOK_RE.match(f))
-            )
-            try:
-                if versions:
-                    self._meta_version = versions[-1]
-                    blob = json.loads(
-                        self._backend.read(self._version_path(versions[-1]))
-                    )
-                else:
-                    self._meta_version = 0
-                    blob = json.loads(self._backend.read(self._legacy_path()))
-                break
-            except FileNotFoundError:
-                if not versions:
-                    return
-                continue  # raced version GC: re-list
-            except (OSError, json.JSONDecodeError):
-                return
-        if blob is None:
+        data = self._blob.load()
+        if data is None:
             return
+        try:
+            blob = json.loads(data)
+        except (ValueError, TypeError):
+            return
+        # fresh dict + atomic reference swap (lock-free readers see
+        # old or new, never a half-built table — same discipline as
+        # Catalog._load)
+        tokens: dict[str, IssuedToken] = {}
         for row in blob:
-            self._tokens[row["id"]] = IssuedToken(
+            tokens[row["id"]] = IssuedToken(
                 AccessToken(
                     token_id=row["id"],
                     basins=tuple(ResourceMatcher(p, x) for p, x in row["basins"]),
@@ -397,3 +349,4 @@ class TokenStore:
                 ),
                 auto_prefix_streams=row["auto_prefix_streams"],
             )
+        self._tokens = tokens

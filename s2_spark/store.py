@@ -665,8 +665,14 @@ class StreamStore:
                 if stage_grace_ms is not None
                 else max(grace_ms, 3_600_000)
             )
-            backend_local = getattr(bk, "data_is_local", False)
-            for entry in bk.list_data_dir(self.base_dir):
+            # defaults chosen for backends written against the PRE-r15
+            # seam (manifest-log only, data always local): such a
+            # backend has host-local data and no list_data_dir
+            backend_local = getattr(
+                bk, "data_is_local", getattr(bk, "is_local", True)
+            )
+            list_data = getattr(bk, "list_data_dir", None) or _mf.LOCAL.list_dir
+            for entry in list_data(self.base_dir):
                 if entry.startswith(("_stage-", "_compact-stage-")):
                     p = os.path.join(self.base_dir, entry)
                     m = re.search(r"stage-(\d+)-", entry)

@@ -1026,9 +1026,12 @@ def test_descheduled_writer_committed_gen_survives_racing_rewrite(tmp_path):
     bk = RacingBackend()
     gen, files = mf.publish(base, add=["new.parquet"], known=(1, {"seed.parquet"}), backend=bk)
     assert bk.raced
-    # the writer observed the race winner's fold — its own publish is
-    # committed (the rewrite consumed it), never deleted, never retried
-    assert (gen, files) == (3, {"compacted.parquet"})
+    # publish reports THE GENERATION THIS CALL CREATED — never the
+    # racing winner's (misattributing the commit made two writers ack
+    # one number: the 'gens not contiguous' soak failure). N=2 is
+    # committed, never deleted, never retried; the racing rewrite
+    # built on top of it.
+    assert (gen, files) == (2, {"seed.parquet", "new.parquet"})
     d = mf.manifest_dir(base)
     assert mf._gen_numbers(d) == [1, 2, 3]  # N=2 intact: no chain gap
     entry2 = mf._read_gen(d, 2)
