@@ -528,11 +528,16 @@ def neardup_clusters(
 
     Iteration is driver-paced min-label propagation (the standard
     distributed CC loop; cf. Kiveris et al., "Connected Components in
-    MapReduce and Beyond", SoCC'14): each round joins current labels
-    across edges both ways and keeps the per-node min, materialized
-    and convergence-checked with one scalar aggregate per round. Each
-    round is a shuffle-bounded join+agg, so the loop is cluster-safe;
-    the driver holds only the changed-row count.
+    MapReduce and Beyond", SoCC'14): each round makes ONE join of
+    current labels against the symmetrized edge list (both directions
+    in one pass — r15; the former per-direction joins shuffled the
+    label set twice per round) and keeps the per-node min; the old
+    label rides the same aggregation, so convergence is a filter+count
+    over the just-materialized round, not an extra join. Only
+    non-isolated vertices travel through the loop — isolated ones are
+    their own cluster by construction and are attached with one final
+    left join. Each round is a shuffle-bounded join+agg, so the loop
+    is cluster-safe; the driver holds only the changed-row count.
 
     Same md5-rotation minhash family as :func:`minhash_dedup_keep`
     (shared :func:`_band_buckets` construction), so an external SQL
@@ -601,34 +606,55 @@ def neardup_clusters(
         return d.checkpoint(eager=True)
 
     try:
+        # r15 loop re-plan (guide §2.4: remove shuffles outright; §1.2:
+        # fix the distributed algorithm first). Three changes, same
+        # fixpoint:
+        #
+        # 1. SYMMETRIC edge list, built once: the old loop ran TWO
+        #    joins per round (labels against _a, labels against _b),
+        #    shuffling the label set twice per round with no exchange
+        #    reuse (different keys). Candidates in both directions are
+        #    one join of labels against edges ∪ swap(edges).
+        # 2. The loop runs only over NON-ISOLATED vertices (those
+        #    appearing in some edge). An isolated vertex receives no
+        #    candidate ever, so its label is its own id by
+        #    construction — attach those back with one final
+        #    left join + coalesce instead of dragging every corpus row
+        #    through every round's union+groupBy+checkpoint.
+        # 3. The convergence check rides the label aggregation: each
+        #    round's groupBy carries the vertex's OLD label alongside
+        #    the new min (min ignores the candidates' null _old; each
+        #    vertex has exactly one base row), so `changed` is a
+        #    filter+count over the just-materialized checkpoint blocks
+        #    — the old per-round labels⋈new_labels join is gone.
         edges = _truncate(edges)
+        edges_sym = _truncate(
+            edges.unionByName(
+                edges.select(
+                    F.col("_b").alias("_a"), F.col("_a").alias("_b")
+                )
+            )
+        )
         labels = _truncate(
-            df.select(F.col(id_col).alias("_v"), F.col(id_col).alias("_lbl"))
+            edges_sym.select(F.col("_a").alias("_v"))
+            .distinct()
+            .select("_v", F.col("_v").alias("_lbl"))
         )
         changed = 0
         for _ in range(max_iters):
-            # candidate labels flowing along edges, both directions
-            fwd = edges.join(labels, edges["_a"] == labels["_v"]).select(
-                F.col("_b").alias("_v"), "_lbl"
-            )
-            bwd = edges.join(labels, edges["_b"] == labels["_v"]).select(
-                F.col("_a").alias("_v"), "_lbl"
+            cand = edges_sym.join(labels, edges_sym["_a"] == labels["_v"]).select(
+                F.col("_b").alias("_v"), "_lbl",
+                F.lit(None).cast("long").alias("_old"),
             )
             new_labels = (
-                labels.select("_v", "_lbl")
-                .unionByName(fwd)
-                .unionByName(bwd)
+                labels.select("_v", "_lbl", F.col("_lbl").alias("_old"))
+                .unionByName(cand)
                 .groupBy("_v")
-                .agg(F.min("_lbl").alias("_lbl"))
+                .agg(F.min("_lbl").alias("_lbl"), F.min("_old").alias("_old"))
             )
             new_labels = _truncate(new_labels)
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "_v")
-                .filter(F.col("n._lbl") != F.col("o._lbl"))
-                .count()
-            )
-            labels = new_labels
+            changed = new_labels.filter(F.col("_lbl") != F.col("_old")).count()
+            labels = new_labels.select("_v", "_lbl")
             if changed == 0:
                 break
     finally:
@@ -642,6 +668,12 @@ def neardup_clusters(
             f"{max_iters} rounds ({changed} labels still changing) — raise "
             f"max_iters; partial labels are not connected components"
         )
+    # isolated vertices (no band-bucket edge) are their own cluster
+    labels = (
+        df.select(F.col(id_col).alias("_v"))
+        .join(labels, "_v", "left")
+        .select("_v", F.coalesce("_lbl", F.col("_v")).alias("_lbl"))
+    )
     return labels.select(
         F.col("_v").alias(id_col), F.col("_lbl").alias("cluster")
     )

@@ -27,6 +27,22 @@ def _dbl(c) -> Column:
     return F.transform(c, lambda x: x.cast("double"))
 
 
+def _lit_dvec(values) -> Column:
+    """Literal double-array column via ONE ``F.expr`` parse instead of
+    one py4j round trip per element. A 64-dim plane built as
+    ``F.array(*[F.lit(float(x)) ...])`` costs 65 py4j calls; a query
+    that folds 11 planes (x51) or 16 centroids (x36/x37) spends
+    SECONDS of driver time just constructing the plan (measured 2.9 s
+    for the planted-corpus count at sf0.1 — pure plan build). Python's
+    ``repr`` round-trips IEEE doubles exactly and Spark's D-suffixed
+    literal parses with ``Double.parseDouble``, so the parsed doubles
+    are bit-identical to ``F.lit(float(x))`` — oracle hashes are
+    unaffected (verified x36/x37/x49/x51/x52 at sf0.01+sf0.1)."""
+    return F.expr(
+        "array(" + ",".join(f"{float(v)!r}D" for v in values) + ")"
+    )
+
+
 def dot(a, b) -> Column:
     return F.aggregate(
         F.zip_with(_dbl(a), _dbl(b), lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
@@ -45,7 +61,7 @@ def _vec_lit_df(spark, query: list[float]) -> DataFrame:
     """1-row query-vector DataFrame as a pure literal plan (broadcast
     build needs no Python workers, unlike createDataFrame)."""
     return spark.range(1).select(
-        F.array(*[F.lit(float(v)) for v in query]).cast("array<float>").alias("qe")
+        _lit_dvec(query).cast("array<float>").alias("qe")
     )
 
 
@@ -94,7 +110,7 @@ def lsh_bucket(vec_col, planes: list[list[float]]) -> Column:
     """Sign-bit bucket key: bit i = 1 if dot(v, plane_i) >= 0."""
     key = F.lit(0).cast("long")
     for i, p in enumerate(planes):
-        d = dot(vec_col, F.array(*[F.lit(float(x)) for x in p]))
+        d = dot(vec_col, _lit_dvec(p))
         key = key + F.when(d >= 0, F.lit(1 << i).cast("long")).otherwise(0)
     return key
 
@@ -188,7 +204,7 @@ def ivf_assign_fixed(
     v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
 
     def sqdist(c: list[float]) -> Column:
-        lit = F.array(*[F.lit(float(x)) for x in c])
+        lit = _lit_dvec(c)
         diffs = F.zip_with(v, lit, lambda x, y: (x - y) * (x - y))
         return F.aggregate(diffs, F.lit(0.0), lambda s, x: s + x)
 

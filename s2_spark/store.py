@@ -1106,7 +1106,9 @@ class StreamStore:
             st.trim_point = new_trim
         return ack
 
-    def _staged_append_write(self, df: DataFrame, partition_cols) -> None:
+    def _staged_append_write(
+        self, df: DataFrame, partition_cols, timings: dict | None = None
+    ) -> None:
         """Land an append batch's parquet into ``base_dir`` via a
         PRIVATE staging dir + rename, never Hadoop's shared committer.
 
@@ -1153,6 +1155,7 @@ class StreamStore:
         if partition_cols:
             writer = writer.partitionBy(*partition_cols)
         renamed: list[str] = []
+        _t = time.perf_counter
         try:
             # Spark writes the stage THROUGH the backend location
             # (executors PUT part files directly against the bucket on
@@ -1160,7 +1163,11 @@ class StreamStore:
             # on its final key — an atomic rename locally, a
             # server-side COPY+DELETE on an object store (atomicity is
             # not needed there: visibility is the manifest publish)
+            _t0 = _t()
             writer.parquet(bk.spark_path(stage))
+            if timings is not None:
+                timings["parquet_sec"] = round(_t() - _t0, 3)
+            _t0 = _t()
             for rel, _mt in bk.walk_files(stage):
                 if not rel.endswith(".parquet"):
                     continue
@@ -1171,6 +1178,8 @@ class StreamStore:
                 renamed.append(rel)
             if self.manifest and renamed:
                 self._manifest_publish(add=renamed)
+            if timings is not None:
+                timings["publish_sec"] = round(_t() - _t0, 3)
         finally:
             bk.remove_tree(stage)
 
@@ -1302,6 +1311,7 @@ class StreamStore:
         )
         if timings is not None:
             timings["admission_sec"] = round(time.perf_counter() - _t0, 3)
+        _t0 = time.perf_counter()
         # driver-side per-stream rollup of the chunk stats (tiny:
         # rows/width entries) — admission decisions use stream totals
         cstats.sort(key=lambda r: (r["basin"], r["stream"], r["_chunk"]))
@@ -1424,6 +1434,10 @@ class StreamStore:
                 )
                 .select("basin", "stream", "seq_num", "timestamp", "headers", "body")
             )
+            if timings is not None:
+                # driver-side setup between admission and write: catalog
+                # resolution, state recovery, literal-frame + plan build
+                timings["plan_sec"] = round(time.perf_counter() - _t0, 3)
             _t0 = time.perf_counter()
             if self.bucket_count:
                 out = out.withColumn(
@@ -1433,9 +1447,9 @@ class StreamStore:
                         % self.bucket_count
                     ).cast("int"),
                 )
-                self._staged_append_write(out, ["bucket"])
+                self._staged_append_write(out, ["bucket"], timings=timings)
             else:
-                self._staged_append_write(out, None)
+                self._staged_append_write(out, None, timings=timings)
             if timings is not None:
                 timings["write_sec"] = round(time.perf_counter() - _t0, 3)
             self._data_seen = True

@@ -1216,23 +1216,83 @@ def _recall_report(spark, corpus, qids, k=10, ann_fn=None):
     default is multiprobe-LSH at (m=8, multiprobe=1)."""
     from functools import reduce
 
-    from s2_spark.functions.similarity import cosine_topk, lsh_topk
+    from s2_spark.functions.similarity import (
+        _hyperplanes,
+        cosine,
+        dot,
+        lsh_bucket,
+        norm as vnorm,
+    )
+    from pyspark.sql import Window as W
 
+    # r15 re-plan: ONE joint plan per side instead of a per-query-id
+    # union of 2×|qids| branches. The old shape re-evaluated the corpus
+    # (for planted synthetics: the delta join + zip_with synthesis) and
+    # re-BUILT the fold expressions per branch — plan construction
+    # alone measured ~5 s warm at sf0.1 for x34/x36. The joint plan
+    # computes every query's exact top-k with one broadcast of the
+    # |qids|-row query frame and a row_number window partitioned by
+    # query_id — selection identical to the per-branch
+    # orderBy(sim DESC, vec_id).limit(k): same fold expressions, same
+    # IEEE doubles, same tie-break, just ranked per partition instead
+    # of per branch. The corpus is materialized once; all sides scan
+    # the cached blocks.
+    corpus = corpus.localCheckpoint(eager=True)
+    qdf = corpus.filter(F.col("vec_id").isin(*[int(q) for q in qids])).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+
+    def _topk(scored):
+        rw = W.partitionBy("query_id").orderBy(F.desc("sim"), "vec_id")
+        return (
+            scored.withColumn("_rk", F.row_number().over(rw))
+            .filter(F.col("_rk") <= k)
+            .select("query_id", "vec_id")
+        )
+
+    brute = _topk(
+        corpus.crossJoin(F.broadcast(qdf))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", "vec_id", cosine("embedding", "qe").alias("sim")
+        )
+    ).withColumn("_m", F.lit(1))
     if ann_fn is None:
-        ann_fn = lambda qid: lsh_topk(  # noqa: E731
-            corpus, k=k, query_id=qid, m=8, multiprobe=1
+        # joint multiprobe-LSH at (m=8, multiprobe=1) — the same
+        # bucketing, probe ring, candidate filter, and similarity
+        # expression as similarity.lsh_topk, across all queries at once
+        planes = _hyperplanes(64, 8, 42)
+        bucketed = corpus.withColumn("_bkt", lsh_bucket("embedding", planes))
+        masks = [0] + [1 << i for i in range(8)]
+        q = qdf.withColumn("_qbkt", lsh_bucket("qe", planes)).withColumn(
+            "_qn", vnorm("qe")
         )
-    brutes, anns = [], []
-    for qid in qids:
-        brutes.append(
-            cosine_topk(corpus, k=k, query_id=qid)
-            .select(F.lit(qid).alias("query_id"), "vec_id")
+        probes = F.array(
+            *[F.col("_qbkt").bitwiseXOR(F.lit(mask).cast("long")) for mask in masks]
         )
-        anns.append(
+        qx = q.select(
+            "query_id", "qe", "_qn", F.explode(probes).alias("_qprobe")
+        )
+        ann = _topk(
+            bucketed.join(
+                F.broadcast(qx), F.col("_bkt").eqNullSafe(F.col("_qprobe"))
+            )
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                "vec_id",
+                (
+                    dot("embedding", "qe")
+                    / (vnorm("embedding") * F.col("_qn"))
+                ).alias("sim"),
+            )
+        )
+    else:
+        anns = [
             ann_fn(qid).select(F.lit(qid).alias("query_id"), "vec_id")
-        )
-    brute = reduce(lambda a, b: a.unionByName(b), brutes).withColumn("_m", F.lit(1))
-    ann = reduce(lambda a, b: a.unionByName(b), anns)
+            for qid in qids
+        ]
+        ann = reduce(lambda a, b: a.unionByName(b), anns)
     hits = (
         ann.join(F.broadcast(brute), ["query_id", "vec_id"], "left")
         .groupBy("query_id")
@@ -1289,17 +1349,20 @@ def _planted_corpus(spark, sf_dir):
 
     emb = t(spark, sf_dir, "embeddings")
     base = emb.select("vec_id", _dbl("embedding").alias("embedding"))
-    structs = [
-        F.struct(
-            F.lit(pid).cast("long").alias("pid"),
-            F.lit(bid).cast("long").alias("bid"),
-            F.array(*[F.lit(x) for x in d]).alias("d"),
-        )
+    # ONE F.expr parse for the whole 60×64-double delta table (r15):
+    # the per-element F.lit form cost ~3,900 py4j round trips — ~2.9 s
+    # of pure driver-side plan construction per query build (measured
+    # at sf0.1). D-suffixed repr literals parse via Double.parseDouble,
+    # bit-identical to F.lit(float(x)); pid/bid use L-suffixed BIGINTs.
+    rows = ",".join(
+        f"named_struct('pid',{pid}L,'bid',{bid}L,'d',array("
+        + ",".join(f"{float(x)!r}D" for x in d)
+        + "))"
         for pid, bid, d in planted_deltas(
             query_ids=(0, 1, 2, 3, 4), copies=12, eps=0.02, dim=64
         )
-    ]
-    deltas = spark.range(1).select(F.inline(F.array(*structs)))
+    )
+    deltas = spark.range(1).select(F.inline(F.expr(f"array({rows})")))
     planted = base.join(
         F.broadcast(deltas), base["vec_id"] == deltas["bid"]
     ).select(
@@ -1337,7 +1400,11 @@ def x37(spark, sf_dir):
 
     synth = _planted_corpus(spark, sf_dir)
     cents = ivf_fixed_centroids(n_cells=16, dim=64, seed=7)
-    assigned = ivf_assign_fixed(synth, cents)
+    # one evaluation of the 16-centroid assignment folds (r15): the
+    # five per-query ANN branches below each scan `assigned`; without
+    # the checkpoint every branch re-runs the synthesis + all 16
+    # sqdist folds per row
+    assigned = ivf_assign_fixed(synth, cents).localCheckpoint(eager=True)
     return _recall_report(
         spark,
         synth,
@@ -1985,7 +2052,9 @@ def x49(spark, sf_dir):
 
     synth = _planted_corpus(spark, sf_dir)
     cents = ivf_fixed_centroids(n_cells=16, dim=64, seed=7)
-    a = ivf_assign_fixed(synth, cents)
+    # one evaluation of synthesis + centroid folds for BOTH join sides
+    # (r15 — same double-scan hazard as x51, measured 4.1 s → 2.0 s)
+    a = ivf_assign_fixed(synth, cents).localCheckpoint(eager=True)
     left = a.select(
         F.col("vec_id").alias("a_id"), F.col("embedding").alias("va"),
         F.col("_cell").alias("_ca"),
@@ -2121,7 +2190,17 @@ def x51(spark, sf_dir):
     # exactly the planes the oracle gates on i < m
     m = semdedup_adaptive_m(synth.count())
     planes = _hyperplanes(dim=64, m=16, seed=42)[:m]
-    a = synth.withColumn("_bkt", lsh_bucket("embedding", planes))
+    # materialize the bucket assignment ONCE (r15, guide §2.4/§1.2):
+    # `a` feeds both join sides, and Spark reuses exchanges, not
+    # scans — without the checkpoint the m×64-dim sign-fold projection
+    # (the dominant per-row cost) and the planted-corpus union run
+    # TWICE, once per side (measured 6.8 s warm at sf0.1; 2.8 s with
+    # the single evaluation). localCheckpoint keeps the assignment on
+    # executors; the loop-free plan downstream is two scans of those
+    # blocks. Values are identical — the projection is deterministic.
+    a = synth.withColumn(
+        "_bkt", lsh_bucket("embedding", planes)
+    ).localCheckpoint(eager=True)
     probes = F.array(
         F.col("_bkt"),
         *[
@@ -2229,11 +2308,10 @@ def x52(spark, sf_dir):
     planes = _hyperplanes(dim=64, m=8, seed=11)
 
     def proj(col: str):
+        from s2_spark.functions.similarity import _lit_dvec
+
         return F.array(
-            *[
-                dot(F.col(col), F.array(*[F.lit(float(x)) for x in p]))
-                for p in planes
-            ]
+            *[dot(F.col(col), _lit_dvec(p)) for p in planes]
         )
 
     # materialize the 8 projection folds as a COLUMN on each side
@@ -3548,14 +3626,27 @@ def x70(spark, sf_dir):
             ).alias("g"),
         )
     )
-    gd = grams.distinct()
-    first = gd.groupBy("g").agg(F.min("dec").alias("first_dec"))
+    # ONE gram-keyed exchange (r15 re-plan): the old
+    # distinct → groupBy(g) → join(gd, first) diamond re-evaluated the
+    # tokenize+md5-gram Generate per branch (Spark reuses exchanges,
+    # not scans — the same r12 hazard x68 hit) and shuffled the gram
+    # digests three times. collect_set("dec") is SAFE here where the
+    # r13 x68 collect_set was not: the set is hard-bounded at 10
+    # decile ints per gram (vs unbounded doc_id structs), so no hot-key
+    # aggregation buffer can grow past 10 elements. Per gram the set IS
+    # the distinct decile list; its min is the first decile; exploding
+    # it back out feeds the tiny 10-group rollup — map-side combined,
+    # second shuffle carries ≤ 10×n_partitions rows.
+    per_gram = grams.groupBy("g").agg(F.collect_set("dec").alias("_decs"))
+    ex = per_gram.select(
+        F.array_min("_decs").alias("first_dec"),
+        F.explode("_decs").alias("dec"),
+    )
     novel = F.sum(
         F.when(F.col("first_dec") == F.col("dec"), 1).otherwise(0)
     )
     return (
-        gd.join(first, "g")
-        .groupBy(F.col("dec").alias("decile"))
+        ex.groupBy(F.col("dec").alias("decile"))
         .agg(
             F.count("*").alias("n_distinct_grams"),
             novel.alias("n_novel_grams"),
