@@ -76,6 +76,7 @@ def chunked_running(
     chunk: Column | None = None,
     chunk_width: int = DEFAULT_CHUNK_WIDTH,
     partition_by: list[str] | None = None,
+    materialize_totals: bool = False,
 ) -> DataFrame:
     """Add ``out_col`` = running ``kind`` of ``value`` over the global
     order ``order_by`` (ROWS UNBOUNDED PRECEDING .. CURRENT ROW),
@@ -108,6 +109,7 @@ def chunked_running(
         chunk=chunk,
         chunk_width=chunk_width,
         partition_by=partition_by,
+        materialize_totals=materialize_totals,
     )
 
 
@@ -118,12 +120,23 @@ def chunked_running_multi(
     chunk: Column | None = None,
     chunk_width: int = DEFAULT_CHUNK_WIDTH,
     partition_by: list[str] | None = None,
+    materialize_totals: bool = False,
 ) -> DataFrame:
     """N running aggregates over the same global order in ONE chunked
     two-phase pass. ``specs`` is ``[(value, out_col, kind), ...]`` with
     kind 'sum' or 'max'. All N share the per-chunk window, the
     chunk-totals aggregation, and the two broadcast joins — the plan
     cost is that of a single :func:`chunked_running` regardless of N.
+
+    ``materialize_totals`` eagerly localCheckpoints the tiny
+    chunk-totals relation at plan-build time so the offsets self-join
+    reads it from executor-cached blocks instead of re-evaluating the
+    caller's whole input per join side — the self-join otherwise costs
+    a third evaluation of the input projection. Default off (fully
+    lazy, plan identical to the classic shape): measured at sf0.1 the
+    eager job only pays for itself when the input projection is
+    expensive (str6's command parsing: 1.23 s → 1.11 s); cheap-input
+    callers (w1/w5/x31/j7) break even or lose ~5%.
     """
     for _, _, kind in specs:
         if kind not in ("sum", "max"):
@@ -156,6 +169,15 @@ def chunked_running_multi(
     tot = run.groupBy(*pcols, "_pchunk").agg(
         *[agg(i, f"_pval{i}").alias(f"_pct{i}") for i in range(len(specs))]
     )
+    # opt-in single evaluation of `tot` (r15): the inequality
+    # self-join below consumes it twice, and Spark re-evaluates the
+    # whole subtree — including the caller's full input projection —
+    # per side (str6's plan showed THREE scans of the command-parsing
+    # projection). The eager localCheckpoint trades one build-time job
+    # for that third evaluation — a win only when the input projection
+    # is expensive (see docstring), hence not the default.
+    if materialize_totals:
+        tot = tot.localCheckpoint(eager=True)
     # eqNullSafe throughout: a NULL partition key is one group to
     # groupBy/Window, and plain equality would drop its rows here
     same_key = [F.col(f"a.{c}").eqNullSafe(F.col(f"b.{c}")) for c in pcols]

@@ -136,6 +136,11 @@ def apply_commands_batch(records: DataFrame) -> DataFrame:
         ["seq_num"],
         [("_fence", "_fmax", "max"), ("_treq", "_tmax", "max")],
         partition_by=["basin", "stream"],
+        # the command-parsing projection feeding the fold is the
+        # expensive part of this plan; materializing the chunk totals
+        # keeps the offsets self-join from re-evaluating it twice
+        # (1.23 s -> 1.11 s warm at sf0.1, plan: 3 scans -> 2)
+        materialize_totals=True,
     )
     return d.select(
         "basin",
