@@ -116,6 +116,18 @@ def lsh_candidate_pairs(
             )
         ).alias("band_idx", "band_hash"),
     )
+    # pin the join's parallelism (r15, guide §2.5 "input skew" /
+    # AQE-explosion trap): the banded relation is only a few MB, so
+    # AQE's byte-based coalescing collapses its exchange to 1-2
+    # partitions — but this join EXPLODES (output ∝ Σ_bucket C(m,2):
+    # 12.4M distinct pairs from 160k banded rows at sf0.1), so the
+    # generation then runs near-serially (measured: two tasks grinding
+    # for minutes where the same join at 32 tasks takes ~90 s). An
+    # explicit-N repartition is exempt from AQE coalescing; N =
+    # defaultParallelism tracks the session's core count (cluster-wide
+    # on a real cluster), not a local[32] constant.
+    dp = sig_df.sparkSession.sparkContext.defaultParallelism
+    banded = banded.repartition(dp, "band_idx", "band_hash")
     a = banded.alias("a")
     b = banded.alias("b")
     return (
