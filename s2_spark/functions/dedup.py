@@ -357,6 +357,13 @@ def simhash_neardup_pairs(
         "simhash",
         F.posexplode(F.array(*[chunk(b) for b in range(bands)])).alias("band", "key"),
     )
+    # same AQE-explosion trap as lsh_candidate_pairs (r15, guide §2.5):
+    # the banded fingerprints are tiny, so AQE coalesces the join's
+    # exchange to 1-2 partitions while the bucket join's OUTPUT is the
+    # quadratic pair set; explicit-N repartition is exempt from
+    # coalescing and tracks the session's core count
+    dp = df.sparkSession.sparkContext.defaultParallelism
+    banded = banded.repartition(dp, "band", "key")
     a, b = banded.alias("a"), banded.alias("b")
     cands = (
         a.join(

@@ -316,13 +316,27 @@ def embedding_neardup_pairs(
     pairwise join (baseline / oracle); default buckets by hyperplane
     signs first so only same-bucket pairs get the exact cosine —
     high-cosine pairs land in the same bucket with prob (1 - θ/π)^m."""
-    a, b = df.alias("a"), df.alias("b")
-    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    # pin parallelism (r15, guide §2.5): both modes join a SMALL input
+    # into a quadratic(-ish) pair set. exact mode plans a
+    # BroadcastNestedLoopJoin whose stream side inherits the scan's
+    # partitioning (a tiny scan = 1 task computing every pairwise
+    # cosine); bucketed mode's equi-join exchange gets AQE-coalesced
+    # to 1-2 partitions the same way the LSH band joins did. An
+    # explicit-N repartition is exempt from AQE coalescing.
+    dp = df.sparkSession.sparkContext.defaultParallelism
     if not exact:
         planes = _hyperplanes(dim, m, seed)
-        df2 = df.withColumn("_bkt", lsh_bucket(vec_col, planes))
+        df2 = df.withColumn("_bkt", lsh_bucket(vec_col, planes)).repartition(
+            dp, "_bkt"
+        )
         a, b = df2.alias("a"), df2.alias("b")
-        cond = cond & (F.col("a._bkt") == F.col("b._bkt"))
+        cond = (
+            F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+        ) & (F.col("a._bkt") == F.col("b._bkt"))
+    else:
+        df2 = df.repartition(dp)
+        a, b = df2.alias("a"), df2.alias("b")
+        cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
     return (
         a.join(b, cond)
         .select(

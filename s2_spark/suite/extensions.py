@@ -150,21 +150,54 @@ def x4(spark, sf_dir):
     ),
 )
 def x5(spark, sf_dir):
+    # r15 re-plan (guide §1.2 "the distributed algorithm", §2.3
+    # "shuffle keys instead of payloads"): the former bucket self-join
+    # materialized the DISTINCT pair set before counting — 11.54M pairs
+    # at sf0.1, concentrated in three hot-token buckets of ~3,800 docs
+    # each (C(3.8k,2) ≈ 7.3M pairs PER bucket, unsplittable key skew —
+    # AQE skew-join can't split a single key, guide §2.5), measured
+    # 9.6 s warm. The count never needs the pairs: each doc carries at
+    # most 3 bucket tokens, so by inclusion-exclusion over the shared
+    # token SUBSETS,
+    #
+    #   |{(d1<d2) sharing >= 1 token}|
+    #     = Σ_S (-1)^(|S|+1) · C(n_S, 2),   S a nonempty token subset,
+    #
+    # where n_S = #docs whose smallest-3 set contains S: a pair whose
+    # shared-token set is exactly T (|T| in 1..3) is counted
+    # Σ_{∅≠S⊆T} (-1)^(|S|+1) = 1 time; disjoint pairs 0 times. Each
+    # doc emits its ≤7 subsets (tokens are array_distinct'ed and
+    # array_sort'ed, so subset keys are canonical; ' ' joins them —
+    # tokens are split ON ' ' and cannot contain it), and the whole
+    # query is one O(n·7) explode + one groupBy on subset digests —
+    # no pair materialization, no skew-bound bucket. Same answer,
+    # proven vs the oracle at sf0.01 and sf0.1 (11,539,502 pairs).
     d = t(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id",
-        F.explode(
-            F.slice(F.array_sort(F.array_distinct(_tokens(F.col("text")))), 1, 3)
-        ).alias("tok"),
+    arr = F.slice(F.array_sort(F.array_distinct(_tokens(F.col("text")))), 1, 3)
+    e1, e2, e3 = (F.element_at(arr, i) for i in (1, 2, 3))
+    # null-propagating concat: a subset key exists only when every
+    # member token exists (docs with <3 distinct tokens emit fewer)
+    subsets = F.array(
+        F.struct(e1.alias("key"), F.lit(1).alias("sign")),
+        F.struct(e2.alias("key"), F.lit(1).alias("sign")),
+        F.struct(e3.alias("key"), F.lit(1).alias("sign")),
+        F.struct(F.concat(e1, F.lit(" "), e2).alias("key"), F.lit(-1).alias("sign")),
+        F.struct(F.concat(e1, F.lit(" "), e3).alias("key"), F.lit(-1).alias("sign")),
+        F.struct(F.concat(e2, F.lit(" "), e3).alias("key"), F.lit(-1).alias("sign")),
+        F.struct(
+            F.concat(e1, F.lit(" "), e2, F.lit(" "), e3).alias("key"),
+            F.lit(1).alias("sign"),
+        ),
     )
-    a = toks.alias("a")
-    b = toks.alias("b")
-    return (
-        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
-        .distinct()
-        .agg(F.count("*").alias("pairs"))
+    sub = d.select(
+        F.explode(F.filter(subsets, lambda s: s["key"].isNotNull())).alias("s")
+    ).select(F.col("s.key").alias("key"), F.col("s.sign").alias("sign"))
+    per_subset = sub.groupBy("key").agg(
+        F.count("*").alias("n"), F.first("sign").alias("sign")
     )
+    # integer-exact C(n,2): n*(n-1) is always even, DIV keeps it long
+    pairs = F.sum(F.col("sign").cast("long") * F.expr("(n * (n - 1)) DIV 2"))
+    return per_subset.agg(F.coalesce(pairs, F.lit(0).cast("long")).alias("pairs"))
 
 
 @query(
@@ -725,9 +758,20 @@ def x24(spark, sf_dir):
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     absmax = F.array_max(F.transform(v, lambda x: F.abs(x)))
     scale = F.when(absmax == 0, F.lit(1.0)).otherwise(absmax / F.lit(127.0))
-    q = F.transform(v, lambda x: F.signum(x) * F.floor(F.abs(x) / scale + F.lit(0.5)))
+    # r15 (guide §1.2 per-task work): never reference `scale` INSIDE a
+    # per-element lambda — higher-order functions are CodegenFallback,
+    # so a row-level subtree captured by the lambda body re-evaluates
+    # per element, turning this O(d) projection into O(d²) interpreted
+    # work (measured 4.8 s warm; 0.6 s after). array_repeat evaluates
+    # scale ONCE per row (argument position) and the lambdas see it as
+    # a plain element — identical arithmetic, identical IEEE results.
+    sc_arr = F.array_repeat(scale, F.size(v))
+    q = F.zip_with(
+        v, sc_arr, lambda x, s: F.signum(x) * F.floor(F.abs(x) / s + F.lit(0.5))
+    )
     qsum = F.aggregate(q, F.lit(0.0), lambda a, x: a + x).cast("long")
-    qerr = r4(F.array_max(F.zip_with(v, q, lambda a, b: F.abs(a - b * scale))))
+    recon = F.zip_with(q, sc_arr, lambda b, s: b * s)
+    qerr = r4(F.array_max(F.zip_with(v, recon, lambda a, r: F.abs(a - r))))
     return (
         e.select("vec_id", qsum.alias("qsum"), qerr.alias("qerr"))
         .orderBy("vec_id")
