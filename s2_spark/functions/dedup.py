@@ -152,17 +152,36 @@ def exact_jaccard(
     """Verify candidates with exact token-set Jaccard — joins the (small)
     candidate set back to the corpus twice; documents only move for
     candidates. ``tokens`` swaps the unit like in
-    :func:`minhash_signatures`."""
+    :func:`minhash_signatures`.
+
+    r15 (guide §1.2 per-task work, §2.4 single evaluation): the token
+    sets are mapped to xxhash64 longs before the pair join.
+    array_intersect on STRING arrays takes the non-atomic O(|A|·|B|)
+    pairwise-comparison path (measured 107 µs/pair on 206-shingle
+    docs — it dominated the whole pipeline); on primitive longs it
+    uses the hash-set fast path. The union size is then derived as
+    |A|+|B|−|A∩B| (both token units end in array_distinct, so the
+    arrays are sets), halving the set work. The Jaccard VALUE is
+    unchanged unless two distinct tokens of one candidate pair collide
+    in 64 bits (p ≈ m²·2⁻⁶⁴ per pair — negligible; oracle-verified
+    value-identical at sf0.01 and sf0.1). The hashed relation is
+    localCheckpointed: both join sides consume it and Spark reuses
+    exchanges, not scans — without the barrier the tokenization
+    subtree (and the exact-collapse chain under it) evaluates once per
+    side."""
     toks = df.select(
         F.col(id_col).alias("_id"),
-        (tokens if tokens is not None else tokens_col(text_col)).alias("_toks"),
-    )
+        F.transform(
+            tokens if tokens is not None else tokens_col(text_col),
+            lambda tok: F.xxhash64(tok),
+        ).alias("_toks"),
+    ).localCheckpoint(eager=True)
     j = (
         pairs.join(toks.withColumnRenamed("_id", "d1").withColumnRenamed("_toks", "t1"), "d1")
         .join(toks.withColumnRenamed("_id", "d2").withColumnRenamed("_toks", "t2"), "d2")
     )
     inter = F.size(F.array_intersect("t1", "t2")).cast("double")
-    union = F.size(F.array_union("t1", "t2")).cast("double")
+    union = (F.size("t1") + F.size("t2")).cast("double") - inter
     return j.select("d1", "d2", (inter / union).alias("jaccard"))
 
 
@@ -186,6 +205,16 @@ def _collapse_exact(
     )
     reps = keyed.groupBy("_h").agg(F.min(id_col).alias("_rep"))
     members = keyed.join(reps, "_h").select("_rep", id_col)
+    # r15 (guide §2.4 single evaluation): members is consumed by
+    # rep_docs here plus FOUR more references in _expand_pairs (m1, m2
+    # and both sides of the intra self-join), and Spark reuses
+    # exchanges, not scans — uncheckpointed, the md5 digest + groupBy
+    # + join chain re-ran once per reference (the x16 verify plan held
+    # 24 parquet scans for a 200-doc input). Two longs per row, so the
+    # barrier is cheap at any corpus size. Only the pair-emitting
+    # pipelines call this helper; the production shapes (_band_buckets
+    # tier) are unaffected.
+    members = members.localCheckpoint(eager=True)
     rep_docs = df.join(
         members.filter(F.col("_rep") == F.col(id_col)).select(id_col), id_col
     )
