@@ -127,9 +127,31 @@ def lsh_candidate_pairs(
     # defaultParallelism tracks the session's core count (cluster-wide
     # on a real cluster), not a local[32] constant.
     dp = sig_df.sparkSession.sparkContext.defaultParallelism
-    banded = banded.repartition(dp, "band_idx", "band_hash")
+    # r15 (guide §2.4 single evaluation): both self-join sides consume
+    # the banded relation; the barrier keeps the signature chain from
+    # evaluating twice (Spark reuses exchanges, not scans). ORDER
+    # MATTERS: the checkpoint must sit BELOW the repartition pin — a
+    # checkpointed RDD reports UnknownPartitioning, so a repartition
+    # above it survives as the join's REPARTITION_BY_NUM exchange
+    # (AQE-coalesce-exempt), while the reverse order discards the pin
+    # and AQE collapses the exploding join back to 1-2 partitions
+    # (measured: the x9 join ran ~8-wide instead of 32-wide).
+    banded = banded.localCheckpoint(eager=True).repartition(
+        dp, "band_idx", "band_hash"
+    )
     a = banded.alias("a")
     b = banded.alias("b")
+    # NOTE (r15, measured): a similar pair matches in MANY bands (r=1
+    # banding: a pair at similarity s agrees on ~s·bands of them) —
+    # 247.7M raw join rows crunch to 12.46M distinct pairs (20×) at
+    # sf0.1. A first-matching-band join predicate (keep a row only if
+    # no band j < band_idx has equal hashes, like the simhash tier
+    # uses) would emit each pair exactly once and delete the distinct,
+    # but for bands=32 the predicate is a 31-clause array-indexing
+    # conjunction whose generated code degenerates to interpreted
+    # evaluation per raw row — measured MINUTES of single-core grind in
+    # the skewed bucket tasks vs ~10 s for the hash-aggregate distinct
+    # (two-long keys, map-side partial dedup). The distinct stays.
     return (
         a.join(
             b,
@@ -392,21 +414,46 @@ def simhash_neardup_pairs(
     # quadratic pair set; explicit-N repartition is exempt from
     # coalescing and tracks the session's core count
     dp = df.sparkSession.sparkContext.defaultParallelism
-    banded = banded.repartition(dp, "band", "key")
+    # r15 (guide §2.4 single evaluation): the self-join consumes the
+    # banded relation on both sides, and without a barrier the whole
+    # simhash-signature chain (explode + 64 bit-sums + band explode)
+    # evaluated once per side — the plan held the full chain twice with
+    # no ReusedExchange. Four longs per row, so the barrier is cheap.
+    # Checkpoint BELOW the repartition pin (see lsh_candidate_pairs):
+    # checkpointed RDDs report UnknownPartitioning, so the pin must sit
+    # above to survive as the join's AQE-exempt exchange.
+    banded = banded.localCheckpoint(eager=True).repartition(dp, "band", "key")
     a, b = banded.alias("a"), banded.alias("b")
+    # r15 (guide §2.3/§2.4): a pair within hamming <= max shares one
+    # chunk per *unmatching-free* band — it met in EVERY band whose
+    # chunks agree (up to `bands` join rows per pair, crunched by a
+    # 16M-row distinct at sf0.1). Keeping only the FIRST matching band
+    # (no earlier band b' < band has equal chunks — both fingerprints
+    # are in scope, so the predicate is a cheap codegen conjunction)
+    # emits each pair exactly once and the distinct disappears.
+    chunk_of = lambda col, b: F.shiftright(col, b * width).bitwiseAND(F.lit(mask))  # noqa: E731
+    first_match = reduce(
+        lambda acc, j: acc
+        & (
+            (F.col("a.band") <= j)
+            | (chunk_of(F.col("a.simhash"), j) != chunk_of(F.col("b.simhash"), j))
+        ),
+        range(bands - 1),
+        F.lit(True),
+    )
     cands = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.key") == F.col("b.key"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            & first_match,
         )
         .select(
             F.col(f"a.{id_col}").alias("d1"),
             F.col(f"b.{id_col}").alias("d2"),
             hamming64(F.col("a.simhash"), F.col("b.simhash")).alias("hamming"),
         )
-        .distinct()
     )
     rep_pairs = cands.filter(F.col("hamming") <= max_hamming)
     # identical texts → identical fingerprints → hamming 0

@@ -116,15 +116,15 @@ def fingerprint_portable(col) -> Column:
     higher-order functions, no UDF)."""
 
     def tok_hash(tk: Column) -> Column:
-        # transform INPUT is evaluated once — splitting the digest into
-        # chars hashes the token a single time, where the old
-        # substr-per-index form recomputed md5(tk) for all 14 digits
+        # r15 (guide §1.2 per-task work): one conv() parses the whole
+        # 14-hex-digit prefix in native code — the previous
+        # split + transform + 14-step aggregate fold computed the same
+        # 56-bit value (a*16+b per digit ≡ base-16 positional parse)
+        # through the interpreted higher-order path, once per TOKEN.
+        # 56 bits fit a long exactly on both routes, so the value —
+        # and the mod — are bit-identical.
         mh14 = F.substring(F.md5(tk.cast("binary")), 1, 14)
-        hexv = F.transform(
-            F.split(mh14, ""),
-            lambda ch: F.conv(ch, 16, 10).cast("long"),
-        )
-        return F.aggregate(hexv, F.lit(0).cast("long"), lambda a, b: a * 16 + b) % FP_MOD
+        return F.conv(mh14, 16, 10).cast("long") % FP_MOD
 
     return F.aggregate(
         ws_tokens(col),

@@ -954,7 +954,17 @@ def x38(spark, sf_dir):
             lambda i: F.md5(F.concat_ws(" ", F.slice(ws, i, 16)).cast("binary")),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    e = base.select("doc_id", F.explode(wins).alias("h"))
+    # r15 (guide §2.4 single evaluation): e is a diamond — consumed by
+    # the shared-count aggregation AND the per-doc join below — and
+    # Spark reuses exchanges, not scans, so the O(total windows)
+    # explode + md5-per-window transform evaluated twice. The barrier
+    # holds (doc_id, 16-byte digest) rows only. md5 itself stays: at
+    # the 100 TB shape the window count makes 64-bit digests collide
+    # with certainty, so the 128-bit digest is the algorithm, not
+    # per-task fat.
+    e = base.select("doc_id", F.explode(wins).alias("h")).localCheckpoint(
+        eager=True
+    )
     sh = e.groupBy("h").agg(F.countDistinct("doc_id").alias("nd"))
     per = (
         e.join(sh, "h")
@@ -1482,7 +1492,16 @@ def x35(spark, sf_dir):
     q = d.filter(_funnel_verdict() == "keep")
     eh = q.withColumn("_h", F.md5(F.col("text").cast("binary")))
     er = eh.groupBy("_h").agg(F.min("doc_id").alias("doc_id"))
-    ed = eh.join(er.select("doc_id"), "doc_id").select("doc_id", "text")
+    # r15 (guide §2.4 single evaluation): the exact-survivor relation
+    # is consumed by the s3 count, the near-dup keep pipeline, AND the
+    # token rollup — each re-ran the quality-funnel + md5-collapse
+    # chain. Checkpoint only the surviving IDS (one long per row) and
+    # re-attach text from the scan: the ids all passed the quality
+    # filter, so joining the raw table yields the identical relation
+    # while each downstream reference pays one cheap pruned scan
+    # instead of the whole funnel chain.
+    ed_ids = er.select("doc_id").localCheckpoint(eager=True)
+    ed = d.select("doc_id", "text").join(ed_ids, "doc_id")
     keep = minhash_dedup_keep(ed)
     kd = ed.join(keep, "doc_id").select(
         F.size(F.split("text", " ")).cast("long").alias("ntok")
