@@ -2131,6 +2131,13 @@ def x49(spark, sf_dir):
     # materializes the assignment, re-inlining every centroid fold
     # into the planted-synthesis branch (plan-hygiene oversized-dup
     # detector). _cell is never null; eqNullSafe is value-identical.
+    # r15 (guide §2.5 AQE-explosion trap): the checkpointed assignment
+    # is tiny, so AQE coalesced the within-cell pair join to 1-2
+    # partitions while its OUTPUT × interpreted cosine fold is the
+    # cost; the explicit-N pin keeps the join as wide as the 16 cells
+    # hash (measured exec 2.4 s → 0.9 s).
+    dp = spark.sparkContext.defaultParallelism
+    left = left.repartition(dp, "_ca")
     pairs = (
         left.join(right, F.col("_ca").eqNullSafe(F.col("_cb")))
         .filter(F.col("a_id") < F.col("b_id"))
@@ -2284,6 +2291,12 @@ def x51(spark, sf_dir):
     # null-safe key: blocks the inferred isnotnull(_bkt) that would
     # re-inline the m-plane sign folds into pushed scan filters (the
     # key is never null; values identical)
+    # r15 (guide §2.5 AQE-explosion trap): both join inputs are a few
+    # hundred KB, so AQE coalesced the bucket join to 1-2 partitions
+    # while the within-bucket pair output × interpreted cosine fold is
+    # the cost; explicit-N pin on the bucket key keeps it wide.
+    dp = spark.sparkContext.defaultParallelism
+    left = left.repartition(dp, "_bkt")
     pairs = (
         left.join(right, F.col("_bkt").eqNullSafe(F.col("_bktr")))
         .filter(F.col("a_id") < F.col("b_id"))
