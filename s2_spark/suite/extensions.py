@@ -1262,7 +1262,7 @@ def x34(spark, sf_dir):
     return _recall_report(spark, emb, (0, 1, 2, 3, 4), k=10)
 
 
-def _recall_report(spark, corpus, qids, k=10, ann_fn=None):
+def _recall_report(spark, corpus, qids, k=10, ann_fn=None, ann_df=None):
     """Recall@k report shared by the ANN measurement queries (x34 raw
     fixture, x36 planted/LSH, x37 planted/IVF): per query, exact
     brute-force top-k vs the tier's approximate top-k over ``corpus``,
@@ -1311,7 +1311,15 @@ def _recall_report(spark, corpus, qids, k=10, ann_fn=None):
             "query_id", "vec_id", cosine("embedding", "qe").alias("sim")
         )
     ).withColumn("_m", F.lit(1))
-    if ann_fn is None:
+    if ann_df is not None:
+        # pre-built joint approximate side: (query_id, vec_id, sim)
+        # for ALL query ids in one plan — the caller guarantees each
+        # (query_id, vec_id) candidate appears exactly once with the
+        # tier's own similarity expression; ranked per query_id by the
+        # same window as the brute side (selection identical to the
+        # per-branch orderBy(sim DESC, vec_id).limit(k))
+        ann = _topk(ann_df)
+    elif ann_fn is None:
         # joint multiprobe-LSH at (m=8, multiprobe=1) — the same
         # bucketing, probe ring, candidate filter, and similarity
         # expression as similarity.lsh_topk, across all queries at once
@@ -1447,9 +1455,9 @@ def _planted_corpus(spark, sf_dir):
 )
 def x37(spark, sf_dir):
     from s2_spark.functions.similarity import (
+        cosine,
         ivf_assign_fixed,
         ivf_fixed_centroids,
-        ivf_topk,
     )
 
     synth = _planted_corpus(spark, sf_dir)
@@ -1459,15 +1467,51 @@ def x37(spark, sf_dir):
     # the checkpoint every branch re-runs the synthesis + all 16
     # sqdist folds per row
     assigned = ivf_assign_fixed(synth, cents).localCheckpoint(eager=True)
-    return _recall_report(
-        spark,
-        synth,
-        (0, 1, 2, 3, 4),
-        k=10,
-        ann_fn=lambda qid: ivf_topk(
-            assigned, cents, k=10, query_id=qid, nprobe=2
-        ),
+    # r15 §14: joint IVF side — ONE plan for all five query ids
+    # instead of five ivf_topk branches (each paid a driver-side
+    # .first() job plus its own probe-semi-join subtree). The probe
+    # cells replicate ivf_topk exactly: same floats (the stored
+    # vector collected from `assigned`), same squared-euclidean
+    # ranking with the same (dist, idx) tie-break, same nprobe=2.
+    # Each vector has ONE _cell, so it matches a query iff _cell is
+    # in that query's probe set — each (query_id, vec_id) candidate
+    # appears exactly once, and the cosine runs on the same
+    # array<double> values, so the ranked result is the branch
+    # result verbatim.
+    qids = (0, 1, 2, 3, 4)
+    qrows = (
+        assigned.filter(F.col("vec_id").isin(*qids))
+        .select("vec_id", "embedding")
+        .collect()
     )
+    qvecs = {int(r[0]): [float(x) for x in r[1]] for r in qrows}
+    centers = [(i, list(map(float, c))) for i, c in enumerate(cents)]
+
+    def _sqd(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    probe_rows = []
+    for qid in qids:
+        pcells = [
+            i
+            for i, _ in sorted(
+                centers, key=lambda ic: (_sqd(ic[1], qvecs[qid]), ic[0])
+            )[:2]
+        ]
+        for c in pcells:
+            probe_rows.append((qid, int(c), qvecs[qid]))
+    qframe = spark.createDataFrame(
+        probe_rows, "query_id long, probe_cell int, qe array<double>"
+    )
+    scored = (
+        assigned.join(
+            F.broadcast(qframe),
+            F.col("_cell").eqNullSafe(F.col("probe_cell")),
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", cosine("embedding", "qe").alias("sim"))
+    )
+    return _recall_report(spark, synth, qids, k=10, ann_df=scored)
 
 
 @query(
