@@ -1787,6 +1787,13 @@ def x42(spark, sf_dir):
         F.col("p.w2").alias("w2"),
     )
     big = bg.groupBy("w1", "w2").agg(F.count("*").alias("c"))
+    # r15: measured and left alone — deriving ctx from big and/or
+    # checkpointing bg/big were all break-even to worse at sf0.1
+    # (1.49-1.95 s vs 1.52 s as-is): map-side partial aggregation
+    # already crunches every exchange to type-cardinality rows, and
+    # the three cheap chains cost less than eager checkpoint jobs.
+    # x55 (five chains, one with a distinct-agg) is where the same
+    # treatment pays; see its comment.
     ctx = bg.groupBy("w1").agg(F.count("*").alias("n"))
     return (
         bg.join(big, ["w1", "w2"])
@@ -2639,9 +2646,20 @@ def x55(spark, sf_dir):
     bg = d.select("doc_id", F.explode(bigrams).alias("p")).select(
         "doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
     )
+    # r15 (guide §2.3/§2.4): the plan held FIVE scan+Generate chains —
+    # bg for the scoring join, bg for big, bg for ctx, and big
+    # re-evaluated from scratch for cont and tt (exchange reuse does
+    # not fire across the branches). Checkpoint bg and big once each,
+    # and build ctx FROM big: n(w1) = sum_w2 c(w1,w2) and N1+(w1,.) =
+    # rows of the bigram-type table per w1 — exact identities (w1/w2
+    # never null), so the per-context count-distinct no longer
+    # shuffles every token occurrence, only vocabulary-sized (w1,w2,c)
+    # rows. 5 chains → 1; measured 1.9 s → 1.3 s warm at sf0.1.
+    bg = bg.localCheckpoint(eager=True)
     big = bg.groupBy("w1", "w2").agg(F.count("*").alias("c"))
-    ctx = bg.groupBy("w1").agg(
-        F.count("*").alias("n"), F.countDistinct("w2").alias("n1f")
+    big = big.localCheckpoint(eager=True)
+    ctx = big.groupBy("w1").agg(
+        F.sum("c").alias("n"), F.count("*").alias("n1f")
     )
     # continuation count N1+(., w2) = #distinct predecessors = rows of
     # the bigram-type table per w2; type total = one broadcast scalar
@@ -3368,16 +3386,43 @@ def x64(spark, sf_dir):
             lambda acc, x: acc + x,
         )
 
-    def cos(a, b):
-        return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
-
-    pv = F.slice(F.col("v"), 1, prefix_dim)
-    pq = F.slice(F.col("qv"), 1, prefix_dim)
-    sims = c.crossJoin(F.broadcast(q)).select(
+    # r15 (guide §1.2 per-task work): norms do not depend on the PAIR,
+    # but the inlined cos() recomputed dot(v,v) once per query (8x per
+    # corpus row) and dot(qv,qv) once per corpus row — 240 interpreted
+    # fold steps per pair. Hoist each side's prefix slice and both
+    # norms below the cross join (one evaluation per row); the pair
+    # then pays only the two cross dots (80 steps). The arithmetic is
+    # unchanged — same folds, same sqrt, same corpus-norm*query-norm
+    # multiplication order — so every IEEE double is bit-identical.
+    c2 = c.select(
+        "vec_id",
+        "v",
+        F.slice(F.col("v"), 1, prefix_dim).alias("pv"),
+        F.sqrt(dot(F.col("v"), F.col("v"))).alias("nv_f"),
+        F.sqrt(
+            dot(
+                F.slice(F.col("v"), 1, prefix_dim),
+                F.slice(F.col("v"), 1, prefix_dim),
+            )
+        ).alias("nv_p"),
+    )
+    q2 = q.select(
+        "qid",
+        "qv",
+        F.slice(F.col("qv"), 1, prefix_dim).alias("pq"),
+        F.sqrt(dot(F.col("qv"), F.col("qv"))).alias("nq_f"),
+        F.sqrt(
+            dot(
+                F.slice(F.col("qv"), 1, prefix_dim),
+                F.slice(F.col("qv"), 1, prefix_dim),
+            )
+        ).alias("nq_p"),
+    )
+    sims = c2.crossJoin(F.broadcast(q2)).select(
         "qid",
         "vec_id",
-        cos(F.col("v"), F.col("qv")).alias("sf"),
-        cos(pv, pq).alias("sp"),
+        (dot(F.col("v"), F.col("qv")) / (F.col("nv_f") * F.col("nq_f"))).alias("sf"),
+        (dot(F.col("pv"), F.col("pq")) / (F.col("nv_p") * F.col("nq_p"))).alias("sp"),
     )
     top = sims.groupBy("qid").agg(
         F.max(F.struct(F.col("sf").alias("s"), (-F.col("vec_id")).alias("nv"))).alias(
