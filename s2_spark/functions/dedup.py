@@ -546,6 +546,15 @@ def _band_buckets(
     banded = sig.select(
         id_col, F.posexplode(F.array(*band_hashes)).alias("band", "bh")
     )
+    # r15 (guide §2.4): banded feeds both the bucket join and
+    # bucket_min, and self-join attribute dedup rewrites one side's
+    # expression ids, so ReuseExchange never fires — without the
+    # checkpoint every caller (minhash_dedup_keep, neardup_clusters)
+    # ran the signature aggregation — the pipeline's dominant stage —
+    # TWICE. One evaluation; O(n·bands) rows of (id, band, 32-hex bh)
+    # on executors. Values are identical: the md5-rotation chain is
+    # deterministic.
+    banded = banded.localCheckpoint(eager=True)
     bucket_min = banded.groupBy("band", "bh").agg(F.min(id_col).alias("_bmin"))
     return banded, bucket_min
 

@@ -4701,29 +4701,43 @@ def x80(spark, sf_dir):
     from s2_spark.functions.dedup import minhash_dedup_keep
     from s2_spark.functions.text import token_count
 
-    d = t(spark, sf_dir, "documents").select(
+    d0 = t(spark, sf_dir, "documents")
+    # r15 (guide §2.4/§1.2, the §12 x35 pattern): the per-row BPE
+    # regexp_count + md5 projection and the per-digest keep window fed
+    # FOUR consumers (raw, exk, ndk, and both sides of the minhash
+    # band build) — 5 parquet scans, the expensive chain evaluated
+    # once per branch. Checkpoint the SLIM relations (no text: 4
+    # small columns, then 3) so the chain and the window run once;
+    # the minhash leg re-attaches text from the scan by joining the
+    # kept ids — the ids are exactly the exact-dedup survivors, so the
+    # joined relation is identical to the old ex_kept's (doc_id, text).
+    d = d0.select(
         "doc_id",
-        "text",
         "source",
         token_count("text", "bpe").alias("nt"),
         F.md5(F.col("text").cast("binary")).alias("h"),
-    )
+    ).localCheckpoint(eager=True)
     keep = F.min("doc_id").over(W.partitionBy("h"))
-    ex_kept = (
+    kept = (
         d.withColumn("_k", keep)
         .filter(F.col("doc_id") == F.col("_k"))
-        .drop("_k", "h")
+        .select("doc_id", "source", "nt")
+        .localCheckpoint(eager=True)
     )
-    nd = minhash_dedup_keep(ex_kept, k=16, bands=4)
+    nd = minhash_dedup_keep(
+        d0.select("doc_id", "text").join(kept.select("doc_id"), "doc_id"),
+        k=16,
+        bands=4,
+    )
     raw = d.groupBy("source").agg(
         F.count("*").alias("n_raw_docs"), F.sum("nt").alias("raw_tokens")
     )
-    exk = ex_kept.groupBy("source").agg(
+    exk = kept.groupBy("source").agg(
         F.count("*").alias("n_exact_docs"),
         F.sum("nt").alias("exact_tokens"),
     )
     ndk = (
-        ex_kept.join(nd, "doc_id")
+        kept.join(nd, "doc_id")
         .groupBy("source")
         .agg(
             F.count("*").alias("n_neardup_docs"),
