@@ -299,8 +299,10 @@ class SandboxObjectBackend:
     through the object API surface a real bucket offers:
 
     - conditional PUT (``put_if_absent`` = ``If-None-Match: *``) for
-      generation publishes — created with ``O_CREAT|O_EXCL``, no
-      link, no rename;
+      generation publishes — staged content + atomic create-if-absent
+      link, because a real bucket's conditional PUT makes the object
+      visible with its FULL content or not at all (the simulation must
+      not expose a mid-write window the modeled store lacks);
     - PUT/GET/LIST/DELETE for leases, log reads, and vacuum;
     - server-side COPY + DELETE (``finalize_data``) to land staged
       part files on their final keys (a production port would use a
@@ -351,15 +353,28 @@ class SandboxObjectBackend:
             return f.read()
 
     def put_if_absent(self, path: str, data: bytes) -> bool:
+        # A real bucket's conditional PUT (If-None-Match: *) is ATOMIC:
+        # the object appears with its full content or not at all. The
+        # former O_CREAT|O_EXCL-then-write simulation exposed a 0-byte
+        # window a real store does not have (r15: a concurrent
+        # VersionedBlob reader listed the new version mid-publish and
+        # read 0 bytes). Stage the content, then os.link — atomic,
+        # create-if-absent — so visibility and content are one event.
         key = self._key(path)
         os.makedirs(os.path.dirname(key), exist_ok=True)
+        if os.path.exists(key):
+            self.conflicts += 1
+            return False
+        tmp = key + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "wb") as f:
+            f.write(data)
         try:
-            fd = os.open(key, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.link(tmp, key)
         except FileExistsError:
             self.conflicts += 1
             return False
-        with os.fdopen(fd, "wb") as f:
-            f.write(data)
+        finally:
+            os.unlink(tmp)
         self.puts += 1
         return True
 
@@ -404,11 +419,16 @@ class SandboxObjectBackend:
         # server-side CopyObject + DeleteObject — never a rename.
         # src is already an OBJECT location (Spark wrote the stage
         # through spark_path), so both ends live in the bucket.
+        # CopyObject is atomic on a real store (the destination
+        # appears with full content); stage + os.replace models that
+        # instead of copyfile's grow-in-place tear (r15).
         import shutil
 
         skey, dkey = self._key(src), self._key(dst)
         os.makedirs(os.path.dirname(dkey), exist_ok=True)
-        shutil.copyfile(skey, dkey)
+        tmp = dkey + f".tmp.{uuid.uuid4().hex}"
+        shutil.copyfile(skey, tmp)
+        os.replace(tmp, dkey)
         os.remove(skey)
         self.copies += 1
 

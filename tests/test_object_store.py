@@ -448,3 +448,40 @@ def test_catalog_cas_hammer_two_threads(spark, tmp_path):
     names = {s.name for s in fresh.streams.values()}
     want = {f"ta-{i}" for i in range(20)} | {f"tb-{i}" for i in range(20)}
     assert names == want, want - names
+
+
+def test_put_if_absent_never_exposes_partial_content(tmp_path):
+    """The conditional-PUT simulation must be ATOMIC like a real
+    bucket's If-None-Match PUT: a concurrent reader that sees the key
+    listed must read the FULL content, never 0 bytes or a prefix (the
+    r15 torn-read: O_CREAT|O_EXCL-then-write let a VersionedBlob
+    reader load a 0-byte parquet object mid-publish)."""
+    import threading
+
+    be = mf.SandboxObjectBackend(str(tmp_path / "bucket"))
+    payload = b"x" * 65536
+    stop = threading.Event()
+    torn = []
+
+    def reader():
+        while not stop.is_set():
+            for f in be.list_dir("/d"):
+                if f.endswith(".tmp") or ".tmp." in f:
+                    continue
+                try:
+                    got = be.read(os.path.join("/d", f))
+                except FileNotFoundError:
+                    continue
+                if got != payload:
+                    torn.append((f, len(got)))
+                    return
+
+    t = threading.Thread(target=reader)
+    t.start()
+    try:
+        for i in range(300):
+            assert be.put_if_absent(f"/d/k{i:04d}", payload)
+    finally:
+        stop.set()
+        t.join()
+    assert not torn, torn
