@@ -116,25 +116,51 @@ def _materialize(df) -> int:
 BENCH_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 
 
-def run_queries(spark) -> tuple[dict, dict, dict]:
-    """(median, min, first-run) seconds per headline query over
+#: outlier re-run trigger (VERDICT r15 task 1b): a median more than this
+#: factor above the same run's own min means the spread within one bench
+#: is contamination, not code — the machine demonstrably CAN run the
+#: query at the min. Extra reps are taken and pooled, and the retry is
+#: stamped so the record shows which numbers needed rescue.
+RETRY_FACTOR = float(os.environ.get("SPARK_GRAFT_BENCH_RETRY_FACTOR", "1.5"))
+
+
+def run_queries(spark) -> tuple[dict, dict, dict, dict]:
+    """(median, min, first-run, retries) seconds per headline query over
     BENCH_REPS iterations. Median is the noise-resistant headline; min
     is the machine's best case; first includes plan compilation and is
-    the number comparable with rounds 1-5 (which timed one iteration)."""
+    the number comparable with rounds 1-5 (which timed one iteration).
+    A query whose median lands > RETRY_FACTOR x its own min gets
+    BENCH_REPS more samples (pooled median) — r15's committed record
+    had untouched queries at 2-4.5x their min purely from co-tenant
+    phasing; the retry self-heals that class of artifact."""
     qs = all_queries()
-    med, mn, first = {}, {}, {}
+    med, mn, first, retried = {}, {}, {}, {}
+
+    def sample(fn, times):
+        t0 = time.perf_counter()
+        _materialize(fn(spark, SF_DIR))
+        times.append(time.perf_counter() - t0)
+
     for label, name in HEADLINE:
         fn = qs[name].spark
-        times = []
+        times: list[float] = []
         for _ in range(BENCH_REPS):
-            t0 = time.perf_counter()
-            _materialize(fn(spark, SF_DIR))
-            times.append(time.perf_counter() - t0)
+            sample(fn, times)
         first[label] = round(times[0], 3)
-        times.sort()
-        med[label] = round(times[len(times) // 2], 3)
-        mn[label] = round(times[0], 3)
-    return med, mn, first
+        srt = sorted(times)
+        if srt[len(srt) // 2] > RETRY_FACTOR * srt[0]:
+            before = round(srt[len(srt) // 2], 3)
+            for _ in range(BENCH_REPS):
+                sample(fn, times)
+            srt = sorted(times)
+            retried[label] = {
+                "median_before_retry": before,
+                "median_after_retry": round(srt[len(srt) // 2], 3),
+                "reps_total": len(times),
+            }
+        med[label] = round(srt[len(srt) // 2], 3)
+        mn[label] = round(srt[0], 3)
+    return med, mn, first, retried
 
 
 #: repetitions for the s2-bench append/read legs. Round 12's lesson:
@@ -414,13 +440,19 @@ def _gate(section: str, budget_s: int | None = None) -> dict:
     if budget_s is None:
         budget_s = int(os.environ.get("SPARK_GRAFT_BENCH_GATE_S", "240"))
     waited = 0
-    while os.getloadavg()[0] > max_load and waited < budget_s:
+    # gate on max(1-min, 5-min): r15's headline record passed a
+    # 1-min-only gate at 2.11 while the 5-min average was 8.36 — a
+    # just-idled co-tenant — and came out 2x contaminated (VERDICT r15
+    # task 1a). The 5-min average decays slower, so the budget rides it
+    # out; a co-tenant that never idles still stamps passed=False
+    # instead of silently poisoning the section.
+    while max(os.getloadavg()[:2]) > max_load and waited < budget_s:
         time.sleep(5)
         waited += 5
     la = os.getloadavg()
     return {
         "section": section,
-        "passed": la[0] <= max_load,
+        "passed": max(la[0], la[1]) <= max_load,
         "loadavg": [round(x, 2) for x in la],
         "waited_s": waited,
     }
@@ -748,20 +780,21 @@ def main() -> None:
     # BENCH record rather than poison the round series — unless
     # explicitly overridden.
     max_load = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "8"))
-    # 600 s default: a 1-minute loadavg decays ~e^(-t/60) once the
-    # co-tenant goes idle, so 10 minutes rides out a prior heavy phase
-    # (e.g. the driver's own correctness run) without sacrificing the
-    # refusal for genuinely persistent load
-    idle_wait_s = int(os.environ.get("SPARK_GRAFT_BENCH_IDLE_WAIT_S", "600"))
+    # 900 s default: the gate now watches the 5-MINUTE average too
+    # (VERDICT r15 task 1a — the r15 record started at 1-min 2.11 /
+    # 5-min 8.36 from a just-idled co-tenant and came out 2x
+    # contaminated), and a 5-min average needs longer to decay once the
+    # load stops; the refusal for genuinely persistent load stays.
+    idle_wait_s = int(os.environ.get("SPARK_GRAFT_BENCH_IDLE_WAIT_S", "900"))
     force = os.environ.get("SPARK_GRAFT_BENCH_FORCE", "0") == "1"
     waited = 0
-    while os.getloadavg()[0] > max_load and waited < idle_wait_s:
+    while max(os.getloadavg()[:2]) > max_load and waited < idle_wait_s:
         time.sleep(10)
         waited += 10
     load_start = os.getloadavg()
-    if load_start[0] > max_load and not force:
+    if max(load_start[0], load_start[1]) > max_load and not force:
         print(
-            f"bench REFUSED: loadavg {load_start[0]:.1f} > {max_load} after "
+            f"bench REFUSED: loadavg(1m,5m) {load_start[0]:.1f},{load_start[1]:.1f} > {max_load} after "
             f"waiting {waited}s — a co-tenant-loaded record would poison the "
             f"round series. Set SPARK_GRAFT_BENCH_FORCE=1 to record anyway.",
             file=sys.stderr,
@@ -774,7 +807,7 @@ def main() -> None:
         if os.path.exists(p):
             spark.read.parquet(p).count()
 
-    queries, queries_min, queries_first = run_queries(spark)
+    queries, queries_min, queries_first, queries_retried = run_queries(spark)
     gates = []
     # the HEADLINE s2bench legs measure the manifest-MVCC layout — the
     # default store and the one you'd run at object-store scale (r14).
@@ -817,6 +850,10 @@ def main() -> None:
         "detail": "full bench record (headline summary is the last line)",
         "queries_min": queries_min,
         "queries_first": queries_first,
+        # outlier re-runs (VERDICT r15 task 1b): queries whose median
+        # exceeded RETRY_FACTOR x their own min and got BENCH_REPS more
+        # pooled samples — non-empty means ambient load touched the run
+        "queries_retried": queries_retried,
         "s2bench": bench,
         # continuity series: same legs on the legacy listing layout
         "s2bench_listing": {
@@ -872,6 +909,9 @@ def main() -> None:
                 # BENCH_DETAIL.json "gates"; False = some section ran
                 # under residual load past the decay budget)
                 "gates_passed": all(g["passed"] for g in gates),
+                # labels of headline queries that needed an outlier
+                # re-run (median > 1.5x own min); [] on a clean run
+                "queries_retried": sorted(queries_retried),
                 "sf": float(sf),
                 "verified": bench["verified"],
                 "live_verified": bench["live_verified"],

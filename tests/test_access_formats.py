@@ -231,16 +231,22 @@ def test_json_raw_rejects_non_utf8(store):
 def test_read_wait_returns_immediately_when_data_exists(store):
     store.append(BASIN, "s1", [Record(body=b"x")])
     t0 = time.monotonic()
-    rows = store.read_wait(BASIN, "s1", ReadStart(seq_num=0), wait_s=5).collect()
+    rows = store.read_wait(BASIN, "s1", ReadStart(seq_num=0), wait_s=30).collect()
     assert len(rows) == 1
-    assert time.monotonic() - t0 < 4  # no full wait burned
+    # proves the 30 s wait was not burned while leaving headroom for
+    # first-Spark-job cold start on a loaded runner (this bound tripped
+    # the r15 driver verify at 5.45 s against a < 4 s budget)
+    assert time.monotonic() - t0 < 25
 
 
 def test_read_wait_times_out_empty(store):
     t0 = time.monotonic()
     rows = store.read_wait(BASIN, "s1", ReadStart(seq_num=0), wait_s=0.3).collect()
     assert rows == []
-    assert 0.25 <= time.monotonic() - t0 < 5
+    # lower bound is the semantic assertion (the wait actually blocked);
+    # the upper bound only guards against an unbounded hang, so it must
+    # tolerate Spark cold-start + co-tenant load (r15: 5.45 s vs < 5)
+    assert 0.25 <= time.monotonic() - t0 < 30
 
 
 def test_read_wait_wakes_on_append(store):
