@@ -132,17 +132,80 @@ def f12(spark, sf_dir):
     doc="exact interpolated percentiles (Spark percentile ≡ DuckDB quantile_cont)",
 )
 def f13(spark, sf_dir):
-    li = t(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            r4(F.percentile("l_extendedprice", F.lit(0.5))).alias("p50"),
-            r4(F.percentile("l_extendedprice", F.lit(0.9))).alias("p90"),
-            r4(F.min("l_extendedprice")).alias("mn"),
-            r4(F.max("l_extendedprice")).alias("mx"),
-        )
-        .orderBy("l_returnflag")
+    # r16 (guide §5 memory): F.percentile buffers a value→count map of
+    # the WHOLE group in one ObjectHashAggregate buffer (every partial
+    # ships its map through the exchange) — at 100 TB a group's values
+    # do not fit one buffer, and even at sf0.1 the map aggregation was
+    # 3.1 s of the query's 3.4 s. Two-pass rank-based exact plan
+    # instead: (1) count per distinct (flag, value) — an ordinary
+    # hash aggregate; (2) running count over the value-sorted distinct
+    # values (window sort spills gracefully, O(1) frame memory), pick
+    # the two order statistics each percentile interpolates between.
+    # The arithmetic reproduces Spark's Percentile evaluator exactly —
+    # pos = q*(n-1); lo/hi = floor/ceil; result = lowerKey when hi==lo
+    # or the keys are equal, else (hi-pos)*lowerKey + (pos-lo)*higherKey
+    # — proven bit-identical to F.percentile on the fixtures and the
+    # DuckDB oracle hash at sf0.001/0.01/0.1.
+    from pyspark.sql import Window
+
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_extendedprice").isNotNull())
+    vc = li.groupBy(
+        "l_returnflag", F.col("l_extendedprice").alias("v")
+    ).agg(F.count("*").alias("c"))
+    wcum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    wall = Window.partitionBy("l_returnflag")
+    e = vc.select(
+        "l_returnflag",
+        "v",
+        "c",
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(wall).alias("n"),
+    )
+
+    def key_at(rank):
+        # the row for value v covers 0-indexed ranks [cum-c, cum-1]
+        return F.max(
+            F.when(
+                (F.col("cum") - F.col("c") <= rank) & (rank < F.col("cum")),
+                F.col("v"),
+            )
+        )
+
+    agg_exprs = []
+    for tag, q in (("50", 0.5), ("90", 0.9)):
+        p = F.lit(q) * (F.col("n") - F.lit(1)).cast("double")
+        agg_exprs.append(key_at(F.floor(p)).alias(f"lk{tag}"))
+        agg_exprs.append(key_at(F.ceil(p)).alias(f"hk{tag}"))
+    g = e.groupBy("l_returnflag").agg(
+        *agg_exprs,
+        F.min("v").alias("_mn"),
+        F.max("v").alias("_mx"),
+        F.max("n").alias("n"),
+    )
+
+    def interp(tag, q):
+        p = F.lit(q) * (F.col("n") - F.lit(1)).cast("double")
+        lo, hi = F.floor(p), F.ceil(p)
+        lk, hk = F.col(f"lk{tag}"), F.col(f"hk{tag}")
+        return (
+            F.when(hi == lo, lk)
+            .when(hk == lk, lk)
+            .otherwise(
+                (hi.cast("double") - p) * lk + (p - lo.cast("double")) * hk
+            )
+        )
+
+    return g.select(
+        "l_returnflag",
+        r4(interp("50", 0.5)).alias("p50"),
+        r4(interp("90", 0.9)).alias("p90"),
+        r4(F.col("_mn")).alias("mn"),
+        r4(F.col("_mx")).alias("mx"),
+    ).orderBy("l_returnflag")
 
 
 @query(
