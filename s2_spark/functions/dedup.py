@@ -29,6 +29,8 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from s2_spark.checkpoint import barrier
+
 
 def normalize_text(col: Column) -> Column:
     """Trim + whitespace-collapse + lowercase — the canonical form
@@ -136,7 +138,7 @@ def lsh_candidate_pairs(
     # (AQE-coalesce-exempt), while the reverse order discards the pin
     # and AQE collapses the exploding join back to 1-2 partitions
     # (measured: the x9 join ran ~8-wide instead of 32-wide).
-    banded = banded.localCheckpoint(eager=True).repartition(
+    banded = barrier(banded).repartition(
         dp, "band_idx", "band_hash"
     )
     a = banded.alias("a")
@@ -197,7 +199,8 @@ def exact_jaccard(
             tokens if tokens is not None else tokens_col(text_col),
             lambda tok: F.xxhash64(tok),
         ).alias("_toks"),
-    ).localCheckpoint(eager=True)
+    )
+    toks = barrier(toks)
     j = (
         pairs.join(toks.withColumnRenamed("_id", "d1").withColumnRenamed("_toks", "t1"), "d1")
         .join(toks.withColumnRenamed("_id", "d2").withColumnRenamed("_toks", "t2"), "d2")
@@ -236,7 +239,7 @@ def _collapse_exact(
     # barrier is cheap at any corpus size. Only the pair-emitting
     # pipelines call this helper; the production shapes (_band_buckets
     # tier) are unaffected.
-    members = members.localCheckpoint(eager=True)
+    members = barrier(members)
     rep_docs = df.join(
         members.filter(F.col("_rep") == F.col(id_col)).select(id_col), id_col
     )
@@ -422,7 +425,7 @@ def simhash_neardup_pairs(
     # Checkpoint BELOW the repartition pin (see lsh_candidate_pairs):
     # checkpointed RDDs report UnknownPartitioning, so the pin must sit
     # above to survive as the join's AQE-exempt exchange.
-    banded = banded.localCheckpoint(eager=True).repartition(dp, "band", "key")
+    banded = barrier(banded).repartition(dp, "band", "key")
     a, b = banded.alias("a"), banded.alias("b")
     # r15 (guide §2.3/§2.4): a pair within hamming <= max shares one
     # chunk per *unmatching-free* band — it met in EVERY band whose
@@ -554,7 +557,7 @@ def _band_buckets(
     # TWICE. One evaluation; O(n·bands) rows of (id, band, 32-hex bh)
     # on executors. Values are identical: the md5-rotation chain is
     # deterministic.
-    banded = banded.localCheckpoint(eager=True)
+    banded = barrier(banded)
     bucket_min = banded.groupBy("band", "bh").agg(F.min(id_col).alias("_bmin"))
     return banded, bucket_min
 
@@ -706,7 +709,8 @@ def neardup_clusters(
 
     def _truncate(d: DataFrame) -> DataFrame:
         if checkpoint_dir is None:
-            return d.localCheckpoint(eager=True)
+            # honors the session durability knob (s2spark.checkpoint.mode)
+            return barrier(d)
         return d.checkpoint(eager=True)
 
     try:

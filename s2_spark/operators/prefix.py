@@ -33,6 +33,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from s2_spark.checkpoint import barrier
+
 DEFAULT_CHUNK_WIDTH = 65_536
 
 
@@ -177,7 +179,7 @@ def chunked_running_multi(
     # for that third evaluation — a win only when the input projection
     # is expensive (see docstring), hence not the default.
     if materialize_totals:
-        tot = tot.localCheckpoint(eager=True)
+        tot = barrier(tot)
     # eqNullSafe throughout: a NULL partition key is one group to
     # groupBy/Window, and plain equality would drop its rows here
     same_key = [F.col(f"a.{c}").eqNullSafe(F.col(f"b.{c}")) for c in pcols]

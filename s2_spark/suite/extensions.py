@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from s2_spark.checkpoint import barrier
 from s2_spark.registry import query
 from s2_spark.suite._util import r4
 from s2_spark.tables import t
@@ -962,9 +963,7 @@ def x38(spark, sf_dir):
     # the 100 TB shape the window count makes 64-bit digests collide
     # with certainty, so the 128-bit digest is the algorithm, not
     # per-task fat.
-    e = base.select("doc_id", F.explode(wins).alias("h")).localCheckpoint(
-        eager=True
-    )
+    e = barrier(base.select("doc_id", F.explode(wins).alias("h")))
     sh = e.groupBy("h").agg(F.countDistinct("doc_id").alias("nd"))
     per = (
         e.join(sh, "h")
@@ -1291,7 +1290,7 @@ def _recall_report(spark, corpus, qids, k=10, ann_fn=None, ann_df=None):
     # IEEE doubles, same tie-break, just ranked per partition instead
     # of per branch. The corpus is materialized once; all sides scan
     # the cached blocks.
-    corpus = corpus.localCheckpoint(eager=True)
+    corpus = barrier(corpus)
     qdf = corpus.filter(F.col("vec_id").isin(*[int(q) for q in qids])).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )
@@ -1466,7 +1465,7 @@ def x37(spark, sf_dir):
     # five per-query ANN branches below each scan `assigned`; without
     # the checkpoint every branch re-runs the synthesis + all 16
     # sqdist folds per row
-    assigned = ivf_assign_fixed(synth, cents).localCheckpoint(eager=True)
+    assigned = barrier(ivf_assign_fixed(synth, cents))
     # r15 §14: joint IVF side — ONE plan for all five query ids
     # instead of five ivf_topk branches (each paid a driver-side
     # .first() job plus its own probe-semi-join subtree). The probe
@@ -1544,7 +1543,7 @@ def x35(spark, sf_dir):
     # filter, so joining the raw table yields the identical relation
     # while each downstream reference pays one cheap pruned scan
     # instead of the whole funnel chain.
-    ed_ids = er.select("doc_id").localCheckpoint(eager=True)
+    ed_ids = barrier(er.select("doc_id"))
     ed = d.select("doc_id", "text").join(ed_ids, "doc_id")
     keep = minhash_dedup_keep(ed)
     kd = ed.join(keep, "doc_id").select(
@@ -2168,7 +2167,7 @@ def x49(spark, sf_dir):
     cents = ivf_fixed_centroids(n_cells=16, dim=64, seed=7)
     # one evaluation of synthesis + centroid folds for BOTH join sides
     # (r15 — same double-scan hazard as x51, measured 4.1 s → 2.0 s)
-    a = ivf_assign_fixed(synth, cents).localCheckpoint(eager=True)
+    a = barrier(ivf_assign_fixed(synth, cents))
     left = a.select(
         F.col("vec_id").alias("a_id"), F.col("embedding").alias("va"),
         F.col("_cell").alias("_ca"),
@@ -2321,7 +2320,8 @@ def x51(spark, sf_dir):
     # blocks. Values are identical — the projection is deterministic.
     a = synth.withColumn(
         "_bkt", lsh_bucket("embedding", planes)
-    ).localCheckpoint(eager=True)
+    )
+    a = barrier(a)
     probes = F.array(
         F.col("_bkt"),
         *[
@@ -2655,9 +2655,9 @@ def x55(spark, sf_dir):
     # never null), so the per-context count-distinct no longer
     # shuffles every token occurrence, only vocabulary-sized (w1,w2,c)
     # rows. 5 chains → 1; measured 1.9 s → 1.3 s warm at sf0.1.
-    bg = bg.localCheckpoint(eager=True)
+    bg = barrier(bg)
     big = bg.groupBy("w1", "w2").agg(F.count("*").alias("c"))
-    big = big.localCheckpoint(eager=True)
+    big = barrier(big)
     ctx = big.groupBy("w1").agg(
         F.sum("c").alias("n"), F.count("*").alias("n1f")
     )
@@ -4716,14 +4716,15 @@ def x80(spark, sf_dir):
         "source",
         token_count("text", "bpe").alias("nt"),
         F.md5(F.col("text").cast("binary")).alias("h"),
-    ).localCheckpoint(eager=True)
+    )
+    d = barrier(d)
     keep = F.min("doc_id").over(W.partitionBy("h"))
     kept = (
         d.withColumn("_k", keep)
         .filter(F.col("doc_id") == F.col("_k"))
         .select("doc_id", "source", "nt")
-        .localCheckpoint(eager=True)
     )
+    kept = barrier(kept)
     nd = minhash_dedup_keep(
         d0.select("doc_id", "text").join(kept.select("doc_id"), "doc_id"),
         k=16,
