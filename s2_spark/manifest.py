@@ -344,7 +344,13 @@ class SandboxObjectBackend:
     def list_dir(self, d: str) -> list[str]:
         self.lists += 1
         try:
-            return os.listdir(self._key(d))
+            # '.tmp.<uuid>' keys are the sandbox's staging device for
+            # atomic conditional-PUT/COPY; a real bucket's LIST never
+            # shows a staged upload, so the simulation's LIST surface
+            # must hide them too — otherwise an unfiltered consumer
+            # could read a torn tmp the modeled store cannot expose
+            # (ADVICE r15).
+            return [n for n in os.listdir(self._key(d)) if ".tmp." not in n]
         except OSError:
             return []
 
@@ -366,15 +372,22 @@ class SandboxObjectBackend:
             self.conflicts += 1
             return False
         tmp = key + f".tmp.{uuid.uuid4().hex}"
-        with open(tmp, "wb") as f:
-            f.write(data)
         try:
-            os.link(tmp, key)
-        except FileExistsError:
-            self.conflicts += 1
-            return False
+            with open(tmp, "wb") as f:
+                f.write(data)
+            try:
+                os.link(tmp, key)
+            except FileExistsError:
+                self.conflicts += 1
+                return False
         finally:
-            os.unlink(tmp)
+            # never leak the staging key — a crash between stage and
+            # link would otherwise leave '.tmp.' debris a real bucket's
+            # aborted conditional PUT does not (ADVICE r15)
+            try:
+                os.unlink(tmp)
+            except FileNotFoundError:
+                pass
         self.puts += 1
         return True
 
@@ -391,9 +404,16 @@ class SandboxObjectBackend:
         key = self._key(path)
         os.makedirs(os.path.dirname(key), exist_ok=True)
         tmp = key + f".tmp.{uuid.uuid4().hex}"
-        with open(tmp, "wb") as f:
-            f.write(data)
-        os.replace(tmp, key)
+        try:
+            with open(tmp, "wb") as f:
+                f.write(data)
+            os.replace(tmp, key)
+        except BaseException:
+            try:
+                os.unlink(tmp)
+            except FileNotFoundError:
+                pass
+            raise
         self.puts += 1
 
     def mtime_ms(self, path: str) -> int | None:
@@ -427,17 +447,31 @@ class SandboxObjectBackend:
         skey, dkey = self._key(src), self._key(dst)
         os.makedirs(os.path.dirname(dkey), exist_ok=True)
         tmp = dkey + f".tmp.{uuid.uuid4().hex}"
-        shutil.copyfile(skey, tmp)
-        os.replace(tmp, dkey)
+        try:
+            shutil.copyfile(skey, tmp)
+            os.replace(tmp, dkey)
+        except BaseException:
+            # a failed COPY (ENOSPC, crash) must not leak the staging
+            # key: vacuum's tmp sweep covers only the manifest dir, and
+            # a '.tmp.' data key would otherwise linger until the
+            # orphan-data sweep (ADVICE r15)
+            try:
+                os.unlink(tmp)
+            except FileNotFoundError:
+                pass
+            raise
         os.remove(skey)
         self.copies += 1
 
     def walk_files(self, root: str):
         # one recursive LIST over the mapped prefix; the walk itself
         # delegates to LocalBackend so the hidden-path and mtime rules
-        # live in exactly one place (code-review r15)
+        # live in exactly one place (code-review r15). Staging keys
+        # ('.tmp.<uuid>') are additionally hidden — see list_dir.
         self.lists += 1
-        yield from LocalBackend.walk_files(self, self._key(root))
+        for rel, mt in LocalBackend.walk_files(self, self._key(root)):
+            if ".tmp." not in rel:
+                yield rel, mt
 
     def remove_tree(self, path: str) -> None:
         # prefix DELETE: list the keys under the prefix, delete each

@@ -465,9 +465,10 @@ def test_put_if_absent_never_exposes_partial_content(tmp_path):
 
     def reader():
         while not stop.is_set():
+            # NOTE: no '.tmp.' skip here — LIST itself must hide the
+            # staging keys (a real bucket never shows a staged upload),
+            # so every listed name must be readable and complete
             for f in be.list_dir("/d"):
-                if f.endswith(".tmp") or ".tmp." in f:
-                    continue
                 try:
                     got = be.read(os.path.join("/d", f))
                 except FileNotFoundError:
@@ -485,3 +486,26 @@ def test_put_if_absent_never_exposes_partial_content(tmp_path):
         stop.set()
         t.join()
     assert not torn, torn
+
+
+def test_list_surface_hides_staging_keys(tmp_path):
+    """A real bucket's LIST never shows a staged upload, so the
+    sandbox's list_dir/list_data_dir/walk_files must hide '.tmp.'
+    staging keys (and a failed stage must not leak one)."""
+    be = mf.SandboxObjectBackend(str(tmp_path / "bucket"))
+    be.put("/d/a.json", b"x")
+    # plant debris the way a crash between stage and link would
+    key = be._key("/d/a.json")
+    with open(key + ".tmp.deadbeef", "wb") as f:
+        f.write(b"partial")
+    assert be.list_dir("/d") == ["a.json"]
+    assert be.list_data_dir("/d") == ["a.json"]
+    assert [rel for rel, _ in be.walk_files("/d")] == ["a.json"]
+    # a failed COPY cleans its own staging key
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        be.finalize_data("/d/missing-src", "/d/b.json")
+    assert be.list_dir("/d") == ["a.json"]
+    leftovers = [n for n in os.listdir(be._key("/d")) if ".tmp." in n]
+    assert leftovers == [key.split("/")[-1] + ".tmp.deadbeef"]
