@@ -154,6 +154,17 @@ def lsh_candidate_pairs(
     # evaluation per raw row — measured MINUTES of single-core grind in
     # the skewed bucket tasks vs ~10 s for the hash-aggregate distinct
     # (two-long keys, map-side partial dedup). The distinct stays.
+    # r16 (guide §5 spill / §2.3): a bare .distinct() here planned a
+    # MAP-side partial aggregate inside the join stage — but a pair's
+    # duplicate emissions live in DIFFERENT band partitions, so the
+    # partial map deduped only 20% (247.7M → 198M rows at sf0.1) while
+    # building a ~7.7M-entry hash map per task: measured 14.2 GiB of
+    # spill and 20 min of aggregation-build time across the stage.
+    # Repartitioning by the PAIR first moves the dedup entirely past
+    # the exchange: the join stage only streams rows into the shuffle
+    # writer (no map, no spill), and each post-shuffle task dedupes
+    # its own ~12.4M/N distinct pairs with a small in-memory map.
+    # Same rows out — distinct == dropDuplicates over (d1, d2).
     return (
         a.join(
             b,
@@ -162,7 +173,8 @@ def lsh_candidate_pairs(
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .select(F.col(f"a.{id_col}").alias("d1"), F.col(f"b.{id_col}").alias("d2"))
-        .distinct()
+        .repartition(dp, "d1", "d2")
+        .dropDuplicates(["d1", "d2"])
     )
 
 
