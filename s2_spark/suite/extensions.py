@@ -3190,9 +3190,16 @@ _HEAPS_PCTS = (1, 5, 25, 50, 100)
 )
 def x62(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id", F.explode(_tokens(F.col("text"))).alias("tok")
-    ).filter(F.col("tok") != "")
+    # r16 (guide §2.4): `toks` feeds two aggregations with different
+    # keys (first-doc per token, token count per doc), and Spark
+    # reuses exchanges, not scans — the tokenize+explode chain ran
+    # once per branch (plan: 2 scans + 2 Generates). One barrier, one
+    # evaluation; the checkpointed relation is (long, short token).
+    toks = barrier(
+        d.select(
+            "doc_id", F.explode(_tokens(F.col("text"))).alias("tok")
+        ).filter(F.col("tok") != "")
+    )
     first = toks.groupBy("tok").agg(F.min("doc_id").alias("first_doc"))
     perdoc = toks.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
     grid = (
@@ -3527,10 +3534,17 @@ def x65(spark, sf_dir):
 def x66(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
     tk = F.filter(_tokens(F.col("text")), lambda x: x != F.lit(""))
-    docs = d.select(tk.alias("tk"))
+    # r16 (guide §2.4): the tokenize projection fed FOUR branches
+    # (unigram counts, unigram total, bigram counts, bigram total) —
+    # 5 scans in the before-plan. The totals are exact identities of
+    # the count tables (count(*) over occurrences == sum of group
+    # counts — both BIGINT), so they no longer re-evaluate anything;
+    # the one barrier makes the remaining two explodes share a single
+    # tokenize pass.
+    docs = barrier(d.select(tk.alias("tk")))
     uni = docs.select(F.explode("tk").alias("w"))
     ucnt = uni.groupBy("w").agg(F.count("*").alias("c"))
-    nu = uni.agg(F.count("*").alias("n"))
+    nu = ucnt.agg(F.sum("c").alias("n"))
     pairs = F.when(
         F.size("tk") >= 2,
         F.zip_with(
@@ -3541,7 +3555,7 @@ def x66(spark, sf_dir):
     ).otherwise(F.array().cast("array<struct<w1 string, w2 string>>"))
     bi = docs.select(F.explode(pairs).alias("p")).select("p.w1", "p.w2")
     bcnt = bi.groupBy("w1", "w2").agg(F.count("*").alias("c_xy"))
-    nb = bi.agg(F.count("*").alias("n_b"))
+    nb = bcnt.agg(F.sum("c_xy").alias("n_b"))
     a = ucnt.select(F.col("w").alias("w1"), F.col("c").alias("c_x"))
     b = ucnt.select(F.col("w").alias("w2"), F.col("c").alias("c_y"))
     pmi_raw = F.log(
@@ -3865,8 +3879,14 @@ def x71(spark, sf_dir):
     toks = d.select(
         "source", F.explode(_tokens(F.col("text"))).alias("w")
     ).filter(F.col("w") != "")
-    c = toks.groupBy("source", "w").agg(F.count("*").alias("c"))
-    n = toks.groupBy("source").agg(F.count("*").alias("n"))
+    # r16 (guide §2.4): `c` is consumed by both self-join sides (a, b)
+    # and self-join attribute dedup defeats ReuseExchange, so the
+    # tokenize+explode+count chain ran once per side (6 scans in the
+    # before-plan); `n` re-ran it a third time. One barrier on the
+    # vocabulary-sized count table; the per-source total is the exact
+    # identity sum-of-group-counts (both BIGINT).
+    c = barrier(toks.groupBy("source", "w").agg(F.count("*").alias("c")))
+    n = c.groupBy("source").agg(F.sum("c").alias("n"))
     a = c.select(F.col("source").alias("s1"), "w", F.col("c").alias("c1"))
     b = c.select(F.col("source").alias("s2"), "w", F.col("c").alias("c2"))
     n1 = F.broadcast(n.select(F.col("source").alias("s1"), F.col("n").alias("n1")))
@@ -4101,7 +4121,11 @@ def x74(spark, sf_dir):
         "event_type",
         F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
     )
-    su = (
+    # r16 (guide §2.4): `su` feeds pu's inner join AND the left join
+    # below, and Spark reuses exchanges, not scans — the signup
+    # filter+agg chain (a full events scan) evaluated twice (3 event
+    # scans in the before-plan). One barrier; O(signed-up users) rows.
+    su = barrier(
         e.filter(F.col("event_type") == "signup")
         .groupBy("user_id")
         .agg(F.min("us").alias("t0"))
@@ -4167,7 +4191,10 @@ def x75(spark, sf_dir):
             "unix_micros(cast(ts as timestamp)) div 604800000000"
         ).alias("wk"),
     )
-    c = e.groupBy("user_id").agg(F.min("wk").alias("cohort"))
+    # r16 (guide §2.4): `c` feeds act's join AND the cohort-size
+    # rollup — the user-keyed min (a full events scan) evaluated twice
+    # (3 event scans in the before-plan). One barrier; O(users) rows.
+    c = barrier(e.groupBy("user_id").agg(F.min("wk").alias("cohort")))
     act = (
         e.join(c, "user_id")
         .select("user_id", "cohort", (F.col("wk") - F.col("cohort")).alias("k"))
