@@ -88,7 +88,7 @@ _R03_BACKLOG = frozenset({
 # the scoring prefix ahead of untouched proven entries until a fresh
 # proof lands.
 #
-# Round 15: EMPTY — every change this round is store-protocol
+# Round 15: empty — every change that round was store-protocol
 # (structural resurrection guard, data-plane backend seam, sandbox
 # object store, cross-process soak) or bench-harness (interleaved
 # s2bench legs, per-section loadavg gates); no registry query plan or
@@ -100,7 +100,25 @@ _R03_BACKLOG = frozenset({
 #
 # (Round 14 rescored x68/x79/x82 — contamination window re-plan — and
 # f3/f19 — total-order oracle fix; all five re-proved in r14.)
-_R15_RESCORE: frozenset[str] = frozenset()
+#
+# Round 16 re-planned eight queries (all proven oracle-identical at
+# sf0.001/0.01/0.1 in-session, but their latest DRIVER proofs predate
+# the new plans): f13's two-pass rank percentiles, the x62/x66/x71/
+# x74/x75 single-evaluation barriers, and the x9/x16 pair-keyed
+# distinct in lsh_candidate_pairs. The session-level durability knob
+# (checkpoint.barrier) is plan-identical in default local mode —
+# pinned by tests/test_checkpoint.py — so its other callers keep
+# their proofs.
+_R16_RESCORE: frozenset[str] = frozenset({
+    "f13_percentiles",
+    "x9_minhash_neardup",
+    "x16_ngram_jaccard_neardup",
+    "x62_heaps_vocab_growth",
+    "x66_pmi_collocations",
+    "x71_source_drift_matrix",
+    "x74_conversion_funnel",
+    "x75_retention_cohorts",
+})
 
 
 def _prioritized(names: list[str]) -> list[str]:
@@ -141,8 +159,8 @@ def _prioritized(names: list[str]) -> list[str]:
 
     backlog = [n for n in fresh if n in _R03_BACKLOG]
     newer = [n for n in fresh if n not in _R03_BACKLOG]
-    rescore = [n for n in proven if n in _R15_RESCORE]
-    stable = [n for n in proven if n not in _R15_RESCORE]
+    rescore = [n for n in proven if n in _R16_RESCORE]
+    stable = [n for n in proven if n not in _R16_RESCORE]
     # age the stable tail: oldest proof round first, families
     # round-robined within each round so one big old family can't
     # monopolize the refresh budget
